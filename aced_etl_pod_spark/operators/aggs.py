@@ -1,1 +1,253 @@
-"""(stub — operators registered in a later milestone)"""
+"""Aggregation operators (SURVEY.md §2.b — 10 IDs).
+
+Anchors: the reference's only true query is a filtered count
+(ES ``bool/must/match {project_id}`` + ``hits.total.value``,
+etl-job/fhir_import_export.py:264-274 → ``agg_count_filtered``); the
+discovery record build (:288) is a keyed aggregate; denormalized document
+building (:229) is group → sorted array.
+
+Scale notes: every groupBy here benefits from map-side partial aggregation
+(hash agg + codegen); grouping-sets/rollup/cube expand in the *expand*
+operator before the shuffle, so the shuffle key stays the grouping columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+
+@op(
+    "agg_count_filtered",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_open
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("agg",),
+)
+def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own query: count(*) under a key filter
+    (fhir_import_export.py:264-274)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").agg(F.count("*").alias("n_open"))
+
+
+@op(
+    "agg_group_sums",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "bench"),
+)
+def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregation (TPC-H Q1 shape; BASELINE B1)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@op(
+    "agg_distinct_count",
+    oracle="""
+    SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    tags=("agg", "dedup"),
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts, incl. multi-column (BASELINE B10)."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id", "event_type").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@op("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (rows-only check — algorithm differs from
+    DuckDB's; the 100 TB path where exact distinct would shuffle all keys).
+    Emits exact alongside so the tolerance is visible in the output."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@op(
+    "agg_min_max_first",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             round(min(value), 2) AS min_v,
+             round(max(value), 2) AS max_v,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+      FROM events GROUP BY event_type
+    ), r AS (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts ASC, event_id ASC) AS rf
+      FROM events
+    )
+    SELECT s.event_type, s.min_v, s.max_v, s.first_ts,
+           CAST(max(CASE WHEN rt = 1 THEN event_id END) AS BIGINT) AS top_event,
+           CAST(max(CASE WHEN rf = 1 THEN event_id END) AS BIGINT) AS first_event
+    FROM stats s JOIN r ON s.event_type = r.event_type
+    GROUP BY s.event_type, s.min_v, s.max_v, s.first_ts
+    """,
+    tags=("agg",),
+)
+def agg_min_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/first-by-order with composite tie-breaks (limit-1 read of the
+    study record, fhir_import_export.py:275-287, generalized)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.max_by("event_id", F.struct("value", "event_id")).alias("top_event"),
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event"),
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (spark.sql IS the parser — SURVEY §7.4)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "bench"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (BASELINE B9)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@op(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@op(
+    "agg_having",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) > 50
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .filter(F.col("n") > 50)
+    )
+
+
+@op(
+    "agg_collect_list_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+)
+def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group → sorted array, emitted as a joined string (denormalized
+    document building, fhir_import_export.py:229, :288)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names"),
+        F.count("*").alias("n"),
+    )

@@ -1,1 +1,299 @@
-"""(stub — operators registered in a later milestone)"""
+"""Scalar function families (SURVEY.md §2.b — 8 IDs, one query per family).
+
+Anchors: project-id split (``_get_program_project``,
+etl-job/fhir_import_export.py:55-59), snapshot-name formatting
+``{project_id}_{%Y%m%d-%H%M%S}_SNAPSHOT.zip`` (:341-342), the metadata map
+(:349), and JSON parsing of job params / resources (:52, :287).
+
+Everything here is a built-in ``pyspark.sql.functions`` expression — JVM
+codegen, no Python in the hot path. Output types are pinned (BIGINT for
+integral, formatted strings for timestamps) so the value hash can never
+trip on engine-specific rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+
+@op(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) AS seg_lower,
+           regexp_extract(c_name, '(\\d+)', 1) AS name_num,
+           substring(c_name, 1, 8) AS name_head,
+           c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           CAST(CASE WHEN c_mktsegment LIKE 'BUILD%' THEN 1 ELSE 0 END AS BIGINT) AS is_building,
+           trim('  ' || c_mktsegment || ' ') AS trimmed,
+           regexp_replace(c_name, 'Customer#', 'C') AS short_name,
+           string_split(c_name, '#')[2] AS after_hash
+    FROM customer
+    """,
+    tags=("fn",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: split/concat/case/substring/trim/regexp/length/like
+    (project-id split :55-59; snapshot name build :341-342)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("name_num"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.when(F.col("c_mktsegment").like("BUILD%"), 1).otherwise(0).cast("long").alias(
+            "is_building"
+        ),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.regexp_replace("c_name", "Customer#", "C").alias("short_name"),
+        F.split("c_name", "#").getItem(1).alias("after_hash"),
+    )
+
+
+@op(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y%m%d-%H%M%S') AS snap_fmt
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: extract/trunc/add/diff/epoch/format — incl. the
+    reference's snapshot timestamp format %Y%m%d-%H%M%S (:341)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since"
+        ),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("plus30"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyyMMdd-HHmmss").alias("snap_fmt"),
+    )
+
+
+@op(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS charged,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceiling(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_orderkey % 7 AS key_mod,
+           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(sqrt(l_quantity), 6) AS qty_sqrt
+    FROM lineitem
+    """,
+    tags=("fn",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: arithmetic/round/abs/floor/ceil/mod/pow/ln/exp/sqrt."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+    )
+
+
+@op(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           nullif(o_orderstatus, 'P') AS status_np,
+           coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status_filled,
+           round(greatest(o_totalprice, 100000), 2) AS at_least,
+           round(least(o_totalprice, 100000), 2) AS at_most,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN / coalesce / nullif / greatest / least
+    (empty-input branching analog, fhir_import_export.py:228-258)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("was_p")).alias(
+            "status_filled"
+        ),
+        F.round(F.greatest("o_totalprice", F.lit(100000)), 2).alias("at_least"),
+        F.round(F.least("o_totalprice", F.lit(100000)), 2).alias("at_most"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).cast("long").alias(
+            "is_urgent"
+        ),
+    )
+
+
+@op(
+    "fn_array",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           string_split(p_name, ' ')[1] AS first_tok,
+           CAST(CASE WHEN list_contains(string_split(p_name, ' '), 'red') THEN 1 ELSE 0 END
+                AS BIGINT) AS has_red,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+               AS toks_sorted,
+           array_to_string(string_split(p_name, ' ')[1:1], ',') AS first_slice
+    FROM part
+    """,
+    tags=("fn",),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/element_at/contains/distinct/sort/slice/join
+    (identifier/relations arrays, fhir_import_export.py:281-285). Arrays are
+    emitted as joined strings so hashing never depends on array rendering."""
+    p = load(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.when(F.array_contains(toks, "red"), 1).otherwise(0).cast("long").alias("has_red"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("toks_sorted"),
+        F.array_join(F.slice(toks, 1, 1), ",").alias("first_slice"),
+    )
+
+
+@op(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_v,
+           CAST(2 AS BIGINT) AS n_keys,
+           'prio,status' AS keys_sorted,
+           least(o_orderstatus, o_orderpriority) || ',' ||
+             greatest(o_orderstatus, o_orderpriority) AS vals_sorted
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: creation/keys/values/element access (metadata dict
+    ``{'is_snapshot': True, ...}``, fhir_import_export.py:349). The oracle
+    states the expected scalars directly — the map plumbing is Spark-side."""
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
+    )
+
+
+@op(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS avg_k,
+           CAST(count(*) FILTER (
+             WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+           ) AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("fn",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction (get_json_object) + schema-full parse
+    (from_json) — json.loads analog (fhir_import_export.py:52, :287).
+    BASELINE B6 shape."""
+    e = load(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k_str.cast("double").alias("k"), k_int.alias("k_i"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            F.max("k").alias("max_k"),
+            F.sum("k_i").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@op(
+    "fn_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS DOUBLE) AS uid_d,
+           CAST(trunc(value) AS BIGINT) AS val_trunc,
+           CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(CAST(value AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
+           CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END AS BIGINT) AS is_big
+    FROM events
+    """,
+    tags=("fn",),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family across int/long/double/string/timestamp/decimal/bool.
+    NB Spark double→int truncates while DuckDB rounds — oracle uses trunc()."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("user_id").cast("double").alias("uid_d"),
+        F.col("value").cast("long").alias("val_trunc"),
+        F.col("event_id").cast("string").cast("long").alias("id_roundtrip"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("val_dec_str"),
+        (F.col("value") > 100).cast("long").alias("is_big"),
+    )
