@@ -1,0 +1,49 @@
+"""Text-analysis column builders (north-star extension: text pipeline ops).
+
+All pure Catalyst expressions (split/regexp/transform) — no Python in the
+hot path, so a 100 TB documents scan stays inside whole-stage codegen.
+Helpers that need lambda expressions take SQL *expression strings* (column
+names or sub-expressions) and return Columns via ``F.expr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+
+
+def normalize(col: Column) -> Column:
+    """lower → strip non-alnum → collapse whitespace → trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(col, " ")
+
+
+def ngrams_expr(tokens_expr: str, n: int) -> Column:
+    """Word n-grams (joined by spaces) from a token-array SQL expression.
+
+    1-based ``element_at`` so the same formula reads identically in the
+    DuckDB oracle (``t[i + k]``).
+    """
+    grams = ", ".join(f"element_at(__t, i + {k})" for k in range(n))
+    return F.expr(
+        f"transform(sequence(1, greatest(size({tokens_expr}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {grams}))".replace("__t", tokens_expr)
+    )
+
+
+def word_shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a raw text column (by name),
+    normalized first."""
+    tok = f"split({NORMALIZE_SQL.format(col=text_col)}, ' ')"
+    return F.array_distinct(ngrams_expr(tok, n))

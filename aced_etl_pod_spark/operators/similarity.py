@@ -1,1 +1,181 @@
-"""(stub — operators registered in a later milestone)"""
+"""Similarity-search + multimodal operators (SURVEY.md §2.b LLM-pipeline
+extensions over the ``embeddings`` table, plus the ANN scale path and
+embedding near-dup from the north star).
+
+The cosine kernel (functions/similarity.py) is a sequential double fold —
+bit-identical to DuckDB's ``list_dot_product``, so exact ops hash-check.
+The sign-LSH ANN variant is approximate → rows-checked, with recall vs the
+brute-force baseline asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    random_hyperplanes,
+    signature_bucket,
+)
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.sources.binary import decode_stub, generate_blob_fixture, read_binary
+from aced_etl_pod_spark.tables import load
+
+DUCK_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    " sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@op(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "bench"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (BASELINE B8).
+    Query side broadcast; scan side never shuffles — at 100 TB this is one
+    pass + a TakeOrdered."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    topk = brute_force_topk(emb, q, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@op(
+    "sim_knn_all_pairs_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, a.label AS label,
+             {DUCK_COS.format(a="a.embedding", b="b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, nbr_id, label, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+      FROM pairs
+    )
+    SELECT vec_id, nbr_id, CAST(label AS BIGINT) AS label,
+           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("similarity",),
+)
+def sim_knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector k-NN (k=3) within each label group: group-bounded join +
+    window top-k — the shuffle is on label, never a global cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id"), F.col("label"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label"), F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_expr("emb_a", "emb_b"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.col("label").cast("long").alias("label"),
+            F.col("rk").cast("long").alias("rk"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+@op(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+    """,
+    tags=("similarity", "dedup", "extra"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label group
+    (cos ≥ 0.3 on this synthetic data; production would use ~0.95+ and the
+    LSH bucketing below for candidate generation)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr("emb_a", "emb_b")
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@op("sim_ann_lsh_topk", tags=("similarity", "approx", "extra"))
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-LSH bucketing (the 100 TB scale path):
+    8 hyperplane signs → 256 buckets; candidates = same-bucket vectors;
+    exact cosine re-rank inside buckets; top-3 per query vector.
+    Rows-checked (approximate); recall vs brute force asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = random_hyperplanes(dim=64, n_planes=8)
+    bucketed = emb.withColumn("bucket", signature_bucket("embedding", planes))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id"), "bucket", F.col("embedding").alias("emb_a")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("nbr_id"), "bucket", F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_expr("emb_a", "emb_b"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "nbr_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@op("multimodal_binary_meta", tags=("multimodal",))
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/file column + typed metadata + stubbed decode (north star
+    multimodal plumbing; blob channel anchor fhir_import_export.py:148-180,
+    :344-352). Generates a deterministic blob fixture, scans it as
+    ``binaryFile`` rows, extracts path metadata JVM-side, then runs the
+    Arrow-batched decode stub (mapInPandas). Rows-checked: no DuckDB view
+    exists for the blob dir, but every value is deterministic."""
+    src = generate_blob_fixture(n=64)
+    blobs = read_binary(spark, src)
+    meta = blobs.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        "length",
+        F.sha2("content", 256).alias("digest"),
+        "path",
+        "content",
+    )
+    decoded = decode_stub(meta.select("path", "length", "content"))
+    joined = meta.select("blob_id", "length", "digest", "path").join(
+        decoded.select("path", "n_bytes", F.round("byte_mean", 4).alias("byte_mean"), "feature0"),
+        "path",
+    )
+    return joined.select("blob_id", "length", "digest", "n_bytes", "byte_mean", "feature0")

@@ -1,1 +1,260 @@
-"""(stub — operators registered in a later milestone)"""
+"""Structured Streaming operators (SURVEY.md §2.b — 7 IDs).
+
+All run over the deterministic file-source replay of ``events``
+(streaming/replay.py): one parquet file = one micro-batch. Oracles are the
+batch-equivalent SQL (SURVEY §5.6) — except ``stream_watermark_late``,
+whose late-drop semantics are still SQL-expressible because the watermark
+trajectory under replay is deterministic.
+
+Scale notes: windowed aggregations keyed by (window, key) shuffle once and
+keep state partitioned; watermarks bound state size (without one, streaming
+dedup/agg state grows without bound — the 100 TB failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.streaming.replay import (
+    materialize_batches,
+    read_stream,
+    run_foreach_batch,
+    run_to_memory,
+)
+from aced_etl_pod_spark.tables import scratch_dir
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@op(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "bench"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type counts/sums over a 1-hour tumbling window
+    (BASELINE B5). Complete output mode → memory sink."""
+    src = materialize_batches(spark, sf_dir, "tumbling")
+    agg = (
+        read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_to_memory(agg, "t_tumbling", "complete")
+    return out.select(
+        F.date_format("window.start", TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@op(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes')
+               AS win_start,
+             value
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    )
+    SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM shifted
+    GROUP BY 1
+    """,
+    tags=("stream",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event lands in 4
+    windows — the oracle materializes the same 4 shifted buckets)."""
+    src = materialize_batches(spark, sf_dir, "sliding")
+    agg = (
+        read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_to_memory(agg, "t_sliding", "complete")
+    return out.select(
+        F.date_format("window.start", TS_FMT_SPARK).alias("win_start"), "n", "total"
+    )
+
+
+@op(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS sess_start,
+           strftime(max(ts) + INTERVAL '10 minutes', '{TS_FMT_DUCK}') AS sess_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("stream",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute gap. Oracle is the
+    gaps-and-islands formulation (SURVEY §7.3.3). Session end = last event
+    + gap (Spark's session_window semantics)."""
+    src = materialize_batches(spark, sf_dir, "session")
+    agg = (
+        read_stream(spark, src)
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "t_session", "complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", TS_FMT_SPARK).alias("sess_start"),
+        F.date_format("session_window.end", TS_FMT_SPARK).alias("sess_end"),
+        "n",
+    )
+
+
+@op(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH kept AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-14'),
+         wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM kept)
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM kept
+    GROUP BY date_trunc('hour', ts)
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    tags=("stream",),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-row drop, deterministically replayed over 3 batches:
+    batch 0 = the later half (ts >= Jan 15), batch 1 = a one-day nudge
+    (Jan 14), batch 2 = everything earlier. Spark applies the *previous*
+    batch's watermark when filtering late events (and the current one for
+    eviction — see the two watermark slots on StateStoreSave), so the
+    watermark earned in batch 0 becomes the late-filter only in batch 2:
+    every batch-2 row (ts < Jan 14 < wm) is dropped. Append mode then emits
+    exactly the Jan-14..30 windows closed by the final watermark — which is
+    what the oracle states."""
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "watermark",
+        splits=[
+            F.col("ts") >= F.lit("2024-01-15").cast("timestamp"),
+            (F.col("ts") >= F.lit("2024-01-14").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp")),
+            F.col("ts") < F.lit("2024-01-14").cast("timestamp"),
+        ],
+    )
+    agg = (
+        read_stream(spark, src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "t_watermark", "append")
+    return out.select(F.date_format("window.start", TS_FMT_SPARK).alias("win_start"), "n")
+
+
+@op(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("stream", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type): emits each key once on
+    first sight (the emitted key *set* is deterministic even though which
+    physical row wins is not — so only keys are returned)."""
+    src = materialize_batches(spark, sf_dir, "dedup")
+    deduped = (
+        read_stream(spark, src)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_to_memory(deduped, "t_dedup", "append")
+
+
+@op(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("stream",),
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregates across micro-batches (unbounded keyed
+    state, complete mode) — replayed over 3 batches split by event_id mod."""
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "stateful",
+        splits=[F.col("event_id") % 3 == i for i in range(3)],
+    )
+    agg = (
+        read_stream(spark, src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return run_to_memory(agg, "t_stateful", "complete")
+
+
+@op(
+    "stream_foreach_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("stream", "sink"),
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental write to a partitioned sink via foreachBatch (the
+    streaming generalization of the reference's per-commit load loop,
+    fhir_import_export.py:451-468): 4 micro-batches appended to a
+    partitioned parquet table, then verified by read-back."""
+    import shutil as _sh
+
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "foreach",
+        splits=[F.col("event_id") % 4 == i for i in range(4)],
+    )
+    sink = scratch_dir("stream/foreach_sink")
+    _sh.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("event_type").parquet(sink)
+
+    run_foreach_batch(read_stream(spark, src), write_batch)
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -1,1 +1,285 @@
-"""(stub — operators registered in a later milestone)"""
+"""Text-analysis + deduplication operators (SURVEY.md §2.b LLM-pipeline
+extensions, plus the wider dedup family from the north star: exact hash,
+MinHash-LSH, SimHash, n-gram Jaccard, plus language-ID / quality scoring /
+fingerprinting).
+
+Run over the ``documents`` table. Everything except the LSH family is
+hash-checked against DuckDB; MinHash/SimHash are approximate-by-design and
+rows-checked here, with recall proven on synthetic near-dups in
+tests/test_dedup.py (SURVEY §7.3.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs
+from aced_etl_pod_spark.functions.text import ngrams_expr, normalize
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+# English-ish stopword set used by the language-ID heuristic (tiny, inlined
+# into the plan as a literal array — broadcast-free).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# DuckDB mirror of functions.text.NORMALIZE_SQL (DuckDB regexp_replace needs
+# the 'g' flag; Spark's replaces all matches by default).
+DUCK_NORMALIZE = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@op(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "bench"),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language stats (BASELINE B7)."""
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        d.select("lang", ntok.alias("ntok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@op(
+    "text_normalize",
+    oracle=f"""
+    SELECT doc_id, {DUCK_NORMALIZE.format(col="text")} AS norm
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower / strip punctuation / collapse whitespace (NB: DuckDB
+    regexp_replace needs the 'g' flag; Spark replaces all matches)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize(F.col("text")).alias("norm"))
+
+
+@op(
+    "text_ngram_freq",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+               AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text",),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k word bigrams with total-order tie-break (count desc, gram asc)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ngrams_expr("split(text, ' ')", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@op(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+           min(sha256(text)) AS min_hash
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup accounting (sha256 both engines; the
+    groupBy-on-digest pattern scales to 100 TB because only 32-byte digests
+    shuffle, never the documents)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct"),
+        F.min(h).alias("min_hash"),
+    )
+
+
+@op("dedup_minhash_lsh", tags=("text", "dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-checked: approximate by
+    design — recall is proven on synthetic near-dups in tests).
+    32 hashes × 8 bands; word-3-gram shingles; Jaccard ≥ 0.5 verify."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text")
+
+
+@op("dedup_simhash", tags=("text", "dedup", "approx", "extra"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-sum signature, 16-bit prefix
+    blocking, Hamming ≤ 8 verify (rows-checked; recall proven in tests)."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text")
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS inter,
+             len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS uni
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.85
+    """,
+    tags=("text", "dedup", "extra"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs within a language group (the exact
+    counterpart the LSH family approximates; group-bounded join keeps it
+    from being a global cross product)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang"), F.col("toks").alias("toks_b"))
+    pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    uni = (F.size("toks_a") + F.size("toks_b")).cast("double") - F.size(
+        F.array_intersect("toks_a", "toks_b")
+    )
+    jac = inter / uni
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.85)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@op(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split({DUCK_NORMALIZE.format(col="text")}, ' '),
+                    x -> list_contains({list(STOPWORDS)!r}::VARCHAR[], x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, round(stop_ratio, 4) AS stop_ratio,
+           CASE WHEN stop_ratio >= 0.1 THEN 'en_like' ELSE 'other' END AS guess
+    FROM scored
+    """,
+    tags=("text", "extra"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio against an inlined English
+    stoplist → threshold classify (the n-gram-profile approach reduced to
+    its simplest deterministic form)."""
+    d = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.split(normalize(F.col("text")), " ")
+    # stopword OCCURRENCES (not distinct hits), mirroring list_filter
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    ratio = hits.cast("double") / F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.1, "en_like").otherwise("other").alias("guess"),
+    )
+
+
+@op(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nuniq,
+             CAST(n_chars AS DOUBLE) AS nchar
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ntok AS BIGINT) AS n_tokens,
+           round(nuniq / ntok, 4) AS uniq_ratio,
+           round(nchar / ntok, 4) AS avg_tok_len,
+           round(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+                 + 0.2 * least(nchar / ntok / 8, 1.0), 4) AS quality
+    FROM m
+    """,
+    tags=("text", "extra"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: lexical diversity + length saturation +
+    token-length saturation, weighted (the length/punct/stopword-ratio
+    family of pretraining-data filters)."""
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("double")
+    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    nchar = F.col("n_chars").cast("double")
+    quality = (
+        0.5 * (nuniq / ntok)
+        + 0.3 * F.least(ntok / 20, F.lit(1.0))
+        + 0.2 * F.least(nchar / ntok / 8, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+        F.round(nuniq / ntok, 4).alias("uniq_ratio"),
+        F.round(nchar / ntok, 4).alias("avg_tok_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS fp,
+           sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS head_fp
+    FROM documents
+    """,
+    tags=("text", "extra"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content digest of the normalized text +
+    digest of the 8-token head (prefix-dup detection)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(normalize(F.col("text")), 256).alias("fp"),
+        F.sha2(F.array_join(F.slice(F.split("text", " "), 1, 8), " "), 256).alias("head_fp"),
+    )

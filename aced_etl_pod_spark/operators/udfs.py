@@ -1,1 +1,123 @@
-"""(stub — operators registered in a later milestone)"""
+"""UDF / UDAF / UDTF operators (SURVEY.md §2.b — 4 IDs).
+
+Anchor: the reference's custom "simplify" logic (schema-driven per-record
+transforms, etl-job/fhir_import_export.py:219-222) is the slot where user
+code runs inside the engine. Preference order at 100 TB: built-in exprs ≫
+Arrow-vectorized pandas UDFs ≫ row-at-a-time Python UDFs — the scalar
+Python UDF below exists to cover the API surface, not as a pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+
+@op(
+    "udf_scalar_python",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_rank
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time scalar Python UDF (API coverage; the slow path)."""
+
+    @F.udf(T.LongType())
+    def prio_rank(p: str) -> int:
+        return int(p.split("-")[0])
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", prio_rank("o_orderpriority").alias("prio_rank"))
+
+
+@op(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS charged
+    FROM lineitem
+    """,
+    tags=("udf",),
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (Series→Series) — the default
+    vehicle for custom logic at scale (~10-100× the row UDF)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    raw = charge("l_extendedprice", "l_discount", "l_tax")
+    return li.select("l_orderkey", "l_linenumber", money(raw).alias("charged"))
+
+
+@op(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom UDAF): quantity-weighted mean price."""
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        money(weighted_avg("l_extendedprice", "l_quantity")).alias("w_avg_price")
+    )
+
+
+@op(
+    "udtf_apply_in_pandas",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS BIGINT)
+               AS bal_rank,
+           CAST(round(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS centered
+    FROM customer
+    """,
+    tags=("udf",),
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (DataFrame→DataFrame per group) via applyInPandas — the
+    per-patient denormalize pattern (fhir_import_export.py:229): arbitrary
+    per-group pandas logic, schema declared up front, groups distributed
+    across executors."""
+
+    def per_nation(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_rank": pdf["c_acctbal"].rank(method="min").astype("int64"),
+                "centered": pdf["c_acctbal"] - pdf["c_acctbal"].mean(),
+            }
+        )
+        return out
+
+    c = load(spark, sf_dir, "customer")
+    out = c.groupBy("c_nationkey").applyInPandas(
+        per_nation,
+        schema="c_custkey long, c_nationkey int, bal_rank long, centered double",
+    )
+    return out.select("c_custkey", "c_nationkey", "bal_rank", money(F.col("centered")).alias("centered"))

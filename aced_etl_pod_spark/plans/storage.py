@@ -1,0 +1,61 @@
+"""Partitioned-table storage primitives.
+
+The reference keeps every store keyed by ``project_id`` — flat-index bulk
+load (etl-job/fhir_import_export.py:230-258), per-key upsert of discovery
+records (:288), and project-wide delete (:372-385). Here those roles are
+filled by parquet tables physically partitioned on the tenancy key, so:
+
+  * load   → ``write.partitionBy(key)`` (one dir per key),
+  * delete → dropping a partition directory — O(metadata), not O(data).
+    On local FS that is a directory remove; on object stores the same
+    operation is a manifest/prefix delete. Never a full-table rewrite.
+  * upsert → dynamic partition overwrite: only the partitions present in
+    the incoming batch are replaced; all other partitions are untouched
+    (again O(changed keys), not O(table)).
+
+At 100 TB the tenancy key is the coarse partition; within a partition,
+files stay ~128 MB-1 GB via AQE coalescing at write time.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aced_etl_pod_spark.session import tune
+
+
+def write_partitioned(df: DataFrame, path: str, key: str, mode: str = "overwrite") -> None:
+    """Partitioned parquet write (flat-index load analog, R9)."""
+    df.write.mode(mode).partitionBy(key).parquet(path)
+
+
+def drop_partition(path: str, key: str, value: str) -> bool:
+    """Drop one partition of a partitioned table (project delete analog,
+    R17, fhir_import_export.py:372-385). Metadata-only: removes the
+    partition directory, touching no other partition's data."""
+    part_dir = os.path.join(path, f"{key}={value}")
+    if os.path.isdir(part_dir):
+        shutil.rmtree(part_dir)
+        return True
+    return False
+
+
+def upsert_partitions(spark: SparkSession, updates: DataFrame, path: str, key: str) -> None:
+    """Replace exactly the partitions present in ``updates`` (discovery
+    upsert analog, R12, fhir_import_export.py:288). Uses Spark's dynamic
+    partition overwrite so untouched partitions are never rewritten."""
+    tune(spark)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updates.write.mode("overwrite").partitionBy(key).parquet(path)
+
+
+def upsert_by_key(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Row-level upsert as a plan: keep base rows whose key is absent from
+    updates (anti-join), then union the updates. The MERGE emulation for
+    plain parquet (Delta/Iceberg MERGE is the managed-table equivalent)."""
+    return base.join(updates.select(key).distinct(), on=key, how="left_anti").unionByName(
+        updates
+    )

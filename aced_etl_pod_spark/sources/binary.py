@@ -1,0 +1,73 @@
+"""Multimodal binary-column sources (north star: image/audio/video as
+opaque binary + typed metadata).
+
+Anchor: the reference moves blobs through an object store with metadata
+dicts (``_download_and_unzip`` etl-job/fhir_import_export.py:148-180,
+``cp(..., metadata={...})`` :344-352). Here blobs are ``binaryFile`` rows:
+(path, modificationTime, length, content) + metadata parsed from the path.
+
+The decode step (image/audio libs are not in this container) is STUBBED
+behind ``decode_stub`` — a deterministic fake feature extractor with the
+real Spark-side plumbing: Arrow-batched ``mapInPandas``, explicit output
+schema, per-partition batching. Swapping in PIL/ffmpeg is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from aced_etl_pod_spark.tables import scratch_dir
+
+DECODE_SCHEMA = "path string, length long, n_bytes long, byte_mean double, feature0 double"
+
+
+def generate_blob_fixture(n: int = 64, sub: str = "multimodal") -> str:
+    """Deterministic fake image blobs: blob i = sha256(i) digest × 4
+    (128 bytes), named ``img_{i:04d}.bin``."""
+    out = scratch_dir(sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for i in range(n):
+        payload = hashlib.sha256(f"blob-{i}".encode()).digest() * 4
+        with open(os.path.join(out, f"img_{i:04d}.bin"), "wb") as f:
+            f.write(payload)
+    return out
+
+
+def read_binary(spark: SparkSession, path: str, glob: str = "*.bin") -> DataFrame:
+    """Opaque binary scan: one row per blob with path/mtime/length/content."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def decode_stub(df: DataFrame) -> DataFrame:
+    """Fake decode / feature-extract over binary content via mapInPandas.
+
+    Real-world shape: each Arrow batch carries N blobs; the UDF decodes and
+    emits fixed-width features. Here the 'features' are deterministic byte
+    statistics so tests can assert exact values. Raises nothing — a real
+    decoder would replace the body (and could raise NotImplementedError for
+    unsupported codecs)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "length": pdf["length"],
+                    "n_bytes": content.map(len),
+                    "byte_mean": content.map(lambda b: sum(b) / len(b)),
+                    "feature0": content.map(lambda b: b[0] / 255.0),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODE_SCHEMA)

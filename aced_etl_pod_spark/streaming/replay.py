@@ -1,0 +1,99 @@
+"""Deterministic micro-batch replay of the ``events`` table.
+
+Structured Streaming's file source lists files oldest-mtime-first; we
+materialize the events table into N parquet files with pinned mtimes, so a
+``readStream`` over the directory replays them as a deterministic sequence
+of micro-batches (``maxFilesPerTrigger=1``). That turns every ``stream_*``
+operator into a reproducible, oracle-checkable computation (SURVEY §5.6) —
+no wall-clock, no rate source.
+
+In production the same queries run unchanged over Kafka/object-store
+arrivals; only the source line differs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aced_etl_pod_spark.tables import load, scratch_dir
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def materialize_batches(
+    spark: SparkSession, sf_dir: str, name: str, splits: list | None = None
+) -> str:
+    """Write events into one file per split predicate (in replay order).
+
+    ``splits`` is a list of boolean Column predicates; rows matching split i
+    land in file i, which the file source will deliver as micro-batch i
+    (mtimes are pinned increasing). Default: a single batch with everything.
+    """
+    out = scratch_dir(f"stream/{name}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    events = load(spark, sf_dir, "events")
+    if splits is None:
+        splits = [F.lit(True)]
+    for i, pred in enumerate(splits):
+        tmp = os.path.join(out, f"_tmp_{i}")
+        events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"batch_{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return out
+
+
+def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a materialized batch dir, one file per
+    micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def run_to_memory(result: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Run a streaming computation to completion against the memory sink and
+    return the final table. ``processAllAvailable`` drains every pending
+    micro-batch synchronously — deterministic replay, then stop."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_foreach_batch(result: DataFrame, sink_fn) -> None:
+    """Run a stream through foreachBatch to completion (exactly-once style
+    incremental sink, fhir_import_export.py:288 upsert generalized)."""
+    q = result.writeStream.foreachBatch(sink_fn).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
