@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs
 from aced_etl_pod_spark.functions.text import ngrams_expr, normalize
+from aced_etl_pod_spark.operators.util import money
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -233,10 +234,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(ntok AS BIGINT) AS n_tokens,
-           round(nuniq / ntok, 4) AS uniq_ratio,
-           round(nchar / ntok, 4) AS avg_tok_len,
-           round(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
-                 + 0.2 * least(nchar / ntok / 8, 1.0), 4) AS quality
+           CAST(round(CAST(nuniq / ntok AS DECIMAL(18,8)), 4) AS DOUBLE) AS uniq_ratio,
+           CAST(round(CAST(nchar / ntok AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_tok_len,
+           CAST(round(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+                 + 0.2 * least(nchar / ntok / 8, 1.0) AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS quality
     FROM m
     """,
     tags=("text", "extra"),
@@ -257,9 +259,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
-        F.round(nuniq / ntok, 4).alias("uniq_ratio"),
-        F.round(nchar / ntok, 4).alias("avg_tok_len"),
-        F.round(quality, 4).alias("quality"),
+        money(nuniq / ntok, 4, 8).alias("uniq_ratio"),
+        money(nchar / ntok, 4, 8).alias("avg_tok_len"),
+        money(quality, 4, 8).alias("quality"),
     )
 
 

@@ -1,0 +1,87 @@
+"""Headline benchmark (BASELINE.md B1-B10 equivalents).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <sum of medians, sec>, "unit": "sec",
+   "queries": {q: sec}, "sf": ...}
+
+Protocol per BASELINE.md: plan built once, action (collect) timed, 1 warmup
++ 5 timed runs, median reported. Session/JVM startup excluded. Shuffle
+partitions kept low (8) — at sf0.1 the per-query floor is task scheduling,
+not data (BASELINE.md "Rules").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.registry import registry
+from aced_etl_pod_spark.session import get_spark
+from aced_etl_pod_spark.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# B5 is the BATCH equivalent of the tumbling window (BASELINE measures the
+# batch shape; the streaming op's file-replay materialization is a harness
+# cost, not a query cost).
+def _b5_tumbling_batch(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+BENCH_QUERIES = {
+    "q1_pricing_summary": "agg_group_sums",
+    "q2_star_join": "join_multiway_star",
+    "q3_topk_window": "win_row_number_topk",
+    "q4_semi_anti": "join_left_semi",
+    "q5_tumbling": _b5_tumbling_batch,
+    "q6_json_extract": "fn_json",
+    "q7_token_stats": "text_tokenize_stats",
+    "q8_cosine_topk": "sim_cosine_topk",
+    "q9_rollup": "agg_rollup",
+    "q10_distinct": "agg_distinct_count",
+}
+
+
+def main() -> None:
+    spark = get_spark("bench", shuffle_partitions=8)
+    reg = registry()
+    results: dict[str, float] = {}
+    for name, q in BENCH_QUERIES.items():
+        fn = reg[q].fn if isinstance(q, str) else q
+        df = fn(spark, SF_DIR)
+        df.collect()  # warmup (also finalizes AQE plan caches)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.collect()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "b1_b10_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Recall tests for the approximate dedup family (SURVEY §7.3.5): on a
+corpus with planted near-duplicates, MinHash-LSH and SimHash must find
+every planted pair (recall), and candidate sets must stay sane (no
+all-pairs blowup)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs
+
+VOCAB = [f"w{i}" for i in range(500)]
+
+
+def _corpus(spark, n_docs=60, doc_len=40, n_dups=6, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(doc_len))))
+    planted = []
+    for d in range(n_dups):
+        base_id = d
+        dup_id = n_docs + d
+        toks = rows[base_id][1].split()
+        toks[rng.randrange(len(toks))] = rng.choice(VOCAB)  # perturb 1 of 40
+        rows.append((dup_id, " ".join(toks)))
+        planted.append((base_id, dup_id))
+    return spark.createDataFrame(rows, "doc_id long, text string"), set(planted)
+
+
+def test_minhash_recall(spark):
+    df, planted = _corpus(spark)
+    pairs = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert planted <= found, f"missed planted dups: {planted - found}"
+    # no blowup: random docs over a 500-word vocab are not near-dups
+    assert len(found) <= len(planted) + 3
+
+
+def test_minhash_exact_dup_jaccard_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    rows = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_recall(spark):
+    # simhash needs longer documents: one perturbed token must flip few of
+    # the 64 sign-sums, so use 120-token docs (3 changed shingles of ~118)
+    df, planted = _corpus(spark, doc_len=120)
+    # 8-bit prefix blocking (8 rotations): a clean band survives even when
+    # ~10 of 64 bits flip, which 16-bit blocking does not guarantee
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=12, prefix_bits=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert planted <= found, f"missed planted dups: {planted - found}"
+
+
+@pytest.mark.slow
+def test_minhash_no_candidates_on_disjoint_docs(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"only{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert minhash_candidate_pairs(df, "doc_id", "text").count() == 0

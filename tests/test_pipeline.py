@@ -1,0 +1,116 @@
+"""Pipeline round-trip tests (SURVEY §5.5, mirroring reference R1–R19):
+put two projects → stores populated; export → re-read equals original
+projection; delete project A → B untouched (anti-join invariant); authz
+gates each method; zip ingestion path works."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.plans.authz import can_create, can_read
+from aced_etl_pod_spark.plans.pipeline import EtlPodPipeline
+from aced_etl_pod_spark.sources.archives import zip_dir
+
+USER_FULL = {
+    "resources": ["/programs/prog/projects"],
+    "authz": {
+        "/programs/prog/projects": [
+            {"method": "create", "service": "*"},
+            {"method": "read-storage", "service": "*"},
+        ]
+    },
+}
+USER_NONE = {"resources": [], "authz": {}}
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    return EtlPodPipeline(spark, str(tmp_path / "warehouse"))
+
+
+def test_put_populates_all_stores(pipeline, fhir_fixture):
+    out = pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])
+    assert out == {"project_id": "prog-alpha", "patient": 4, "observation": 8, "file": 4}
+    v = pipeline.spark.read.parquet(pipeline.path("graph/vertices"))
+    e = pipeline.spark.read.parquet(pipeline.path("graph/edges"))
+    assert v.count() == 1 + 4 + 8 + 4
+    assert e.count() == 4 + 8 + 4  # every non-study resource has one relation
+    assert pipeline.patient_count("prog-alpha") == 4
+    disc = pipeline.discovery().filter(F.col("project_id") == "prog-alpha").first()
+    assert disc["patient_count"] == 4
+    assert "prog-alpha" in disc["description"]
+
+
+def test_denormalized_patient_has_observation_stats(pipeline, fhir_fixture):
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])
+    pat = pipeline.spark.read.parquet(pipeline.path("flat/patient"))
+    row = pat.filter(F.col("id") == "patient-prog-alpha-2").first()
+    # patient 2 has observations valued 20.0 and 21.0
+    assert row["observation_count"] == 2
+    assert row["observation_avg"] == pytest.approx(20.5)
+
+
+def test_put_is_idempotent(pipeline, fhir_fixture):
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])  # re-run same commit
+    assert pipeline.patient_count("prog-alpha") == 4  # no duplication
+
+
+def test_export_roundtrip(pipeline, fhir_fixture, tmp_path):
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])
+    zip_path = pipeline.get("prog-alpha", str(tmp_path / "out"), ts="20240101-000000")
+    assert zip_path.endswith("prog-alpha_20240101-000000_SNAPSHOT.zip")
+    with zipfile.ZipFile(zip_path) as zf:
+        names = set(zf.namelist())
+        assert {"ResearchStudy.ndjson", "Patient.ndjson", "Observation.ndjson",
+                "DocumentReference.ndjson"} <= names
+        patients = [
+            json.loads(line)
+            for line in zf.read("Patient.ndjson").decode().splitlines()
+        ]
+    exported_ids = {p["id"] for p in patients}
+    original_ids = {f"patient-prog-alpha-{i}" for i in range(4)}
+    assert exported_ids == original_ids
+
+
+def test_delete_isolates_projects(pipeline, fhir_fixture):
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"])
+    pipeline.put("prog-beta", fhir_fixture["prog-beta"])
+    assert pipeline.patient_count("prog-beta") == 3
+    pipeline.delete("prog-alpha")
+    assert pipeline.patient_count("prog-alpha") == 0
+    assert pipeline.patient_count("prog-beta") == 3  # B unchanged
+    raw = pipeline.spark.read.parquet(pipeline.path("raw/resources"))
+    assert raw.filter(F.col("project_id") == "prog-alpha").count() == 0
+
+
+def test_zip_ingestion(pipeline, fhir_fixture, tmp_path):
+    """R5: zip-of-NDJSON → same result as the directory path."""
+    zip_path = zip_dir(fhir_fixture["prog-alpha"], str(tmp_path / "commit.zip"))
+    out = pipeline.put("prog-alpha", zip_path)
+    assert out["patient"] == 4
+
+
+def test_authz_gates_methods(pipeline, fhir_fixture, tmp_path):
+    assert can_create(USER_FULL, "prog-alpha") and can_read(USER_FULL, "prog-alpha")
+    assert not can_create(USER_NONE, "prog-alpha")
+    with pytest.raises(PermissionError):
+        pipeline.put("prog-alpha", fhir_fixture["prog-alpha"], user=USER_NONE)
+    pipeline.put("prog-alpha", fhir_fixture["prog-alpha"], user=USER_FULL)
+    with pytest.raises(PermissionError):
+        pipeline.get("prog-alpha", str(tmp_path / "o"), user=USER_NONE)
+    with pytest.raises(PermissionError):
+        pipeline.delete("prog-alpha", user=USER_NONE)
+
+
+def test_empty_input_type_still_loads(pipeline, fhir_fixture):
+    """The reference's /dev/null branch (R9 :235-238): a project with no
+    DocumentReference file still loads cleanly elsewhere."""
+    os.remove(os.path.join(fhir_fixture["prog-beta"], "DocumentReference.ndjson"))
+    out = pipeline.put("prog-beta", fhir_fixture["prog-beta"])
+    assert out["patient"] == 3 and out["file"] == 0

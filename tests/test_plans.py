@@ -1,0 +1,67 @@
+"""Plan-shape assertions (the 100 TB discipline, SURVEY §4): filters reach
+the parquet scan, small dims broadcast, partition pruning prunes, top-k
+compiles to TakeOrdered — checked on the physical plan text, the same way
+a human would read .explain()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators.joins import join_multiway_star
+from aced_etl_pod_spark.operators.scans import scan_parquet
+from aced_etl_pod_spark.operators.sorts_sets import limit_topk_global
+from aced_etl_pod_spark.plans.storage import write_partitioned
+from aced_etl_pod_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(scan_parquet(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,25.0)" in plan or "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    df = load(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(join_multiway_star(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region (customer may SMJ)
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    plan = _plan(limit_topk_global(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "orders_part")
+    write_partitioned(load(spark, SF_SMALL, "orders"), path, "o_orderstatus")
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(df)
+    # static partition pruning: only the o_orderstatus=F directory survives
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan.replace("#", " #").replace(
+        "o_orderstatus #", "o_orderstatus#"
+    ) or "o_orderstatus" in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_agg_has_partial_aggregation(spark):
+    df = (
+        load(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = _plan(df)
+    # map-side combine: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan

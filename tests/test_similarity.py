@@ -1,0 +1,98 @@
+"""Similarity-search tests: exact kernel sanity + ANN recall vs the
+brute-force baseline on clustered synthetic vectors."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    random_hyperplanes,
+    signature_bucket,
+)
+
+
+def _clustered(spark, n_clusters=8, per_cluster=12, dim=16, seed=3):
+    rng = random.Random(seed)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c, center in enumerate(centers):
+        for _ in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, c, [float(v) for v in vec]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = _clustered(spark, n_clusters=1, per_cluster=1)
+    paired = df.select(
+        F.col("embedding").alias("a"), F.col("embedding").alias("b")
+    ).select(cosine_expr("a", "b").alias("cos"))
+    assert abs(paired.first()["cos"] - 1.0) < 1e-12
+
+
+def test_brute_force_topk_finds_own_cluster(spark):
+    df = _clustered(spark)
+    q = df.filter(F.col("vec_id") == 0).select("embedding")
+    top = brute_force_topk(df, q, k=12).collect()
+    labels = (
+        df.select("vec_id", "label").toPandas().set_index("vec_id")["label"].to_dict()
+    )
+    # all top-12 matches for a cluster-0 vector are cluster 0
+    assert all(labels[r["vec_id"]] == 0 for r in top)
+
+
+def test_lsh_buckets_group_clusters(spark):
+    """Sign-LSH on tightly clustered vectors: same-cluster vectors must land
+    in the same bucket (their sign pattern is the center's)."""
+    df = _clustered(spark)
+    planes = random_hyperplanes(dim=16, n_planes=6)
+    b = df.withColumn("bucket", signature_bucket("embedding", planes))
+    per_cluster_buckets = (
+        b.groupBy("label").agg(F.countDistinct("bucket").alias("nb")).collect()
+    )
+    # tight clusters (σ=0.05 around unit-scale centers) almost never straddle
+    # a hyperplane; allow at most 2 buckets per cluster
+    assert all(r["nb"] <= 2 for r in per_cluster_buckets)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Recall@3 of the bucketed ANN against exact per-label kNN ≥ 0.9 on
+    clustered data (the standard ANN acceptance gate)."""
+    df = _clustered(spark)
+    planes = random_hyperplanes(dim=16, n_planes=6)
+    bucketed = df.withColumn("bucket", signature_bucket("embedding", planes))
+
+    def topk(joined_key: str):
+        a = bucketed.select(
+            F.col("vec_id").alias("vec_id"), joined_key, F.col("embedding").alias("ea")
+        )
+        b = bucketed.select(
+            F.col("vec_id").alias("nbr_id"), joined_key, F.col("embedding").alias("eb")
+        )
+        from pyspark.sql import Window as W
+
+        pairs = (
+            a.join(b, joined_key)
+            .filter(F.col("vec_id") != F.col("nbr_id"))
+            .withColumn("cos", cosine_expr("ea", "eb"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("vec_id", "nbr_id")
+        )
+
+    exact = {(r["vec_id"], r["nbr_id"]) for r in topk("label").collect()}
+    approx = {(r["vec_id"], r["nbr_id"]) for r in topk("bucket").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
