@@ -1,0 +1,196 @@
+"""Extra coverage operators beyond the SURVEY §2.b checklist: pivot /
+unpivot, exact percentiles, first/last window frames, bitwise family,
+correlated subqueries. All oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+
+@op(
+    "pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("extra", "agg"),
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with pinned pivot values — at scale always pass the
+    value list so Spark skips the distinct-values pre-pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0)), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+    )
+
+
+@op(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS v FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS v FROM customer
+    """,
+    tags=("extra",),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2), "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, v)"
+        ),
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS median_price,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS p90_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("extra", "agg"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``); the approx variant is ``percentile_approx`` on the
+    100 TB path."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("p90_price"),
+    )
+
+
+@op(
+    "win_first_last",
+    oracle="""
+    SELECT event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_type,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("extra", "window"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit full frame + unordered
+    partition count."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_all = W.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.count("*").over(w_all).cast("long").alias("n_user_events"),
+    )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 1 AS set_low,
+           xor(event_id, 42) AS xored,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           CAST(bit_count(event_id) AS BIGINT) AS pop
+    FROM events
+    """,
+    tags=("extra", "fn"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount (the substrate of the
+    hash/signature operators)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 1").alias("set_low"),
+        F.expr("event_id ^ 42").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shifted_l"),
+        F.expr("shiftright(event_id, 3)").alias("shifted_r"),
+        F.bit_count("event_id").cast("long").alias("pop"),
+    )
+
+
+@op(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                       WHERE i.c_nationkey = c.c_nationkey)
+    """,
+    tags=("extra", "join"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — spark.sql IS the parser, SURVEY §7.4)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer_sq c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq i
+                           WHERE i.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@op(
+    "subquery_in_uncorrelated",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_totalprice > 150000
+    """,
+    tags=("extra", "join"),
+)
+def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (compiles to left-semi; the SQL face of join_left_semi)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus
+        FROM orders_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_sq2
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_totalprice > 150000
+        """
+    )

@@ -47,6 +47,8 @@ _MODULES = (
     "aced_etl_pod_spark.operators.streaming_ops",
     "aced_etl_pod_spark.operators.text",
     "aced_etl_pod_spark.operators.similarity",
+    "aced_etl_pod_spark.operators.scale_ops",
+    "aced_etl_pod_spark.operators.extra_ops",
 )
 
 

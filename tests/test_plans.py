@@ -55,6 +55,36 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     ) or "o_orderstatus" in plan.split("PartitionFilters:")[1][:120]
 
 
+def test_bucketed_join_skips_exchange(spark):
+    """The 100 TB co-location claim, verified on the plan: joining two
+    tables bucketed on the key sort-merges with no shuffle between scan and
+    join — the only Exchange left is the downstream aggregation's."""
+    from aced_etl_pod_spark.operators.scale_ops import join_bucketed_colocated
+
+    plan = _plan(join_bucketed_colocated(spark, SF_SMALL))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    join_part = plan.split("SortMergeJoin")[0]
+    assert "Exchange" not in join_part.split("== Physical Plan ==")[-1].split("HashAggregate")[-1]
+    # strongest form: exactly one exchange in the whole plan (the final agg)
+    assert plan.count("Exchange") <= 2  # agg exchange (+ AQE read) only
+
+
+def test_salted_count_matches_plain(spark):
+    from aced_etl_pod_spark.plans.scale import salted_group_count
+
+    li = load(spark, SF_SMALL, "lineitem")
+    salted = {
+        (r["l_returnflag"], r["n"])
+        for r in salted_group_count(li, "l_returnflag", "l_orderkey").collect()
+    }
+    plain = {
+        (r["l_returnflag"], r["count"])
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    assert salted == plain
+
+
 def test_agg_has_partial_aggregation(spark):
     df = (
         load(spark, SF_SMALL, "lineitem")
