@@ -68,9 +68,20 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k of every row in ``df`` against the single-row
-    ``query`` (broadcast). Tie-break on id for determinism."""
-    q = F.broadcast(query.select(F.col(emb_col).alias("q_emb")))
-    scored = df.crossJoin(q).select(
-        id_col, cosine_expr(emb_col, "q_emb").alias("cos_sim")
+    ``query`` (broadcast). Tie-break on id for determinism.
+
+    The query norm is hoisted into the broadcast side (computed once, not
+    re-folded per scan row) — the scan-side work is one dot + one norm fold
+    per row."""
+    q = F.broadcast(
+        query.select(
+            F.col(emb_col).alias("q_emb"),
+            F.expr(f"sqrt({DOT.format(a=emb_col, b=emb_col)})").alias("q_norm"),
+        )
     )
+    cos = F.expr(
+        f"{DOT.format(a=emb_col, b='q_emb')} / "
+        f"(sqrt({DOT.format(a=emb_col, b=emb_col)}) * q_norm)"
+    )
+    scored = df.crossJoin(q).select(id_col, cos.alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)

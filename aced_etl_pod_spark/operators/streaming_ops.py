@@ -228,6 +228,68 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("stream", "udf"),
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, sum) carried in explicit GroupState across 3 micro-batches,
+    emitting the running totals each batch (update semantics). The final
+    emission per user equals the batch aggregate — selected via max(n) and
+    hash-checked. Rounding to 2dp is safe across accumulation orders because
+    the true sum is an exact 2-decimal rational.
+
+    This is the escape hatch for operators Spark lacks natively (SURVEY
+    §2.b udtf/stream rows): arbitrary per-key state, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "custom_state",
+        splits=[F.col("event_id") % 3 == i for i in range(3)],
+    )
+
+    def running_totals(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+    out = (
+        read_stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType="user_id long, n long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    tbl = run_to_memory(out, "t_custom_state", "update")
+    # last emission per user = the one with the max running count
+    return (
+        tbl.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max_by("total", "n"), 2).alias("total"),
+        )
+    )
+
+
+@op(
     "stream_foreach_sink",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n
