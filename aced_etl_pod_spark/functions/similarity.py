@@ -60,6 +60,84 @@ def signature_bucket(emb_col: str, planes: list[list[float]]) -> Column:
     return F.expr(" + ".join(bits))
 
 
+def _assign_nearest_centroid(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast argmin — the vector table
+    never shuffles."""
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "d", cosine_expr("embedding", "c_emb")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("d"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: deterministic seed centroids (lowest vec_ids)
+    → Lloyd refinement (posexplode + per-dimension avg, one shuffle per
+    iteration) → inverted-list assignment → probe the ``n_probe`` nearest
+    cells per query → exact cosine re-rank of candidates only.
+
+    ``emb``/``queries`` need (vec_id, embedding ARRAY<FLOAT>). At 100 TB
+    the assignment is the only full pass; queries touch n_probe/n_centroids
+    of the data."""
+    from pyspark.sql import Window as W
+
+    emb = emb.select("vec_id", "embedding").cache()
+    centroids = emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(lloyd_iters):
+        assigned = _assign_nearest_centroid(emb, centroids)
+        exploded = assigned.join(emb, "vec_id").select(
+            "cid",
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("pos", "val"),
+        )
+        centroids = (
+            exploded.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), "
+                    "s -> CAST(s.m AS FLOAT))"
+                ).alias("c_emb")
+            )
+        )
+    inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine_expr("q_emb", "c_emb"))
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("d"), "cid"))
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "q_emb", "cid")
+    )
+    cands = q_cells.join(inverted, "cid").filter(F.col("q_id") != F.col("vec_id"))
+    scored = cands.withColumn("cos", cosine_expr("q_emb", "embedding"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("nbr_id"), F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query: DataFrame,

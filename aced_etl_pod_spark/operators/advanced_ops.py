@@ -1,0 +1,118 @@
+"""Advanced operators: dup-cluster merging (connected components),
+stream-stream joins, IVF approximate NN, regex token counting — the
+deeper algorithmic layer on top of the core families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.functions.cluster import connected_components
+from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.streaming.replay import materialize_batches, read_stream, run_to_memory
+from aced_etl_pod_spark.tables import load
+
+
+@op("dedup_cluster_cc", tags=("dedup", "approx", "extra"))
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → join-based connected
+    components → cluster id + size per clustered doc (rows-checked; exact
+    cluster semantics proven on a known graph in tests/test_cluster.py)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(d, "doc_id", "text", threshold=0.5)
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comps.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+@op(
+    "stream_stream_join",
+    oracle="""
+    SELECT l.event_id,
+           CAST(count(*) AS BIGINT) AS n_clicks_before
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id
+    """,
+    tags=("stream", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks within the preceding
+    hour, per user. Both sides watermarked; the time-range condition bounds
+    the join state (without it, stream-stream state grows forever — the
+    100 TB failure mode). INNER join: matches emit as soon as both sides
+    arrive, so full replay equals the batch interval join (an OUTER
+    stream-stream join would withhold end-of-stream unmatched rows until a
+    watermark that never comes — same lag as stream_watermark_late)."""
+    src = materialize_batches(spark, sf_dir, "ss_join")
+    stream = read_stream(spark, src)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_to_memory(joined.select("event_id", "c_ts"), "t_ss_join", "append")
+    return out.groupBy("event_id").agg(F.count("*").alias("n_clicks_before"))
+
+
+@op("sim_ann_ivf_topk", tags=("similarity", "approx", "extra"))
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN (the other scale path besides sign-LSH):
+    coarse quantizer = 16 deterministic seed centroids refined by 2 Lloyd
+    iterations (posexplode + groupBy-avg — one shuffle per iteration);
+    every vector is assigned to its nearest centroid (broadcast argmin);
+    queries probe the 4 nearest cells and exact-re-rank only those
+    candidates. Rows-checked; recall vs brute force asserted in
+    tests/test_cluster.py on clustered data."""
+    from aced_etl_pod_spark.functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@op(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_tokens
+    FROM documents
+    """,
+    tags=("text", "extra"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other-chars — the GPT-2 pre-tokenizer
+    shape reduced to its deterministic regex core)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("num_tokens"),
+    )

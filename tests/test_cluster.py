@@ -1,0 +1,76 @@
+"""Connected-components clustering + IVF ANN tests."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.functions.cluster import connected_components, dedup_keep_one_per_cluster
+from aced_etl_pod_spark.functions.similarity import ivf_topk
+
+
+def test_connected_components_known_graph(spark):
+    # two chains + a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter close to max_iter — min label must still reach the end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges)
+    assert comps.select("component").distinct().count() == 1
+
+
+def test_dedup_keep_one_per_cluster(spark):
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_one_per_cluster(df, pairs, "doc_id").collect()
+    )
+    # cluster {0,1,2} keeps 0; {4,5} keeps 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+def _clustered_embeddings(spark, n_clusters=6, per_cluster=20, dim=16, seed=11):
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [float(x + rng.gauss(0, 0.05)) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    approx = ivf_topk(emb, queries, k=3, n_centroids=6, n_probe=2)
+    a = {(r["q_id"], r["nbr_id"]) for r in approx.collect()}
+
+    # exact: brute force per query over everything
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    from pyspark.sql import Window as W
+
+    from aced_etl_pod_spark.functions.similarity import cosine_expr
+
+    pairs = emb.crossJoin(q).filter(F.col("vec_id") != F.col("q_id")).withColumn(
+        "cos", cosine_expr("embedding", "q_emb")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    recall = len(a & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
