@@ -114,3 +114,31 @@ def test_empty_input_type_still_loads(pipeline, fhir_fixture):
     os.remove(os.path.join(fhir_fixture["prog-beta"], "DocumentReference.ndjson"))
     out = pipeline.put("prog-beta", fhir_fixture["prog-beta"])
     assert out["patient"] == 3 and out["file"] == 0
+
+
+def test_job_protocol_dispatch(spark, fhir_fixture, tmp_path):
+    """R1/R18/R19: INPUT_DATA-shaped blob → put (with chained snapshot) →
+    get → delete, with the [out] marshalling."""
+    from aced_etl_pod_spark.plans.job import format_out, run_job
+
+    wh = str(tmp_path / "wh")
+    blob = {
+        "project_id": "prog-alpha",
+        "method": "put",
+        "push": {"commits": [{"meta_path": fhir_fixture["prog-alpha"],
+                              "commit_id": "c1", "object_id": "o1"}]},
+    }
+    out = run_job(spark, blob, wh, export_dir=str(tmp_path / "exp"))
+    assert out["commits"][0]["patient"] == 4
+    assert out["snapshot"].endswith("_SNAPSHOT.zip")
+    assert format_out(out).startswith("[out] {")
+
+    got = run_job(spark, {"project_id": "prog-alpha", "method": "get"}, wh)
+    assert got["snapshot"].endswith("_SNAPSHOT.zip")
+
+    del_out = run_job(spark, {"project_id": "prog-alpha", "method": "delete"}, wh)
+    assert del_out["dropped"]["flat/patient"] is True
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_job(spark, {"project_id": "prog-alpha", "method": "bogus"}, wh)
