@@ -148,6 +148,63 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "agg_stddev_var",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(round(CAST(stddev_samp(c_acctbal) AS DECIMAL(18,6)), 3) AS DOUBLE) AS sd,
+           CAST(round(CAST(var_samp(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE) AS var_s,
+           CAST(round(CAST(var_pop(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE) AS var_p
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("extra", "agg"),
+)
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample/population variance + stddev (both engines merge partial
+    moments; decimal sandwich absorbs the last-ulp drift)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal").cast("decimal(18,6)"), 3)
+        .cast("double")
+        .alias("sd"),
+        F.round(F.var_samp("c_acctbal").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("var_s"),
+        F.round(F.var_pop("c_acctbal").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("var_p"),
+    )
+
+
+@op(
+    "fn_hash_digest",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(length(sha256(c_mktsegment || CAST(c_custkey AS VARCHAR))) AS BIGINT)
+               AS digest_len
+    FROM customer
+    """,
+    tags=("extra", "fn"),
+)
+def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (md5 / sha256) — the substrate of exact
+    dedup and fingerprinting; hex output matches across engines."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(
+            F.sha2(F.concat(F.col("c_mktsegment"), F.col("c_custkey").cast("string")), 256)
+        )
+        .cast("long")
+        .alias("digest_len"),
+    )
+
+
+@op(
     "subquery_correlated",
     oracle="""
     SELECT c_custkey, c_nationkey
