@@ -119,6 +119,92 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "win_range_between",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                               RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+                AS BIGINT) AS n_near
+    FROM customer
+    """,
+    tags=("extra", "window"),
+)
+def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: peers within ±100 of each
+    customer's balance inside its nation — counts are tie-safe because the
+    frame depends only on the order value."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal").rangeBetween(-100, 100)
+    return c.select(
+        "c_custkey", F.count("*").over(w).cast("long").alias("n_near")
+    )
+
+
+@op(
+    "win_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_no,
+           event_id
+    FROM flagged
+    """,
+    tags=("extra", "window", "timeseries"),
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag + gap flag + running
+    sum numbers each user's sessions — the batch counterpart of
+    stream_session_window, and the standard sessionize-without-streaming
+    recipe."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "user_id",
+        F.sum(new_sess).over(run).cast("long").alias("session_no"),
+        "event_id",
+    )
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_events
+    FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("extra", "stream", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    broadcast dim (no watermark needed — static side is re-read per batch);
+    counts aggregated in complete mode equal the batch join."""
+    from aced_etl_pod_spark.streaming.replay import materialize_batches, read_stream, run_to_memory
+
+    src = materialize_batches(spark, sf_dir, "static_join")
+    nation = load(spark, sf_dir, "nation")
+    stream = read_stream(spark, src).withColumn(
+        "nk", (F.col("user_id") % 25).cast("int")
+    )
+    joined = stream.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+    agg = joined.groupBy("n_name").agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, "t_static_join", "complete")
+
+
+@op(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

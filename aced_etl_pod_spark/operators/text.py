@@ -12,7 +12,6 @@ tests/test_dedup.py (SURVEY §7.3.5).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs

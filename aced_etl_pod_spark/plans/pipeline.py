@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aced_etl_pod_spark.plans.authz import can_create, can_read
-from aced_etl_pod_spark.plans.storage import drop_partition, upsert_partitions, write_partitioned
+from aced_etl_pod_spark.plans.storage import drop_partition, upsert_partitions
 from aced_etl_pod_spark.session import tune
 from aced_etl_pod_spark.sources.archives import unzip_to_dir, zip_dir
 

@@ -74,3 +74,20 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(a & exact) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
+def test_end_to_end_dedup_pipeline(spark):
+    """Full near-dup pipeline: corpus with planted dups → MinHash-LSH
+    candidates → connected components → keep-one-per-cluster. Result must
+    contain every base doc and none of the planted duplicates."""
+    from tests.test_dedup import _corpus
+    from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs
+
+    df, planted = _corpus(spark, n_docs=40, n_dups=5)
+    pairs = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.5)
+    kept = {r["doc_id"] for r in dedup_keep_one_per_cluster(df, pairs, "doc_id").collect()}
+    dup_ids = {b for _, b in planted}
+    base_ids = {a for a, _ in planted}
+    assert dup_ids.isdisjoint(kept), f"dups survived: {dup_ids & kept}"
+    assert base_ids <= kept
+    assert len(kept) == 40  # all originals, no dups
