@@ -291,6 +291,97 @@ def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(CAST(corr(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
+                AS DOUBLE) AS price_qty_corr,
+           CAST(round(CAST(covar_samp(l_extendedprice, l_quantity) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS price_qty_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("extra", "agg"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / sample covariance (bivariate moments; decimal sandwich
+    for the cross-engine ulp drift)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("price_qty_covar"),
+    )
+
+
+@op(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("extra", "agg"),
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every / any)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+
+
+@op(
+    "join_range_bucketized",
+    oracle="""
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_close
+    FROM supplier JOIN customer
+      ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal + 50
+    GROUP BY s_suppkey
+    """,
+    tags=("extra", "join", "scale"),
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rewrite of ``join_theta_range``: bucketize the range key
+    (width = band width), explode each supplier to its bucket ±1, EQUI-join
+    on the bucket, then apply the exact band predicate. Same result as the
+    nested-loop theta join, but the plan is a hash join that shuffles on
+    the bucket key — no quadratic candidate space."""
+    width = 50
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer").withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / width)
+    )
+    s_buckets = supplier.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / width) - 1,
+                F.floor(F.col("s_acctbal") / width),
+                F.floor(F.col("s_acctbal") / width) + 1,
+            )
+        ),
+    )
+    exact = (F.col("c_acctbal") >= F.col("s_acctbal") - width) & (
+        F.col("c_acctbal") < F.col("s_acctbal") + width
+    )
+    return (
+        s_buckets.join(customer, "bucket")
+        .filter(exact)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"))
+    )
+
+
+@op(
     "subquery_correlated",
     oracle="""
     SELECT c_custkey, c_nationkey
