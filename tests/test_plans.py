@@ -95,3 +95,27 @@ def test_agg_has_partial_aggregation(spark):
     # map-side combine: two HashAggregate nodes around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_bucketized_range_join_is_hash_join(spark):
+    """The band-join scale rewrite must compile to an equi hash join —
+    never a nested-loop over the cross product."""
+    from aced_etl_pod_spark.operators.extra_ops import join_range_bucketized
+
+    plan = _plan(join_range_bucketized(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_aqe_and_skew_handling_enabled(spark):
+    """The 100 TB session contract: AQE + partition coalescing + skew-join
+    splitting are on for every session the engine tunes."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    # and an adaptive plan actually materializes
+    from aced_etl_pod_spark.operators.joins import join_inner_hash
+
+    df = join_inner_hash(spark, SF_SMALL)
+    df.collect()
+    assert "AdaptiveSparkPlan" in _plan(df)
