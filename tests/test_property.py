@@ -1,0 +1,103 @@
+"""Property-based differential testing (hypothesis): random predicate +
+aggregation specs are rendered BOTH as a Spark DataFrame plan and as DuckDB
+SQL over the same parquet table; results must agree. This fuzzes the
+filter/aggregate surface far beyond the hand-written operator corpus.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+# (column, kind) — orders table
+NUM_COLS = ["o_totalprice", "o_orderkey", "o_custkey"]
+STR_COLS = {"o_orderstatus": ["O", "F", "P"], "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"]}
+
+num_pred = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.sampled_from([">", "<", ">=", "<="]),
+    st.floats(min_value=0, max_value=300000, allow_nan=False).map(lambda v: round(v, 2)),
+)
+str_pred = st.builds(
+    lambda col, vals: (col, "in", vals),
+    st.sampled_from(sorted(STR_COLS)),
+    st.lists(st.sampled_from(sum(STR_COLS.values(), [])), min_size=1, max_size=3, unique=True),
+)
+pred_list = st.lists(st.one_of(num_pred, str_pred), min_size=1, max_size=4)
+
+
+def to_spark_filter(preds):
+    cond = F.lit(True)
+    for col, op, val in preds:
+        c = F.col(col)
+        if op == ">":
+            term = c > val
+        elif op == "<":
+            term = c < val
+        elif op == ">=":
+            term = c >= val
+        elif op == "<=":
+            term = c <= val
+        else:  # "in"
+            term = c.isin(val)
+        cond = cond & term
+    return cond
+
+
+def to_sql_where(preds):
+    parts = []
+    for col, op, val in preds:
+        if op == "in":
+            vals = ", ".join(f"'{v}'" for v in val)
+            parts.append(f"{col} IN ({vals})")
+        else:
+            parts.append(f"{col} {op} {val!r}")
+    return " AND ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def orders_env(spark):
+    from aced_etl_pod_spark.tables import load
+
+    df = load(spark, SF_SMALL, "orders").cache()
+    df.count()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMALL}/orders.parquet'")
+    return df, con
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(preds=pred_list, group=st.sampled_from([None, "o_orderstatus", "o_orderpriority"]))
+def test_random_filter_agg_matches_duckdb(orders_env, preds, group):
+    df, con = orders_env
+    filtered = df.filter(to_spark_filter(preds))
+    where = to_sql_where(preds)
+    if group is None:
+        got = filtered.agg(
+            F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+        ).first()
+        exp = con.execute(
+            f"SELECT CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) "
+            f"FROM orders WHERE {where}"
+        ).fetchone()
+        assert (got["n"], got["s"]) == exp
+    else:
+        got = {
+            r[group]: (r["n"], r["s"])
+            for r in filtered.groupBy(group)
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+            .collect()
+        }
+        exp = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                f"SELECT {group}, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) "
+                f"FROM orders WHERE {where} GROUP BY {group}"
+            ).fetchall()
+        }
+        assert got == exp
