@@ -291,6 +291,56 @@ def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "explode_map_entries",
+    oracle="""
+    SELECT o_orderkey, k, v FROM (
+      SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v FROM orders
+    )
+    """,
+    tags=("extra", "rowop"),
+)
+def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map → rows (one row per entry) — the map counterpart of
+    explode_array; the oracle states the entry set directly."""
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select("o_orderkey", F.explode(m).alias("k", "v"))
+
+
+@op(
+    "agg_time_bucket",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("extra", "agg", "bench"),
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch time-bucket aggregation via window() — the batch face of
+    stream_tumbling_window and the exact query bench.py runs as q5
+    (BASELINE B5)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@op(
     "agg_corr_covar",
     oracle="""
     SELECT l_returnflag,

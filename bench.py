@@ -21,32 +21,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
-
 from aced_etl_pod_spark.registry import registry
 from aced_etl_pod_spark.session import get_spark
-from aced_etl_pod_spark.tables import load
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # B5 is the BATCH equivalent of the tumbling window (BASELINE measures the
 # batch shape; the streaming op's file-replay materialization is a harness
-# cost, not a query cost).
-def _b5_tumbling_batch(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(F.col("window.start").alias("win_start"), "event_type", "n", "total")
-    )
-
-
+# cost, not a query cost) — registered as agg_time_bucket.
 BENCH_QUERIES = {
     "q1_pricing_summary": "agg_group_sums",
     "q2_star_join": "join_multiway_star",
     "q3_topk_window": "win_row_number_topk",
     "q4_semi_anti": "join_left_semi",
-    "q5_tumbling": _b5_tumbling_batch,
+    "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
     "q7_token_stats": "text_tokenize_stats",
     "q8_cosine_topk": "sim_cosine_topk",
@@ -60,7 +48,7 @@ def main() -> None:
     reg = registry()
     results: dict[str, float] = {}
     for name, q in BENCH_QUERIES.items():
-        fn = reg[q].fn if isinstance(q, str) else q
+        fn = reg[q].fn
         df = fn(spark, SF_DIR)
         df.collect()  # warmup (also finalizes AQE plan caches)
         times = []
