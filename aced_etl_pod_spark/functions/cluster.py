@@ -19,7 +19,26 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 15
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with its component's min
-    node id. Returns (node, component)."""
+    node id. Returns (node, component). Raises if ``max_iter`` rounds were
+    not enough to converge (see :func:`connected_components_with_stats`)."""
+    labels, stats = connected_components_with_stats(edges, src, dst, max_iter)
+    if not stats["converged"]:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter > {max_iter}); raise max_iter — returning "
+            "partial labels would over-keep rows in keep-one-per-cluster dedup"
+        )
+    return labels
+
+
+def connected_components_with_stats(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 15
+) -> tuple[DataFrame, dict]:
+    """Min-label propagation CC that also reports convergence metadata:
+    ``{"iterations": n, "converged": bool}``. At 100 TB the iteration cap
+    bounds the shuffle-rounds cost; callers must check ``converged`` (or use
+    :func:`connected_components`, which raises) because unconverged labels
+    split real components and silently under-merge duplicate clusters."""
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -32,6 +51,8 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
+    converged = False
+    iterations = 0
     for _ in range(max_iter):
         neighbor_min = (
             bidir.join(labels, bidir.v == labels.node)
@@ -59,10 +80,12 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        iterations += 1
         if changed == 0:
+            converged = True
             break
     bidir.unpersist()
-    return labels
+    return labels, {"iterations": iterations, "converged": converged}
 
 
 def dedup_keep_one_per_cluster(

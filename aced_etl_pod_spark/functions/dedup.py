@@ -33,6 +33,61 @@ def minhash_signature(num_hashes: int = 32) -> F.Column:
     return F.array(*cols)
 
 
+def _shingled_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, num_hashes: int
+) -> DataFrame:
+    return (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(num_hashes))
+    )
+
+
+def minhash_band_candidates(
+    sigged: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from LSH band collisions.
+
+    The band self-join carries ONLY (band, bucket, id) — never the shingle
+    arrays — so the band exchange ships a fixed ~24 bytes per row per band
+    regardless of document size. Buckets larger than ``max_bucket_size``
+    are dropped before the join: a degenerate key (empty/boilerplate
+    shingle sets colliding across the corpus) would otherwise create an
+    O(bucket²) pair blowup at 100 TB. True near-dup pairs inside a dropped
+    mega-bucket almost always collide again in another band; byte-identical
+    documents belong to the exact-hash dedup pass, not LSH.
+    """
+    rows = num_hashes // bands
+    band_hash = F.array(
+        *[
+            F.xxhash64(F.slice("sig", b * rows + 1, rows), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    banded = sigged.select(
+        F.col(id_col).alias("doc"), F.posexplode(band_hash).alias("band", "bucket")
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        bucket_n = F.count("*").over(W.partitionBy("band", "bucket"))
+        banded = banded.withColumn("bucket_n", bucket_n).filter(
+            F.col("bucket_n") <= max_bucket_size
+        )
+    left = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -41,54 +96,41 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Pipeline (each stage a DataFrame op, shuffling only on band buckets):
-      shingle → signature → band hashes → posexplode → self-equi-join on
-      (band index, band hash) with id_a < id_b → distinct candidates →
-      verify exact Jaccard on shingle sets → filter ≥ threshold.
+      shingle → signature → band hashes → posexplode → id-only self-equi-
+      join on (band index, band hash) with id_a < id_b → distinct candidate
+      pairs → re-join the shingle arrays once per surviving pair → verify
+      exact Jaccard → filter ≥ threshold.
 
-    Rows per band bucket are bounded by collision groups, so the join is
-    data-proportional; at 100 TB add a bucket-size cap + salting for
-    pathological buckets.
+    Shingle arrays never enter the band exchange (see
+    :func:`minhash_band_candidates`); they are shipped exactly once per
+    *surviving candidate pair* — O(candidates), not O(docs × bands).
 
     Returns (id_a, id_b, jaccard DOUBLE).
     """
-    rows = num_hashes // bands
-    sigged = (
-        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(num_hashes))
+    sigged = _shingled_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    cands = minhash_band_candidates(
+        sigged, id_col, num_hashes, bands, max_bucket_size
     )
-    band_hash = F.array(
-        *[
-            F.xxhash64(F.slice("sig", b * rows + 1, rows), F.lit(b))
-            for b in range(bands)
-        ]
-    )
-    banded = sigged.select(
-        F.col(id_col).alias("doc"),
-        F.col("shingles"),
-        F.posexplode(band_hash).alias("band", "bucket"),
-    )
-    left = banded.select(
-        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
-    cands = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    sh = sigged.select(F.col(id_col).alias("vid"), "shingles")
+    paired = (
+        cands.join(
+            sh.select(F.col("vid").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("vid").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cands.withColumn("jaccard", F.round(jaccard, 4))
+        paired.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -120,29 +162,59 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on 16-bit prefix bands of the
-    64-bit simhash (4 rotations), then verify Hamming distance ≤ k.
-    Equi-join on (rotation, prefix) — same no-cross-join discipline."""
+    """SimHash near-dup pairs with a *recall guarantee* for Hamming distance
+    ≤ ``max_hamming`` (Manku/Charikar-style multi-block blocking).
+
+    The 64-bit simhash is split into ``max_hamming + 2`` nearly-equal bit
+    blocks; each document emits one candidate key per *pair* of blocks
+    (C(b, 2) keys, each the concatenation of two block values). A pair of
+    documents differing in ≤ max_hamming bits touches at most max_hamming
+    blocks, leaving ≥ 2 blocks identical — so they share at least one key
+    (pigeonhole). Candidate generation is an equi-join on (key index, key);
+    each exploded row carries only (id, simhash, rot, key) — four fixed-
+    width columns, no document payload. Verification is one bit_count XOR
+    per candidate pair.
+
+    Two-block keys keep the bucket space wide (≈ 2·64/b bits per key) so
+    buckets stay small at scale; ``max_bucket_size`` additionally drops
+    degenerate buckets (e.g. the all-zeros simhash of boilerplate docs),
+    same policy as :func:`minhash_band_candidates`.
+    """
+    n_blocks = max_hamming + 2
+    if n_blocks > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs >64 one-bit blocks")
     sigged = with_shingles(df.select(id_col, text_col), text_col).filter(
         F.size("shingles") > 0
     ).withColumn("simhash", simhash_expr())
-    rotations = 64 // prefix_bits
-    pref = F.array(
-        *[
-            F.expr(f"(simhash >> {r * prefix_bits}) & {(1 << prefix_bits) - 1}")
-            for r in range(rotations)
-        ]
-    )
+    # Nearly-equal block spans over the 64 bits.
+    bounds = [(i * 64 // n_blocks, (i + 1) * 64 // n_blocks) for i in range(n_blocks)]
+
+    def block(i: int) -> str:
+        lo, hi = bounds[i]
+        return f"(shiftright(simhash, {lo}) & {(1 << (hi - lo)) - 1})"
+
+    keys = []
+    for i in range(n_blocks):
+        for j in range(i + 1, n_blocks):
+            width_j = bounds[j][1] - bounds[j][0]
+            keys.append(f"shiftleft({block(i)}, {width_j}) | {block(j)}")
+    key_arr = F.expr(f"array({', '.join(keys)})")
     blocked = sigged.select(
-        F.col(id_col).alias("doc"), "simhash", F.posexplode(pref).alias("rot", "pref")
+        F.col(id_col).alias("doc"), "simhash", F.posexplode(key_arr).alias("rot", "key")
     )
-    a = blocked.select(F.col("doc").alias("id_a"), F.col("simhash").alias("h_a"), "rot", "pref")
-    b = blocked.select(F.col("doc").alias("id_b"), F.col("simhash").alias("h_b"), "rot", "pref")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        blocked = blocked.withColumn(
+            "bucket_n", F.count("*").over(W.partitionBy("rot", "key"))
+        ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = blocked.select(F.col("doc").alias("id_a"), F.col("simhash").alias("h_a"), "rot", "key")
+    b = blocked.select(F.col("doc").alias("id_b"), F.col("simhash").alias("h_b"), "rot", "key")
     cands = (
-        a.join(b, ["rot", "pref"])
+        a.join(b, ["rot", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

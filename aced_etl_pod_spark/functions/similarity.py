@@ -10,6 +10,8 @@ generation by equi-join on hyperplane sign buckets, then exact re-rank).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,4 +164,71 @@ def brute_force_topk(
         f"(sqrt({DOT.format(a=emb_col, b=emb_col)}) * q_norm)"
     )
     scored = df.crossJoin(q).select(id_col, cos.alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def brute_force_topk_fast(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-vectorized variant of :func:`brute_force_topk`: the cosine is a
+    numpy matrix-vector product inside a scalar pandas UDF (one BLAS gemv
+    per Arrow batch) instead of the interpreted higher-order fold. Same plan
+    shape — one scan, no shuffle, TakeOrdered — but the per-row kernel runs
+    ~10-100× faster, which is what matters at 100 TB where the fold's CPU
+    constant dominates the scan.
+
+    The single query vector is collected driver-side (it is a query
+    *parameter*, like a literal) and closed over by the UDF. Results can
+    differ from the fold in the last ulp (pairwise vs sequential summation);
+    rounded to 6 dp they agree."""
+    qvec = np.asarray(query.select(emb_col).head(1)[0][0], dtype=np.float64)
+    q_norm = float(np.sqrt(qvec @ qvec))
+
+    @F.pandas_udf("double")
+    def _cos(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        dots = m @ qvec
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * q_norm))
+
+    scored = df.select(id_col, _cos(F.col(emb_col)).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def brute_force_topk_unrolled(
+    df: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Codegen-unrolled variant of :func:`brute_force_topk` for plan-time-
+    known dimensionality: the query vector is collected driver-side (it is a
+    query *parameter*) and the dot/norm folds are emitted as straight-line
+    ``e[0]*q0 + e[1]*q1 + …`` expressions — whole-stage-codegen-able
+    arithmetic with the literals constant-folded, no interpreted lambda and
+    no second job for a broadcast build. Addition order is the same
+    sequential left fold as the HOF kernel, so results are bit-identical.
+
+    Right-sized for moderate dims (≤ a few hundred; the expression tree is
+    O(dim)). For high-dim embeddings prefer :func:`brute_force_topk_fast`
+    (Arrow + BLAS), whose per-batch overhead amortizes at real data sizes.
+    """
+    head = query.select(emb_col).head(1)[0][0]
+    qvec = [float(x) for x in head]
+    q_norm = sum(x * x for x in qvec) ** 0.5
+    dot_q = " + ".join(
+        f"CAST({emb_col}[{i}] AS DOUBLE)*CAST({qvec[i]!r} AS DOUBLE)"
+        for i in range(len(qvec))
+    )
+    norm_e = " + ".join(
+        f"CAST({emb_col}[{i}] AS DOUBLE)*CAST({emb_col}[{i}] AS DOUBLE)"
+        for i in range(len(qvec))
+    )
+    cos = F.expr(dot_q) / (F.sqrt(F.expr(norm_e)) * F.lit(q_norm))
+    scored = df.select(id_col, cos.alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from aced_etl_pod_spark.functions.cluster import connected_components
 from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.streaming.replay import materialize_batches, read_stream, run_to_memory
+from aced_etl_pod_spark.streaming.replay import (
+    materialize_batches,
+    nudge_batch,
+    read_stream,
+    run_to_memory,
+)
 from aced_etl_pod_spark.tables import load
 
 
@@ -71,6 +76,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined.select("event_id", "c_ts"), "t_ss_join", "append")
     return out.groupBy("event_id").agg(F.count("*").alias("n_clicks_before"))
+
+
+@op(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT l.event_id,
+           CAST(count(r.ts) AS BIGINT) AS n_clicks_before
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id
+    """,
+    tags=("stream", "join"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with deterministic tail
+    emission. Unmatched purchases are withheld in the join state until the
+    watermark passes their eviction time; since state eviction uses the
+    PREVIOUS micro-batch's watermark, the replay appends TWO far-future
+    nudge batches (negative ids, never matching real keys) so the withheld
+    null-extended rows flush before the stream ends. Full replay therefore
+    equals the batch LEFT JOIN — unmatched purchases report 0 clicks."""
+    nudge = nudge_batch(spark, ("purchase", "click"))
+    src = materialize_batches(
+        spark, sf_dir, "ss_left_outer", extra_batches=[nudge, nudge]
+    )
+    stream = read_stream(spark, src)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = run_to_memory(
+        joined.select("event_id", "p_user", "c_ts"), "t_ss_left_outer", "append"
+    )
+    return (
+        out.filter(F.col("p_user") >= 0)  # drop the synthetic nudge rows
+        .groupBy("event_id")
+        .agg(F.count("c_ts").alias("n_clicks_before"))
+    )
 
 
 @op("sim_ann_ivf_topk", tags=("similarity", "approx", "extra"))

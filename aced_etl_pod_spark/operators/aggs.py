@@ -93,15 +93,33 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx_distinct", tags=("agg", "approx"))
+@op(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_tol
+    FROM events
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (rows-only check — algorithm differs from
-    DuckDB's; the 100 TB path where exact distinct would shuffle all keys).
-    Emits exact alongside so the tolerance is visible in the output."""
+    """HLL approximate distinct — the 100 TB path where exact distinct would
+    shuffle every key. The sketch value itself can't hash-match a DuckDB
+    oracle (different HLL implementations), so the driver-checkable contract
+    is: emit the exact count plus a boolean asserting the sketch landed
+    within 3·rsd of it. The oracle expects TRUE — an out-of-tolerance
+    sketch becomes a hard hash mismatch, not an unchecked row."""
     e = load(spark, sf_dir, "events")
-    return e.agg(
+    agg = e.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("approx_within_tol"),
     )
 
 

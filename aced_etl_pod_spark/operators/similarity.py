@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.similarity import (
     brute_force_topk,
+    brute_force_topk_unrolled,
     cosine_expr,
     random_hyperplanes,
     signature_bucket,
@@ -50,6 +51,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@op(
+    "sim_cosine_topk_fast",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "bench", "extra"),
+)
+def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as sim_cosine_topk, with the codegen-unrolled kernel
+    (BASELINE B8 bench path). Identical plan shape — ONE scan, zero
+    shuffles, zero extra jobs (the query vector is inlined as literals, so
+    no broadcast-build job), TakeOrdered — and the dot product is straight-
+    line codegen arithmetic instead of an interpreted HOF fold. Sequential
+    addition order ⇒ bit-identical to the fold, hash-matches the same
+    oracle. (For high-dim embeddings the Arrow/numpy ``brute_force_topk_
+    fast`` kernel is the scale path; at dim 64 the unrolled form wins.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    topk = brute_force_topk_unrolled(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 

@@ -140,8 +140,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("dedup_simhash", tags=("text", "dedup", "approx", "extra"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sign-sum signature, 16-bit prefix
-    blocking, Hamming ≤ 8 verify (rows-checked; recall proven in tests)."""
+    """SimHash near-dup pairs: 64-bit sign-sum signature, multi-block-pair
+    blocking with a recall GUARANTEE for Hamming ≤ 7, bit_count verify
+    (rows-checked; recall proven in tests/test_dedup.py)."""
     d = load(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text")
 

@@ -21,29 +21,34 @@ def split_project_id(project_id: str) -> tuple[str, str]:
     return program, project
 
 
-def _has_grant(user: dict, path: str, method: str, service: str = "*") -> bool:
-    for grant in (user.get("authz") or {}).get(path, []):
-        if grant.get("method") == method and grant.get("service") in ("*", service):
-            return True
-    return False
+def _check(user: dict, project_id: str, method: str) -> bool:
+    """Shared shape of ``_can_create``/``_can_read``
+    (fhir_import_export.py:62-102 / :105-145): the user's *resources* must
+    contain BOTH /programs/{program} and /programs/{program}/projects, and
+    the *authz* grant is looked up under the PROJECT-level path
+    /programs/{program}/projects/{project} as the exact entry
+    ``{'method': <method>, 'service': '*'}``. Program-level grants do NOT
+    fan out to every project in the program."""
+    program, project = split_project_id(project_id)
+    resources = set(user.get("resources") or [])
+    if f"/programs/{program}" not in resources:
+        return False
+    if f"/programs/{program}/projects" not in resources:
+        return False
+    grants = (user.get("authz") or {}).get(
+        f"/programs/{program}/projects/{project}", []
+    )
+    return {"method": method, "service": "*"} in grants
 
 
 def can_create(user: dict, project_id: str) -> bool:
-    """Mirror of ``_can_create`` (fhir_import_export.py:62-102): the
-    program's projects path must be a granted resource with method=create."""
-    program, _ = split_project_id(project_id)
-    path = f"/programs/{program}/projects"
-    return path in set(user.get("resources") or []) and _has_grant(user, path, "create")
+    """Mirror of ``_can_create`` (fhir_import_export.py:62-102)."""
+    return _check(user, project_id, "create")
 
 
 def can_read(user: dict, project_id: str) -> bool:
-    """Mirror of ``_can_read`` (fhir_import_export.py:105-145):
-    read-storage grant on the program's projects path."""
-    program, _ = split_project_id(project_id)
-    path = f"/programs/{program}/projects"
-    return path in set(user.get("resources") or []) and _has_grant(
-        user, path, "read-storage"
-    )
+    """Mirror of ``_can_read`` (fhir_import_export.py:105-145)."""
+    return _check(user, project_id, "read-storage")
 
 
 def readable_projects_filter(user: dict, all_project_ids: list[str]) -> Column:

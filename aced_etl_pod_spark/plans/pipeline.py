@@ -142,17 +142,27 @@ class EtlPodPipeline:
             "project_id", *[F.col(f"object.{f}").alias(f) for f in obj_fields]
         ).cache()
 
-        # Denormalize patient (R8): join observations onto their patient.
+        # Denormalize patient (R8): roll every related resource type up onto
+        # its patient, mirroring the reference's general related-resource
+        # denormalization (``denormalize_patient`` fhir_import_export.py:229;
+        # README.md:24 DocumentReference→{Patient|Specimen|Observation}).
         patients = flat.filter(F.col("resourceType") == "Patient")
         obs = flat.filter(F.col("resourceType") == "Observation")
         obs_stats = obs.groupBy(F.col("subject_id").alias("obs_patient_id")).agg(
             F.count("*").alias("observation_count"),
             F.round(F.avg("value"), 4).alias("observation_avg"),
         )
+        docs = flat.filter(F.col("resourceType") == "DocumentReference")
+        doc_stats = docs.groupBy(F.col("subject_id").alias("doc_patient_id")).agg(
+            F.count("*").alias("file_count"),
+            F.max("id").alias("latest_file_id"),
+        )
         patient_denorm = (
             patients.join(obs_stats, patients.id == obs_stats.obs_patient_id, "left")
             .drop("obs_patient_id")
-            .na.fill({"observation_count": 0})
+            .join(doc_stats, patients.id == doc_stats.doc_patient_id, "left")
+            .drop("doc_patient_id")
+            .na.fill({"observation_count": 0, "file_count": 0})
         )
 
         # Flat loads ×3 (R9) — a type with no input still writes its schema
@@ -167,7 +177,15 @@ class EtlPodPipeline:
 
         # Discovery aggregate (R10+R12): count reuses the cached DataFrame —
         # no re-query-after-write.
-        study = flat.filter(F.col("resourceType") == "ResearchStudy").limit(1).collect()
+        # orderBy(id) before limit(1): deterministic pick when a project
+        # carries more than one ResearchStudy row (the reference reads the
+        # first NDJSON line; file order is its implicit total order).
+        study = (
+            flat.filter(F.col("resourceType") == "ResearchStudy")
+            .orderBy("id")
+            .limit(1)
+            .collect()
+        )
         discovery = self.spark.createDataFrame(
             [
                 {
@@ -193,6 +211,7 @@ class EtlPodPipeline:
         )
         upsert_partitions(self.spark, raw, self.path("raw/resources"), "project_id")
         envelopes.unpersist()
+        flat.unpersist()  # without this, per-commit put() loops accumulate cached DFs
         return {"project_id": project_id, **counts}
 
     # ---- get (export) ----------------------------------------------------

@@ -28,8 +28,13 @@ from aced_etl_pod_spark.session import tune
 
 
 def write_partitioned(df: DataFrame, path: str, key: str, mode: str = "overwrite") -> None:
-    """Partitioned parquet write (flat-index load analog, R9)."""
-    df.write.mode(mode).partitionBy(key).parquet(path)
+    """Partitioned parquet write (flat-index load analog, R9). Full-table
+    load semantics: overwrite replaces EVERY partition (static mode pinned
+    per-write so a session-level dynamic setting can never turn this into a
+    partial overwrite that leaves stale partitions behind)."""
+    df.write.mode(mode).option("partitionOverwriteMode", "static").partitionBy(
+        key
+    ).parquet(path)
 
 
 def drop_partition(path: str, key: str, value: str) -> bool:
@@ -48,8 +53,12 @@ def upsert_partitions(spark: SparkSession, updates: DataFrame, path: str, key: s
     upsert analog, R12, fhir_import_export.py:288). Uses Spark's dynamic
     partition overwrite so untouched partitions are never rewritten."""
     tune(spark)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    updates.write.mode("overwrite").partitionBy(key).parquet(path)
+    # Per-write option, NOT a session conf mutation: a session-wide
+    # "dynamic" would silently turn later full-table overwrites into
+    # partial ones.
+    updates.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(key).parquet(path)
 
 
 def upsert_by_key(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:

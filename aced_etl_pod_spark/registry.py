@@ -34,6 +34,67 @@ class Op:
 
 _REGISTRY: dict[str, Op] = {}
 
+# Driver-visibility rotation. The external correctness harness verifies the
+# FIRST 50 registry entries in iteration order. Round 1 verified the
+# relational core (scans → rowops → functions → joins → aggs → windows →
+# first sorts/sets); this priority list puts every family that has NOT yet
+# earned a driver-green row (streaming, UDFs, text, dedup, similarity,
+# scale/extra aggregates) inside the 50-entry window for round 2. Ops not
+# listed keep their registration order after the priority block. Rotate per
+# round until every operator has been externally verified at least once.
+_DRIVER_PRIORITY = (
+    "agg_approx_distinct",
+    "set_intersect",
+    "set_except",
+    "udf_scalar_python",
+    "udf_pandas_vectorized",
+    "udaf_pandas_grouped_agg",
+    "udtf_apply_in_pandas",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_keys",
+    "stream_stateful_count",
+    "stream_custom_stateful",
+    "stream_foreach_sink",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "text_tokenize_stats",
+    "text_normalize",
+    "text_ngram_freq",
+    "text_langid",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+    "sim_cosine_topk",
+    "sim_knn_all_pairs_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "multimodal_binary_meta",
+    "agg_salted_skew",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    "agg_percentile",
+    "win_range_between",
+    "win_sessionize_batch",
+    "agg_stddev_var",
+    "fn_hash_digest",
+    "explode_map_entries",
+    "agg_time_bucket",
+    "agg_corr_covar",
+    "agg_bool_and_or",
+    "join_range_bucketized",
+    "subquery_correlated",
+)
+
 # Operator-family modules; importing them runs the @op decorators.
 _MODULES = (
     "aced_etl_pod_spark.operators.scans",
@@ -66,10 +127,15 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def registry() -> dict[str, Op]:
-    """Import all operator modules and return the full registry."""
+    """Import all operator modules and return the full registry, ordered so
+    the driver-priority ops come first (stable within each group)."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    return _REGISTRY
+    rank = {op_id: i for i, op_id in enumerate(_DRIVER_PRIORITY)}
+    default = len(rank)
+    return dict(
+        sorted(_REGISTRY.items(), key=lambda kv: rank.get(kv[0], default))
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

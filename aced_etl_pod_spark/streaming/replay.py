@@ -36,13 +36,24 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def materialize_batches(
-    spark: SparkSession, sf_dir: str, name: str, splits: list | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    splits: list | None = None,
+    extra_batches: list[DataFrame] | None = None,
 ) -> str:
     """Write events into one file per split predicate (in replay order).
 
     ``splits`` is a list of boolean Column predicates; rows matching split i
     land in file i, which the file source will deliver as micro-batch i
     (mtimes are pinned increasing). Default: a single batch with everything.
+
+    ``extra_batches`` are appended AFTER the splits, one micro-batch per
+    DataFrame (must match :data:`EVENTS_STREAM_SCHEMA`). Use for synthetic
+    watermark-nudge rows: stateful operators (outer joins, late-data
+    eviction) hold their tail results until the watermark passes, and Spark
+    filters/evicts with the PREVIOUS batch's watermark — so a deterministic
+    end-of-stream flush needs two trailing far-future batches.
     """
     out = scratch_dir(f"stream/{name}")
     shutil.rmtree(out, ignore_errors=True)
@@ -50,15 +61,31 @@ def materialize_batches(
     events = load(spark, sf_dir, "events")
     if splits is None:
         splits = [F.lit(True)]
-    for i, pred in enumerate(splits):
+    batch_dfs = [events.filter(pred) for pred in splits]
+    batch_dfs += list(extra_batches or [])
+    for i, df in enumerate(batch_dfs):
         tmp = os.path.join(out, f"_tmp_{i}")
-        events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dst = os.path.join(out, f"batch_{i:03d}.parquet")
         shutil.move(part, dst)
         shutil.rmtree(tmp)
         os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
     return out
+
+
+def nudge_batch(spark: SparkSession, event_types: tuple[str, ...]) -> DataFrame:
+    """One far-future synthetic row per event type (negative ids, so real
+    keys never join against them). Two of these appended to a replay advance
+    every watermark past all real data — the deterministic substitute for
+    'wait until the stream goes idle'."""
+    from datetime import datetime
+
+    rows = [
+        (-(i + 1), datetime(2099, 1, 1), -(i + 1), et, 0.0, "{}")
+        for i, et in enumerate(event_types)
+    ]
+    return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
 
 
 def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:

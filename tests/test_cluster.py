@@ -6,7 +6,13 @@ import random
 
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.functions.cluster import connected_components, dedup_keep_one_per_cluster
+import pytest
+
+from aced_etl_pod_spark.functions.cluster import (
+    connected_components,
+    connected_components_with_stats,
+    dedup_keep_one_per_cluster,
+)
 from aced_etl_pod_spark.functions.similarity import ivf_topk
 
 
@@ -26,6 +32,25 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = connected_components(edges)
     assert comps.select("component").distinct().count() == 1
+
+
+def test_connected_components_reports_convergence(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    labels, stats = connected_components_with_stats(edges)
+    assert stats["converged"] and 1 <= stats["iterations"] <= 3
+    assert labels.count() == 3
+
+
+def test_connected_components_raises_when_iteration_capped(spark):
+    """Diameter > max_iter: partial labels would silently under-merge
+    duplicate clusters, so the strict variant must refuse."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    _, stats = connected_components_with_stats(edges, max_iter=2)
+    assert stats == {"iterations": 2, "converged": False}
 
 
 def test_dedup_keep_one_per_cluster(spark):

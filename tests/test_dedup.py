@@ -52,11 +52,60 @@ def test_simhash_recall(spark):
     # simhash needs longer documents: one perturbed token must flip few of
     # the 64 sign-sums, so use 120-token docs (3 changed shingles of ~118)
     df, planted = _corpus(spark, doc_len=120)
-    # 8-bit prefix blocking (8 rotations): a clean band survives even when
-    # ~10 of 64 bits flip, which 16-bit blocking does not guarantee
-    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=12, prefix_bits=8)
+    # multi-block blocking GUARANTEES recall for Hamming <= max_hamming
+    pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=12)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert planted <= found, f"missed planted dups: {planted - found}"
+
+
+def test_minhash_bucket_cap_bounds_pathological_corpus(spark):
+    """A degenerate corpus (hundreds of docs sharing one boilerplate text)
+    collides into a single band bucket in every band; the bucket-size cap
+    must drop those buckets so the candidate-pair count stays bounded
+    instead of going O(n²)."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta"), (1001, "alpha beta gamma delta epsilon zeta x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.5, max_bucket_size=50)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the 300-doc mega-bucket is dropped (0 pairs from it, not 44 850);
+    # the small genuine near-dup bucket survives
+    assert (1000, 1001) in found
+    assert len(found) <= 2
+    # uncapped, the same corpus explodes into all boilerplate pairs
+    uncapped = minhash_candidate_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=None
+    )
+    assert uncapped.count() > 40_000
+
+
+def test_minhash_band_join_ships_ids_only(spark):
+    """Scale contract: the band-collision self-join must not carry the
+    shingle arrays — candidates are generated from (band, bucket, id) only,
+    and shingles are re-joined per surviving pair."""
+    from aced_etl_pod_spark.functions.dedup import (
+        _shingled_signatures,
+        minhash_band_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    sigged = _shingled_signatures(df, "doc_id", "text", 3, 32)
+    cands = minhash_band_candidates(sigged, "doc_id")
+    plan = cands._sc._jvm.PythonSQLUtils.explainString(
+        cands._jdf.queryExecution(), "formatted"
+    )
+    lines = plan.splitlines()
+    exchange_inputs = [
+        lines[i + 1]
+        for i, line in enumerate(lines)
+        if "Exchange" in line and line.lstrip().startswith("(")
+        and i + 1 < len(lines) and lines[i + 1].startswith("Input")
+    ]
+    assert exchange_inputs, "expected at least one Exchange in the candidates plan"
+    for inp in exchange_inputs:
+        assert "shingles" not in inp, f"shingles crossed an exchange: {inp}"
 
 
 @pytest.mark.slow

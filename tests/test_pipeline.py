@@ -16,8 +16,22 @@ from aced_etl_pod_spark.plans.authz import can_create, can_read
 from aced_etl_pod_spark.plans.pipeline import EtlPodPipeline
 from aced_etl_pod_spark.sources.archives import zip_dir
 
+# Reference-shaped profile (_can_create/_can_read fhir_import_export.py:62-145):
+# program paths in `resources`, grant under the PROJECT-level authz path.
 USER_FULL = {
-    "resources": ["/programs/prog/projects"],
+    "resources": ["/programs/prog", "/programs/prog/projects"],
+    "authz": {
+        "/programs/prog/projects/alpha": [
+            {"method": "create", "service": "*"},
+            {"method": "read-storage", "service": "*"},
+        ]
+    },
+}
+# A grant on the program-wide projects *collection* (no project-level path)
+# must NOT authorize individual projects — the reference requires the
+# project-scoped authz entry.
+USER_PROGRAM_WIDE = {
+    "resources": ["/programs/prog", "/programs/prog/projects"],
     "authz": {
         "/programs/prog/projects": [
             {"method": "create", "service": "*"},
@@ -53,6 +67,35 @@ def test_denormalized_patient_has_observation_stats(pipeline, fhir_fixture):
     # patient 2 has observations valued 20.0 and 21.0
     assert row["observation_count"] == 2
     assert row["observation_avg"] == pytest.approx(20.5)
+    # DocumentReference rollup (README.md:24: files associate with a
+    # patient): each fixture patient carries exactly one document
+    assert row["file_count"] == 1
+    assert row["latest_file_id"] == "doc-prog-alpha-2"
+
+
+def test_discovery_study_pick_is_deterministic(pipeline, fhir_fixture):
+    """A project with >1 ResearchStudy row must pick the min-id study for
+    its discovery record, independent of file or partition order."""
+    src = fhir_fixture["prog-alpha"]
+    extra = {
+        "id": "study-0-first",
+        "name": "research_study",
+        "relations": [],
+        "object": {
+            "id": "study-0-first",
+            "resourceType": "ResearchStudy",
+            "project_id": "prog-alpha",
+            "status": "active",
+            "description": "the lexicographically-first study",
+            "identifier": [],
+            "identifier_coding": [],
+        },
+    }
+    with open(os.path.join(src, "ResearchStudy.ndjson"), "a") as f:
+        f.write(json.dumps(extra) + "\n")
+    pipeline.put("prog-alpha", src)
+    disc = pipeline.discovery().filter(F.col("project_id") == "prog-alpha").first()
+    assert disc["description"] == "the lexicographically-first study"
 
 
 def test_put_is_idempotent(pipeline, fhir_fixture):
@@ -99,6 +142,19 @@ def test_zip_ingestion(pipeline, fhir_fixture, tmp_path):
 def test_authz_gates_methods(pipeline, fhir_fixture, tmp_path):
     assert can_create(USER_FULL, "prog-alpha") and can_read(USER_FULL, "prog-alpha")
     assert not can_create(USER_NONE, "prog-alpha")
+    # project-scoped grant does not leak to sibling projects in the program
+    assert not can_create(USER_FULL, "prog-beta")
+    assert not can_read(USER_FULL, "prog-beta")
+    # program-collection grant does not fan out to every project (the
+    # privilege-escalation shape the reference rejects)
+    assert not can_create(USER_PROGRAM_WIDE, "prog-alpha")
+    assert not can_read(USER_PROGRAM_WIDE, "prog-alpha")
+    # both program resource paths are required
+    missing_program = {
+        "resources": ["/programs/prog/projects"],
+        "authz": USER_FULL["authz"],
+    }
+    assert not can_create(missing_program, "prog-alpha")
     with pytest.raises(PermissionError):
         pipeline.put("prog-alpha", fhir_fixture["prog-alpha"], user=USER_NONE)
     pipeline.put("prog-alpha", fhir_fixture["prog-alpha"], user=USER_FULL)
