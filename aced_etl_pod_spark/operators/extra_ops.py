@@ -478,3 +478,56 @@ def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_totalprice > 150000
         """
     )
+
+
+@op(
+    "merge_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), updates AS (
+      SELECT c_custkey, round(-c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    ), untouched AS (
+      SELECT b.* FROM base b WHERE NOT EXISTS
+        (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)
+    ), closed AS (
+      SELECT b.c_custkey, b.acctbal, b.valid_from,
+             '2024-06-01' AS valid_to, FALSE AS is_current
+      FROM base b WHERE EXISTS
+        (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)
+    ), fresh AS (
+      SELECT c_custkey, acctbal, '2024-06-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      FROM updates
+    )
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    """,
+    tags=("extra", "merge"),
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE (plans/storage.py::scd2_merge):
+    negative-balance customers arrive as an update batch; their current
+    versions are closed out (valid_to, is_current=false) and the updates
+    append as new current versions — history preserved, all legs key-equi-
+    joins (broadcastable update batch, no full-history rewrite). The
+    history-keeping face of ``upsert_by_key`` / managed-table MERGE INTO."""
+    from aced_etl_pod_spark.plans.storage import scd2_merge as _scd2
+
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round(-F.col("c_acctbal"), 2).alias("acctbal")
+    )
+    return _scd2(base, updates, "c_custkey", "2024-06-01")

@@ -68,3 +68,37 @@ def upsert_by_key(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return base.join(updates.select(key).distinct(), on=key, how="left_anti").unionByName(
         updates
     )
+
+
+def scd2_merge(base: DataFrame, updates: DataFrame, key: str, ts_new: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE as one plan (the history-
+    preserving sibling of :func:`upsert_by_key`; `MERGE INTO ... WHEN
+    MATCHED/NOT MATCHED` on managed tables).
+
+    ``base`` carries (key, attrs..., valid_from, valid_to, is_current).
+    For every update key: the current base version is closed out
+    (valid_to=ts_new, is_current=false); the update row is appended as the
+    new current version (valid_from=ts_new). Rows with untouched keys and
+    already-historical rows pass through unchanged.
+
+    All three legs are key-equi-joins against the distinct update keys —
+    broadcastable when the update batch is small (the common case), never a
+    full-table rewrite of history.
+    """
+    from pyspark.sql import functions as F
+
+    upd_keys = updates.select(key).distinct()
+    untouched = base.join(upd_keys, key, "left_anti")
+    hit = base.join(upd_keys, key, "left_semi")
+    historical = hit.filter(~F.col("is_current"))
+    closed = (
+        hit.filter(F.col("is_current"))
+        .withColumn("valid_to", F.lit(ts_new))
+        .withColumn("is_current", F.lit(False))
+    )
+    fresh = (
+        updates.withColumn("valid_from", F.lit(ts_new))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return untouched.unionByName(historical).unionByName(closed).unionByName(fresh)

@@ -44,6 +44,19 @@ def test_global_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
 
 
+def test_cosine_topk_fast_is_single_stage(spark):
+    """The bench cosine kernel must be one scan → project → TakeOrdered:
+    no shuffle, no broadcast build (the query vector is inlined as
+    literals), no Python evaluation."""
+    from aced_etl_pod_spark.operators.similarity import sim_cosine_topk_fast
+
+    plan = _plan(sim_cosine_topk_fast(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "Python" not in plan  # ArrowEvalPython / BatchEvalPython absent
+
+
 def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     path = str(tmp_path / "orders_part")
     write_partitioned(load(spark, SF_SMALL, "orders"), path, "o_orderstatus")

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.similarity import (
     brute_force_topk,
+    brute_force_topk_fast,
+    brute_force_topk_unrolled,
     cosine_expr,
     random_hyperplanes,
     signature_bucket,
@@ -62,6 +64,25 @@ def test_lsh_buckets_group_clusters(spark):
     # tight clusters (σ=0.05 around unit-scale centers) almost never straddle
     # a hyperplane; allow at most 2 buckets per cluster
     assert all(r["nb"] <= 2 for r in per_cluster_buckets)
+
+
+def test_topk_kernels_agree(spark):
+    """The three cosine kernels (interpreted HOF fold, codegen-unrolled
+    literals, Arrow+numpy) must return identical top-k at 6 dp — same ids,
+    same order, same rounded scores."""
+    df = _clustered(spark)
+    q = df.filter(F.col("vec_id") == 0)
+
+    def rows(topk):
+        return [
+            (r["vec_id"], round(r["cos_sim"], 6))
+            for r in topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim")).collect()
+        ]
+
+    fold = rows(brute_force_topk(df, q, k=8))
+    unrolled = rows(brute_force_topk_unrolled(df, q, k=8))
+    arrow = rows(brute_force_topk_fast(df, q, k=8))
+    assert fold == unrolled == arrow
 
 
 def test_ann_recall_vs_brute_force(spark):
