@@ -52,12 +52,8 @@ def main() -> None:
     # and re-planning add whole scheduling rounds — a fixed cost that
     # dominates sub-50 ms queries and vanishes at real scale. The ENGINE
     # session (session.py) keeps AQE + skew handling ON; this toggle is
-    # per-run, not a library default. The codegen limits keep the unrolled
-    # 64-dim cosine inside whole-stage codegen instead of falling back to
-    # interpreted evaluation.
+    # per-run, not a library default.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "262144")
-    spark.conf.set("spark.sql.codegen.methodSplitThreshold", "2048")
     reg = registry()
     results: dict[str, float] = {}
     for name, q in BENCH_QUERIES.items():
