@@ -285,3 +285,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(normalize(F.col("text")), 256).alias("fp"),
         F.sha2(F.array_join(F.slice(F.split("text", " "), 1, 8), " "), 256).alias("head_fp"),
     )
+
+# Regexes shared by text_pii_redact (kept backslash-free so the same string
+# parses identically as a Spark SQL literal and a DuckDB literal).
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE_RE = "[+][0-9]+-[0-9]{3}-[0-9]{4}"
+
+
+@op(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           sha256(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_digest
+    FROM aug
+    """,
+    tags=("text", "extra"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails /
+    phone numbers → typed placeholder tokens), as pure Catalyst regex
+    expressions (JVM-side, codegen; no UDF). The corpus is synthetic and
+    PII-free, so each doc is first augmented with a deterministic contact
+    string derived from its id — both engines build the identical input,
+    then the match counts and the digest of the redacted text hash-check
+    the actual redaction machinery."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_digest"),
+    )
