@@ -158,6 +158,34 @@ def simhash_expr(bits: int = 64) -> F.Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) via explode → one codegen'd xxhash64 per shingle →
+    per-bit conditional-sum aggregation → bit pack. Equivalent to
+    :func:`simhash_expr` (order-independent sign votes), but every stage is
+    whole-stage-codegen'd straight-line code with map-side partial
+    aggregation — the per-row interpreted 64-slot fold becomes a
+    (doc × 64)-column partial agg whose shuffle payload is one row per doc.
+    This is the 100 TB shape; ``simhash_expr`` remains as the single-row
+    expression API."""
+    ex = df.select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s"))
+    h = ex.select("doc", F.xxhash64("s").alias("h"))
+    votes = h.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(bits)
+    )
+    return votes.select("doc", F.expr(packed).alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -186,9 +214,10 @@ def simhash_near_pairs(
     n_blocks = max_hamming + 2
     if n_blocks > 64:
         raise ValueError(f"max_hamming={max_hamming} needs >64 one-bit blocks")
-    sigged = with_shingles(df.select(id_col, text_col), text_col).filter(
+    shingled = with_shingles(df.select(id_col, text_col), text_col).filter(
         F.size("shingles") > 0
-    ).withColumn("simhash", simhash_expr())
+    )
+    sigged = simhash_signatures(shingled, id_col, text_col)
     # Nearly-equal block spans over the 64 bits.
     bounds = [(i * 64 // n_blocks, (i + 1) * 64 // n_blocks) for i in range(n_blocks)]
 
@@ -203,7 +232,7 @@ def simhash_near_pairs(
             keys.append(f"shiftleft({block(i)}, {width_j}) | {block(j)}")
     key_arr = F.expr(f"array({', '.join(keys)})")
     blocked = sigged.select(
-        F.col(id_col).alias("doc"), "simhash", F.posexplode(key_arr).alias("rot", "key")
+        "doc", "simhash", F.posexplode(key_arr).alias("rot", "key")
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window as W

@@ -108,6 +108,28 @@ def test_minhash_band_join_ships_ids_only(spark):
         assert "shingles" not in inp, f"shingles crossed an exchange: {inp}"
 
 
+def test_simhash_signature_agg_matches_expression(spark):
+    """The explode+aggregate simhash (the scale path) must produce bit-
+    identical signatures to the single-row fold expression."""
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.functions.dedup import (
+        simhash_expr,
+        simhash_signatures,
+        with_shingles,
+    )
+
+    df, _ = _corpus(spark, n_docs=40, doc_len=60)
+    sh = with_shingles(df, "text", 3).filter(F.size("shingles") > 0)
+    old = sh.withColumn("simhash", simhash_expr()).select(
+        F.col("doc_id").alias("doc"), F.col("simhash").alias("h_expr")
+    )
+    new = simhash_signatures(sh, "doc_id", "text")
+    joined = old.join(new, "doc")
+    assert joined.count() == 46
+    assert joined.filter(F.col("h_expr") != F.col("simhash")).count() == 0
+
+
 @pytest.mark.slow
 def test_minhash_no_candidates_on_disjoint_docs(spark):
     df = spark.createDataFrame(
