@@ -101,26 +101,52 @@ def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 def run_to_memory(result: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Run a streaming computation to completion against the memory sink and
     return the final table. ``processAllAvailable`` drains every pending
-    micro-batch synchronously — deterministic replay, then stop."""
+    micro-batch synchronously — deterministic replay, then stop.
+
+    A stateful streaming query pins its state-store partitioning to
+    ``spark.sql.shuffle.partitions`` AT START (AQE never applies to
+    streaming), so a foreign session's default of 200 means 200 state files
+    per micro-batch on a laptop-sized replay. The conf is capped for the
+    duration of ``start()`` only and restored after — scoped, not a session
+    mutation. On a real cluster the session owner's value (or a checkpoint's
+    existing partitioning) governs, as it should."""
     spark = result.sparkSession
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    cores = spark.sparkContext.defaultParallelism
     try:
-        q.processAllAvailable()
+        # Held until the replay drains: the stream execution thread reads the
+        # conf when it initializes, which races a restore-right-after-start.
+        spark.conf.set(key, str(min(int(prev), max(cores, 8))))
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, prev)
     return spark.table(query_name)
 
 
 def run_foreach_batch(result: DataFrame, sink_fn) -> None:
     """Run a stream through foreachBatch to completion (exactly-once style
-    incremental sink, fhir_import_export.py:288 upsert generalized)."""
-    q = result.writeStream.foreachBatch(sink_fn).outputMode("update").start()
+    incremental sink, fhir_import_export.py:288 upsert generalized).
+    Same scoped shuffle-partition cap as :func:`run_to_memory`."""
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    cores = spark.sparkContext.defaultParallelism
     try:
-        q.processAllAvailable()
+        spark.conf.set(key, str(min(int(prev), max(cores, 8))))
+        q = result.writeStream.foreachBatch(sink_fn).outputMode("update").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, prev)

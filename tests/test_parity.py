@@ -52,3 +52,13 @@ def test_registry_complete():
     """SURVEY §2.b promises 71 core operator IDs; extras are on top."""
     assert len(REG) >= 71
     assert len(ORACLE_OPS) >= 60
+
+
+def test_driver_window_order():
+    """The external harness verifies the FIRST 50 registry entries; the
+    rotation list must exactly occupy that window (guards against a module
+    refactor silently reshuffling which ops get driver-checked)."""
+    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert list(REG)[:50] == list(_DRIVER_PRIORITY)
