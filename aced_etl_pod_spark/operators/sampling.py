@@ -1,0 +1,139 @@
+"""Deterministic sampling / splitting / interleaving operators — the
+training-data-shaping family (reservoir-free, reproducible, cluster-safe).
+
+``df.sample()`` is seed-deterministic but implementation-defined (partition-
+dependent), so none of these use it. Every op derives a pseudo-random bucket
+with a Knuth multiplicative hash on the row id — plain 64-bit integer
+arithmetic that any engine reproduces exactly, is stable under
+repartitioning, and needs no shared RNG state across 1000 executors. The
+bucket IS the sampling decision, so re-running the pipeline (or adding new
+rows) never reshuffles previously-assigned rows between splits — the
+property training pipelines actually need from "random" splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+# Knuth's multiplicative constant (2654435761 = 2^32 / phi); doc ids are
+# small, so id * K stays far below 2^63 — identical wraparound-free
+# arithmetic in both engines.
+KNUTH = 2654435761
+
+
+def hash_bucket(id_col: str, buckets: int = 100) -> F.Column:
+    """Deterministic pseudo-random bucket in [0, buckets)."""
+    return (F.col(id_col) * F.lit(KNUTH) % F.lit(2**32)) % F.lit(buckets)
+
+
+def _bucket_sql(id_col: str, buckets: int = 100) -> str:
+    return f"(({id_col} * {KNUTH}) % {2**32}) % {buckets}"
+
+
+@op(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT doc_id, lang, {_bucket_sql("doc_id")} AS bucket
+    FROM documents
+    WHERE {_bucket_sql("doc_id")} < 20
+    """,
+    tags=("sampling", "extra"),
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% Bernoulli sample by hash bucket: a pure pushdown-able filter —
+    no shuffle, no RNG state, stable under re-runs and repartitioning."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return d.select("doc_id", "lang", b.alias("bucket")).filter(b < 20)
+
+
+@op(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql("doc_id")} < 80 THEN 'train'
+                WHEN {_bucket_sql("doc_id")} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "extra"),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment. Because the split is a pure
+    function of the id, adding documents later never moves an existing row
+    between splits (no leakage across dataset versions)."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+@op(
+    "sample_stratified_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_bucket_sql("doc_id", 1000000)}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+    tags=("sampling", "extra"),
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: exactly min(50, n) docs per language,
+    chosen by hash order (deterministic proxy for uniform-without-
+    replacement). One shuffle on the stratum key; per-stratum top-k is a
+    bounded heap, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(hash_bucket("doc_id", 1_000_000), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@op(
+    "interleave_weighted_sources",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source, {_bucket_sql("doc_id")} AS bucket
+      FROM documents
+      WHERE {_bucket_sql("doc_id")} <
+            CASE source WHEN 'web' THEN 60 WHEN 'books' THEN 30 ELSE 10 END
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY bucket, doc_id) AS BIGINT) AS position
+    FROM kept
+    """,
+    tags=("sampling", "extra"),
+)
+def interleave_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture + deterministic interleave: per-source keep
+    rates (60/30/10%) as a hash filter, then a global training order by
+    hash — the reproducible "shuffled mixture" a pre-training data loader
+    consumes. The global row_number is the one intentionally serial step
+    (order assignment); at 100 TB you would zipWithIndex per partition or
+    keep (bucket, doc_id) AS the sort key and skip materializing positions."""
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    rate = (
+        F.when(F.col("source") == "web", 60)
+        .when(F.col("source") == "books", 30)
+        .otherwise(10)
+    )
+    kept = d.select("doc_id", "source", b.alias("bucket")).filter(b < rate)
+    w = W.orderBy("bucket", "doc_id")
+    return kept.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("position")
+    )

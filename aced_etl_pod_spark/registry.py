@@ -111,6 +111,7 @@ _MODULES = (
     "aced_etl_pod_spark.operators.scale_ops",
     "aced_etl_pod_spark.operators.extra_ops",
     "aced_etl_pod_spark.operators.advanced_ops",
+    "aced_etl_pod_spark.operators.sampling",
 )
 
 
