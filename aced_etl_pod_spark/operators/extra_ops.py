@@ -531,3 +531,60 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.round(-F.col("c_acctbal"), 2).alias("acctbal")
     )
     return _scd2(base, updates, "c_custkey", "2024-06-01")
+
+
+@op(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_v, CAST(max(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("extra", "dq"),
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (data-quality pass a pipeline runs before training):
+    per-column row/null/distinct counts + min/max, computed in ONE scan —
+    all columns' aggregates in a single aggregate node, then unpivoted to
+    long form driver-side (fixed column list, no second pass)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for c in ("o_custkey", "o_orderstatus", "o_totalprice")
+            for a in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("o_custkey").cast("string").alias("min_o_custkey"),
+        F.max("o_custkey").cast("string").alias("max_o_custkey"),
+        F.min("o_orderstatus").cast("string").alias("min_o_orderstatus"),
+        F.max("o_orderstatus").cast("string").alias("max_o_orderstatus"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_o_totalprice"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_o_totalprice"),
+    )
+    rows = ", ".join(
+        f"'{c}', n, n - nn_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in ("o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    return agg.select(
+        F.expr(
+            f"stack(3, {rows}) AS (col, n_rows, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
