@@ -22,7 +22,13 @@ from aced_etl_pod_spark.functions.similarity import (
     signature_bucket,
 )
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.sources.binary import decode_stub, generate_blob_fixture, read_binary
+from aced_etl_pod_spark.sources.binary import (
+    decode_stub,
+    frame_sample_stub,
+    generate_blob_fixture,
+    read_binary,
+    resize_stub,
+)
 from aced_etl_pod_spark.tables import load
 
 DUCK_COS = (
@@ -207,3 +213,35 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
     )
     return joined.select("blob_id", "length", "digest", "n_bytes", "byte_mean", "feature0")
+
+
+@op("multimodal_frame_sample", tags=("multimodal", "extra"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: binaryFile scan → mapInPandas
+    1→N row explosion (every 2nd 32-byte 'frame' per blob), per-frame mean
+    + digest. Rows-checked; exact frame counts/values asserted in
+    tests/test_multimodal.py. A real ffmpeg sampler swaps in one function."""
+    src = generate_blob_fixture(n=32, sub="multimodal_frames")
+    blobs = read_binary(spark, src)
+    frames = frame_sample_stub(blobs.select("path", "content"))
+    return frames.select(
+        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        "frame_idx",
+        F.round("frame_mean", 4).alias("frame_mean"),
+        "frame_digest",
+    )
+
+
+@op("multimodal_resize", tags=("multimodal", "extra"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary in → fixed-width binary thumbnail out
+    via mapInPandas (binary output column through Arrow). Rows-checked;
+    thumbnail bytes asserted deterministic in tests."""
+    src = generate_blob_fixture(n=32, sub="multimodal_resize")
+    blobs = read_binary(spark, src)
+    thumbs = resize_stub(blobs.select("path", "content"))
+    return thumbs.select(
+        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        F.sha2("thumb", 256).alias("thumb_digest"),
+        "thumb_len",
+    )

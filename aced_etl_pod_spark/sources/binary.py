@@ -71,3 +71,55 @@ def decode_stub(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "path string, frame_idx long, frame_mean double, frame_digest string"
+RESIZE_SCHEMA = "path string, thumb binary, thumb_len long"
+
+
+def frame_sample_stub(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> DataFrame:
+    """Fake video frame sampling via mapInPandas — the 1→N row-explosion
+    shape (each blob yields multiple frame rows, so output Arrow batches are
+    larger than input batches; a real ffmpeg sampler has exactly this
+    contract). 'Frames' are fixed-width byte windows; every ``every_n``-th
+    is kept. Deterministic: per-frame mean + sha256 digest."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, idxs, means, digests = [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frames = [
+                    content[o : o + frame_bytes]
+                    for o in range(0, len(content), frame_bytes)
+                ]
+                for i, fr in enumerate(frames):
+                    if i % every_n:
+                        continue
+                    paths.append(path)
+                    idxs.append(i)
+                    means.append(sum(fr) / len(fr))
+                    digests.append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(
+                {"path": paths, "frame_idx": idxs, "frame_mean": means,
+                 "frame_digest": digests}
+            )
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_stub(df: DataFrame, thumb_bytes: int = 16) -> DataFrame:
+    """Fake image resize via mapInPandas with a BINARY output column — the
+    binary-in/binary-out contract of a real thumbnailer. The 'thumbnail' is
+    a deterministic byte stride over the content (every len/thumb_bytes-th
+    byte), so size is fixed and values are assertable."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["content"].map(
+                lambda b: bytes(b[:: max(1, len(b) // thumb_bytes)][:thumb_bytes])
+            )
+            yield pd.DataFrame(
+                {"path": pdf["path"], "thumb": thumbs, "thumb_len": thumbs.map(len)}
+            )
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
