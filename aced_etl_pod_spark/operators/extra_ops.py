@@ -588,3 +588,91 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(3, {rows}) AS (col, n_rows, n_nulls, n_distinct, min_v, max_v)"
         )
     )
+
+
+@op(
+    "ts_resample_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.h, hv.v
+      FROM grid g LEFT JOIN hourly hv ON hv.user_id = g.user_id AND hv.h = g.h
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v AS raw_v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+           v IS NULL AS was_gap
+    FROM j
+    """,
+    tags=("extra", "timeseries"),
+)
+def ts_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly per-user aggregates, a dense
+    hour grid per user (sequence + explode — generated distributed, no
+    driver loop), LEFT join, then forward-fill via last-non-null over an
+    ordered frame. The standard hypertable/rollup gap-fill shape; the grid
+    explode and the fill window both shuffle once on the series key."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").alias("raw_v"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_v"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@op(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS exact_median,
+           TRUE AS approx_within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("extra", "agg", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile (the 100 TB path — no per-group sort), with
+    the same driver-checkable contract as agg_approx_distinct: emit the
+    exact value plus a boolean asserting the sketch landed within 1% of it;
+    the oracle expects TRUE, so a drifting sketch hash-mismatches."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("exact_median"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.01 * F.abs(F.col("exact_median"))
+        ).alias("approx_within_tol"),
+    )
