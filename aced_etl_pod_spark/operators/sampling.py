@@ -20,19 +20,23 @@ from pyspark.sql import functions as F
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
-# Knuth's multiplicative constant (2654435761 = 2^32 / phi); doc ids are
-# small, so id * K stays far below 2^63 — identical wraparound-free
-# arithmetic in both engines.
+# Knuth's multiplicative constant (2654435761 = 2^32 / phi). The id is
+# first reduced mod 2^31 so (id % 2^31) * K < 2^63 for EVERY int64 id —
+# no overflow in either engine (Spark would wrap silently under non-ANSI,
+# DuckDB would error: a silent cross-engine divergence on snowflake-scale
+# ids without the reduction).
 KNUTH = 2654435761
 
 
 def hash_bucket(id_col: str, buckets: int = 100) -> F.Column:
     """Deterministic pseudo-random bucket in [0, buckets)."""
-    return (F.col(id_col) * F.lit(KNUTH) % F.lit(2**32)) % F.lit(buckets)
+    return (F.col(id_col) % F.lit(2**31) * F.lit(KNUTH) % F.lit(2**32)) % F.lit(
+        buckets
+    )
 
 
 def _bucket_sql(id_col: str, buckets: int = 100) -> str:
-    return f"(({id_col} * {KNUTH}) % {2**32}) % {buckets}"
+    return f"((({id_col} % {2**31}) * {KNUTH}) % {2**32}) % {buckets}"
 
 
 @op(

@@ -34,6 +34,28 @@ def test_split_stable_under_growth(spark):
     assert all(s2[k] == v for k, v in s1.items())
 
 
+def test_hash_bucket_no_overflow_on_huge_ids(spark):
+    """Snowflake-scale ids must not overflow: Spark (non-ANSI) would wrap
+    silently while DuckDB errors — the mod-2^31 reduction keeps the
+    arithmetic in-range and cross-engine identical for every int64 id."""
+    import duckdb
+
+    from aced_etl_pod_spark.operators.sampling import _bucket_sql
+
+    ids = [0, 1, 2**31 - 1, 2**31, 2**40 + 123, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket("doc_id").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        (want,) = con.execute(
+            f"SELECT {_bucket_sql('doc_id')} FROM (SELECT CAST({i} AS BIGINT) AS doc_id)"
+        ).fetchone()
+        assert got[i] == want, f"id {i}: spark {got[i]} != duckdb {want}"
+
+
 def test_stratified_quota_exact(spark):
     from aced_etl_pod_spark.registry import registry
 
