@@ -340,3 +340,80 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.sha2(redacted, 256).alias("redacted_digest"),
     )
+
+
+@op(
+    "dedup_chunk_content_defined",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ), flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN substr(sha256(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS boundary
+      FROM toks
+    ), chunked AS (
+      SELECT doc_id, tok, pos,
+             sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest,
+             CAST(count(*) AS BIGINT) AS chunk_tokens
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_digest,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(chunk_tokens) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    GROUP BY chunk_digest
+    HAVING count(*) > 1
+    """,
+    tags=("text", "dedup", "extra"),
+)
+def dedup_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the fine-grained pattern for long
+    documents where whole-doc hashing misses shared passages. Chunk
+    boundaries are a pure function of CONTENT (token's sha256 starts with
+    '0', ~1/16 rate), so identical passages chunk identically regardless of
+    their position or surrounding edits (the rsync/CDC property). Pipeline:
+    posexplode tokens → boundary flag → running-sum chunk ids (one window
+    over the doc key) → per-chunk digest → digest-level duplicate counts.
+    Only digests shuffle in the final stage — never chunk text."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    from pyspark.sql import Window as W
+
+    boundary = F.when(F.sha2("tok", 256).startswith("0"), 1).otherwise(0)
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    chunked = toks.withColumn("chunk_id", F.sum(boundary).over(w))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+            ),
+            256,
+        ).alias("chunk_digest"),
+        F.count("*").alias("chunk_tokens"),
+    )
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("chunk_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -108,6 +108,37 @@ def test_minhash_band_join_ships_ids_only(spark):
         assert "shingles" not in inp, f"shingles crossed an exchange: {inp}"
 
 
+def test_cdc_chunks_are_position_independent(spark):
+    """The CDC property: a shared passage must produce the same chunk
+    digest even when it sits at different offsets in different documents
+    (whole-doc hashing can never catch this)."""
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.registry import registry
+
+    shared = " ".join(f"common{i}" for i in range(120))
+    rows = [
+        (1, "unique prefix one two three " + shared),
+        (2, shared + " tail words here"),
+        (3, "totally different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("cdc_docs")
+    # run the same plan as the registered op, against the in-memory corpus
+    import aced_etl_pod_spark.operators.text as T
+
+    orig_load = T.load
+    T.load = lambda s, sf, name: df
+    try:
+        dup = registry()["dedup_chunk_content_defined"].fn(spark, "ignored")
+        dup_rows = dup.collect()
+    finally:
+        T.load = orig_load
+    # docs 1 and 2 share interior chunks; doc 3 contributes none
+    assert any(r["n_docs"] == 2 for r in dup_rows)
+    assert all(r["n_occurrences"] >= 2 for r in dup_rows)
+
+
 def test_simhash_signature_agg_matches_expression(spark):
     """The explode+aggregate simhash (the scale path) must produce bit-
     identical signatures to the single-row fold expression."""
