@@ -24,12 +24,23 @@ from aced_etl_pod_spark.session import get_spark  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare untuned SparkSession (exactly what the external "
+        "driver provides) instead of the engine's tuned session",
+    )
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
     reg = registry()
     ids = args.ops or sorted(reg)
-    spark = get_spark("parity")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("parity-vanilla").getOrCreate()
+    else:
+        spark = get_spark("parity")
     con = duck_con(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
