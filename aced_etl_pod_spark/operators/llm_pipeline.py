@@ -1,0 +1,444 @@
+"""Training-data pipeline operators beyond the core text/dedup family:
+relevance scoring (TF-IDF, BM25), benchmark decontamination, sequence
+packing, repetition/boilerplate signals, and embedding-space profiling.
+
+These are the ops a 100 TB pre-training corpus pipeline runs between "raw
+documents" and "tokenized shards" (north star; reference analog: the
+flattening/denormalize/aggregate stages of ``etl-job/
+fhir_import_export.py:219-289`` generalized to corpus curation). All pure
+Catalyst expressions — explode / groupBy / window / broadcast join; no
+Python in any per-row path.
+
+Determinism: every transcendental (ln) or float-ratio output goes through
+the decimal sandwich (``operators.util.money`` / ``money_sql``) on BOTH
+engines before comparison, and intermediate per-dimension averages are
+sandwiched at 6dp so downstream sums add identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aced_etl_pod_spark.functions.text import ngrams_expr, word_shingles_expr
+from aced_etl_pod_spark.operators.text import DUCK_NORMALIZE
+from aced_etl_pod_spark.operators.util import money, money_sql
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load
+
+# BM25 constants (Robertson/Okapi defaults) and the literal query. The terms
+# are frequent words in the synthetic corpus so every sf has hits.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "query", "join", "fast")
+
+# Packing capacity for seq_pack_offsets (tokens per training sequence).
+SEQ_LEN = 512
+
+# Word n-gram width for decontamination overlap.
+DECON_N = 5
+
+# DuckDB mirror of functions.text.ngrams_expr over a (1-based) token list:
+# n-token windows joined by spaces. range() is end-exclusive, list slices
+# are inclusive, so the i-th gram is toks[i : i+n-1] for
+# i in range(1, len-n+2) — empty when len(toks) < n.
+def _duck_ngrams(toks: str, n: int) -> str:
+    return (
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n - 2})]"
+    )
+
+
+@op(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             {money_sql("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)", 4, 8)} AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Plan: one explode → (doc,term) partial-agg groupBy; the document-
+    frequency table is vocabulary-sized so it joins back as a BROADCAST;
+    N is a 1-row broadcast cross join; per-doc top-k is a window over the
+    doc_id partitioning the tf agg already produced. At 100 TB the only
+    big shuffle is the (doc_id, term) agg, which map-side combines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            money(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+                8,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@op(
+    "text_bm25_score",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {BM25_QUERY!r}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), term_scores AS (
+      SELECT tf.doc_id,
+             {money_sql(
+                 f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({BM25_K1} + 1.0)"
+                 f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl))",
+                 6, 10)} AS s
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), scores AS (
+      SELECT doc_id, {money_sql("sum(s)", 4, 8)} AS bm25
+      FROM term_scores GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scores
+    )
+    SELECT doc_id, bm25, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 20
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of a literal keyword query against every document,
+    top-20 (k1=1.2, b=0.75; idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Plan: the token explode is FILTERED to the query terms before the
+    (doc, term) agg, so the shuffle carries only matching postings — at
+    100 TB this is the inverted-index probe pattern, not a corpus-wide
+    shuffle. df and the (avgdl, N) scalars are broadcast; per-term scores
+    are decimal-sandwiched at 6dp so the final sum adds identical doubles
+    on both engines. Global top-20 is TakeOrdered (per-partition heaps),
+    not a full sort."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            money(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 6, 10).alias("s"),
+        )
+    )
+    scores = term_scores.groupBy("doc_id").agg(money(F.sum("s"), 4, 8).alias("bm25"))
+    w = W.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "bm25", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@op(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split({DUCK_NORMALIZE.format(col="text")}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             list_distinct({_duck_ngrams("toks", DECON_N)}) AS gs
+      FROM norm
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
+    ), train AS (
+      SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+      FROM grams WHERE source <> 'src0'
+    ), hits AS (
+      SELECT t.doc_id, t.n_grams, count(b.gram) AS n_hit
+      FROM train t LEFT JOIN bench b USING (gram)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           {money_sql("n_hit * 1.0 / greatest(n_grams, 1)", 4, 8)} AS overlap_frac
+    FROM hits
+    """,
+    tags=("text", "llm", "dedup", "extra"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of its
+    distinct normalized 5-grams that appear anywhere in the benchmark set
+    (here: source='src0' plays the benchmark; the rest is the train split).
+
+    Plan: both sides shingle once (bound-token-array n-grams, see
+    ngrams_expr); the benchmark gram set is exploded + distinct and joined
+    BROADCAST against the train-side explode, so the corpus-side data never
+    shuffles. At 100 TB the join key would be xxhash64(gram) (8-byte keys,
+    collision-safe for counting) and the benchmark set stays
+    broadcast-sized by construction — benchmarks are small; the corpus is
+    not. Here the join is on the gram string for oracle parity."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "source", word_shingles_expr("text", DECON_N).alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("source") != "src0").select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        money(F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)), 4, 8).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+@op(
+    "seq_pack_offsets",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents
+    ), packed AS (
+      SELECT doc_id, source, ntok,
+             coalesce(sum(ntok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM dl
+    )
+    SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+           CAST(cum_prev // {SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(cum_prev % {SEQ_LEN} AS BIGINT) AS offset
+    FROM packed
+    """,
+    tags=("text", "llm", "extra"),
+)
+def seq_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing layout: assign each document a (pack_id, offset)
+    slot in a stream of fixed SEQ_LEN-token training sequences, packing
+    contiguously in doc_id order WITHIN each source shard.
+
+    The running token offset is a window cumsum partitioned by source —
+    per-shard parallel, no global ordering, which is how packing runs at
+    100 TB (a global cumsum would serialize the corpus through one
+    partition; per-shard streams are the standard layout). Documents that
+    straddle a boundary continue into the next pack (offset is the
+    position in the concatenated shard stream, modulo SEQ_LEN)."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("ntok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = dl.withColumn("cum_prev", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("ntok").cast("long").alias("ntok"),
+        F.floor(F.col("cum_prev") / SEQ_LEN).cast("long").alias("pack_id"),
+        (F.col("cum_prev") % SEQ_LEN).cast("long").alias("offset"),
+    )
+
+
+@op(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS term FROM base
+    ), top_tok AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id, unnest({_duck_ngrams("toks", 2)}) AS gram FROM base
+    ), top_big AS (
+      SELECT doc_id, max(c) AS top2_cnt FROM (
+        SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS ntok,
+           {money_sql("len(list_distinct(b.toks)) * 1.0 / len(b.toks)", 4, 8)}
+             AS distinct_ratio,
+           {money_sql("t.top_cnt * 1.0 / len(b.toks)", 4, 8)} AS top_token_frac,
+           {money_sql(
+                 "coalesce(g.top2_cnt, 0) * 1.0 / greatest(len(b.toks) - 1, 1)",
+                 4, 8)} AS top_bigram_frac
+    FROM base b
+    JOIN top_tok t USING (doc_id)
+    LEFT JOIN top_big g USING (doc_id)
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token fraction, most-frequent-bigram fraction — the
+    standard boilerplate/degenerate-text filters for pre-training corpora.
+
+    Plan: two explode → (doc, gram) partial-agg groupBys (token and
+    bigram), each reduced to a per-doc max before joining back — the
+    joins carry one row per document, not per token. The per-doc work is
+    linear in document length (an expression-only variant via
+    array_distinct + filter would be O(n·distinct) per doc — quadratic on
+    adversarial 100k-token documents — so the explode path is the one
+    that survives 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    tok = base.select("doc_id", F.explode("toks").alias("term"))
+    top_tok = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    big = base.select(
+        "doc_id", F.explode(ngrams_expr("toks", 2)).alias("gram")
+    )
+    top_big = (
+        big.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2_cnt"))
+    )
+    ntok = F.size("toks")
+    return (
+        base.join(top_tok, "doc_id")
+        .join(top_big, "doc_id", "left")
+        .select(
+            "doc_id",
+            ntok.cast("long").alias("ntok"),
+            money(F.size(F.array_distinct("toks")) / ntok, 4, 8).alias(
+                "distinct_ratio"
+            ),
+            money(F.col("top_cnt") / ntok, 4, 8).alias("top_token_frac"),
+            money(
+                F.coalesce(F.col("top2_cnt"), F.lit(0))
+                / F.greatest(ntok - 1, F.lit(1)),
+                4,
+                8,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+@op(
+    "embedding_centroid_stats",
+    oracle=f"""
+    WITH dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ), dimavg AS (
+      SELECT label, pos,
+             {money_sql("avg(CAST(val AS DOUBLE))", 6, 10)} AS dim_avg
+      FROM dim GROUP BY 1, 2
+    ), per_label AS (
+      SELECT label,
+             {money_sql("sqrt(sum(dim_avg * dim_avg))", 4, 8)} AS centroid_norm,
+             {money_sql("avg(abs(dim_avg))", 4, 8)} AS mean_abs_dim
+      FROM dimavg GROUP BY label
+    ), counts AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           centroid_norm, mean_abs_dim
+    FROM per_label JOIN counts USING (label)
+    """,
+    tags=("similarity", "llm", "extra"),
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space profiling per label cluster: vector count, L2 norm of
+    the centroid, and mean |dim| of the centroid — the drift/collapse
+    monitor a training pipeline runs over embedding shards.
+
+    Plan: posexplode → (label, dim) partial-agg average (the classic
+    elementwise-centroid-without-UDF shape; the shuffle carries (label,
+    pos, partial-sum), never whole vectors), then a label-level rollup.
+    Per-dimension averages are decimal-sandwiched at 6dp on both engines
+    so the norm/mean sums add bit-identical doubles regardless of
+    accumulation order."""
+    e = load(spark, sf_dir, "embeddings")
+    dim = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    dimavg = dim.groupBy("label", "pos").agg(
+        money(F.avg(F.col("val").cast("double")), 6, 10).alias("dim_avg")
+    )
+    per_label = dimavg.groupBy("label").agg(
+        money(F.sqrt(F.sum(F.col("dim_avg") * F.col("dim_avg"))), 4, 8).alias(
+            "centroid_norm"
+        ),
+        money(F.avg(F.abs("dim_avg")), 4, 8).alias("mean_abs_dim"),
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return per_label.join(counts, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "centroid_norm",
+        "mean_abs_dim",
+    )

@@ -112,6 +112,7 @@ _MODULES = (
     "aced_etl_pod_spark.operators.extra_ops",
     "aced_etl_pod_spark.operators.advanced_ops",
     "aced_etl_pod_spark.operators.sampling",
+    "aced_etl_pod_spark.operators.llm_pipeline",
 )
 
 

@@ -1,0 +1,90 @@
+"""Semantics + plan-shape tests for the llm_pipeline operator family
+(oracle parity runs separately via tests/test_parity.py — these assert the
+invariants the oracle can't state and the plan shapes that matter at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators import llm_pipeline as L
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tfidf_rk_dense_per_doc(spark):
+    out = L.text_tfidf_topk(spark, SF_SMALL).toPandas()
+    by_doc = out.groupby("doc_id")["rk"].apply(lambda s: sorted(s.tolist()))
+    assert all(r == list(range(1, len(r) + 1)) for r in by_doc)
+    assert (out["tfidf"] > 0).all()
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    plan = _plan(L.text_tfidf_topk(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_scores_monotone_in_rank(spark):
+    out = (
+        L.text_bm25_score(spark, SF_SMALL)
+        .orderBy("rk")
+        .toPandas()
+    )
+    assert len(out) == 20
+    assert (out["bm25"].diff().dropna() <= 1e-12).all()
+    assert (out["bm25"] > 0).all()
+
+
+def test_decontaminate_bounds_and_broadcast(spark):
+    df = L.decontaminate_ngram_overlap(spark, SF_SMALL)
+    out = df.toPandas()
+    # benchmark docs (src0) are excluded from the scored set
+    assert (out["n_hit"] <= out["n_grams"]).all()
+    assert out["overlap_frac"].between(0.0, 1.0).all()
+    # the benchmark gram set joins broadcast — the corpus side never shuffles
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_seq_pack_reconstructs_cumsum(spark):
+    out = L.seq_pack_offsets(spark, SF_SMALL).toPandas()
+    for _, grp in out.groupby("source"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        cum = 0
+        for row in g.itertuples():
+            assert row.pack_id * L.SEQ_LEN + row.offset == cum
+            cum += row.ntok
+    first = out.sort_values("doc_id").groupby("source").first()
+    assert (first["pack_id"] == 0).all()
+    assert (first["offset"] == 0).all()
+
+
+def test_repetition_stats_ranges(spark):
+    out = L.text_repetition_stats(spark, SF_SMALL).toPandas()
+    for col in ("distinct_ratio", "top_token_frac", "top_bigram_frac"):
+        assert out[col].between(0.0, 1.0).all(), col
+    # a repeated token implies top_token_frac >= 1/ntok and distinct < 1
+    rep = out[out["distinct_ratio"] < 1.0]
+    # 1e-4 slack: the frac is rounded to 4dp, which can dip below the bound
+    assert (rep["top_token_frac"] >= 2.0 / rep["ntok"] - 1e-4).all()
+
+
+def test_centroid_stats_cover_all_vectors(spark):
+    from aced_etl_pod_spark.tables import load
+
+    out = L.embedding_centroid_stats(spark, SF_SMALL).toPandas()
+    n_total = load(spark, SF_SMALL, "embeddings").count()
+    assert out["n_vecs"].sum() == n_total
+    assert (out["centroid_norm"] >= 0).all()
+    assert (out["mean_abs_dim"] >= 0).all()
+
+
+def test_bm25_posting_filter_pushed_to_scan(spark):
+    """The query-term filter must prune the explode input, not post-filter
+    a corpus-wide shuffle (the inverted-index-probe shape)."""
+    plan = _plan(L.text_bm25_score(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
