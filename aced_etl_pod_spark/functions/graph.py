@@ -1,0 +1,67 @@
+"""Join-based PageRank (graph analytics over edge DataFrames).
+
+Same execution discipline as functions/cluster.py's connected components:
+every iteration is a shuffle-join + aggregate with NO driver-side graph
+state, so the algorithm scales with the cluster. The one driver-side value
+per iteration is the dangling-node rank mass — a single scalar (standard in
+distributed PageRank: dangling mass must be redistributed globally, and a
+1-row aggregate is the cheapest way to close that loop; it does not grow
+with the graph). ``localCheckpoint`` truncates the lineage each round so
+the plan does not grow exponentially with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) with ranks summing to 1. Dangling nodes (no
+    out-edges) donate their rank uniformly to all nodes each round, per the
+    standard formulation: r' = (1-d)/N + d * (in-contributions + dangling/N).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        in_rank = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        ranks = (
+            nodes.join(in_rank, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -174,3 +174,30 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("num_tokens"),
     )
+
+
+@op("graph_pagerank", tags=("graph", "approx", "extra"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (edges: orders ⋈
+    lineitem, distinct (o_custkey, l_suppkey)) — 8 fixed iterations,
+    d=0.85. Rows-only (iterative float; no SQL oracle): exactness vs a
+    dense NumPy power iteration is asserted in tests/test_cluster.py.
+
+    Plan per iteration: one shuffle-join (rank onto edge src) + one
+    aggregate (contributions by dst) + a 1-row dangling-mass scalar — the
+    graph itself never leaves the executors (functions/graph.py). The
+    reference analog is the graph store build (vertices/edges,
+    fhir_import_export.py:224-226) taken one step further into analytics."""
+    from aced_etl_pod_spark.functions.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    pr = pagerank(edges, iterations=8, damping=0.85)
+    return (
+        pr.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )

@@ -22,10 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from aced_etl_pod_spark.functions.text import ngrams_expr, word_shingles_expr
+from aced_etl_pod_spark.operators.sampling import _bucket_sql, hash_bucket
 from aced_etl_pod_spark.operators.text import DUCK_NORMALIZE
 from aced_etl_pod_spark.operators.util import money, money_sql
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.tables import load
+from aced_etl_pod_spark.tables import load, scratch_dir
 
 # BM25 constants (Robertson/Okapi defaults) and the literal query. The terms
 # are frequent words in the synthetic corpus so every sf has hits.
@@ -441,4 +442,57 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").cast("long").alias("n_vecs"),
         "centroid_norm",
         "mean_abs_dim",
+    )
+
+
+N_SHARDS = 8
+
+# 60-bit int from the leading 15 hex digits of md5 — both engines compute
+# the identical value, and 60 bits leaves headroom in int64 for bit_xor.
+_DOC_HASH_DUCK = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+
+
+@op(
+    "sink_shard_manifest",
+    oracle=f"""
+    SELECT CAST({_bucket_sql("doc_id", 8)} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           bit_xor({_DOC_HASH_DUCK}) AS content_digest
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("sink", "llm", "extra"),
+)
+def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: hash-shard the corpus into N_SHARDS
+    deterministic shards (Knuth-hash on doc_id — stable under reruns and
+    corpus growth, like the sampling family), write one parquet partition
+    per shard, then read the files BACK and emit the manifest a downstream
+    trainer consumes: docs, token count, and an order-insensitive content
+    digest (bit_xor of per-doc md5-derived int64) per shard.
+
+    The digest is computed from the read-back bytes, so a green row proves
+    the round trip, not just the plan. At 100 TB this is the final
+    materialization step: the write is partitioned (one directory per
+    shard, each written by its own tasks — no global sort, no single-writer
+    bottleneck), and the manifest agg is a shard-count-sized groupBy."""
+    d = load(spark, sf_dir, "documents")
+    out = scratch_dir("sink_shard_manifest")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    sharded = d.withColumn("shard_id", hash_bucket("doc_id", N_SHARDS))
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    back = spark.read.parquet(out)
+    doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return back.withColumn("__h", doc_hash).groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.expr("bit_xor(__h)").alias("content_digest"),
+    ).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_docs",
+        "n_tokens",
+        "content_digest",
     )

@@ -116,3 +116,32 @@ def test_end_to_end_dedup_pipeline(spark):
     assert dup_ids.isdisjoint(kept), f"dups survived: {dup_ids & kept}"
     assert base_ids <= kept
     assert len(kept) == 40  # all originals, no dups
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """functions.graph.pagerank vs a dense NumPy power iteration with the
+    identical dangling-mass formulation, on a small directed graph with
+    dangling nodes (3 → nothing) and a cycle."""
+    import numpy as np
+    from aced_etl_pod_spark.functions.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 3), (4, 0)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=12).collect()}
+
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    out_deg = np.zeros(n)
+    A = np.zeros((n, n))
+    for s, t in edge_list:
+        A[idx[t], idx[s]] += 1.0
+        out_deg[idx[s]] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[out_deg == 0].sum()
+        contrib = A @ np.divide(r, out_deg, out=np.zeros(n), where=out_deg > 0)
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])

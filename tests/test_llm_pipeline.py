@@ -88,3 +88,14 @@ def test_bm25_posting_filter_pushed_to_scan(spark):
     a corpus-wide shuffle (the inverted-index-probe shape)."""
     plan = _plan(L.text_bm25_score(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shard_manifest_covers_corpus_and_is_deterministic(spark):
+    from aced_etl_pod_spark.tables import load
+
+    m1 = L.sink_shard_manifest(spark, SF_SMALL).toPandas().sort_values("shard_id")
+    assert len(m1) == L.N_SHARDS
+    assert m1["n_docs"].sum() == load(spark, SF_SMALL, "documents").count()
+    # rerun: same shard assignment, same digests (rerun-stable export)
+    m2 = L.sink_shard_manifest(spark, SF_SMALL).toPandas().sort_values("shard_id")
+    assert m1.reset_index(drop=True).equals(m2.reset_index(drop=True))
