@@ -676,3 +676,141 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.abs(F.col("exact_median"))
         ).alias("approx_within_tol"),
     )
+
+
+@op(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
+                AS DOUBLE) AS slope,
+           CAST(round(CAST(regr_intercept(l_extendedprice, l_quantity) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS intercept,
+           CAST(round(CAST(regr_r2(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
+                AS DOUBLE) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("extra", "agg"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression via the built-in bivariate moment aggregates
+    (regr_slope/intercept/r2) — single-pass, partial-agg-combinable, the
+    JVM-side way to fit y = a·x + b per group at 100 TB (no UDAF, no
+    collect). Decimal sandwich on each statistic for cross-engine ulp
+    drift (same treatment as agg_corr_covar)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity").cast("decimal(18,6)"), 2
+        )
+        .cast("double")
+        .alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )
+
+
+@op(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS key, 1 AS seq, 'U' AS op, c_acctbal + 100 AS new_bal
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey, 2, 'D', NULL FROM customer WHERE c_custkey % 10 = 1 AND c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 1, 'D', NULL FROM customer WHERE c_custkey % 10 = 2
+      UNION ALL
+      SELECT c_custkey + 1000000, 1, 'I', 500.0 FROM customer WHERE c_custkey % 10 = 3
+    ), latest AS (
+      SELECT key, op, new_bal FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ), survivors AS (
+      SELECT c.c_custkey AS key, c.c_nationkey AS nation, c.c_acctbal AS bal
+      FROM customer c LEFT JOIN latest l ON c.c_custkey = l.key
+      WHERE l.key IS NULL
+    ), applied AS (
+      SELECT l.key, coalesce(c.c_nationkey, -1) AS nation, l.new_bal AS bal
+      FROM latest l LEFT JOIN customer c ON l.key = c.c_custkey
+      WHERE l.op <> 'D'
+    ), final AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM applied
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n,
+           round(sum(bal), 2) AS total_bal
+    FROM final GROUP BY nation
+    """,
+    tags=("extra", "sink"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: latest-sequence-wins merge of an I/U/D change
+    stream onto a base snapshot (Debezium/Delta CDF semantics — the
+    incremental face of upsert_by_key / merge_scd2).
+
+    The changelog is derived deterministically from the base table (key
+    arithmetic) so both engines construct the identical log, including a
+    key with BOTH an update (seq 1) and a delete (seq 2) to prove ordering
+    wins over op type. Plan: window latest-per-key over the log (log-sized,
+    not snapshot-sized), anti-join to drop touched keys from the base, and
+    a union of surviving + applied rows — one snapshot scan, one log-keyed
+    shuffle; at 100 TB the log is typically <<1% of the snapshot, and the
+    anti/left joins hash on the same key so AQE co-plans them."""
+    c = load(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 100).alias("new_bal"),
+    )
+    del2 = c.filter((F.col("c_custkey") % 10 == 1) & (F.col("c_custkey") % 3 == 0)).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    del1 = c.filter(F.col("c_custkey") % 10 == 2).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.lit(500.0).alias("new_bal"),
+    )
+    changes = upd.unionByName(del2).unionByName(del1).unionByName(ins)
+    w = W.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_bal")
+    )
+    survivors = c.join(latest, c.c_custkey == latest.key, "left_anti").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    applied = (
+        latest.filter(F.col("op") != "D")
+        .join(c, latest.key == c.c_custkey, "left")
+        .select(
+            "key",
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nation"),
+            F.col("new_bal").alias("bal"),
+        )
+    )
+    final = survivors.unionByName(applied)
+    return final.groupBy(F.col("nation").cast("long").alias("nation")).agg(
+        F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total_bal")
+    )
