@@ -145,3 +145,45 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+
+
+def _pagerank_dense(edge_list, iterations, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    A = np.zeros((n, n))
+    for s, t in set(edge_list):
+        A[idx[t], idx[s]] += 1.0
+        out_deg[idx[s]] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dangling = r[out_deg == 0].sum()
+        contrib = A @ np.divide(r, out_deg, out=np.zeros(n), where=out_deg > 0)
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_self_loops_and_duplicate_edges(spark):
+    from aced_etl_pod_spark.functions.graph import pagerank
+
+    edge_list = [(0, 0), (0, 1), (0, 1), (1, 2), (2, 0), (3, 1)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    ref = _pagerank_dense(edge_list, 10)
+    for v, expect in ref.items():
+        assert abs(got[v] - expect) < 1e-12, (v, got[v], expect)
+
+
+def test_pagerank_disconnected_components_sum_to_one(spark):
+    from aced_etl_pod_spark.functions.graph import pagerank
+
+    edge_list = [(0, 1), (1, 0), (5, 6), (6, 7), (7, 5)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    ref = _pagerank_dense(edge_list, 10)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v, expect in ref.items():
+        assert abs(got[v] - expect) < 1e-12
