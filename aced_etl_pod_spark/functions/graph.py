@@ -29,7 +29,14 @@ def pagerank(
     out-edges) donate their rank uniformly to all nodes each round, per the
     standard formulation: r' = (1-d)/N + d * (in-contributions + dangling/N).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Checkpoint the (possibly expensive) edge build ONCE — contrib joins e
+    # every round, and without this the upstream plan (e.g. a fact-fact join
+    # producing the edges) would re-execute per iteration.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -37,6 +44,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):

@@ -42,12 +42,19 @@ def ngrams_expr(tokens_expr: str, n: int) -> Column:
     per document (measured 57 s for 5 000 sf0.1 docs; ~1 s bound). A plain
     intermediate column would risk being re-inlined by CollapseProject;
     the lambda binding is optimizer-proof and keeps this a pure expression.
+
+    Short inputs (< n tokens) produce an EMPTY gram array via the explicit
+    if-branch: ``sequence(1, 0)`` can NOT be used as the empty case because
+    Spark's sequence auto-descends (``sequence(1, 0) = [1, 0]``), which
+    feeds ``element_at(__t, 0)`` → INVALID_INDEX_OF_ZERO at runtime.
     """
     grams = ", ".join(f"element_at(__t, i + {k})" for k in range(n))
     return F.expr(
         f"element_at(transform(array({tokens_expr}), __t -> "
-        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {grams}))), 1)"
+        f"if(size(__t) >= {n}, "
+        f"transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams})), "
+        f"cast(array() as array<string>))), 1)"
     )
 
 

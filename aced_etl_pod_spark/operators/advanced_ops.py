@@ -183,6 +183,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d=0.85. Rows-only (iterative float; no SQL oracle): exactness vs a
     dense NumPy power iteration is asserted in tests/test_cluster.py.
 
+    Customer and supplier keys share the 0-based integer space, so supplier
+    nodes are mapped to the negative ids -(suppkey+1) to keep the bipartite
+    node sets disjoint (otherwise 'supplier 7' and 'customer 7' would merge
+    into one node and rank would flow back out through the customer's
+    edges). Output node ids < 0 are suppliers.
+
     Plan per iteration: one shuffle-join (rank onto edge src) + one
     aggregate (contributions by dst) + a 1-row dangling-mass scalar — the
     graph itself never leaves the executors (functions/graph.py). The
@@ -193,11 +199,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        F.col("o_custkey").alias("src"),
+        (-(F.col("l_suppkey") + 1)).alias("dst"),
     )
     pr = pagerank(edges, iterations=8, damping=0.85)
+    # Rank on the ROUNDED value (like the other top-k ops): float-sum
+    # accumulation order varies run to run, and the node tie-break only
+    # fires on equal sort keys, so ordering by the raw double could swap
+    # sub-6dp near-ties across the limit cutoff between runs.
     return (
-        pr.orderBy(F.desc("rank"), "node")
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
         .limit(20)
-        .select("node", F.round("rank", 6).alias("rank"))
     )

@@ -731,7 +731,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey + 1000000, 1, 'I', 500.0 FROM customer WHERE c_custkey % 10 = 3
     ), latest AS (
       SELECT key, op, new_bal FROM (
-        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC, op) AS rn
         FROM changes
       ) WHERE rn = 1
     ), survivors AS (
@@ -790,7 +790,11 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(500.0).alias("new_bal"),
     )
     changes = upd.unionByName(del2).unionByName(del1).unionByName(ins)
-    w = W.partitionBy("key").orderBy(F.desc("seq"))
+    # op as tie-break: if a synthetic insert key ever collides with a real
+    # key's change at the same seq (possible at sf large enough that
+    # custkey + 1e6 wraps into the live key range), the winner must still
+    # be deterministic and identical across engines.
+    w = W.partitionBy("key").orderBy(F.desc("seq"), "op")
     latest = (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

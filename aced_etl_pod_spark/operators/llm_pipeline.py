@@ -202,18 +202,20 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM norm
     ), bench AS (
       SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
-    ), train AS (
-      SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
-      FROM grams WHERE source <> 'src0'
+    ), train_docs AS (
+      SELECT doc_id, len(gs) AS n_grams FROM grams WHERE source <> 'src0'
+    ), train_grams AS (
+      SELECT doc_id, unnest(gs) AS gram FROM grams WHERE source <> 'src0'
     ), hits AS (
-      SELECT t.doc_id, t.n_grams, count(b.gram) AS n_hit
-      FROM train t LEFT JOIN bench b USING (gram)
-      GROUP BY 1, 2
+      SELECT t.doc_id, count(*) AS n_hit
+      FROM train_grams t JOIN bench b USING (gram)
+      GROUP BY 1
     )
-    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-           CAST(n_hit AS BIGINT) AS n_hit,
-           {money_sql("n_hit * 1.0 / greatest(n_grams, 1)", 4, 8)} AS overlap_frac
-    FROM hits
+    SELECT d.doc_id, CAST(d.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           {money_sql("coalesce(h.n_hit, 0) * 1.0 / greatest(d.n_grams, 1)", 4, 8)}
+             AS overlap_frac
+    FROM train_docs d LEFT JOIN hits h USING (doc_id)
     """,
     tags=("text", "llm", "dedup", "extra"),
 )
@@ -228,7 +230,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. At 100 TB the join key would be xxhash64(gram) (8-byte keys,
     collision-safe for counting) and the benchmark set stays
     broadcast-sized by construction — benchmarks are small; the corpus is
-    not. Here the join is on the gram string for oracle parity."""
+    not. Here the join is on the gram string for oracle parity.
+
+    Docs shorter than DECON_N tokens shingle to an empty set; they are
+    reported with n_grams = n_hit = 0 (explode would silently drop them —
+    a curation pipeline must see every doc in the report), via the
+    doc-level left join below rather than exploding the doc row itself."""
     d = load(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id", "source", word_shingles_expr("text", DECON_N).alias("gs")
@@ -237,23 +244,23 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("source") == "src0")
         .select(F.explode("gs").alias("gram"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    train = grams.filter(F.col("source") != "src0").select(
-        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    train = grams.filter(F.col("source") != "src0")
+    train_docs = train.select("doc_id", F.size("gs").alias("n_grams"))
+    train_grams = train.select("doc_id", F.explode("gs").alias("gram"))
+    hits = train_grams.join(F.broadcast(bench), "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
     )
-    hits = (
-        train.join(F.broadcast(bench), "gram", "left")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count("hit").alias("n_hit"))
-    )
-    return hits.select(
+    return train_docs.join(hits, "doc_id", "left").select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("n_hit").cast("long").alias("n_hit"),
-        money(F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)), 4, 8).alias(
-            "overlap_frac"
-        ),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        money(
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            4,
+            8,
+        ).alias("overlap_frac"),
     )
 
 
@@ -455,7 +462,7 @@ _DOC_HASH_DUCK = "('0x' || substr(md5(text), 1, 15))::BIGINT"
 @op(
     "sink_shard_manifest",
     oracle=f"""
-    SELECT CAST({_bucket_sql("doc_id", 8)} AS BIGINT) AS shard_id,
+    SELECT CAST({_bucket_sql("doc_id", N_SHARDS)} AS BIGINT) AS shard_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            bit_xor({_DOC_HASH_DUCK}) AS content_digest

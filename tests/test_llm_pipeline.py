@@ -83,11 +83,20 @@ def test_centroid_stats_cover_all_vectors(spark):
     assert (out["mean_abs_dim"] >= 0).all()
 
 
-def test_bm25_posting_filter_pushed_to_scan(spark):
-    """The query-term filter must prune the explode input, not post-filter
-    a corpus-wide shuffle (the inverted-index-probe shape)."""
+def test_bm25_posting_filter_precedes_aggregate(spark):
+    """The query-term filter must sit directly on the explode output (a
+    Filter node whose child is the Generate), pruning postings BEFORE the
+    (doc, term) aggregation shuffle — the inverted-index-probe shape. A
+    regression to post-aggregate filtering would leave no Filter between
+    Generate and the aggregate."""
+    import re
+
     plan = _plan(L.text_bm25_score(spark, SF_SMALL))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the filter condition is the literal query-term IN-list...
+    assert re.search(r"Condition : term#\d+ IN \(spark,query,join,fast\)", plan)
+    # ...and in the plan tree a Filter node's immediate child is the Generate
+    tree = plan.split("\n\n")[0]
+    assert re.search(r"Filter \(\d+\)\n[\s:+|-]*\+- Generate \(\d+\)", tree)
 
 
 def test_shard_manifest_covers_corpus_and_is_deterministic(spark):
@@ -99,3 +108,24 @@ def test_shard_manifest_covers_corpus_and_is_deterministic(spark):
     # rerun: same shard assignment, same digests (rerun-stable export)
     m2 = L.sink_shard_manifest(spark, SF_SMALL).toPandas().sort_values("shard_id")
     assert m1.reset_index(drop=True).equals(m2.reset_index(drop=True))
+
+
+def test_decontaminate_reports_short_docs(spark, tmp_path):
+    """Docs with fewer than DECON_N tokens can't shingle — they must still
+    appear in the report with n_grams = n_hit = 0, not be dropped."""
+    rows = [
+        (1, "alpha beta", "en", "src1", 10),
+        (2, "key agg row scan slow fast table", "en", "src1", 33),
+        (3, "key agg row scan slow fast table", "en", "src0", 33),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in L.decontaminate_ngram_overlap(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == {"doc_id": 1, "n_grams": 0, "n_hit": 0, "overlap_frac": 0.0}
+    assert out[2]["n_hit"] == out[2]["n_grams"] > 0
+    assert out[2]["overlap_frac"] == 1.0
+    assert 3 not in out  # benchmark docs are not scored
