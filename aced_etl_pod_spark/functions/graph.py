@@ -47,13 +47,17 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(True)
+    # The dangling-node SET is static; precompute it once so the per-round
+    # dangling mass is a semi-join + 1-row aggregate folded into the round's
+    # plan as a broadcast (no separate driver-side action per iteration).
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+        dangling_mass = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
             e.join(ranks, e.src == ranks.node)
@@ -63,12 +67,13 @@ def pagerank(
         in_rank = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
         ranks = (
             nodes.join(in_rank, "node", "left")
+            .crossJoin(F.broadcast(dangling_mass))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
