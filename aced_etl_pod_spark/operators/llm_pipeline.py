@@ -503,3 +503,75 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "content_digest",
     )
+
+
+# URL regexes, backslash-free so the identical literal parses in Spark SQL
+# and DuckDB (same convention as the PII regexes in operators/text.py).
+URL_HOST_RE = "^[a-z]+://([^/]+)"
+URL_SCHEME_RE = "^([a-z]+)://"
+URL_PATH_RE = "^[a-z]+://[^/]+(/[^?]*)"
+URL_QPARAM_RE = "[?]q=([^&]*)"
+URL_TLD_RE = "[.]([a-z]+)$"
+
+
+@op(
+    "text_url_extract",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             'https://' ||
+             CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.example.org'
+                             WHEN 2 THEN 'www.corpus.net' ELSE 'cdn.site.io' END ||
+             '/d/' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '?q=' || lang ELSE '' END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '{URL_SCHEME_RE}', 1) AS scheme,
+           regexp_extract(url, '{URL_HOST_RE}', 1) AS host,
+           regexp_extract(regexp_extract(url, '{URL_HOST_RE}', 1),
+                          '{URL_TLD_RE}', 1) AS tld,
+           regexp_extract(url, '{URL_PATH_RE}', 1) AS path,
+           regexp_extract(url, '{URL_QPARAM_RE}', 1) AS qparam
+    FROM aug
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL field extraction (scheme/host/TLD/path/query param) — the
+    web-corpus provenance columns a crawl-derived training pipeline
+    filters and quota-samples on (per-domain caps ride
+    sample_stratified_quota over the host column).
+
+    The synthetic corpus has no URL column, so a deterministic URL is
+    derived from doc_id on both engines first (same convention as
+    text_pii_redact's augmentation); the regex extraction machinery —
+    pure Catalyst regexp_extract, codegen, no UDF — is what the oracle
+    hash-checks."""
+    d = load(spark, sf_dir, "documents")
+    domain = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("data.example.org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("www.corpus.net"))
+        .otherwise(F.lit("cdn.site.io"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("?q="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    aug = d.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", URL_HOST_RE, 1)
+    return aug.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", URL_SCHEME_RE, 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(host, URL_TLD_RE, 1).alias("tld"),
+        F.regexp_extract("url", URL_PATH_RE, 1).alias("path"),
+        F.regexp_extract("url", URL_QPARAM_RE, 1).alias("qparam"),
+    )
