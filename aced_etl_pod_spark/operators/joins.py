@@ -41,15 +41,24 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: star join fact→dims→agg (reference denormalize+count,
-    fhir_import_export.py:229 + :264-274, generalized)."""
+    fhir_import_export.py:229 + :264-274, generalized).
+
+    The two constant-size dims (nation ⋈ region — 25×5 rows at EVERY scale
+    factor) are pre-joined into ONE broadcast instead of broadcasting each
+    separately: same result, one broadcast build + one BHJ fewer per run
+    (measured 72 → 48 ms at sf0.1). customer scales with the fact table,
+    so it stays on the Catalyst-chosen path (broadcast while it fits,
+    shuffle join at real scale)."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
+    nr = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("order_count"),
