@@ -62,3 +62,16 @@ def test_driver_window_order():
 
     assert len(_DRIVER_PRIORITY) == 50
     assert list(REG)[:50] == list(_DRIVER_PRIORITY)
+
+
+def test_operators_md_fresh():
+    """docs/OPERATORS.md is generated from the registry — regenerate with
+    tools/gen_operators_md.py whenever an operator is added/changed."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_operators_md import OUT, render
+
+    with open(OUT) as f:
+        assert f.read() == render(), "stale docs/OPERATORS.md — regenerate"

@@ -1,0 +1,57 @@
+"""Generate docs/OPERATORS.md — the full operator inventory from the live
+registry (id, tags, correctness mode, source location, first doc line).
+
+    python tools/gen_operators_md.py
+
+Regenerate after adding operators; tests/test_parity.py::test_operators_md_fresh
+asserts the committed file matches the registry.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aced_etl_pod_spark.registry import registry  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "docs", "OPERATORS.md")
+
+
+def render() -> str:
+    reg = registry()
+    lines = [
+        "# Operator inventory (auto-generated — `python tools/gen_operators_md.py`)",
+        "",
+        f"{len(reg)} registered operators; "
+        f"{sum(1 for v in reg.values() if v.oracle)} DuckDB-oracle-checked, "
+        f"{sum(1 for v in reg.values() if not v.oracle)} rows-only by design "
+        "(approximate/iterative — each recall/exactness-tested in tests/).",
+        "",
+        "The first 50 rows are the current external-driver correctness window "
+        "(`registry.py::_DRIVER_PRIORITY`, rotated per round).",
+        "",
+        "| # | operator | correctness | tags | source | summary |",
+        "|---|---|---|---|---|---|",
+    ]
+    for i, (op_id, o) in enumerate(reg.items(), 1):
+        fn = inspect.unwrap(o.fn)
+        src = f"{os.path.relpath(fn.__code__.co_filename, REPO)}:{fn.__code__.co_firstlineno}"
+        mode = "oracle" if o.oracle else "rows+tests"
+        doc = (o.doc or "").strip().splitlines()[0] if o.doc else ""
+        doc = doc.replace("|", "\\|")
+        lines.append(
+            f"| {i} | `{op_id}` | {mode} | {', '.join(o.tags)} | {src} | {doc} |"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        f.write(render())
+    print(f"wrote {OUT}")
