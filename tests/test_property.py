@@ -101,3 +101,54 @@ def test_random_filter_agg_matches_duckdb(orders_env, preds, group):
             ).fetchall()
         }
         assert got == exp
+
+
+# ---- window-function fuzz: random (fn, partition, order) specs ----------
+
+WIN_FNS = ["row_number", "rank", "dense_rank", "count", "running_sum"]
+PART_COLS = [None, "o_orderstatus", "o_orderpriority"]
+ORDER_COLS = ["o_totalprice", "o_orderdate", "o_custkey"]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fn=st.sampled_from(WIN_FNS),
+    part=st.sampled_from(PART_COLS),
+    order_col=st.sampled_from(ORDER_COLS),
+    desc=st.booleans(),
+)
+def test_random_window_spec_matches_duckdb(orders_env, fn, part, order_col, desc):
+    """Random window specs (function × partition × order × direction) agree
+    with DuckDB. o_orderkey is always appended as the final sort key so
+    every window has a total order (rank/dense_rank then still exercise
+    peer handling through the primary key's duplicates)."""
+    from pyspark.sql import Window
+
+    df, con = orders_env
+    direction = "DESC" if desc else "ASC"
+    w = Window.orderBy(
+        F.desc(order_col) if desc else F.col(order_col), "o_orderkey"
+    )
+    if part:
+        w = w.partitionBy(part)
+    part_sql = f"PARTITION BY {part} " if part else ""
+    over = f"OVER ({part_sql}ORDER BY {order_col} {direction}, o_orderkey)"
+    if fn == "running_sum":
+        col = F.round(F.sum("o_totalprice").over(w), 2)
+        sql_expr = f"round(sum(o_totalprice) {over}, 2)"
+    elif fn == "count":
+        col = F.count("*").over(w).cast("long")
+        sql_expr = f"CAST(count(*) {over} AS BIGINT)"
+    else:
+        col = getattr(F, fn)().over(w).cast("long")
+        sql_expr = f"CAST({fn}() {over} AS BIGINT)"
+    got = {
+        r["o_orderkey"]: r["v"]
+        for r in df.select("o_orderkey", col.alias("v")).collect()
+    }
+    exp = dict(
+        con.execute(
+            f"SELECT o_orderkey, {sql_expr} AS v FROM orders"
+        ).fetchall()
+    )
+    assert got == exp
