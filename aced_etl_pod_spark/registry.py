@@ -130,14 +130,26 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def registry() -> dict[str, Op]:
     """Import all operator modules and return the full registry, ordered so
-    the driver-priority ops come first (stable within each group)."""
+    the driver-priority ops come first. The tail is ordered by canonical
+    (module, source line), NOT dict insertion order — insertion order varies
+    with which module happened to be imported first (e.g. a test importing
+    ``operators.sampling`` directly), and the driver window must be stable."""
     for mod in _MODULES:
         importlib.import_module(mod)
     rank = {op_id: i for i, op_id in enumerate(_DRIVER_PRIORITY)}
     default = len(rank)
-    return dict(
-        sorted(_REGISTRY.items(), key=lambda kv: rank.get(kv[0], default))
-    )
+    mod_rank = {m: i for i, m in enumerate(_MODULES)}
+
+    def key(kv: tuple[str, Op]) -> tuple[int, int, int]:
+        fn = kv[1].fn
+        code = getattr(fn, "__code__", None)
+        return (
+            rank.get(kv[0], default),
+            mod_rank.get(getattr(fn, "__module__", ""), len(mod_rank)),
+            code.co_firstlineno if code is not None else 0,
+        )
+
+    return dict(sorted(_REGISTRY.items(), key=key))
 
 
 def all_queries() -> dict[str, QueryFn]:
