@@ -79,3 +79,37 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges`` must be oriented low-id → high-id with no self-loops (the
+    caller's contract; :func:`orient_edges` below normalizes a raw edge
+    list). Every triangle {a<b<c} is enumerated exactly once as
+    (a,b)⋈(b,c)⋈(a,c) — two equi-joins hash-partitioned on a vertex key,
+    never a cross join and no post-hoc division by orientation count.
+    Returns (node, n_triangles) for nodes in ≥1 triangle."""
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Normalize a raw (possibly directed / duplicated) edge list into the
+    canonical undirected form triangle_counts expects: low → high, no
+    self-loops, distinct."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )

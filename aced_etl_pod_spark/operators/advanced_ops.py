@@ -6,6 +6,7 @@ deeper algorithmic layer on top of the core families.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.cluster import connected_components
@@ -211,4 +212,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
         .limit(20)
+    )
+
+
+@op(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT least(o_custkey % 500, o_orderkey % 500) AS u,
+             greatest(o_custkey % 500, o_orderkey % 500) AS v
+      FROM orders
+      WHERE o_custkey % 500 <> o_orderkey % 500
+    ), e AS (
+      SELECT DISTINCT u, v FROM raw
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), per_node AS (
+      SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
+    ), ranked AS (
+      SELECT node, n_triangles,
+             row_number() OVER (ORDER BY n_triangles DESC, node) AS rk
+      FROM per_node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+    tags=("graph", "extra"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on a deterministic synthetic graph (edges derived
+    from orders: {o_custkey mod 500} — {o_orderkey mod 500}; the purchase
+    graph itself is bipartite and triangle-free): top-10 nodes by triangle
+    participation. Reference analog: graph-store analytics one step past
+    the vertices/edges load (fhir_import_export.py:224-226).
+
+    Plan: edges are oriented low-id → high-id and distinct-ed, so every
+    triangle {a<b<c} is enumerated exactly once as (a,b)⋈(b,c)⋈(a,c) — two
+    equi-joins, no direction double-count, no division by 6. Both joins
+    hash-partition on a single vertex key. At 100 TB the standard hardening
+    applies: orient by (degree, id) instead of raw id so high-degree hubs
+    land on the closing-edge side (bounds the e1⋈e2 fan-out to
+    sum-of-squared-out-degrees with out-degree ≤ ~sqrt(m)), and broadcast
+    nothing — every step is a pure shuffle hash join on vertex keys. Here
+    id orientation keeps the derivation identical in the DuckDB oracle."""
+    from aced_etl_pod_spark.functions.graph import orient_edges, triangle_counts
+
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 500).alias("dst"),
+    )
+    per_node = triangle_counts(orient_edges(raw))
+    w = W.orderBy(F.desc("n_triangles"), "node")
+    return (
+        per_node.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )

@@ -818,3 +818,84 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy(F.col("nation").cast("long").alias("nation")).agg(
         F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total_bal")
     )
+
+
+@op(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "extra"),
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 1000) over lineitem prices: per-bucket
+    count, sum, and observed min/max — the one-pass distribution profile a
+    pipeline uses for range partitioning and outlier fences.
+
+    Plan: a single groupBy on a computed key — partial (map-side) agg then
+    one exchange carrying bucket-count rows, never data rows. The bucket
+    count is bounded by the value range / width, so at 100 TB the shuffle
+    is O(buckets), not O(rows); this is the scalable alternative to exact
+    percentiles when the bin resolution is known up front."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@op(
+    "agg_mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_orderstatus, o_orderpriority, c,
+             row_number() OVER (
+               PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority
+             ) AS rk
+      FROM cnt
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("agg", "extra"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group modal value (most frequent o_orderpriority per order
+    status), with a lexical tie-break so the answer is total-ordered.
+
+    Plan: count groupBy (map-side combined) then a window over the already
+    (status)-clustered aggregate — the window input is one row per
+    (status, priority) combination, i.e. cardinality-of-domain-sized, not
+    data-sized. Spark's built-in ``mode()`` aggregate is tie-unspecified,
+    so the window formulation is the deterministic one."""
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("c"), "o_orderpriority")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").cast("long").alias("n"),
+        )
+    )

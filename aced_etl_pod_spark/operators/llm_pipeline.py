@@ -575,3 +575,177 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", URL_PATH_RE, 1).alias("path"),
         F.regexp_extract("url", URL_QPARAM_RE, 1).alias("qparam"),
     )
+
+
+@op(
+    "text_entropy_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), cnt AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, count(*) AS ntok FROM tok GROUP BY 1
+    ), contrib AS (
+      SELECT cnt.doc_id, n.ntok,
+             {money_sql("-(c * 1.0 / ntok) * ln(c * 1.0 / ntok)", 8, 12)} AS h
+      FROM cnt JOIN n USING (doc_id)
+    )
+    SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           {money_sql("sum(h)", 4, 8)} AS entropy
+    FROM contrib GROUP BY doc_id, ntok
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy per document (natural log), plus token
+    and distinct-token counts — the information-density quality signal that
+    separates natural text from boilerplate and keyboard-mash (low entropy
+    = repetitive, max entropy = all-distinct).
+
+    Plan: one explode feeding two partial-agg groupBys on the same
+    (doc_id) key — the (doc, term) count agg map-side combines, and the
+    join back is doc-keyed on both sides so AQE keeps it local. Per-term
+    contributions -(p·ln p) are decimal-sandwiched at 8dp before the sum
+    (ln is transcendental — the two engines' libm may differ in the last
+    ulp) so the per-doc sum adds identical doubles on both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    n = tok.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    p = F.col("c") / F.col("ntok")
+    contrib = cnt.join(n, "doc_id").select(
+        "doc_id", "ntok", money(-p * F.log(p), 8, 12).alias("h")
+    )
+    return contrib.groupBy("doc_id", "ntok").agg(
+        F.count("*").alias("n_distinct"),
+        money(F.sum("h"), 4, 8).alias("entropy"),
+    ).select(
+        "doc_id",
+        F.col("ntok").cast("long").alias("ntok"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "entropy",
+    )
+
+
+# Blocked edit-distance dedup parameters: prefix length keeps the O(len²)
+# kernel bounded; the threshold is below the corpus's random-pair distance
+# floor (~21 at prefix 40) so matches are genuine near-dups.
+LEV_PREFIX = 40
+LEV_MAX = 24
+LEV_BLOCK_CHARS = 16
+
+
+@op(
+    "dedup_levenshtein_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars // {LEV_BLOCK_CHARS} AS lb,
+             substr(text, 1, {LEV_PREFIX}) AS p
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.p, c.p) AS BIGINT) AS lev
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.p, c.p) <= {LEV_MAX}
+    """,
+    tags=("dedup", "text", "llm", "extra"),
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs under blocking: candidate pairs share a
+    (lang, length-bucket) block; the Levenshtein kernel runs on a fixed
+    40-char prefix (O(prefix²) per pair, bounded) and pairs within
+    distance LEV_MAX survive. The fuzzy-match complement to the
+    token-set dedup family (MinHash/SimHash catch shuffled content;
+    edit distance catches character-level edits).
+
+    Plan: a self equi-join on the block key — never an all-pairs cross
+    join; the quadratic kernel is confined to within-block pairs, and the
+    a.id < b.id orientation halves the work and canonicalizes pair order.
+    At 100 TB the block key gains a bucket-size cap (drop or salt
+    degenerate blocks, same discipline as the MinHash band cap) and the
+    prefix kernel runs as a codegen'd built-in — no UDF anywhere."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / LEV_BLOCK_CHARS).alias("lb"),
+        F.substring("text", 1, LEV_PREFIX).alias("p"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "lb",
+        F.col("p").alias("pa"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "lb",
+        F.col("p").alias("pb"),
+    )
+    lev = F.levenshtein("pa", "pb")
+    return (
+        a.join(c, ["lang", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(lev <= LEV_MAX)
+        .select("doc_a", "doc_b", lev.cast("long").alias("lev"))
+    )
+
+
+@op(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(
+               list_aggregate(
+                 list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max'),
+               1e-30) AS qscale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(round(CAST(qscale AS DECIMAL(18,10)), 6) AS DOUBLE) AS qscale,
+           list_transform(
+             embedding,
+             x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0 / qscale
+                             AS DECIMAL(18,8)), 0) AS INTEGER)) AS qvec
+    FROM s
+    """,
+    tags=("similarity", "llm", "extra"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: qscale = max|x| (guarded
+    against all-zero vectors), q_i = round(x_i · 127 / qscale). The storage/
+    shuffle compressor for the ANN family — int8 vectors are 4× smaller
+    than float32, which at 100 TB is the difference between an in-memory
+    IVF probe and a spilling one; candidate generation runs on qvec and
+    only the final re-rank touches the float column.
+
+    Plan: pure per-row Catalyst HOF arithmetic (transform / array_max) —
+    no shuffle, no UDF; pushes down to a 2-column scan. The rounding goes
+    through the decimal sandwich so the half-way cases land identically on
+    both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.expr(
+                "array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+            ),
+            F.lit(1e-30),
+        ).alias("qscale"),
+    )
+    return s.select(
+        "vec_id",
+        F.round(F.col("qscale").cast("decimal(18,10)"), 6)
+        .cast("double")
+        .alias("qscale"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0"
+            " / qscale AS DECIMAL(18,8)), 0) AS INT))"
+        ).alias("qvec"),
+    )

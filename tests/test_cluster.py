@@ -187,3 +187,39 @@ def test_pagerank_disconnected_components_sum_to_one(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v, expect in ref.items():
         assert abs(got[v] - expect) < 1e-12
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles, each node in 3; an appended pendant edge and a
+    disconnected pair join no triangle."""
+    from itertools import combinations
+
+    from aced_etl_pod_spark.functions.graph import orient_edges, triangle_counts
+
+    k4 = list(combinations(range(4), 2))
+    extra = [(3, 9), (20, 21)]
+    edges = spark.createDataFrame(k4 + extra, ["u", "v"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # total triangles = sum per-node / 3
+    assert sum(got.values()) // 3 == 4
+
+
+def test_orient_edges_normalizes(spark):
+    from aced_etl_pod_spark.functions.graph import orient_edges
+
+    raw = [(1, 2), (2, 1), (2, 2), (3, 1), (1, 3), (1, 3)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = sorted(tuple(r) for r in orient_edges(edges).collect())
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_triangle_counts_direction_insensitive(spark):
+    """A triangle supplied with mixed edge directions and duplicates counts
+    once after orientation."""
+    from aced_etl_pod_spark.functions.graph import orient_edges, triangle_counts
+
+    raw = [(1, 2), (3, 2), (3, 1), (2, 1), (1, 3)]
+    edges = orient_edges(spark.createDataFrame(raw, ["src", "dst"]))
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -129,3 +129,38 @@ def test_decontaminate_reports_short_docs(spark, tmp_path):
     assert out[2]["n_hit"] == out[2]["n_grams"] > 0
     assert out[2]["overlap_frac"] == 1.0
     assert 3 not in out  # benchmark docs are not scored
+
+
+def test_text_entropy_bounds(spark):
+    """0 ≤ entropy ≤ ln(n_distinct); zero iff the doc repeats one token."""
+    import math
+
+    from aced_etl_pod_spark.registry import registry
+
+    from tests.conftest import SF_SMALL
+
+    rows = registry()["text_entropy_stats"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["entropy"] >= 0.0
+        # entropy is 4dp-rounded (±5e-5) on top of 8dp per-term rounds
+        assert r["entropy"] <= math.log(max(r["n_distinct"], 1)) + 1e-4
+        if r["n_distinct"] == 1:
+            assert r["entropy"] == 0.0
+
+
+def test_levenshtein_pairs_canonical(spark):
+    """Pairs are canonical (a<b), unique, and within the distance cap."""
+    from aced_etl_pod_spark.operators.llm_pipeline import LEV_MAX
+    from aced_etl_pod_spark.registry import registry
+
+    from tests.conftest import SF_ORACLE
+
+    rows = registry()["dedup_levenshtein_pairs"].fn(spark, SF_ORACLE).collect()
+    assert rows, "threshold should admit pairs at sf0.01"
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["lev"] <= LEV_MAX
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))

@@ -117,3 +117,26 @@ def test_ann_recall_vs_brute_force(spark):
     approx = {(r["vec_id"], r["nbr_id"]) for r in topk("bucket").collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
+
+
+def test_embedding_quantize_int8_bounds(spark):
+    """Quantized codes stay in [-127, 127] and reconstruction error is
+    bounded by half a quantization step (scale/254)."""
+    from aced_etl_pod_spark.registry import registry
+
+    from tests.conftest import SF_SMALL
+
+    df = registry()["embedding_quantize_int8"].fn(spark, SF_SMALL)
+    emb = {r["vec_id"]: r["embedding"] for r in
+           spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()}
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        q, s = r["qvec"], r["qscale"]
+        assert max(abs(x) for x in q) <= 127
+        orig = emb[r["vec_id"]]
+        assert len(q) == len(orig)
+        step = s / 127.0
+        for x, qi in zip(orig, q):
+            # qscale is rounded to 6dp, so allow that slack on top of step/2
+            assert abs(float(x) - qi * step) <= step / 2 + 2e-6, (r["vec_id"], x, qi)
