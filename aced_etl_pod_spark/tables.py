@@ -32,9 +32,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one test table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects; read it as raw nanos (legacy conf) and truncate to
-    microseconds — exactly what DuckDB does when it reads the same file.
+    ``events.ts`` has been written by the generator as parquet
+    TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS, ntz) in others, so
+    normalise whatever the reader hands back to a session-UTC ``timestamp``:
+
+    * ``bigint``        — raw nanos (legacy ``nanosAsLong`` read): truncate
+      to micros, exactly what DuckDB does on the same file.
+    * ``timestamp_ntz`` — naive micros: cast to ``timestamp`` (session tz is
+      pinned to UTC, so the instant is unchanged and matches DuckDB).
+    * ``timestamp``     — already what we want.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -44,7 +50,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type.startswith("timestamp_ntz"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
