@@ -36,20 +36,53 @@ _REGISTRY: dict[str, Op] = {}
 
 # Driver-visibility rotation. The external correctness harness verifies the
 # FIRST 50 registry entries in iteration order. Round 1 verified the
-# relational core (scans → rowops → functions → joins → aggs → windows →
-# first sorts/sets); this priority list puts every family that has NOT yet
-# earned a driver-green row (streaming, UDFs, text, dedup, similarity,
-# scale/extra aggregates) inside the 50-entry window for round 2. Ops not
-# listed keep their registration order after the priority block. Rotate per
-# round until every operator has been externally verified at least once.
+# relational core; round 2/3 verified UDF/text/dedup/similarity/scale
+# families (CORRECTNESS_r02/r03). Round-4 window = the 35 round-2 additions
+# that have never had a driver row (SURVEY §9 rotation TODO) + the 14 ops
+# whose r03 rows errored on the events-ts dtype change (all streaming ops,
+# time-bucket, batch sessionize, approx-distinct) + dedup_minhash_lsh (its
+# only driver row predates the id-only band-join rework). Ops not listed
+# keep canonical order after the priority block. Rotate per round until
+# every operator has been externally verified at least once.
 _DRIVER_PRIORITY = (
+    # -- never driver-checked (round-2 additions) --
+    "text_pii_redact",
+    "dedup_chunk_content_defined",
+    "sim_cosine_topk_fast",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pivot_wide",
+    "unpivot_stack",
+    "win_first_last",
+    "fn_bitwise",
+    "subquery_in_uncorrelated",
+    "merge_scd2",
+    "dq_profile_columns",
+    "ts_resample_gap_fill",
+    "agg_approx_percentile",
+    "agg_regression",
+    "cdc_apply_changelog",
+    "graph_pagerank",
+    "sample_bernoulli_hash",
+    "split_train_valid_test",
+    "sample_stratified_quota",
+    "interleave_weighted_sources",
+    "text_tfidf_topk",
+    "text_bm25_score",
+    "decontaminate_ngram_overlap",
+    "seq_pack_offsets",
+    "text_repetition_stats",
+    "embedding_centroid_stats",
+    "sink_shard_manifest",
+    "text_url_extract",
+    "agg_histogram_fixed",
+    "agg_mode",
+    "graph_triangle_count",
+    "text_entropy_stats",
+    "dedup_levenshtein_pairs",
+    "embedding_quantize_int8",
+    # -- errored in r03 (events.ts dtype), need a green row --
     "agg_approx_distinct",
-    "set_intersect",
-    "set_except",
-    "udf_scalar_python",
-    "udf_pandas_vectorized",
-    "udaf_pandas_grouped_agg",
-    "udtf_apply_in_pandas",
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
@@ -61,38 +94,10 @@ _DRIVER_PRIORITY = (
     "stream_static_join",
     "stream_stream_join",
     "stream_stream_left_outer",
-    "text_tokenize_stats",
-    "text_normalize",
-    "text_ngram_freq",
-    "text_langid",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "sim_cosine_topk",
-    "sim_knn_all_pairs_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    "multimodal_binary_meta",
-    "agg_salted_skew",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    "agg_percentile",
-    "win_range_between",
     "win_sessionize_batch",
-    "agg_stddev_var",
-    "fn_hash_digest",
-    "explode_map_entries",
     "agg_time_bucket",
-    "agg_corr_covar",
-    "agg_bool_and_or",
-    "join_range_bucketized",
-    "subquery_correlated",
+    # -- re-check after round-2 rework --
+    "dedup_minhash_lsh",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
