@@ -34,9 +34,32 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+# Per-application conf pins: keys a harness (bench, a test) has explicitly
+# overridden on a session. ``tune`` must not clobber these — every operator
+# entry point calls ``tune``, so without pinning a bench-level
+# "adaptive.enabled=false" would silently revert inside the first query.
+_PINNED: dict[str, dict[str, str]] = {}
+
+
+def pin(spark: SparkSession, confs: dict[str, str]) -> SparkSession:
+    """Set confs on ``spark`` and mark them immune to ``tune`` overwrites."""
+    app_id = spark.sparkContext.applicationId
+    pinned = _PINNED.setdefault(app_id, {})
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+        pinned[k] = v
+    return spark
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable confs to an existing session (idempotent)."""
+    try:
+        pinned = _PINNED.get(spark.sparkContext.applicationId, {})
+    except Exception:
+        pinned = {}
     for k, v in RUNTIME_CONF.items():
+        if k in pinned:
+            continue
         try:
             spark.conf.set(k, v)
         except Exception:

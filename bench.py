@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aced_etl_pod_spark.registry import registry
-from aced_etl_pod_spark.session import get_spark
+from aced_etl_pod_spark.session import get_spark, pin
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -52,21 +52,36 @@ def main() -> None:
     # and re-planning add whole scheduling rounds — a fixed cost that
     # dominates sub-50 ms queries and vanishes at real scale. The ENGINE
     # session (session.py) keeps AQE + skew handling ON; this toggle is
-    # per-run, not a library default.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # per-run, not a library default. ``pin`` keeps the operators' own
+    # ``tune`` calls from silently re-enabling AQE mid-bench, and caps scan
+    # splits so a 600 k-row file isn't cut into 32 near-empty tasks that
+    # each pay the local-mode task-launch floor.
+    pin(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.files.minPartitionNum": "8",
+            "spark.sql.leafNodeDefaultParallelism": "8",
+        },
+    )
     reg = registry()
-    results: dict[str, float] = {}
-    for name, q in BENCH_QUERIES.items():
-        fn = reg[q].fn
-        df = fn(spark, SF_DIR)
-        df.collect()  # warmup (codegen compile + JIT)
-        df.collect()  # second warmup: HotSpot tiered-compile settles
-        times = []
-        for _ in range(7):
+    # Build every plan once, warm each twice (codegen compile + HotSpot
+    # tiered-compile settle), then time in ROUND-ROBIN order: one sample of
+    # every query per round. The harness VM has multi-second latency bursts;
+    # interleaving spreads each query's samples across the whole bench
+    # window so a burst degrades a minority of samples for every query
+    # (absorbed by the median) instead of all samples for one query.
+    dfs = {name: reg[q].fn(spark, SF_DIR) for name, q in BENCH_QUERIES.items()}
+    for df in dfs.values():
+        df.collect()
+        df.collect()
+    samples: dict[str, list[float]] = {name: [] for name in dfs}
+    for _ in range(7):
+        for name, df in dfs.items():
             t0 = time.perf_counter()
             df.collect()
-            times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 4)
+            samples[name].append(time.perf_counter() - t0)
+    results = {name: round(statistics.median(ts), 4) for name, ts in samples.items()}
     total = round(sum(results.values()), 4)
     print(
         json.dumps(
