@@ -1,0 +1,337 @@
+"""Round-4 corpus/feature operators: columnar-format round-trip (ORC),
+RAG-style sliding token chunking, Johnson–Lindenstrauss sparse random
+projection, and exact quantile bucketizing.
+
+These extend the training-data-pipeline family (operators/llm_pipeline.py)
+with the remaining stages a 100 TB corpus run needs: a second columnar
+interchange format besides parquet, context-window chunk layout for
+retrieval indexes, a cheap linear dim-reduction in front of the ANN
+family, and feature binning for dataset balancing. All pure Catalyst
+expressions — no Python in any per-row path. (Reference analog: the
+format/marshalling surface of ``etl-job/fhir_import_export.py:317-470``
+generalized to corpus curation; the reference itself has no execution
+engine, so the plans here are Spark-first designs.)
+
+Determinism follows the house rules (registry.py docstring): every float
+output goes through the decimal sandwich on both engines, every top-k and
+explode order carries a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators.util import money, money_sql
+from aced_etl_pod_spark.registry import op
+from aced_etl_pod_spark.tables import load, scratch_dir
+
+# Sliding-window chunking: CHUNK_TOKENS-token windows every CHUNK_STRIDE
+# tokens, last window right-aligned so no tail token is dropped.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+# Sparse Rademacher projection (Achlioptas 2003, s=3): w(j,k) ∈ {+1,-1,0}
+# with P = {1/6, 1/6, 2/3}, derived from md5(j||'_'||k) so both engines
+# build the identical matrix. Input dim comes from the data; output:
+RP_DOUT = 16
+
+# 60-bit int from the leading 15 hex digits of md5 — same convention as
+# sink_shard_manifest's content digest (llm_pipeline.py).
+_MD5_60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+N_BUCKETS = 10
+
+
+@op(
+    "sink_orc_roundtrip",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor({_MD5_60.format(expr="text")}) AS content_digest
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("scan", "sink", "extra"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: write the corpus as ORC partitioned by
+    lang, read the files BACK, and emit a per-lang manifest (doc count,
+    char count, order-insensitive md5-xor content digest) computed from
+    the read-back bytes — a green row proves the second columnar format's
+    full write/read cycle, not just that the write didn't throw.
+
+    Plan: the write is partitioned (one directory per lang, each written
+    by its own tasks — no global sort, no single-writer bottleneck);
+    the manifest agg is a lang-cardinality groupBy with map-side combine.
+    ORC and parquet share Spark's columnar scan infrastructure, so
+    predicate pushdown / column pruning behave identically at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    out = scratch_dir("sink_orc_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    d.write.mode("overwrite").partitionBy("lang").orc(out)
+    back = spark.read.orc(out)
+    doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        back.withColumn("__h", doc_hash)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(__h)").alias("content_digest"),
+        )
+    )
+
+
+# DuckDB mirror of the right-aligned sliding-window start list. range() is
+# end-exclusive, so starts cover 1, 1+S, … up to (n-C)+1; when the last
+# stride-aligned window ends short of the document tail, one extra start at
+# n-C+1 right-aligns the final chunk.
+_DUCK_STARTS = f"""
+    CASE WHEN n > {CHUNK_TOKENS}
+              AND (n - {CHUNK_TOKENS}) % {CHUNK_STRIDE} != 0
+         THEN list_append(
+                range(1, greatest(n - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE}),
+                n - {CHUNK_TOKENS} + 1)
+         ELSE range(1, greatest(n - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE})
+    END
+"""
+
+
+@op(
+    "text_chunk_sliding_tokens",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, n,
+             generate_subscripts({_DUCK_STARTS}, 1) AS chunk_idx,
+             unnest({_DUCK_STARTS}) AS start
+      FROM base
+    )
+    SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(c.start AS BIGINT) AS start_tok,
+           CAST(len(b.toks[c.start : c.start + {CHUNK_TOKENS} - 1]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(b.toks[c.start : c.start + {CHUNK_TOKENS} - 1], ' ')
+             AS chunk_text
+    FROM chunks c JOIN base b USING (doc_id)
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunk layout: split each document into
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens (overlapping),
+    with the LAST window right-aligned to the document tail so no token is
+    dropped; emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_text).
+
+    Plan: the token array binds ONCE per document (same discipline as the
+    round-2 shingle-builder fix — re-splitting inside the explode would be
+    O(tokens²)/doc), the start list is a tiny per-doc integer sequence,
+    and posexplode + slice does the rest — per-row Catalyst expressions,
+    no shuffle at all: chunking is embarrassingly parallel and stays that
+    way at 100 TB. Chunk text is materialized by slicing the bound array,
+    so each output row carries only its own window."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = F.expr(
+        f"""
+        CASE WHEN n > {CHUNK_TOKENS}
+                  AND (n - {CHUNK_TOKENS}) % {CHUNK_STRIDE} != 0
+             THEN concat(
+                    sequence(1, greatest(n - {CHUNK_TOKENS}, 0) + 1,
+                             {CHUNK_STRIDE}),
+                    array(n - {CHUNK_TOKENS} + 1))
+             ELSE sequence(1, greatest(n - {CHUNK_TOKENS}, 0) + 1,
+                           {CHUNK_STRIDE})
+        END
+        """
+    )
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("pos0", "start"),
+    )
+    window = F.expr(f"slice(toks, start, {CHUNK_TOKENS})")
+    return chunks.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+# Shared weight-sign expression: md5-derived 60-bit int mod 6 → {+1,-1,0}.
+_DUCK_SIGN = f"""
+    CASE {_MD5_60.format(expr="j || '_' || k")} % 6
+         WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END
+"""
+
+
+@op(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH js AS (
+      SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS j FROM embeddings
+    ), dims AS (
+      SELECT js.j AS j, k.range AS k,
+             {_DUCK_SIGN.replace("j || '_' || k", "js.j || '_' || k.range")} AS w
+      FROM js CROSS JOIN range({RP_DOUT}) k
+    ), x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT x.vec_id, CAST(dims.k AS BIGINT) AS k,
+           {money_sql("sum(" + money_sql("w * x", 6, 10) + ")", 4, 8)} AS y
+    FROM x JOIN dims USING (j)
+    WHERE dims.w != 0
+    GROUP BY x.vec_id, dims.k
+    """,
+    tags=("similarity", "llm", "extra"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (Achlioptas/JL, s=3): project each embedding
+    to RP_DOUT dims with a {+1,-1,0}-valued matrix derived from
+    md5(j||'_'||k) — 2/3 of the weights are zero, so the projection touches
+    a third of the input coordinates. The cheap linear dim-reduction in
+    front of the ANN family: at 100 TB the ANN candidate generation runs
+    on 16-dim projected vectors (4× less shuffle than even int8-quantized
+    64-dim) and only the re-rank touches the originals. Distances are
+    preserved within the JL bound up to the constant sqrt(3/d_out), which
+    a consumer applies once; raw signed sums are emitted here.
+
+    Plan: the weight matrix is a d_in × RP_DOUT table built from ranges
+    (1,024 rows at d_in=64) and BROADCAST; vectors posexplode to
+    (vec_id, j, x) and partial-agg back to (vec_id, k) — the only shuffle
+    carries RP_DOUT rows per vector. No UDF: the matrix entries are the
+    same md5-mod-6 expression on both engines, so the op hash-checks
+    exactly (per-term decimal sandwich at 6dp makes the ± sums add
+    identical doubles despite engine-specific addition order)."""
+    e = load(spark, sf_dir, "embeddings")
+    d_in = len(e.select("embedding").first()[0])
+    dims = (
+        spark.range(d_in)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(RP_DOUT).select(F.col("id").alias("k")))
+        .select(
+            "j",
+            "k",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit("_"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 6
+                == 0,
+                F.lit(1.0),
+            )
+            .when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit("_"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 6
+                == 1,
+                F.lit(-1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+        .filter(F.col("w") != 0.0)
+    )
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xf")
+    ).select("vec_id", "j", F.col("xf").cast("double").alias("x"))
+    return (
+        x.join(F.broadcast(dims), "j")
+        .groupBy("vec_id", "k")
+        .agg(money(F.sum(money(F.col("w") * F.col("x"), 6, 10)), 4, 8).alias("y"))
+        .select("vec_id", F.col("k").cast("long").alias("k"), "y")
+    )
+
+
+@op(
+    "feature_quantile_bucketize",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             ntile({N_BUCKETS}) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           {money_sql("min(l_extendedprice)", 2, 6)} AS lo,
+           {money_sql("max(l_extendedprice)", 2, 6)} AS hi
+    FROM b
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "feature", "extra"),
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact decile bucketizing of a feature column (ntile over
+    l_extendedprice within l_returnflag), reduced to per-bucket count and
+    [lo, hi] boundaries — the feature-binning step for dataset balancing /
+    stratified mixing (buckets feed sample_stratified_quota as strata).
+
+    Plan: ntile is a window over the group partitioning — a per-group
+    sort, parallel across groups. That is the EXACT-boundary baseline; at
+    100 TB the scale path swaps ntile for approx_percentile boundaries
+    (one partial-agg pass, boundaries broadcast back as a range join),
+    trading exactness for no per-group sort — same output schema, so the
+    swap is invisible downstream. The ntile ordering carries a total
+    tie-break (price, orderkey, linenumber) so both engines assign
+    boundary-straddling duplicates identically."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = li.select(
+        "l_returnflag",
+        F.ntile(N_BUCKETS).over(w).alias("bucket"),
+        "l_extendedprice",
+    )
+    return (
+        b.groupBy("l_returnflag", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            money(F.min("l_extendedprice"), 2, 6).alias("lo"),
+            money(F.max("l_extendedprice"), 2, 6).alias("hi"),
+        )
+    )

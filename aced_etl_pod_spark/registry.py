@@ -118,6 +118,7 @@ _MODULES = (
     "aced_etl_pod_spark.operators.advanced_ops",
     "aced_etl_pod_spark.operators.sampling",
     "aced_etl_pod_spark.operators.llm_pipeline",
+    "aced_etl_pod_spark.operators.corpus_ops",
 )
 
 

@@ -1,0 +1,148 @@
+"""Property tests for the round-4 corpus/feature operators (corpus_ops.py)
+beyond the DuckDB parity gate: chunk coverage/overlap invariants, JL
+distance preservation, ORC round-trip fidelity vs the parquet source, and
+quantile-bucket balance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators.corpus_ops import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    N_BUCKETS,
+    RP_DOUT,
+    embedding_random_projection,
+    feature_quantile_bucketize,
+    sink_orc_roundtrip,
+    text_chunk_sliding_tokens,
+)
+from aced_etl_pod_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def test_chunks_cover_every_token(spark):
+    """No token is dropped: per doc, max(start+len-1) == doc token count,
+    chunk 1 starts at token 1, and consecutive starts advance by at most
+    CHUNK_STRIDE (the right-aligned tail may advance less)."""
+    chunks = text_chunk_sliding_tokens(spark, SF_SMALL)
+    docs = (
+        load(spark, SF_SMALL, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    agg = chunks.groupBy("doc_id").agg(
+        F.min("start_tok").alias("first_start"),
+        F.max(F.col("start_tok") + F.col("n_tokens") - 1).alias("covered"),
+        F.max("n_tokens").alias("max_len"),
+        F.count("*").alias("n_chunks"),
+    )
+    joined = agg.join(docs, "doc_id").collect()
+    assert joined, "no documents chunked"
+    for r in joined:
+        assert r.first_start == 1, r
+        assert r.covered == r.n, r
+        assert r.max_len <= CHUNK_TOKENS, r
+        # chunk count for right-aligned sliding windows
+        expect = (
+            1
+            if r.n <= CHUNK_TOKENS
+            else 1 + math.ceil((r.n - CHUNK_TOKENS) / CHUNK_STRIDE)
+        )
+        assert r.n_chunks == expect, r
+
+
+def test_chunk_text_matches_slice(spark):
+    """chunk_text is exactly the stride-window join of the doc's tokens."""
+    chunks = text_chunk_sliding_tokens(spark, SF_SMALL)
+    d = load(spark, SF_SMALL, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bad = (
+        chunks.join(d, "doc_id")
+        .withColumn(
+            "expect",
+            F.array_join(
+                F.expr(f"slice(toks, start_tok, {CHUNK_TOKENS})"), " "
+            ),
+        )
+        .filter(F.col("chunk_text") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_random_projection_preserves_distance_rank(spark):
+    """JL sanity: projected pairwise distances correlate with the original
+    ones over a deterministic sample of vector pairs (sign test — the
+    sparse projection must at minimum order far/near pairs consistently
+    more often than chance)."""
+    proj = embedding_random_projection(spark, SF_SMALL)
+    rows = proj.collect()
+    assert {len({r.k for r in rows if r.vec_id == v}) for v in {r.vec_id for r in rows}} == {RP_DOUT}
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").collect()
+    }
+    pv: dict[int, list[float]] = {}
+    for r in rows:
+        pv.setdefault(r.vec_id, [0.0] * RP_DOUT)[r.k] = r.y
+    ids = sorted(emb)[:20]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    agree = trials = 0
+    for i in range(0, len(ids) - 3, 2):
+        a, b, c = ids[i], ids[i + 1], ids[i + 2]
+        orig = d2(emb[a], emb[b]) < d2(emb[a], emb[c])
+        prj = d2(pv[a], pv[b]) < d2(pv[a], pv[c])
+        trials += 1
+        agree += orig == prj
+    assert trials >= 5
+    assert agree / trials > 0.5
+
+
+def test_orc_roundtrip_digest_matches_parquet_source(spark):
+    """The ORC read-back manifest equals the same manifest computed straight
+    from the parquet source — format round-trip loses nothing."""
+    manifest = {r.lang: r for r in sink_orc_roundtrip(spark, SF_SMALL).collect()}
+    doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    src = {
+        r.lang: r
+        for r in load(spark, SF_SMALL, "documents")
+        .withColumn("__h", doc_hash)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(__h)").alias("content_digest"),
+        )
+        .collect()
+    }
+    assert set(manifest) == set(src) and manifest
+    for lang, m in manifest.items():
+        s = src[lang]
+        assert (m.n_docs, m.total_chars, m.content_digest) == (
+            s.n_docs,
+            s.total_chars,
+            s.content_digest,
+        ), lang
+
+
+def test_quantile_buckets_balanced_and_ordered(spark):
+    """Within each group: all N_BUCKETS present, sizes differ by ≤1 (ntile
+    contract), and [lo, hi] ranges are non-overlapping and ordered."""
+    rows = feature_quantile_bucketize(spark, SF_SMALL).collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.l_returnflag, []).append(r)
+    assert by_group
+    for flag, rs in by_group.items():
+        rs.sort(key=lambda r: r.bucket)
+        assert [r.bucket for r in rs] == list(range(1, N_BUCKETS + 1)), flag
+        sizes = [r.n for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (flag, sizes)
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.hi <= cur.lo, (flag, prev, cur)
