@@ -335,3 +335,168 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.max("l_extendedprice"), 2, 6).alias("hi"),
         )
     )
+
+
+@op(
+    "agg_hll_union_shards",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards,
+           TRUE AS approx_within_tol
+    FROM events
+    """,
+    tags=("agg", "approx", "extra"),
+)
+def agg_hll_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: build one HLL sketch PER SHARD
+    (event_type plays the shard key), then union the shard sketches into a
+    global estimate — the pattern that makes distinct counts composable at
+    100 TB: shards sketch independently (daily partitions, per-source
+    files), sketches persist beside the data, and any subset unions in
+    O(sketch size) without rescanning. Contrast with agg_approx_distinct
+    (aggs.py), which sketches in one pass; here the sketch itself is the
+    intermediate, proving merge associativity.
+
+    The sketch bytes can't hash-match DuckDB (different HLL layouts), so
+    the driver-checkable contract is the agg_approx_distinct convention:
+    emit the exact count plus a boolean asserting the UNIONED estimate
+    lands within tolerance — an out-of-tolerance merge is a hard hash
+    mismatch, not an unchecked row."""
+    e = load(spark, sf_dir, "events")
+    shard_sketches = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sketch")
+    )
+    merged = shard_sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))").alias("approx_users"),
+        F.count("*").alias("n_shards"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        F.col("n_shards").cast("long").alias("n_shards"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_tol"),
+    )
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@op(
+    "join_asof_forward",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+    ), nxt AS (
+      SELECT l.event_id, min(r.ts) AS next_error_ts
+      FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+      GROUP BY l.event_id
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(nxt.next_error_ts, '{TS_FMT_DUCK}') AS next_error_ts
+    FROM l LEFT JOIN nxt USING (event_id)
+    """,
+    tags=("join", "timeseries", "extra"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the EARLIEST error at-or-after each purchase,
+    per user (the mirror of join_asof_event's backward direction —
+    together they cover both as-of semantics a timeseries pipeline needs).
+
+    Same scalable formulation, reversed: union the tagged streams, order
+    within user by (ts, left-before-right at ties) so an error at the
+    exact purchase timestamp is still eligible, and carry the FIRST
+    right-side ts over a forward-looking window (currentRow →
+    unboundedFollowing). One shuffle on user_id, no range explosion —
+    the oracle's min-over-inequality-join formulation is what a banded
+    join would compute, quadratic in the band; this plan is linear."""
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_l")
+    )
+    right = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_l"),
+        )
+    )
+    unioned = left.unionByName(right)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_l"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "next_ts",
+        F.first(F.when(F.col("is_l") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_l") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("next_ts", TS_FMT_SPARK).alias("next_error_ts"),
+    )
+
+
+@op(
+    "scan_parquet_schema_merge",
+    oracle="""
+    SELECT o_orderkey % 2 AS gen,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+                AS BIGINT) AS n_status
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scan", "extra"),
+)
+def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the same dataset —
+    gen 0 written before a column existed (o_orderkey, o_totalprice), gen 1
+    after (plus o_orderstatus) — read back in ONE scan with mergeSchema;
+    rows from the old generation surface the new column as NULL. This is
+    the append-only evolution every long-lived 100 TB warehouse hits:
+    old partitions never rewrite, the reader reconciles.
+
+    The written files are real (scratch round-trip, not a view trick) and
+    the oracle recomputes the same per-generation aggregate from the
+    source table, so a green row proves write + merged read + NULL
+    semantics. mergeSchema costs a footer pass per file at plan time — at
+    100 TB you pin the merged schema in a catalog instead; the scan
+    itself is identical."""
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir("scan_parquet_schema_merge")
+    shutil.rmtree(out, ignore_errors=True)
+    gen0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    gen0.write.mode("overwrite").parquet(f"{out}/gen=0")
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=0", f"{out}/gen=1"
+    )
+    return (
+        back.withColumn("gen", F.col("o_orderkey") % 2)
+        .groupBy("gen")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+            F.count("o_orderstatus").alias("n_status"),
+        )
+    )

@@ -16,6 +16,7 @@ from aced_etl_pod_spark.operators.corpus_ops import (
     RP_DOUT,
     embedding_random_projection,
     feature_quantile_bucketize,
+    join_asof_forward,
     sink_orc_roundtrip,
     text_chunk_sliding_tokens,
 )
@@ -146,3 +147,28 @@ def test_quantile_buckets_balanced_and_ordered(spark):
         assert max(sizes) - min(sizes) <= 1, (flag, sizes)
         for prev, cur in zip(rs, rs[1:]):
             assert prev.hi <= cur.lo, (flag, prev, cur)
+
+
+def test_asof_forward_direction_and_minimality(spark):
+    """Every matched next_error_ts is at-or-after its purchase, and no
+    earlier eligible error exists between the purchase and the match."""
+    out = {r.event_id: r for r in join_asof_forward(spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events")
+    purchases = {
+        r.event_id: r
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+    }
+    errors_by_user: dict[int, list] = {}
+    for r in ev.filter(F.col("event_type") == "error").collect():
+        errors_by_user.setdefault(r.user_id, []).append(r.ts)
+    assert set(out) == set(purchases)
+    for eid, row in out.items():
+        p = purchases[eid]
+        later = sorted(t for t in errors_by_user.get(p.user_id, []) if t >= p.ts)
+        if not later:
+            assert row.next_error_ts is None, row
+        else:
+            assert row.next_error_ts == later[0].strftime("%Y-%m-%d %H:%M:%S.%f"), (
+                row,
+                later[0],
+            )
