@@ -500,3 +500,129 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderstatus").alias("n_status"),
         )
     )
+
+
+# Curation-pipeline quality gate (see probe in PLANS.md round-4 notes:
+# corpus quality 5th pct ≈ 0.59, median ≈ 0.66 — 0.6 drops a meaningful
+# low-quality tail without gutting the corpus).
+QUALITY_MIN = 0.6
+
+_DUCK_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@op(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nuniq,
+             CAST(n_chars AS DOUBLE) AS nchar
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text, ntok,
+             {money_sql(
+                 "0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)"
+                 " + 0.2 * least(nchar / ntok / 8, 1.0)", 4, 8)} AS quality
+      FROM m
+    ), gated AS (
+      SELECT *, quality < {QUALITY_MIN} AS low_q FROM scored
+    ), ranked AS (
+      SELECT *,
+             CASE WHEN low_q THEN NULL
+                  ELSE row_number() OVER (
+                         PARTITION BY low_q, md5({_DUCK_NORM_TEXT})
+                         ORDER BY doc_id)
+             END AS rn
+      FROM gated
+    ), flagged AS (
+      SELECT *, (NOT low_q) AND rn > 1 AS dup,
+             (NOT low_q) AND rn = 1 AS kept
+      FROM ranked
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN low_q THEN 1 END) AS BIGINT) AS n_low_quality,
+           CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_duplicate,
+           CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           bit_xor(CASE WHEN kept
+                        THEN {_MD5_60.format(expr="text")} ELSE 0 END)
+             AS kept_digest
+    FROM flagged
+    GROUP BY source
+    """,
+    tags=("text", "llm", "pipeline", "extra"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan: quality-score →
+    gate at QUALITY_MIN → exact-dedup the survivors on normalized text
+    (min-doc_id canonical survivor) → per-source manifest (doc / dropped /
+    kept counts, kept token volume, order-insensitive kept-content
+    digest). This is the composition story: the stages are the same
+    expressions the standalone operators use (text_quality_score,
+    dedup_exact_hash, sink_shard_manifest's digest), fused by Catalyst
+    into one plan — no materialization barriers between stages.
+
+    Plan shape: per-row scoring is expression-only; the dedup survivor
+    pick is one window over (md5(norm_text)) partitions — an equi-shuffle
+    on the content hash, the same key exact dedup shuffles on at 100 TB;
+    the manifest is a source-cardinality groupBy with map-side combine.
+    Low-quality docs are EXCLUDED from the dedup window's survivor
+    ranking (partition key includes the gate flag, rank NULL for gated
+    docs) so the canonical survivor is always a kept doc — dropping a
+    low-quality doc must not delete the duplicate-group's only kept copy."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    ntok = F.size(F.split("text", " ")).cast("double")
+    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    nchar = F.col("n_chars").cast("double")
+    quality = money(
+        0.5 * (nuniq / ntok)
+        + 0.3 * F.least(ntok / 20, F.lit(1.0))
+        + 0.2 * F.least(nchar / ntok / 8, F.lit(1.0)),
+        4,
+        8,
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        ntok.alias("ntok"),
+        quality.alias("quality"),
+        F.md5(norm).alias("content_key"),
+    ).withColumn("low_q", F.col("quality") < QUALITY_MIN)
+    w = W.partitionBy("low_q", "content_key").orderBy("doc_id")
+    ranked = scored.withColumn(
+        "rn",
+        F.when(F.col("low_q"), F.lit(None)).otherwise(F.row_number().over(w)),
+    )
+    flagged = ranked.withColumn(
+        "dup", (~F.col("low_q")) & (F.col("rn") > 1)
+    ).withColumn("kept", (~F.col("low_q")) & (F.col("rn") == 1))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("low_q"), 1)).alias("n_low_quality"),
+        F.count(F.when(F.col("dup"), 1)).alias("n_duplicate"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.expr(
+            "bit_xor(CASE WHEN kept THEN "
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) "
+            "ELSE 0 END)"
+        ).alias("kept_digest"),
+    )

@@ -172,3 +172,21 @@ def test_asof_forward_direction_and_minimality(spark):
                 row,
                 later[0],
             )
+
+
+def test_curation_pipeline_accounting(spark):
+    """Manifest accounting closes: every doc is exactly one of kept /
+    low-quality / duplicate, and the quality gate drops a nonzero but
+    minority share at this corpus's score distribution."""
+    from aced_etl_pod_spark.operators.corpus_ops import pipeline_corpus_curation
+
+    rows = pipeline_corpus_curation(spark, SF_SMALL).collect()
+    assert rows
+    total = kept = lowq = 0
+    for r in rows:
+        assert r.n_docs == r.n_low_quality + r.n_duplicate + r.n_kept, r
+        total += r.n_docs
+        kept += r.n_kept
+        lowq += r.n_low_quality
+    assert 0 < lowq < total
+    assert kept > 0
