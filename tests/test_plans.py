@@ -132,3 +132,48 @@ def test_aqe_and_skew_handling_enabled(spark):
     df = join_inner_hash(spark, SF_SMALL)
     df.collect()
     assert "AdaptiveSparkPlan" in _plan(df)
+
+
+def test_chunking_has_no_shuffle(spark):
+    """Sliding-window chunking is embarrassingly parallel: per-row
+    expressions only — any Exchange would mean an accidental shuffle."""
+    from aced_etl_pod_spark.operators.corpus_ops import text_chunk_sliding_tokens
+
+    plan = _plan(text_chunk_sliding_tokens(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_random_projection_broadcasts_weights(spark):
+    """The JL weight matrix must broadcast (1k rows), and the only real
+    shuffle is the (vec_id, k) partial agg."""
+    from aced_etl_pod_spark.operators.corpus_ops import embedding_random_projection
+
+    plan = _plan(embedding_random_projection(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+
+
+def test_curation_pipeline_is_one_fused_plan(spark):
+    """The composed pipeline must stay a single Catalyst plan: exactly the
+    dedup-window shuffle + the manifest agg shuffle, no Python, no
+    cartesian."""
+    from aced_etl_pod_spark.operators.corpus_ops import pipeline_corpus_curation
+
+    plan = _plan(pipeline_corpus_curation(spark, SF_SMALL))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+
+
+def test_asof_forward_single_user_shuffle(spark):
+    """The forward as-of is the union+window formulation: one shuffle on
+    user_id, never a range-banded join."""
+    from aced_etl_pod_spark.operators.corpus_ops import join_asof_forward
+
+    plan = _plan(join_asof_forward(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
