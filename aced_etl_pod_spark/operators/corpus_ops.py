@@ -626,3 +626,120 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 0 END)"
         ).alias("kept_digest"),
     )
+
+
+SLIDE_ROWS = 10
+
+
+@op(
+    "win_distinct_sliding",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {SLIDE_ROWS - 1} PRECEDING AND CURRENT ROW)))
+             AS BIGINT) AS n_distinct_types
+    FROM events
+    """,
+    tags=("window", "extra"),
+)
+def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding row window (unique event types among
+    each user's trailing SLIDE_ROWS events) — an operator NEITHER engine
+    has natively (``count(DISTINCT) OVER`` is unsupported in both): the
+    reference semantics are recovered by composing a windowed collect with
+    array_distinct, and DuckDB mirrors it with list()/list_distinct.
+
+    Plan: one shuffle on user_id, per-partition sort, single window
+    operator. The collected frame is bounded (SLIDE_ROWS elements), so
+    state per row is O(frame), not O(history) — at 100 TB the trailing
+    frame never grows with data volume, only the user-partition sort
+    does, which is the same cost every windowed op pays. (For unbounded
+    frames the composition would hold a growing array — there the right
+    tool is the HLL-merge pattern of agg_hll_union_shards.)"""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(SLIDE_ROWS - 1), W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_distinct_types"),
+    )
+
+
+# Corrupt-row CSV fixture: every orders row with o_orderkey % 100 == 0
+# becomes a well-formed line; each one with o_orderkey % 1000 == 0 also
+# emits a malformed sibling (unparseable double), deterministically.
+CSV_GOOD_MOD = 100
+CSV_BAD_MOD = 1000
+
+
+@op(
+    "scan_csv_permissive_corrupt",
+    oracle=f"""
+    SELECT CAST(count(*) + count(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0
+                                      THEN 1 END) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0 THEN 1 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(count(*) AS BIGINT) AS n_good,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS good_total
+    FROM orders WHERE o_orderkey % {CSV_GOOD_MOD} = 0
+    """,
+    tags=("scan", "extra"),
+)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: write a CSV containing deterministic
+    corrupt lines (unparseable numeric field), read it back PERMISSIVE
+    with columnNameOfCorruptRecord, and report row / corrupt / good
+    counts plus the good-row sum. A green row proves bad input degrades
+    to quarantined rows — never a job failure and never silent loss (the
+    DROPMALFORMED trap) — which is the ingestion contract a 100 TB
+    pipeline needs when one bad file among thousands arrives.
+
+    Plan: the fixture is written distributed (a text sink of formatted
+    lines, no driver-side row handling); the read-back is a single
+    permissive CSV scan + one scalar aggregate."""
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir("scan_csv_permissive_corrupt")
+    shutil.rmtree(out, ignore_errors=True)
+    subset = o.filter(F.col("o_orderkey") % CSV_GOOD_MOD == 0)
+    good = subset.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.format_string("%.6f", F.col("o_totalprice")).alias("p"),
+        ).alias("value")
+    )
+    bad = subset.filter(F.col("o_orderkey") % CSV_BAD_MOD == 0).select(
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit(",not_a_number")
+        ).alias("value")
+    )
+    good.unionByName(bad).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey LONG, o_totalprice DOUBLE, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        money(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))),
+            2,
+            6,
+        ).alias("good_total"),
+    )
