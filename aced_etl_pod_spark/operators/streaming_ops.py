@@ -320,3 +320,87 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreach_batch(read_stream(spark, src), write_batch)
     back = spark.read.parquet(sink)
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# Round-4: streaming curation gate (mirror of the batch
+# pipeline_corpus_curation front half — corpus_ops.py).
+CURATION_QUALITY_MIN = 0.6
+
+_DUCK_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@op(
+    "stream_corpus_curation",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS nuniq,
+             CAST(n_chars AS DOUBLE) AS nchar
+      FROM documents
+    )
+    SELECT DISTINCT source, md5({_DUCK_NORM_TEXT}) AS content_key
+    FROM m
+    WHERE CAST(round(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+               + 0.2 * least(nchar / ntok / 8, 1.0) AS DECIMAL(18,8)), 4)
+               AS DOUBLE) >= {CURATION_QUALITY_MIN}
+    """,
+    tags=("stream", "text", "llm"),
+)
+def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation: documents arrive as micro-batches, each
+    is quality-scored STATELESSLY (same expression as the batch
+    pipeline_corpus_curation), gated at CURATION_QUALITY_MIN, and the
+    survivors' (source, content-hash) keys dedup STATEFULLY across the
+    whole stream — each unique kept key emits exactly once, on first
+    arrival. The emitted key SET is deterministic (which physical doc wins
+    a duplicate group is arrival-dependent, so only keys are returned —
+    same contract as stream_dedup_keys).
+
+    This is how the batch curation pipeline runs on a live 100 TB corpus
+    feed: stateless scoring scales embarrassingly; the dedup state is one
+    entry per unique kept document keyed by content hash. In production
+    the state needs a TTL watermark or an HLL/Bloom compaction once the
+    unique-key count exceeds executor state budgets; under deterministic
+    replay the exact state is the point."""
+    from aced_etl_pod_spark.streaming.replay import DOCS_STREAM_SCHEMA
+
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "curation",
+        splits=[F.col("doc_id") % 3 == i for i in range(3)],
+        table="documents",
+    )
+    docs = read_stream(spark, src, schema=DOCS_STREAM_SCHEMA)
+    ntok = F.size(F.split("text", " ")).cast("double")
+    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    nchar = F.col("n_chars").cast("double")
+    quality = (
+        F.round(
+            (
+                0.5 * (nuniq / ntok)
+                + 0.3 * F.least(ntok / 20, F.lit(1.0))
+                + 0.2 * F.least(nchar / ntok / 8, F.lit(1.0))
+            ).cast("decimal(18,8)"),
+            4,
+        )
+        .cast("double")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    kept_keys = (
+        docs.filter(quality >= CURATION_QUALITY_MIN)
+        .select("source", F.md5(norm).alias("content_key"))
+        .dropDuplicates(["source", "content_key"])
+    )
+    return run_to_memory(kept_keys, "t_curation", "append")

@@ -35,14 +35,27 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
 def materialize_batches(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     splits: list | None = None,
     extra_batches: list[DataFrame] | None = None,
+    table: str = "events",
 ) -> str:
-    """Write events into one file per split predicate (in replay order).
+    """Write a test table into one file per split predicate (in replay
+    order); defaults to ``events``.
 
     ``splits`` is a list of boolean Column predicates; rows matching split i
     land in file i, which the file source will deliver as micro-batch i
@@ -58,7 +71,7 @@ def materialize_batches(
     out = scratch_dir(f"stream/{name}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, table)
     if splits is None:
         splits = [F.lit(True)]
     batch_dfs = [events.filter(pred) for pred in splits]
@@ -88,11 +101,13 @@ def nudge_batch(spark: SparkSession, event_types: tuple[str, ...]) -> DataFrame:
     return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
 
 
-def read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_stream(
+    spark: SparkSession, src_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
     """File-source stream over a materialized batch dir, one file per
-    micro-batch."""
+    micro-batch. ``schema`` defaults to the events layout."""
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
