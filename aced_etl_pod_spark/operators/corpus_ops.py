@@ -743,3 +743,40 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("good_total"),
     )
+
+
+# One SQL string, two engines: restricted to the ANSI subset both Spark SQL
+# and DuckDB parse identically (no dialect functions, explicit casts,
+# total-order window tie-breaks).
+SHARED_ANSI_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+         AS total,
+       CAST(rank() OVER (
+              PARTITION BY c_mktsegment
+              ORDER BY sum(o_totalprice) DESC, o_orderstatus) AS BIGINT) AS rk
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
+@op(
+    "sql_shared_ansi",
+    oracle=SHARED_ANSI_SQL,
+    tags=("sql", "extra"),
+)
+def sql_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL entry point parity: the IDENTICAL SQL text (one shared
+    literal — the oracle IS the query) runs through ``spark.sql`` over
+    registered views and through DuckDB over its views. Proves the engine
+    exposes a dialect-portable ANSI surface alongside the DataFrame API —
+    a user can paste warehouse SQL unchanged.
+
+    Plan: Catalyst compiles the text to the same physical shape the
+    DataFrame API would build (broadcast customer into orders, partial
+    agg, window over the segment partitioning) — SQL is a front-end here,
+    not a second engine."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SHARED_ANSI_SQL)
