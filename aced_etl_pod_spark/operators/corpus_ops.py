@@ -780,3 +780,55 @@ def sql_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(SHARED_ANSI_SQL)
+
+
+@op(
+    "set_ops_all_multiset",
+    oracle="""
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+    UNION ALL
+    SELECT 'intersect_distinct' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+      INTERSECT
+      SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08)
+    """,
+    tags=("set", "extra"),
+)
+def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities (min/difference of per-key counts), which the
+    DISTINCT forms (set_intersect / set_except) collapse; the distinct
+    intersect row is emitted alongside so the oracle proves the ALL
+    variants really counted bags (the counts must differ).
+
+    Plan: Spark compiles intersectAll/exceptAll to a count-per-key
+    aggregate + generate (replicate min(count) times) — one shuffle per
+    side on the compare key, no join explosion; same shape DuckDB uses.
+    At 100 TB multiset semantics matter for event streams where the
+    duplicate count IS the signal (retry storms, replay detection)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.filter(F.col("l_quantity") > 45).select("l_suppkey")
+    y = li.filter(F.col("l_discount") > 0.08).select("l_suppkey")
+    parts = [
+        x.intersectAll(y).agg(F.count("*").alias("n")).select(
+            F.lit("intersect_all").alias("op"), "n"
+        ),
+        x.exceptAll(y).agg(F.count("*").alias("n")).select(
+            F.lit("except_all").alias("op"), "n"
+        ),
+        x.intersect(y).agg(F.count("*").alias("n")).select(
+            F.lit("intersect_distinct").alias("op"), "n"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
