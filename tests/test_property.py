@@ -152,3 +152,66 @@ def test_random_window_spec_matches_duckdb(orders_env, fn, part, order_col, desc
         ).fetchall()
     )
     assert got == exp
+
+
+@pytest.fixture(scope="module")
+def join_env(spark):
+    from aced_etl_pod_spark.tables import load
+
+    o = load(spark, SF_SMALL, "orders").cache()
+    c = load(spark, SF_SMALL, "customer").cache()
+    o.count(), c.count()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMALL}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_SMALL}/customer.parquet'"
+    )
+    return o, c, con
+
+
+cust_pred = st.tuples(
+    st.sampled_from(["c_acctbal"]),
+    st.sampled_from([">", "<"]),
+    st.floats(min_value=-999, max_value=9999, allow_nan=False).map(
+        lambda v: round(v, 2)
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    opreds=pred_list,
+    cpred=cust_pred,
+    jtype=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_random_join_type_matches_duckdb(join_env, opreds, cpred, jtype):
+    """Differential join fuzzing: random predicates on both sides × every
+    join type; row count and the left-side measure sum must match DuckDB's
+    equivalent (EXISTS / NOT EXISTS for semi / anti)."""
+    o, c, con = join_env
+    ofil = o.filter(to_spark_filter(opreds))
+    cfil = c.filter(to_spark_filter([cpred]))
+    joined = ofil.join(cfil, ofil.o_custkey == cfil.c_custkey, jtype)
+    got = joined.agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    where_o = to_sql_where(opreds)
+    where_c = to_sql_where([cpred])
+    if jtype in ("inner", "left"):
+        kw = "JOIN" if jtype == "inner" else "LEFT JOIN"
+        sql = (
+            f"SELECT CAST(count(*) AS BIGINT), round(sum(o.o_totalprice), 2) "
+            f"FROM (SELECT * FROM orders WHERE {where_o}) o "
+            f"{kw} (SELECT * FROM customer WHERE {where_c}) c "
+            f"ON o.o_custkey = c.c_custkey"
+        )
+    else:
+        neg = "" if jtype == "left_semi" else "NOT "
+        sql = (
+            f"SELECT CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) "
+            f"FROM orders o WHERE {where_o} AND {neg}EXISTS ("
+            f"SELECT 1 FROM customer c WHERE {where_c} "
+            f"AND c.c_custkey = o.o_custkey)"
+        )
+    exp = con.execute(sql).fetchone()
+    assert (got["n"], got["s"]) == exp, (jtype, opreds, cpred)
