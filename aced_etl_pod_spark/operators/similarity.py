@@ -245,3 +245,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("thumb", 256).alias("thumb_digest"),
         "thumb_len",
     )
+
+
+@op("multimodal_feature_embed_topk", tags=("multimodal", "similarity", "extra"))
+def multimodal_feature_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal → embedding → similarity composition: binaryFile scan
+    → Arrow-batched feature extraction (16-bin byte-nibble histogram, the
+    deterministic stand-in for a CNN/CLIP encoder — sources/binary.py::
+    feature_extract_stub) → cosine top-5 against blob 0's features,
+    entirely JVM-side after the one Python stage. Rows-checked (no DuckDB
+    view over the blob dir); feature normalization, determinism, and
+    neighbor ordering asserted in tests/test_multimodal.py.
+
+    Plan shape at 100 TB: the extractor is the only Python stage (Arrow
+    batches, vectorized numpy), the query vector broadcasts as literals,
+    and the ranking is one TakeOrdered pass — the same zero-shuffle shape
+    as sim_cosine_topk_fast."""
+    from aced_etl_pod_spark.sources.binary import feature_extract_stub
+
+    src = generate_blob_fixture(n=32, sub="multimodal_embed")
+    blobs = read_binary(spark, src)
+    feats = feature_extract_stub(blobs.select("path", "content"))
+    ids = feats.select(
+        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        "features",
+    )
+    q = ids.filter(F.col("blob_id") == 0).select(
+        F.col("features").alias("q_features")
+    )
+    scored = ids.filter(F.col("blob_id") != 0).crossJoin(F.broadcast(q)).select(
+        "blob_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(features, q_features, (a, b) -> a * b),"
+                " 0D, (acc, x) -> acc + x)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        "aggregate(features, 0D, (acc, x) -> acc + x * x)"
+                    )
+                )
+                * F.sqrt(
+                    F.expr(
+                        "aggregate(q_features, 0D, (acc, x) -> acc + x * x)"
+                    )
+                )
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "blob_id").limit(5)

@@ -123,3 +123,30 @@ def resize_stub(df: DataFrame, thumb_bytes: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = "path string, features array<double>"
+
+
+def feature_extract_stub(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over binary content via Arrow mapInPandas with an
+    ARRAY output column — the embedding-producer contract (a real CNN/CLIP
+    encoder swaps in one function, same batch shape). The 'features' are
+    an L1-normalized 16-bin histogram of the high nibble of every byte:
+    deterministic, numpy-vectorized per batch, and well-defined for any
+    blob size."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(
+                lambda b: (
+                    np.bincount(
+                        np.frombuffer(b, dtype=np.uint8) >> 4, minlength=n_bins
+                    )
+                    / max(len(b), 1)
+                ).tolist()
+            )
+            yield pd.DataFrame({"path": pdf["path"], "features": feats})
+
+    return df.mapInPandas(extract, FEATURE_SCHEMA)
