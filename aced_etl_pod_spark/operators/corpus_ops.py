@@ -832,3 +832,116 @@ def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@op(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_nationkey % 5 AS grp,
+           string_agg(n_name, '|' ORDER BY n_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_nationkey % 5
+    """,
+    tags=("agg", "extra"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): group members
+    joined with a delimiter in a DETERMINISTIC sort order — collect_list
+    order is partition-arrival-dependent in Spark, so the deterministic
+    form is array_join(array_sort(collect_list(...))), which is also the
+    scale-correct shape (the sort is per-group over collected elements,
+    not a global sort).
+
+    At 100 TB the guard this op documents: an unbounded group would
+    collect an unbounded array — cap group size upstream (or switch to
+    top-N per group) before concatenating."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy((F.col("n_nationkey") % 5).alias("grp"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "names"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@op(
+    "win_median_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(CAST(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4)
+             AS DOUBLE) AS med5
+    FROM events
+    """,
+    tags=("window", "extra"),
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a 5-row trailing window — another operator Spark
+    has no native window form for (percentile functions don't accept
+    frames): composed as sort-the-collected-frame + exact middle
+    selection, mirrored by DuckDB's native median() OVER. The collected
+    frame is bounded (5 elements) so per-row state is O(frame) — same
+    discipline as win_distinct_sliding; for wide frames the scale path is
+    an approximate streaming quantile sketch, not a bigger collect."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    # exact median: middle element (odd n) or mean of the two middles
+    mid = ((n + 1) / 2).cast("int")
+    lo = (n / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(frame, mid)).otherwise(
+        (F.element_at(frame, lo) + F.element_at(frame, lo + 1)) / 2.0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(med.cast("decimal(18,8)"), 4).cast("double").alias("med5"),
+    )
+
+
+@op(
+    "fn_datetime_interval",
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL '90 minutes', '%Y-%m-%d %H:%M:%S') AS plus90m,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+           CAST(date_part('epoch', date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS days_since
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+    tags=("fn", "extra"),
+)
+def fn_datetime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic and calendar functions beyond fn_date's surface:
+    timestamp + INTERVAL, last_day month-end snapping, epoch extraction of
+    a truncated timestamp, and day arithmetic against a literal date — all
+    codegen expressions, formatted to strings so value hashing never
+    depends on engine timestamp rendering (registry determinism rule)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus90m"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("day_epoch"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
