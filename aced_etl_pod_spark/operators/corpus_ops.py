@@ -945,3 +945,80 @@ def fn_datetime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since"),
     )
+
+
+# Shared LATERAL text — ANSI enough for both engines (same discipline as
+# SHARED_ANSI_SQL).
+LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       CAST(round(CAST(t.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+         AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey % 10 = 0
+"""
+
+
+@op(
+    "join_lateral_topk_per_key",
+    oracle=LATERAL_TOPK_SQL,
+    tags=("join", "sql", "extra"),
+)
+def join_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT: each customer's top-2 orders
+    by price — the same literal SQL runs on both engines (like
+    sql_shared_ansi). Catalyst decorrelates the per-row subquery into a
+    window-ranked join, so the declarative per-key-top-k form gets the
+    scalable plan automatically — a user never hand-writes the
+    row_number() workaround.
+
+    At 100 TB the decorrelated plan is one shuffle on the join key plus
+    the per-key rank — identical cost to win_row_number_topk; the LATERAL
+    form is an API-surface proof, not a different engine path."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
+@op(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, nullif(event_type, 'error') AS k
+      FROM events WHERE event_id % 40 = 0
+    ), b AS (
+      SELECT event_id AS b_id, nullif(event_type, 'error') AS k
+      FROM events WHERE event_id % 40 = 20
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_null_safe,
+           CAST(count(CASE WHEN a.k IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "extra"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other, unlike plain '=' which drops them silently — the
+    semantic corner every dedup-on-nullable-key pipeline hits. The result
+    reports total matches and how many came from NULL⋈NULL, so the oracle
+    fails if either engine treats NULL as non-joining.
+
+    Plan: Spark hash-joins <=> like any equi-key (NULL hashes to a
+    bucket); no fallback to nested-loop — asserted by the match counts
+    staying linear-join-sized."""
+    e = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = e.filter(F.col("event_id") % 40 == 0).select(
+        F.col("event_id").alias("a_id"), k.alias("ka")
+    )
+    b = e.filter(F.col("event_id") % 40 == 20).select(
+        F.col("event_id").alias("b_id"), k.alias("kb")
+    )
+    j = a.join(b, a.ka.eqNullSafe(b.kb))
+    return j.agg(
+        F.count("*").alias("n_null_safe"),
+        F.count(F.when(F.col("ka").isNull(), 1)).alias("n_null_matches"),
+    )
