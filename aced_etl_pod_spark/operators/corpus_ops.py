@@ -1022,3 +1022,74 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_null_safe"),
         F.count(F.when(F.col("ka").isNull(), 1)).alias("n_null_matches"),
     )
+
+
+# Heavy-hitter sketch: per-partition space-saving width and final k. The
+# candidate pass keeps far more than TOPK per partition, so the exact
+# recount's top-k is deterministic for any plausible partitioning (a
+# frequency-φ item survives per-partition capping whenever its local count
+# exceeds n_p / HH_WIDTH — asserted against exact counts in tests).
+HH_WIDTH = 256
+HH_TOPK = 10
+
+
+@op(
+    "agg_heavy_hitters_sketch",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM cnt GROUP BY w
+    ), ranked AS (
+      SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM freq
+    )
+    SELECT w, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= {HH_TOPK}
+    """,
+    tags=("agg", "approx", "llm", "extra"),
+)
+def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters without shuffling the keyspace: each partition runs a
+    space-saving-style capped counter over its tokens (Arrow mapInPandas,
+    stateful across the partition's batches) and emits only its top
+    HH_WIDTH candidates; the tiny candidate union broadcasts back for an
+    EXACT recount, and the final top-k is ranked from exact counts — so
+    the result is deterministic and oracle-checkable even though the
+    candidate sets are partitioning-dependent.
+
+    This is the candidate/verify pattern for frequency queries at 100 TB:
+    the full (word → count) shuffle that a naive groupBy pays is replaced
+    by per-partition O(width) state + a broadcast-semi-join recount that
+    only aggregates candidate rows. The sketch stage is the one Python
+    stage (a capped Counter per task — the 'novel sketch' slot the
+    engine's custom-operator tier exists for); everything else is
+    Catalyst."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def sketch(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            cnt.update(pdf["w"])
+            if len(cnt) > 8 * HH_WIDTH:
+                cnt = Counter(dict(cnt.most_common(2 * HH_WIDTH)))
+        top = [w for w, _ in cnt.most_common(HH_WIDTH)]
+        yield pd.DataFrame({"w": top})
+
+    cands = words.mapInPandas(sketch, "w string").distinct()
+    exact = (
+        words.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = exact.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "w"))
+    )
+    return ranked.filter(F.col("rk") <= HH_TOPK).select(
+        "w", "n", F.col("rk").cast("long").alias("rk")
+    )

@@ -190,3 +190,26 @@ def test_curation_pipeline_accounting(spark):
         lowq += r.n_low_quality
     assert 0 < lowq < total
     assert kept > 0
+
+
+def test_heavy_hitter_candidates_cover_true_topk(spark):
+    """The sketch stage's candidate union must contain every true top-k
+    token (the recall guarantee the exact recount depends on), and the
+    final output must equal the exact top-k."""
+    from aced_etl_pod_spark.operators.corpus_ops import (
+        HH_TOPK,
+        agg_heavy_hitters_sketch,
+    )
+
+    got = agg_heavy_hitters_sketch(spark, SF_SMALL).collect()
+    words = (
+        load(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    exact = sorted(words, key=lambda r: (-r["count"], r.w))[:HH_TOPK]
+    assert [(r.w, r.n) for r in sorted(got, key=lambda r: r.rk)] == [
+        (r.w, r["count"]) for r in exact
+    ]
