@@ -121,3 +121,45 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_custkey long, c_nationkey int, bal_rank long, centered double",
     )
     return out.select("c_custkey", "c_nationkey", "bal_rank", money(F.col("centered")).alias("centered"))
+
+
+@op(
+    "udtf_python_lateral",
+    oracle="""
+    SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS part,
+           CAST(len(unnest(string_split(o_orderpriority, '-'))) AS INTEGER)
+             AS plen
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+    tags=("udf", "extra"),
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.5+ Python UDTF surface (@udtf class with eval-yield),
+    registered and invoked through a LATERAL SQL call — the fourth Python
+    extension point beside scalar UDF / pandas UDF / applyInPandas. The
+    function splits the order-priority code into its parts (1→N rows per
+    input row).
+
+    UDTFs are the slow path at 100 TB (row-at-a-time Python, like
+    udf_scalar_python — the docstring contract of that op applies): this
+    exists to cover the API; the equivalent explode(split()) is the plan
+    a pipeline should ship, and the oracle is exactly that expression."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part string, plen int")
+    class SplitPriority:
+        def eval(self, s: str):
+            for p in (s or "").split("-"):
+                yield p, len(p)
+
+    spark.udtf.register("split_priority", SplitPriority)
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 500 == 0).createOrReplaceTempView(
+        "orders_sub"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.part, t.plen
+        FROM orders_sub o, LATERAL split_priority(o.o_orderpriority) t
+        """
+    )
