@@ -1093,3 +1093,88 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= HH_TOPK).select(
         "w", "n", F.col("rk").cast("long").alias("rk")
     )
+
+
+@op(
+    "scan_ndjson_gzip",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("scan", "sink", "extra"),
+)
+def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed NDJSON round-trip: write a subset of orders as
+    gzip-compressed JSON lines (the wire format the reference's export
+    path ships — fhir_import_export.py:317-357 writes ndjson — plus the
+    compression every object-store pipeline adds), read it back with an
+    explicit schema, and aggregate. Proves codec handling end to end.
+
+    At 100 TB: gzip is NOT splittable — one task per file on read, so the
+    writer's partition count (here Spark's write parallelism) dictates
+    read parallelism; the docstring is the warning, zstd/parquet is the
+    fix. Schema is pinned on read (no sampling-inference job)."""
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir("scan_ndjson_gzip")
+    shutil.rmtree(out, ignore_errors=True)
+    sub = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    sub.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema(
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        money(F.sum("o_totalprice"), 2, 6).alias("total"),
+    )
+
+
+@op(
+    "win_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(round(CAST(sum(value) OVER w AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries", "extra"),
+)
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window: per user, count and sum of events in the
+    trailing ONE HOUR by timestamp — a VALUE-range frame, not a row-count
+    frame, so simultaneous bursts are fully included regardless of row
+    count. Spark's rangeBetween is numeric-only; ordering by the epoch
+    MICROS of ts with a [-3.6e9, 0] frame is the exact equivalent of
+    DuckDB's RANGE BETWEEN INTERVAL '1 hour' PRECEDING — both engines
+    compare the same microsecond-resolution scalars, so the frames agree
+    on every boundary (hash-verified by the oracle).
+
+    One shuffle on user_id; the range frame is a two-pointer pass over
+    the sorted partition — same cost profile as any windowed op at
+    100 TB."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    # DuckDB's RANGE over a TIMESTAMP orders by the full timestamp value;
+    # mirror it exactly by ordering on epoch MICROS with a ±1h-in-micros
+    # frame, so sub-second differences bucket identically on both engines.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("sum_1h"),
+    )
