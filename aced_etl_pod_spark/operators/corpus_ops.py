@@ -1178,3 +1178,42 @@ def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@op(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards
+    FROM events
+    """,
+    tags=("agg", "extra"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting from mergeable partials: each shard
+    (event_type) builds per-bucket BITMAPS of its user ids
+    (bitmap_construct_agg over bitmap_bit_position, bucketed by
+    bitmap_bucket_number), the bitmaps OR-merge across shards per bucket,
+    and the final count is the sum of per-bucket popcounts. The exact
+    counterpart to agg_hll_union_shards: same compose-without-rescan
+    algebra, zero error, at the cost of bitmap size scaling with the id
+    range instead of a fixed sketch. Dense int keys → bitmaps; arbitrary
+    keys / web scale → HLL; both partials persist beside the data.
+
+    Unlike the sketch, the bitmap result is EXACT, so the oracle checks
+    the count itself — no tolerance boolean needed."""
+    e = load(spark, sf_dir, "events")
+    per_shard = e.groupBy(
+        F.col("event_type"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    merged = per_shard.groupBy("bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"),
+        F.countDistinct("event_type").alias("shards_seen"),
+    )
+    return merged.agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("exact_users"),
+        F.max("shards_seen").cast("long").alias("n_shards"),
+    )
