@@ -1217,3 +1217,50 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("exact_users"),
         F.max("shards_seen").cast("long").alias("n_shards"),
     )
+
+
+@op(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderstatus AS status FROM orders
+    )
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(o.o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM orders o JOIN dim d ON o.o_orderstatus = d.status
+    WHERE d.status IN ('F', 'P')
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "scan", "extra"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is stored PARTITIONED on
+    the join key, the filter lives on the DIM side only, and Spark injects
+    the dim's surviving keys into the fact scan at runtime — partitions
+    for non-matching statuses are never read. THE scan-avoidance feature
+    for star joins at 100 TB (a date-dim filter pruning a
+    petabyte-partitioned fact); tests/test_plans.py asserts the
+    dynamicpruning subquery is present in the physical plan, so silent
+    loss of DPP regresses loudly.
+
+    The fixture is a real partitioned write of orders to scratch — the
+    pruning needs actual partition directories to skip."""
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir("dpp_orders")
+    import os
+
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+        .filter(F.col("status").isin("F", "P"))
+    )
+    joined = fact.join(dim, fact.o_orderstatus == dim.status)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        money(F.sum("o_totalprice"), 2, 6).alias("total"),
+    )

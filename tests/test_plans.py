@@ -177,3 +177,15 @@ def test_asof_forward_single_user_shuffle(spark):
     plan = _plan(join_asof_forward(spark, SF_SMALL))
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
+
+
+def test_dynamic_partition_pruning_active(spark):
+    """The DPP op's fact scan must carry a dynamic pruning subquery on the
+    partition column — losing DPP silently would turn a pruned scan into a
+    full-table read at scale."""
+    from aced_etl_pod_spark.operators.corpus_ops import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = _plan(join_dynamic_partition_pruning(spark, SF_SMALL))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
