@@ -1247,7 +1247,10 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     The fixture is a real partitioned write of orders to scratch — the
     pruning needs actual partition directories to skip."""
     o = load(spark, sf_dir, "orders")
-    out = scratch_dir("dpp_orders")
+    # Scratch path keyed by the source dir: the cached partitioned fixture
+    # must never be reused across scale factors.
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_dir(f"dpp_orders_{sf_tag}")
     import os
 
     marker = os.path.join(out, "_SUCCESS")
