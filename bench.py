@@ -76,7 +76,7 @@ def main() -> None:
         df.collect()
         df.collect()
     samples: dict[str, list[float]] = {name: [] for name in dfs}
-    for _ in range(7):
+    for _ in range(9):
         for name, df in dfs.items():
             t0 = time.perf_counter()
             df.collect()
