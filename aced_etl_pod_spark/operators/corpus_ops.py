@@ -1267,3 +1267,34 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n"),
         money(F.sum("o_totalprice"), 2, 6).alias("total"),
     )
+
+
+@op(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           value / nullif(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_div,
+           try_cast(props AS DOUBLE) AS bad_cast,
+           try_cast(CAST(event_id AS VARCHAR) AS DOUBLE) AS good_cast
+    FROM events WHERE event_id % 100 = 0
+    """,
+    tags=("fn", "extra"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: try_divide and try_cast return NULL
+    where strict ANSI evaluation would raise (division by zero, malformed
+    cast) — the ingestion-side contract for dirty data, complementing
+    scan_csv_permissive_corrupt's row-level quarantine with
+    expression-level tolerance. The engine session keeps ANSI off for
+    permissive casts (session.py), but try_* semantics are explicit and
+    mode-independent — a pipeline that uses them behaves identically
+    under either ANSI setting, which is the portable way to write it."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 3).cast("double")
+        ).alias("safe_div"),
+        F.col("props").try_cast("double").alias("bad_cast"),
+        F.col("event_id").cast("string").try_cast("double").alias("good_cast"),
+    )
