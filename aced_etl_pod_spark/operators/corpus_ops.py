@@ -1,16 +1,27 @@
-"""Round-4 corpus/feature operators: columnar-format round-trip (ORC),
-RAG-style sliding token chunking, Johnson–Lindenstrauss sparse random
-projection, and exact quantile bucketizing.
+"""Round-4 operators (SURVEY §10). Families in this module:
 
-These extend the training-data-pipeline family (operators/llm_pipeline.py)
-with the remaining stages a 100 TB corpus run needs: a second columnar
-interchange format besides parquet, context-window chunk layout for
-retrieval indexes, a cheap linear dim-reduction in front of the ANN
-family, and feature binning for dataset balancing. All pure Catalyst
-expressions — no Python in any per-row path. (Reference analog: the
-format/marshalling surface of ``etl-job/fhir_import_export.py:317-470``
-generalized to corpus curation; the reference itself has no execution
-engine, so the plans here are Spark-first designs.)
+* corpus/feature stages a 100 TB training-data run needs beyond
+  llm_pipeline.py: ORC round-trip, sliding token chunking,
+  Johnson–Lindenstrauss sparse random projection, quantile bucketizing,
+  and the FUSED end-to-end curation pipeline (quality gate → dedup →
+  manifest as one Catalyst plan);
+* sketch/mergeable-partial patterns: HLL shard-union (approximate),
+  bitmap partials (exact), and per-partition space-saving heavy hitters
+  with an exact candidate recount;
+* engine-gap windows composed from bounded collects: sliding distinct
+  count, rolling median, plus the time-interval RANGE frame;
+* ingestion-robustness scans: schema-merge evolution, PERMISSIVE
+  corrupt-CSV quarantine, gzip NDJSON codec round-trip, try_* NULL-on-
+  error expressions, and dynamic partition pruning (plan-asserted);
+* SQL-surface proofs: one shared ANSI literal run verbatim on both
+  engines, correlated LATERAL top-k, null-safe equality joins, multiset
+  INTERSECT/EXCEPT ALL, ordered string aggregation, forward as-of join,
+  and interval datetime arithmetic.
+
+(Reference analog: the format/marshalling surface of
+``etl-job/fhir_import_export.py:317-470`` generalized to corpus
+curation; the reference itself has no execution engine, so the plans
+here are Spark-first designs.)
 
 Determinism follows the house rules (registry.py docstring): every float
 output goes through the decimal sandwich on both engines, every top-k and
