@@ -62,6 +62,76 @@ def signature_bucket(emb_col: str, planes: list[list[float]]) -> Column:
     return F.expr(" + ".join(bits))
 
 
+def lsh_planes_for(n: int, target_bucket: int = 64) -> int:
+    """Number of sign-LSH hyperplanes for a corpus of ``n`` vectors, sized
+    so the EXPECTED bucket occupancy is ~``target_bucket``: 2^planes ≈
+    n / target_bucket. A fixed plane count is the classic ANN scale bug —
+    right at 2k vectors, quadratic-in-bucket at 2B (buckets grow O(n) and
+    the in-bucket re-rank O(n²/2^planes)); deriving planes from n keeps
+    per-bucket work constant as the corpus grows. Clamped to [4, 24]
+    (16 buckets … 16M buckets — beyond 24 planes random-hyperplane
+    collision probability for true neighbors starts to dominate and
+    multiprobe, not more planes, is the next lever)."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n / max(target_bucket, 1), 2.0)))))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 3,
+    target_bucket: int = 64,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH approximate all-vectors k-NN, scale-parameterized:
+
+    * plane count derived from the corpus size (:func:`lsh_planes_for`) so
+      expected bucket width stays ~``target_bucket`` at any n;
+    * buckets wider than ``max_bucket_size`` (default 16×target) are
+      DROPPED before the self-join — the same degenerate-key cap as
+      ``minhash_band_candidates`` (functions/dedup.py): a pathological
+      bucket (e.g. a mass of zero/near-identical vectors) would otherwise
+      go quadratic at 100 TB. Members of a dropped mega-bucket are all
+      near-identical by construction, so the exact-dedup pass, not ANN,
+      is the right tool for them.
+
+    One count() job sizes the planes (a query parameter, like the literal
+    query vector); then bucket → self-equi-join → exact cosine re-rank →
+    per-vector top-k. Returns (vec_id, nbr_id, cos_sim)."""
+    from pyspark.sql import Window as W
+
+    n = emb.count()
+    head = emb.select(emb_col).head(1)
+    dim = len(head[0][0]) if head else 0
+    planes = random_hyperplanes(dim=dim, n_planes=lsh_planes_for(n, target_bucket))
+    if max_bucket_size is None:
+        max_bucket_size = 16 * target_bucket
+    bucketed = emb.withColumn("bucket", signature_bucket(emb_col, planes))
+    bucket_n = F.count("*").over(W.partitionBy("bucket"))
+    bucketed = bucketed.withColumn("bucket_n", bucket_n).filter(
+        F.col("bucket_n") <= max_bucket_size
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("vec_id"), "bucket", F.col(emb_col).alias("emb_a")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("nbr_id"), "bucket", F.col(emb_col).alias("emb_b")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_expr("emb_a", "emb_b"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "nbr_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def _assign_nearest_centroid(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment via broadcast argmin — the vector table
     never shuffles."""
@@ -78,11 +148,22 @@ def _assign_nearest_centroid(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ivf_centroids_for(n: int) -> int:
+    """IVF coarse-quantizer size for ``n`` vectors: ~sqrt(n) centroids (the
+    standard IVF guidance — balances cell-scan cost n/C against the
+    C-sized quantizer probe), clamped to [4, 65536]. A fixed C is the same
+    scale bug as fixed LSH planes: C=16 means cells of n/16 and the probe
+    re-rank goes linear-in-corpus; sqrt(n) keeps both sides O(sqrt(n))."""
+    import math
+
+    return max(4, min(65536, int(math.isqrt(max(n, 16)))))
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     lloyd_iters: int = 2,
 ) -> DataFrame:
@@ -91,12 +172,16 @@ def ivf_topk(
     iteration) → inverted-list assignment → probe the ``n_probe`` nearest
     cells per query → exact cosine re-rank of candidates only.
 
+    ``n_centroids=None`` derives ~sqrt(n) from a count (see
+    :func:`ivf_centroids_for`); an explicit value is for tests/small data.
     ``emb``/``queries`` need (vec_id, embedding ARRAY<FLOAT>). At 100 TB
     the assignment is the only full pass; queries touch n_probe/n_centroids
     of the data."""
     from pyspark.sql import Window as W
 
     emb = emb.select("vec_id", "embedding").cache()
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for(emb.count())
     centroids = emb.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )

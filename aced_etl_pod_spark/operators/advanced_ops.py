@@ -135,7 +135,10 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("sim_ann_ivf_topk", tags=("similarity", "approx", "extra"))
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN (the other scale path besides sign-LSH):
-    coarse quantizer = 16 deterministic seed centroids refined by 2 Lloyd
+    coarse quantizer = ~sqrt(n) deterministic seed centroids
+    (functions/similarity.py::ivf_centroids_for — the standard IVF sizing,
+    balancing cell width n/C against quantizer probe cost C; a fixed C=16
+    would leave cells O(n) wide at corpus scale) refined by 2 Lloyd
     iterations (posexplode + groupBy-avg — one shuffle per iteration);
     every vector is assigned to its nearest centroid (broadcast argmin);
     queries probe the 4 nearest cells and exact-re-rank only those
@@ -145,7 +148,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=None, n_probe=4)
 
 
 @op(

@@ -293,6 +293,71 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_bucketize_plan(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    n_buckets: int,
+    tie_cols: tuple[str, ...] = (),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile binning, two physical strategies behind one
+    schema (group, bucket, n, lo, hi):
+
+    * ``exact=True`` — ntile window: a per-group sort, parallel across
+      groups. Exact boundaries, total tie-break, oracle-matchable. At
+      100 TB a per-group sort of the whole table is the bottleneck.
+    * ``exact=False`` — the scale path: ONE partial-agg pass computes
+      per-group approx_percentile boundary arrays (a GSketch per group,
+      mergeable map-side), the tiny boundary table broadcasts back, and
+      the bucket id is a pure per-row expression (count of boundaries
+      below the value). No window, no per-group global sort — the plan
+      contains no Window/Sort node at all (plan-asserted in
+      tests/test_corpus_ops.py). Bucket POPULATIONS may differ from
+      exact ntile near boundary duplicates; bucket boundaries are within
+      the sketch's rank-error guarantee (1/accuracy)."""
+    if exact:
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(group_col).orderBy(val_col, *tie_cols)
+        b = df.select(
+            group_col,
+            F.ntile(n_buckets).over(w).alias("bucket"),
+            val_col,
+        )
+    else:
+        qs = ", ".join(
+            f"CAST({i} AS DOUBLE)/{n_buckets}" for i in range(1, n_buckets)
+        )
+        bounds = df.groupBy(group_col).agg(
+            F.expr(
+                f"approx_percentile({val_col}, array({qs}), {accuracy})"
+            ).alias("bounds")
+        )
+        b = (
+            df.join(F.broadcast(bounds), group_col)
+            .select(
+                group_col,
+                (
+                    1
+                    + F.expr(
+                        f"aggregate(bounds, 0,"
+                        f" (acc, bd) -> acc + IF({val_col} > bd, 1, 0))"
+                    )
+                ).alias("bucket"),
+                val_col,
+            )
+        )
+    return b.groupBy(
+        group_col, F.col("bucket").cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        money(F.min(val_col), 2, 6).alias("lo"),
+        money(F.max(val_col), 2, 6).alias("hi"),
+    )
+
+
 @op(
     "feature_quantile_bucketize",
     oracle=f"""
@@ -319,32 +384,22 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     [lo, hi] boundaries — the feature-binning step for dataset balancing /
     stratified mixing (buckets feed sample_stratified_quota as strata).
 
-    Plan: ntile is a window over the group partitioning — a per-group
-    sort, parallel across groups. That is the EXACT-boundary baseline; at
-    100 TB the scale path swaps ntile for approx_percentile boundaries
-    (one partial-agg pass, boundaries broadcast back as a range join),
-    trading exactness for no per-group sort — same output schema, so the
-    swap is invisible downstream. The ntile ordering carries a total
-    tie-break (price, orderkey, linenumber) so both engines assign
+    This op runs the EXACT-boundary baseline (hash-matchable against the
+    ntile oracle); ``quantile_bucketize_plan(..., exact=False)`` is the
+    100 TB path — approx_percentile boundaries in one partial-agg pass,
+    broadcast back, bucket id as a per-row expression, no per-group sort
+    (no Window node in the plan; asserted in tests). Same output schema,
+    so the swap is invisible downstream. The ntile ordering carries a
+    total tie-break (price, orderkey, linenumber) so both engines assign
     boundary-straddling duplicates identically."""
     li = load(spark, sf_dir, "lineitem")
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    b = li.select(
+    return quantile_bucketize_plan(
+        li,
         "l_returnflag",
-        F.ntile(N_BUCKETS).over(w).alias("bucket"),
         "l_extendedprice",
-    )
-    return (
-        b.groupBy("l_returnflag", F.col("bucket").cast("long").alias("bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            money(F.min("l_extendedprice"), 2, 6).alias("lo"),
-            money(F.max("l_extendedprice"), 2, 6).alias("hi"),
-        )
+        N_BUCKETS,
+        tie_cols=("l_orderkey", "l_linenumber"),
+        exact=True,
     )
 
 
@@ -758,7 +813,10 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One SQL string, two engines: restricted to the ANSI subset both Spark SQL
 # and DuckDB parse identically (no dialect functions, explicit casts,
-# total-order window tie-breaks).
+# total-order window tie-breaks). The rank orders by the decimal-sandwiched
+# total, not the raw double sum: cross-engine float summation order can
+# differ in the last ulp, and the tie-break only fires on exact equality —
+# ranking the rounded value keeps the two engines' orderings identical.
 SHARED_ANSI_SQL = """
 SELECT c_mktsegment, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
@@ -766,7 +824,8 @@ SELECT c_mktsegment, o_orderstatus,
          AS total,
        CAST(rank() OVER (
               PARTITION BY c_mktsegment
-              ORDER BY sum(o_totalprice) DESC, o_orderstatus) AS BIGINT) AS rk
+              ORDER BY round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) DESC,
+                       o_orderstatus) AS BIGINT) AS rk
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderstatus
 """
@@ -1035,11 +1094,15 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Heavy-hitter sketch: per-partition space-saving width and final k. The
-# candidate pass keeps far more than TOPK per partition, so the exact
-# recount's top-k is deterministic for any plausible partitioning (a
-# frequency-φ item survives per-partition capping whenever its local count
-# exceeds n_p / HH_WIDTH — asserted against exact counts in tests).
+# Heavy-hitter sketch: per-partition Misra-Gries counter width and final k.
+# The batched Misra-Gries decrement (subtract the (HH_WIDTH+1)-th largest
+# count from every key, drop the non-positive) removes >= delta*(HH_WIDTH+1)
+# total mass per round, so the summed decrements never exceed
+# n_p/(HH_WIDTH+1) and any token with per-partition count > n_p/(HH_WIDTH+1)
+# is GUARANTEED to keep a positive counter — the survival property a plain
+# truncating Counter lacks (truncation zeroes evicted keys, so a true top-k
+# token interleaved with bursts of other tokens could be evicted from every
+# partition's candidates). Asserted against exact counts in tests.
 HH_WIDTH = 256
 HH_TOPK = 10
 
@@ -1060,12 +1123,15 @@ HH_TOPK = 10
 )
 def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters without shuffling the keyspace: each partition runs a
-    space-saving-style capped counter over its tokens (Arrow mapInPandas,
-    stateful across the partition's batches) and emits only its top
-    HH_WIDTH candidates; the tiny candidate union broadcasts back for an
+    batched Misra-Gries summary over its tokens (Arrow mapInPandas,
+    stateful across the partition's batches) and emits its surviving
+    candidate keys; the tiny candidate union broadcasts back for an
     EXACT recount, and the final top-k is ranked from exact counts — so
     the result is deterministic and oracle-checkable even though the
-    candidate sets are partitioning-dependent.
+    candidate sets are partitioning-dependent. Misra-Gries (not Counter
+    truncation) gives the survival guarantee: every token whose
+    per-partition count exceeds n_p/(HH_WIDTH+1) is in that partition's
+    candidates, so a global heavy hitter cannot be lost.
 
     This is the candidate/verify pattern for frequency queries at 100 TB:
     the full (word → count) shuffle that a naive groupBy pays is replaced
@@ -1080,15 +1146,21 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(F.explode(F.split("text", " ")).alias("w"))
 
     def sketch(batches):
-        from collections import Counter
-
-        cnt: Counter = Counter()
+        # Batched Misra-Gries: exact counts within the table; on overflow
+        # subtract the (HH_WIDTH+1)-th largest count from every key and
+        # drop the non-positive. Each round decrements >= HH_WIDTH+1 keys
+        # by delta, removing >= delta*(HH_WIDTH+1) mass, so total
+        # decrement <= n_p/(HH_WIDTH+1): a key with true partition count
+        # above that bound always survives with a positive counter.
+        cnt: dict = {}
         for pdf in batches:
-            cnt.update(pdf["w"])
+            for w, c in pdf["w"].value_counts().items():
+                cnt[w] = cnt.get(w, 0) + int(c)
             if len(cnt) > 8 * HH_WIDTH:
-                cnt = Counter(dict(cnt.most_common(2 * HH_WIDTH)))
-        top = [w for w, _ in cnt.most_common(HH_WIDTH)]
-        yield pd.DataFrame({"w": top})
+                counts = sorted(cnt.values(), reverse=True)
+                delta = counts[HH_WIDTH]
+                cnt = {w: c - delta for w, c in cnt.items() if c > delta}
+        yield pd.DataFrame({"w": list(cnt)})
 
     cands = words.mapInPandas(sketch, "w string").distinct()
     exact = (
@@ -1212,7 +1284,14 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys / web scale → HLL; both partials persist beside the data.
 
     Unlike the sketch, the bitmap result is EXACT, so the oracle checks
-    the count itself — no tolerance boolean needed."""
+    the count itself — no tolerance boolean needed.
+
+    ``n_shards`` is computed as an INDEPENDENT global countDistinct over
+    the shard key, cross-joined onto the 1-row bitmap total (the same
+    compose shape agg_hll_union_shards uses) — NOT as max(shards-seen-
+    per-bucket), which is only a lower bound: with ids spanning multiple
+    32k buckets, a shard can be absent from every single bucket that
+    another shard tops, and the max under-counts."""
     e = load(spark, sf_dir, "events")
     per_shard = e.groupBy(
         F.col("event_type"),
@@ -1222,12 +1301,12 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = per_shard.groupBy("bkt").agg(
         F.expr("bitmap_or_agg(bm)").alias("bm"),
-        F.countDistinct("event_type").alias("shards_seen"),
     )
-    return merged.agg(
+    totals = merged.agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("exact_users"),
-        F.max("shards_seen").cast("long").alias("n_shards"),
     )
+    shards = e.agg(F.countDistinct("event_type").cast("long").alias("n_shards"))
+    return totals.crossJoin(shards)
 
 
 @op(
@@ -1258,11 +1337,17 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     The fixture is a real partitioned write of orders to scratch — the
     pruning needs actual partition directories to skip."""
     o = load(spark, sf_dir, "orders")
-    # Scratch path keyed by the source dir: the cached partitioned fixture
-    # must never be reused across scale factors.
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = scratch_dir(f"dpp_orders_{sf_tag}")
     import os
+
+    # Scratch path keyed by the source file's content fingerprint
+    # (mtime+size), not just the sf_dir basename: regenerated testdata at
+    # the same path must invalidate the cached partitioned fixture, or the
+    # op would silently join stale facts against a fresh oracle.
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    out = scratch_dir(
+        f"dpp_orders_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
 
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

@@ -708,10 +708,12 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(round(CAST(qscale AS DECIMAL(18,10)), 6) AS DOUBLE) AS qscale,
-           list_transform(
-             embedding,
-             x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0 / qscale
-                             AS DECIMAL(18,8)), 0) AS INTEGER)) AS qvec
+           '[' || array_to_string(
+             list_transform(
+               embedding,
+               x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0 / qscale
+                               AS DECIMAL(18,8)), 0) AS INTEGER)), ',')
+               || ']' AS qvec
     FROM s
     """,
     tags=("similarity", "llm", "extra"),
@@ -727,7 +729,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: pure per-row Catalyst HOF arithmetic (transform / array_max) —
     no shuffle, no UDF; pushes down to a 2-column scan. The rounding goes
     through the decimal sandwich so the half-way cases land identically on
-    both engines."""
+    both engines. ``qvec`` is emitted as its canonical JSON-ish string
+    (``[q0,q1,...]``) rather than ARRAY<INT>: the value content is
+    identical, and a scalar column keeps the result sortable/hashable by
+    any downstream canonicalizer (pandas cannot factorize ndarray cells)."""
     e = load(spark, sf_dir, "embeddings")
     s = e.select(
         "vec_id",
@@ -744,8 +749,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qscale").cast("decimal(18,10)"), 6)
         .cast("double")
         .alias("qscale"),
-        F.expr(
-            "transform(embedding, x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0"
-            " / qscale AS DECIMAL(18,8)), 0) AS INT))"
+        F.concat(
+            F.lit("["),
+            F.expr(
+                "array_join(transform(embedding,"
+                " x -> CAST(round(CAST(CAST(x AS DOUBLE) * 127.0"
+                " / qscale AS DECIMAL(18,8)), 0) AS INT)), ',')"
+            ),
+            F.lit("]"),
         ).alias("qvec"),
     )

@@ -15,11 +15,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.similarity import (
+    ann_lsh_topk,
     brute_force_topk,
     brute_force_topk_unrolled,
     cosine_expr,
-    random_hyperplanes,
-    signature_bucket,
 )
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.sources.binary import (
@@ -164,30 +163,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("sim_ann_lsh_topk", tags=("similarity", "approx", "extra"))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-LSH bucketing (the 100 TB scale path):
-    8 hyperplane signs → 256 buckets; candidates = same-bucket vectors;
+    """Approximate NN via sign-LSH bucketing (the 100 TB scale path), now
+    scale-parameterized: plane count derived from the corpus size so
+    expected bucket occupancy stays ~64 at any n (2k vectors → 5 planes;
+    2B vectors → 24 planes / 16M buckets), and buckets wider than
+    16×target are dropped before the self-join — the same degenerate-key
+    cap as minhash_band_candidates. Candidates = same-bucket vectors;
     exact cosine re-rank inside buckets; top-3 per query vector.
-    Rows-checked (approximate); recall vs brute force asserted in tests."""
+    Rows-checked (approximate); recall vs brute force and the bucket-width
+    bound at synthetic 100× n asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = random_hyperplanes(dim=64, n_planes=8)
-    bucketed = emb.withColumn("bucket", signature_bucket("embedding", planes))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_id"), "bucket", F.col("embedding").alias("emb_a")
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("nbr_id"), "bucket", F.col("embedding").alias("emb_b")
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .withColumn("cos", cosine_expr("emb_a", "emb_b"))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("vec_id", "nbr_id", F.round("cos", 6).alias("cos_sim"))
-    )
+    return ann_lsh_topk(emb, k=3, target_bucket=64)
 
 
 @op("multimodal_binary_meta", tags=("multimodal",))

@@ -36,68 +36,71 @@ _REGISTRY: dict[str, Op] = {}
 
 # Driver-visibility rotation. The external correctness harness verifies the
 # FIRST 50 registry entries in iteration order. Round 1 verified the
-# relational core; round 2/3 verified UDF/text/dedup/similarity/scale
-# families (CORRECTNESS_r02/r03). Round-4 window = the 35 round-2 additions
-# that have never had a driver row (SURVEY §9 rotation TODO) + the 14 ops
-# whose r03 rows errored on the events-ts dtype change (all streaming ops,
-# time-bucket, batch sessionize, approx-distinct) + dedup_minhash_lsh (its
-# only driver row predates the id-only band-join rework). Ops not listed
-# keep canonical order after the priority block. Rotate per round until
-# every operator has been externally verified at least once.
+# relational core; rounds 2-4 rotated through UDF/text/dedup/similarity/
+# scale/streaming families (CORRECTNESS_r02-r04). Round-5 window = the 25
+# round-4 additions that have never had a driver row (SURVEY §10 rotation
+# TODO) + embedding_quantize_int8 (the single red r04 row, re-checked after
+# the to_json output fix) + graph_pagerank (upgraded from no_oracle to a
+# DuckDB iterative-CTE oracle this round), backfilled to 50 with the
+# relational-core ops whose only driver row is r01 (scans → rowops →
+# functions → joins in registry-tail order) so their rows refresh against
+# the current codebase. Ops not listed keep canonical order after the
+# priority block. Rotate per round until every operator has a recent row.
 _DRIVER_PRIORITY = (
-    # -- never driver-checked (round-2 additions) --
-    "text_pii_redact",
-    "dedup_chunk_content_defined",
-    "sim_cosine_topk_fast",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pivot_wide",
-    "unpivot_stack",
-    "win_first_last",
-    "fn_bitwise",
-    "subquery_in_uncorrelated",
-    "merge_scd2",
-    "dq_profile_columns",
-    "ts_resample_gap_fill",
-    "agg_approx_percentile",
-    "agg_regression",
-    "cdc_apply_changelog",
-    "graph_pagerank",
-    "sample_bernoulli_hash",
-    "split_train_valid_test",
-    "sample_stratified_quota",
-    "interleave_weighted_sources",
-    "text_tfidf_topk",
-    "text_bm25_score",
-    "decontaminate_ngram_overlap",
-    "seq_pack_offsets",
-    "text_repetition_stats",
-    "embedding_centroid_stats",
-    "sink_shard_manifest",
-    "text_url_extract",
-    "agg_histogram_fixed",
-    "agg_mode",
-    "graph_triangle_count",
-    "text_entropy_stats",
-    "dedup_levenshtein_pairs",
+    # -- never driver-checked (round-4 additions) --
+    "sink_orc_roundtrip",
+    "text_chunk_sliding_tokens",
+    "embedding_random_projection",
+    "feature_quantile_bucketize",
+    "agg_hll_union_shards",
+    "join_asof_forward",
+    "scan_parquet_schema_merge",
+    "pipeline_corpus_curation",
+    "win_distinct_sliding",
+    "scan_csv_permissive_corrupt",
+    "stream_corpus_curation",
+    "sql_shared_ansi",
+    "set_ops_all_multiset",
+    "multimodal_feature_embed_topk",
+    "agg_string_concat",
+    "win_median_rolling",
+    "fn_datetime_interval",
+    "join_lateral_topk_per_key",
+    "join_null_safe_eq",
+    "agg_heavy_hitters_sketch",
+    "udtf_python_lateral",
+    "scan_ndjson_gzip",
+    "win_time_range_sum",
+    "agg_bitmap_exact_distinct",
+    "join_dynamic_partition_pruning",
+    "fn_try_arithmetic",
+    # -- red r04 row, re-check after the scalar-output fix --
     "embedding_quantize_int8",
-    # -- errored in r03 (events.ts dtype), need a green row --
-    "agg_approx_distinct",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_keys",
-    "stream_stateful_count",
-    "stream_custom_stateful",
-    "stream_foreach_sink",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "win_sessionize_batch",
-    "agg_time_bucket",
-    # -- re-check after round-2 rework --
-    "dedup_minhash_lsh",
+    # -- upgraded no_oracle -> full oracle this round --
+    "graph_pagerank",
+    # -- r01-only relational core, rows refreshed (registry-tail order) --
+    "scan_parquet",
+    "scan_ndjson",
+    "scan_csv",
+    "sink_parquet_partitioned",
+    "sink_json_export",
+    "delete_partition",
+    "upsert_by_key",
+    "project_select",
+    "filter_pred",
+    "filter_null_semantics",
+    "flatten_struct",
+    "explode_array",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_cast",
+    "join_multiway_star",
+    "join_inner_hash",
 )
 
 # Operator-family modules; importing them runs the @op decorators.

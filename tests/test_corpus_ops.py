@@ -213,3 +213,51 @@ def test_heavy_hitter_candidates_cover_true_topk(spark):
     assert [(r.w, r.n) for r in sorted(got, key=lambda r: r.rk)] == [
         (r.w, r["count"]) for r in exact
     ]
+
+
+def test_quantile_bucketize_approx_path_no_window(spark):
+    """The exact=False scale path: (a) no Window / per-group sort node in
+    the physical plan — boundaries come from one partial-agg pass and the
+    bucket id is a per-row expression; (b) same output schema as exact;
+    (c) every row lands in a valid bucket, group totals preserved, and
+    [lo, hi] ranges are ordered per group."""
+    from aced_etl_pod_spark.operators.corpus_ops import (
+        N_BUCKETS,
+        quantile_bucketize_plan,
+    )
+
+    li = load(spark, SF_SMALL, "lineitem")
+    approx = quantile_bucketize_plan(
+        li, "l_returnflag", "l_extendedprice", N_BUCKETS, exact=False
+    )
+    plan = approx._sc._jvm.PythonSQLUtils.explainString(
+        approx._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan
+    exact = quantile_bucketize_plan(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        N_BUCKETS,
+        tie_cols=("l_orderkey", "l_linenumber"),
+        exact=True,
+    )
+    # same column names and types (nullability flags may differ: ntile is
+    # provably non-null, the aggregate expression is not)
+    assert [(f.name, f.dataType) for f in approx.schema.fields] == [
+        (f.name, f.dataType) for f in exact.schema.fields
+    ]
+    rows = approx.collect()
+    n_src = li.count()
+    assert sum(r.n for r in rows) == n_src
+    by_group: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.bucket <= N_BUCKETS, r
+        by_group.setdefault(r.l_returnflag, []).append(r)
+    for flag, rs in by_group.items():
+        rs.sort(key=lambda r: r.bucket)
+        sizes = [r.n for r in rs]
+        # approx boundaries: buckets near-balanced (rank error 1/accuracy)
+        assert max(sizes) <= 2 * min(sizes) + 2, (flag, sizes)
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.hi <= cur.lo, (flag, prev, cur)

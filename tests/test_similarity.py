@@ -132,7 +132,11 @@ def test_embedding_quantize_int8_bounds(spark):
     rows = df.collect()
     assert rows
     for r in rows:
-        q, s = r["qvec"], r["qscale"]
+        # qvec is emitted as its canonical string form "[q0,q1,...]" so the
+        # column stays scalar/hashable for downstream canonicalizers
+        assert r["qvec"].startswith("[") and r["qvec"].endswith("]")
+        q = [int(t) for t in r["qvec"][1:-1].split(",")]
+        s = r["qscale"]
         assert max(abs(x) for x in q) <= 127
         orig = emb[r["vec_id"]]
         assert len(q) == len(orig)
@@ -140,3 +144,82 @@ def test_embedding_quantize_int8_bounds(spark):
         for x, qi in zip(orig, q):
             # qscale is rounded to 6dp, so allow that slack on top of step/2
             assert abs(float(x) - qi * step) <= step / 2 + 2e-6, (r["vec_id"], x, qi)
+
+
+def test_lsh_planes_scale_with_corpus():
+    """The plane count must track corpus size so expected bucket occupancy
+    stays bounded — the 100× question: parameters, not just plan shape."""
+    from aced_etl_pod_spark.functions.similarity import lsh_planes_for
+
+    for n in (100, 2_000, 200_000, 20_000_000, 2_000_000_000):
+        p = lsh_planes_for(n, target_bucket=64)
+        assert 4 <= p <= 24
+        expected_occupancy = n / 2**p
+        # either occupancy is within 2x of target, or we hit the plane cap
+        assert expected_occupancy <= 2 * 64 or p == 24, (n, p, expected_occupancy)
+    # monotone: more data never means fewer planes
+    planes = [lsh_planes_for(n) for n in (1_000, 10_000, 100_000, 1_000_000)]
+    assert planes == sorted(planes)
+
+
+def test_ivf_centroids_scale_with_corpus():
+    from aced_etl_pod_spark.functions.similarity import ivf_centroids_for
+
+    assert ivf_centroids_for(2_000) == 44  # ~sqrt(n)
+    assert ivf_centroids_for(100) == 10
+    assert ivf_centroids_for(10_000_000_000) == 65536  # clamped
+    # cell width n/C stays O(sqrt(n)), not O(n)
+    for n in (10_000, 1_000_000, 100_000_000):
+        c = ivf_centroids_for(n)
+        assert n / c <= 2 * math.sqrt(n) + 1
+
+
+def test_ann_lsh_degenerate_bucket_capped(spark):
+    """A mass of identical vectors (one mega-bucket) must be dropped by the
+    max_bucket_size cap, not joined quadratically — mirrors the
+    minhash_band_candidates degenerate-key guard."""
+    from aced_etl_pod_spark.functions.similarity import ann_lsh_topk
+
+    same = [(i, 0, [1.0] * 8) for i in range(60)]
+    distinct = [
+        (100 + i, 1, [float(j == i) for j in range(8)]) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        same + distinct, "vec_id long, label int, embedding array<float>"
+    )
+    out = ann_lsh_topk(df, k=2, target_bucket=2, max_bucket_size=10)
+    ids = {r["vec_id"] for r in out.collect()}
+    # none of the 60-identical mega-bucket members survive the cap
+    assert all(i >= 100 or i not in ids for i in range(60))
+
+
+def test_ann_lsh_topk_recall_on_clustered(spark):
+    """End-to-end recall of the scale-parameterized ann_lsh_topk vs exact
+    per-label kNN on clustered data (the op-level acceptance gate)."""
+    from aced_etl_pod_spark.functions.similarity import ann_lsh_topk
+    from pyspark.sql import Window as W
+
+    df = _clustered(spark)
+    approx = {
+        (r["vec_id"], r["nbr_id"])
+        for r in ann_lsh_topk(df, k=3, target_bucket=16).collect()
+    }
+    a = df.select("vec_id", "label", F.col("embedding").alias("ea"))
+    b = df.select(
+        F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_expr("ea", "eb"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    exact = {
+        (r["vec_id"], r["nbr_id"])
+        for r in pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "nbr_id")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ann_lsh_topk recall {recall:.2f} < 0.9"
