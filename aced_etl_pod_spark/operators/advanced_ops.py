@@ -180,12 +180,62 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("graph_pagerank", tags=("graph", "approx", "extra"))
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """DuckDB oracle for graph_pagerank: the same fixed-point recurrence,
+    UNROLLED into one CTE per iteration. A recursive CTE can't express it
+    directly — each step needs the previous ranks TWICE (dangling-mass
+    scalar + in-contribution sum) and the standard recursive form allows a
+    single reference to the working table — but with a fixed iteration
+    count plain chained CTEs are exact and engine-portable."""
+    step = """r{k} AS (
+      SELECT nd.node,
+             (1 - 0.85) / cnt.n
+             + 0.85 * (COALESCE(c.in_rank, 0) + dgm.dm / cnt.n) AS rank
+      FROM nodes nd
+      CROSS JOIN cnt
+      CROSS JOIN (
+        SELECT COALESCE(SUM(p.rank), 0) AS dm
+        FROM r{p} p JOIN dangling d ON p.node = d.node
+      ) dgm
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / od.deg) AS in_rank
+        FROM e JOIN r{p} p ON e.src = p.node JOIN out_deg od ON od.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+    chain = ",\n    ".join(step.format(k=k, p=k - 1) for k in range(1, iterations + 1))
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    out_deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src
+    ), dangling AS (
+      SELECT node FROM nodes nd
+      WHERE NOT EXISTS (SELECT 1 FROM out_deg od WHERE od.src = nd.node)
+    ), r0 AS (
+      SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt
+    ),
+    {chain}
+    SELECT node, ROUND(rank, 6) AS "rank"
+    FROM r{iterations}
+    ORDER BY ROUND(rank, 6) DESC, node
+    LIMIT 20
+    """
+
+
+@op("graph_pagerank", oracle=_pagerank_oracle(8), tags=("graph", "extra"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier purchase graph (edges: orders ⋈
     lineitem, distinct (o_custkey, l_suppkey)) — 8 fixed iterations,
-    d=0.85. Rows-only (iterative float; no SQL oracle): exactness vs a
-    dense NumPy power iteration is asserted in tests/test_cluster.py.
+    d=0.85. Oracle: the identical recurrence unrolled into 8 chained DuckDB
+    CTEs (see _pagerank_oracle); exactness vs a dense NumPy power iteration
+    is additionally asserted in tests/test_cluster.py. Both engines round
+    to 6dp before ranking, so cross-engine float summation-order noise
+    (~1e-12 after 8 iterations) cannot flip the comparison.
 
     Customer and supplier keys share the 0-based integer space, so supplier
     nodes are mapped to the negative ids -(suppkey+1) to keep the bipartite

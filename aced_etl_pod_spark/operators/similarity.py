@@ -26,7 +26,6 @@ from aced_etl_pod_spark.sources.binary import (
     frame_sample_stub,
     generate_blob_fixture,
     read_binary,
-    resize_stub,
 )
 from aced_etl_pod_spark.tables import load
 
@@ -220,16 +219,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("multimodal_resize", tags=("multimodal", "extra"))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: binary in → fixed-width binary thumbnail out
-    via mapInPandas (binary output column through Arrow). Rows-checked;
-    thumbnail bytes asserted deterministic in tests."""
-    src = generate_blob_fixture(n=32, sub="multimodal_resize")
-    blobs = read_binary(spark, src)
-    thumbs = resize_stub(blobs.select("path", "content"))
+    """REAL image decode + resize: the fixture is genuine PPM (P6) files,
+    and the mapInPandas stage parses the Netpbm header, reshapes the raster
+    to (H,W,3), bilinear-resamples to 8×8, and re-encodes — an actual codec
+    (functions/imagecodec.py), not a byte stride. One deliberately corrupt
+    blob exercises the per-record quarantine (``decode_error`` populated,
+    metrics NULL) so a single bad file can't kill a large blob scan.
+    Rows-checked (no DuckDB view over a blob dir); decode exactness,
+    resize math, and thumbnail byte-determinism asserted in
+    tests/test_multimodal.py."""
+    from aced_etl_pod_spark.sources.binary import decode_resize_ppm, generate_ppm_fixture
+
+    src = generate_ppm_fixture(n=24, sub="multimodal_resize_ppm")
+    blobs = read_binary(spark, src, glob="*.ppm")
+    thumbs = decode_resize_ppm(blobs.select("path", "content"), out_h=8, out_w=8)
     return thumbs.select(
-        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        F.regexp_extract("path", r"img_(\d+)\.ppm", 1).cast("long").alias("blob_id"),
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
         F.sha2("thumb", 256).alias("thumb_digest"),
         "thumb_len",
+        "decode_error",
     )
 
 

@@ -150,3 +150,86 @@ def feature_extract_stub(df: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame({"path": pdf["path"], "features": feats})
 
     return df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path (functions/imagecodec.py): PPM P6 decode -> resample ->
+# re-encode. Everything below does genuine pixel work, not byte striding.
+# ---------------------------------------------------------------------------
+
+PPM_DECODE_RESIZE_SCHEMA = (
+    "path string, width int, height int, mean_r double, mean_g double,"
+    " mean_b double, thumb binary, thumb_len long, decode_error string"
+)
+
+
+def generate_ppm_fixture(n: int = 24, sub: str = "multimodal_ppm") -> str:
+    """Deterministic REAL images: blob i is a (16+i) x (12+i) PPM whose
+    pixels are an integer gradient + per-image phase (pure arithmetic, no
+    RNG), so every byte is reproducible across runs and platforms. One
+    deliberately corrupt file (truncated raster) exercises the quarantine
+    path."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import encode_ppm
+
+    out = scratch_dir(sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for i in range(n):
+        h, w = 12 + i, 16 + i
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 7 + i * 13) % 256,
+                (yy * 11 + i * 29) % 256,
+                (xx * 3 + yy * 5 + i) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        data = encode_ppm(img)
+        if i == n - 1:  # corrupt the last one: keep header, halve the raster
+            data = data[: len(data) // 2]
+        with open(os.path.join(out, f"img_{i:04d}.ppm"), "wb") as f:
+            f.write(data)
+    return out
+
+
+def decode_resize_ppm(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """REAL decode + resize over Arrow batches: parse each blob as PPM P6
+    (header tokenizer + raster reshape), bilinear-resample to (out_h,
+    out_w), re-encode as PPM. Malformed blobs are quarantined into the
+    ``decode_error`` column (NULL metrics) instead of failing the stage —
+    the per-record error contract a 100 TB blob scan needs, since one bad
+    file must not kill a 10^9-file job."""
+    from aced_etl_pod_spark.functions.imagecodec import (
+        channel_means,
+        decode_ppm,
+        encode_ppm,
+        resize_bilinear,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    img = decode_ppm(bytes(content))
+                except ValueError as exc:
+                    rows.append((path, None, None, None, None, None, None, None, str(exc)))
+                    continue
+                thumb = encode_ppm(resize_bilinear(img, out_h, out_w))
+                mr, mg, mb = channel_means(img)
+                rows.append(
+                    (path, img.shape[1], img.shape[0], mr, mg, mb,
+                     thumb, len(thumb), None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "thumb", "thumb_len", "decode_error",
+                ],
+            )
+
+    return df.mapInPandas(work, PPM_DECODE_RESIZE_SCHEMA)

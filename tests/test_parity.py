@@ -75,3 +75,28 @@ def test_operators_md_fresh():
 
     with open(OUT) as f:
         assert f.read() == render(), "stale docs/OPERATORS.md — regenerate"
+
+
+def test_census_fully_externally_verified_or_queued():
+    """Freshness guard (VERDICT r4 item 9): every registered operator must
+    either already have an external CORRECTNESS_r*.json row or sit in the
+    current driver window (_DRIVER_PRIORITY's first 50 — the slice the next
+    external run will check). New ops therefore cannot accumulate
+    unverified: adding one without queueing it fails this test."""
+    import glob
+    import json
+    import os
+
+    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    queued = set(_DRIVER_PRIORITY[:50])
+    missing = sorted(set(registry()) - seen - queued)
+    assert not missing, (
+        f"{len(missing)} ops have no external correctness row and are not in "
+        f"the driver window — queue them in _DRIVER_PRIORITY: {missing}"
+    )
