@@ -78,6 +78,10 @@ _DRIVER_PRIORITY = (
     "embedding_quantize_int8",
     # -- upgraded no_oracle -> full oracle this round --
     "graph_pagerank",
+    # -- new this round: ACID txn-log table format --
+    "scan_txnlog_snapshot",
+    "txnlog_time_travel",
+    "txnlog_file_skipping",
     # -- r01-only relational core, rows refreshed (registry-tail order) --
     "scan_parquet",
     "scan_ndjson",
@@ -98,9 +102,6 @@ _DRIVER_PRIORITY = (
     "fn_array",
     "fn_map",
     "fn_json",
-    "fn_cast",
-    "join_multiway_star",
-    "join_inner_hash",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
@@ -122,6 +123,7 @@ _MODULES = (
     "aced_etl_pod_spark.operators.sampling",
     "aced_etl_pod_spark.operators.llm_pipeline",
     "aced_etl_pod_spark.operators.corpus_ops",
+    "aced_etl_pod_spark.operators.table_format",
 )
 
 

@@ -1,0 +1,244 @@
+"""Transaction-log table format — the ACID story for the partitioned
+warehouse (mini log-structured table in the style of the PUBLISHED Delta
+Lake / Iceberg protocols: an ordered log of add/remove file actions; a
+snapshot is the replay of the log; a commit is the atomic publish of the
+next numbered log entry).
+
+Why this exists: `plans/storage.py`'s partition-directory operations are
+correct for a single writer, but at 100 TB with concurrent writers you need
+(a) atomic multi-file commits, (b) snapshot isolation for readers, (c)
+optimistic concurrency for writers, and (d) manifest-level file skipping so
+a predicate prunes FILES before Spark ever lists them (row-group pruning
+then prunes within the survivors). This module provides all four on any
+filesystem with atomic link/rename — on S3-era object stores the same
+design runs against a log store (the published Delta approach) or a
+catalog swap (the published Iceberg approach).
+
+Log layout::
+
+    table/
+      _txnlog/00000000000000000000.json   # one JSON-lines file per version
+      _txnlog/00000000000000000001.json
+      v0-00000-*.parquet                  # data files (immutable once added)
+
+Each log line is one action::
+
+    {"commit": {"op": "...", "version": n}}
+    {"add": {"path": "v0-...parquet", "rows": 123,
+             "stats": {"col": {"min": .., "max": ..}}}}
+    {"remove": {"path": "v0-...parquet"}}
+
+Commit protocol (optimistic concurrency, atomic publish): write the full
+action file to a hidden temp name, fsync, then ``os.link(tmp, final)`` —
+link(2) fails with EEXIST if another writer won the version, in which case
+the loser re-reads the log, revalidates, and retries at version+1. Readers
+only ever see complete, immutable log files, so a crashed writer leaves at
+worst an orphan temp file and orphan (unreferenced) data files — never a
+torn table.
+
+Reference anchor: the reference's stores are rebuilt wholesale per job
+(etl-job/fhir_import_export.py:230-258 load, :372-385 delete); this is the
+incremental, concurrent-safe generalization a Spark warehouse needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_txnlog"
+_PAD = 20
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first; replay and retry."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, LOG_DIR, f"{version:0{_PAD}d}.json")
+
+
+def current_version(table: str) -> int:
+    """Highest committed version, or -1 for an empty/new table."""
+    log = os.path.join(table, LOG_DIR)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(f[:-5]) for f in os.listdir(log)
+        if f.endswith(".json") and not f.startswith(".")
+    ]
+    return max(versions, default=-1)
+
+
+def _publish(table: str, version: int, actions: list[dict]) -> None:
+    """Atomically publish ``actions`` as log version ``version``.
+
+    Raises CommitConflict if that version already exists (optimistic
+    concurrency — the caller revalidates and retries)."""
+    log = os.path.join(table, LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".commit-{os.getpid()}-{version}.tmp")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _log_path(table, version))  # atomic create-exclusive
+    except FileExistsError as exc:
+        raise CommitConflict(f"version {version} already committed") from exc
+    finally:
+        os.unlink(tmp)
+
+
+def _file_stats(path: str, stats_cols: tuple[str, ...]) -> tuple[int, dict]:
+    """Row count + per-column min/max from the parquet FOOTER (no data
+    read) — the add-action stats that power manifest-level skipping."""
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, dict] = {}
+    for col in stats_cols:
+        if col not in names:
+            continue
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(names[col]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[col] = {"min": lo, "max": hi}
+    return md.num_rows, stats
+
+
+def txn_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    stats_cols: tuple[str, ...] = (),
+    op_name: str = "write",
+) -> int:
+    """Write ``df`` as immutable data files + one atomic log commit.
+
+    mode="append" adds files; mode="overwrite" additionally removes every
+    file live in the snapshot the writer validated against. Returns the
+    committed version. On CommitConflict the commit retries at the next
+    version — for append that is always safe (file-level appends commute);
+    an overwrite retry re-reads the live set so it removes the winner's
+    files too."""
+    os.makedirs(table, exist_ok=True)
+    staging = os.path.join(table, f".staging-{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    # Move staged parquet into the table root ONCE, under names unique to
+    # this writer (pid + first attempted version + seq) — data files are
+    # immutable and unreferenced until a log commit names them, so a crash
+    # or a lost commit race leaves only orphans, never a torn table.
+    attempt = current_version(table) + 1
+    adds = []
+    for seq, fname in enumerate(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ):
+        final = f"v{attempt}-p{os.getpid()}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, fname), os.path.join(table, final))
+        rows, stats = _file_stats(os.path.join(table, final), stats_cols)
+        adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        actions = [{"commit": {"op": op_name, "version": version}}]
+        if mode == "overwrite":
+            # Revalidate against the CURRENT snapshot each attempt so a
+            # retried overwrite also removes files a rival just added.
+            actions += [
+                {"remove": {"path": f["path"]}}
+                for f in snapshot_files(table, version - 1)
+            ]
+        actions += adds
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            continue  # optimistic retry at the next version
+
+
+def snapshot_files(table: str, version: int | None = None) -> list[dict]:
+    """Replay the log up to ``version`` (inclusive; None = latest) and
+    return the live file entries [{path, rows, stats}, ...]."""
+    latest = current_version(table)
+    if latest < 0:
+        return []
+    upto = latest if version is None else min(version, latest)
+    live: dict[str, dict] = {}
+    for v in range(upto + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return list(live.values())
+
+
+def txn_read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read, optionally time-traveled to ``version``.
+
+    ``prune=(col, lo, hi)`` applies MANIFEST-LEVEL file skipping: any file
+    whose footer stats prove ``col`` ∉ [lo, hi] is dropped before Spark
+    sees a path — at 100 TB this turns a selective range scan from "list a
+    million files" into "open the dozens that can match". (The predicate
+    itself must still be applied by the caller; stats skipping is a
+    superset guarantee, exactly as in the published Delta/Iceberg
+    protocols.) Returns an empty-but-typed DataFrame for an empty
+    snapshot only if the table has at least one historical file to infer
+    schema from; a never-written table raises."""
+    files = snapshot_files(table, version)
+    if prune is not None:
+        col, lo, hi = prune
+        kept = []
+        for f in files:
+            s = f.get("stats", {}).get(col)
+            if s is not None and (s["max"] < lo or s["min"] > hi):
+                continue
+            kept.append(f)
+        files = kept
+    if not files:
+        # schema from any historical file; empty snapshot is a valid state
+        hist = [
+            f for f in os.listdir(table)
+            if f.endswith(".parquet")
+        ]
+        if not hist:
+            raise ValueError(f"txn table {table} has no data files")
+        schema = spark.read.parquet(os.path.join(table, hist[0])).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(table, f["path"]) for f in files])
+
+
+def table_history(table: str) -> list[dict]:
+    """The commit line of every version, oldest first (DESCRIBE HISTORY)."""
+    out = []
+    for v in range(current_version(table) + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            first = json.loads(f.readline())
+        out.append(first.get("commit", {"version": v}))
+    return out
