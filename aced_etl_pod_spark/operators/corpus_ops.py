@@ -1394,3 +1394,82 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").try_cast("double").alias("bad_cast"),
         F.col("event_id").cast("string").try_cast("double").alias("good_cast"),
     )
+
+
+# -- Round-5: runtime bloom-filter join pruning ----------------------------
+
+BLOOM_LAST_PLAN = {"plan": ""}  # test hook: executed plan of the last run
+
+
+@op(
+    "join_runtime_bloom_filter",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {money_sql("SUM(l_quantity)", 2, 6)} AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("join", "scale", "extra"),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the selective filter lives on the
+    ORDERS side only; Spark builds a bloom filter from the filtered keys at
+    runtime and injects a might_contain() predicate into the LINEITEM scan,
+    so most fact rows die at the scan instead of riding the shuffle — the
+    row-level sibling of dynamic partition pruning, and at 100 TB the
+    difference between shuffling the whole fact table and shuffling the
+    ~single-digit % of rows that can actually join.
+
+    Injection is size-gated (creation side ≤ threshold, application side ≥
+    scan threshold) — correct at warehouse scale, but at sf0.01 both sides
+    are tiny, so this op scopes the thresholds down and disables broadcast
+    (the filter only helps shuffle joins) JUST for its own planning+
+    execution, then restores. The plan is materialized inside the scope
+    (small agg, collected once) because runtime filters are injected at
+    physical-planning time, which happens lazily at the first action; the
+    executed plan is stashed in BLOOM_LAST_PLAN for the plan-shape test."""
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity"
+        )
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        )
+        agg = (
+            joined.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                money(F.sum("l_quantity"), 2, 6).alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+        rows = agg.collect()  # force planning + execution inside the scope
+        BLOOM_LAST_PLAN["plan"] = agg._jdf.queryExecution().executedPlan().toString()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

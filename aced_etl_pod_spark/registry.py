@@ -78,10 +78,12 @@ _DRIVER_PRIORITY = (
     "embedding_quantize_int8",
     # -- upgraded no_oracle -> full oracle this round --
     "graph_pagerank",
-    # -- new this round: ACID txn-log table format --
+    # -- new this round: ACID txn-log table format + runtime filters --
     "scan_txnlog_snapshot",
     "txnlog_time_travel",
     "txnlog_file_skipping",
+    "stream_txnlog_exactly_once",
+    "join_runtime_bloom_filter",
     # -- r01-only relational core, rows refreshed (registry-tail order) --
     "scan_parquet",
     "scan_ndjson",
@@ -100,8 +102,6 @@ _DRIVER_PRIORITY = (
     "fn_math",
     "fn_conditional",
     "fn_array",
-    "fn_map",
-    "fn_json",
 )
 
 # Operator-family modules; importing them runs the @op decorators.

@@ -189,3 +189,28 @@ def test_dynamic_partition_pruning_active(spark):
 
     plan = _plan(join_dynamic_partition_pruning(spark, SF_SMALL))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The bloom-filter join op must actually get a runtime bloom filter
+    injected into the fact side (might_contain on the scan) — otherwise
+    it is just a plain shuffle join and the op's scale story is false."""
+    from aced_etl_pod_spark.operators.corpus_ops import (
+        BLOOM_LAST_PLAN,
+        join_runtime_bloom_filter,
+    )
+
+    join_runtime_bloom_filter(spark, SF_SMALL)
+    plan = BLOOM_LAST_PLAN["plan"].lower()
+    assert "mightcontain" in plan or "bloomfilter" in plan, plan[:2000]
+
+
+def test_bloom_op_restores_session_confs(spark):
+    """The op scopes its threshold overrides; a foreign session must come
+    back with its original conf values."""
+    from aced_etl_pod_spark.operators.corpus_ops import join_runtime_bloom_filter
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    before = spark.conf.get(key)
+    join_runtime_bloom_filter(spark, SF_SMALL)
+    assert spark.conf.get(key) == before

@@ -130,3 +130,17 @@ def test_file_skipping_result_matches_unpruned(spark):
     assert sorted(r["o_orderkey"] for r in pruned.collect()) == sorted(
         r["o_orderkey"] for r in full.collect()
     )
+
+
+def test_stream_sink_epoch_replay_is_noop(spark, table):
+    """The exactly-once sink's idempotence primitive: re-committing an
+    already-logged epoch token changes nothing."""
+    from aced_etl_pod_spark.operators.table_format import txn_append_idempotent
+
+    d = _df(spark, 0, 5)
+    v = txn_append_idempotent(spark, d, table, "epoch-0")
+    assert v == 0
+    assert txn_append_idempotent(spark, d, table, "epoch-0") is None  # replay
+    assert txn_read(spark, table).count() == 5
+    assert txn_append_idempotent(spark, _df(spark, 5, 8), table, "epoch-1") == 1
+    assert txn_read(spark, table).count() == 8
