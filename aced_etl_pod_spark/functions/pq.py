@@ -1,0 +1,144 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The published FAISS/Jégou et al. design ("Product Quantization for Nearest
+Neighbor Search", TPAMI 2011): split each d-dim vector into M contiguous
+subvectors, k-means each subspace independently (k centroids), store each
+vector as M centroid ids (M bytes for k ≤ 256) — a d·4-byte float vector
+compresses to M bytes (64× here: 64 floats → 4 codes). Search uses
+Asymmetric Distance Computation (ADC): the query stays exact; per subspace
+a k-entry lookup table of query↔centroid distances is built once, and each
+database vector's approximate distance is the sum of M table lookups — no
+float vector ever touches the candidates.
+
+Scale split (the part that matters at 100 TB):
+  * TRAIN driver-side on a bounded deterministic sample (the standard
+    practice — codebooks are a tiny model, k·M·d_sub floats; FAISS trains
+    on samples too). Cost is O(sample), independent of corpus size.
+  * ASSIGN / SEARCH distributed: codebooks broadcast to executors, code
+    assignment and ADC scoring run vectorized per Arrow batch
+    (mapInPandas), and the top-k is a TakeOrdered — zero shuffles.
+
+Everything is deterministic: sample = lowest vec_ids, k-means init =
+evenly-strided sorted subvectors, fixed Lloyd iteration count — so results
+are reproducible across runs and partitionings (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_codebooks(
+    sample: np.ndarray, m: int = 4, k: int = 16, iters: int = 10
+) -> np.ndarray:
+    """k-means codebooks per subspace over a training sample.
+
+    Returns (m, k, d_sub). Deterministic: initial centroids are an even
+    stride over the sample's subvectors sorted lexicographically; ties in
+    assignment break to the lowest centroid id (numpy argmin); empty
+    clusters keep their previous centroid."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    books = np.empty((m, k, d_sub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * d_sub : (j + 1) * d_sub].astype(np.float64)
+        order = np.lexsort(sub.T[::-1])
+        centroids = sub[order[np.linspace(0, n - 1, k).astype(int)]].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    centroids[c] = sub[mask].mean(axis=0)
+        books[j] = centroids
+    return books
+
+
+def encode_batch(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Assign PQ codes for a batch: (n, d) → (n, m) uint8 centroid ids."""
+    n, d = vecs.shape
+    m, k, d_sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = vecs[:, j * d_sub : (j + 1) * d_sub, None].astype(np.float64)
+        d2 = ((sub - books[j].T[None, :, :]) ** 2).sum(axis=1)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def decode_codes(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct approximate vectors from codes: (n, m) → (n, d)."""
+    m, k, d_sub = books.shape
+    return np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def adc_table(query: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-subspace query↔centroid squared-distance lookup table (m, k)."""
+    m, k, d_sub = books.shape
+    tab = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        diff = books[j] - query[j * d_sub : (j + 1) * d_sub][None, :]
+        tab[j] = (diff * diff).sum(axis=1)
+    return tab
+
+
+def pq_quantize(emb: DataFrame, books: np.ndarray,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Distributed PQ encoding: codebooks ride the closure (broadcast by
+    Spark's task serialization — a few KB), each Arrow batch is encoded and
+    reconstruction error computed vectorized. Output:
+    (id, pq_code hex string, recon_err double)."""
+    spark_books = books  # captured; tiny
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            codes = encode_batch(vecs, spark_books)
+            recon = decode_codes(codes, spark_books)
+            err = np.sqrt(((vecs - recon) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "pq_code": [c.tobytes().hex() for c in codes],
+                    "recon_err": err,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, pq_code string, recon_err double"
+    )
+
+
+def adc_topk(emb: DataFrame, books: np.ndarray, query: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ADC search: encode each database vector, score it as the sum of M
+    lookup-table entries against the exact query, return global top-k by
+    ascending approximate distance (ties → lowest id, total order). One
+    scan, one Python stage, TakeOrdered — zero shuffles."""
+    tab = adc_table(query, books)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            codes = encode_batch(vecs, books)
+            dist = tab[np.arange(tab.shape[0])[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "adc_dist": dist})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, adc_dist double"
+    )
+    return (
+        scored.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )

@@ -293,3 +293,60 @@ def multimodal_feature_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), "blob_id").limit(5)
+
+
+def _pq_books_and_query(spark: SparkSession, sf_dir: str):
+    """Shared PQ setup: deterministic training sample (lowest 512 vec_ids
+    — a bounded driver-side collect, the standard codebook-training split:
+    O(sample) cost regardless of corpus size) and the vec_id-0 query."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import train_codebooks
+
+    emb = load(spark, sf_dir, "embeddings")
+    sample_rows = (
+        emb.orderBy("vec_id").limit(512).select("embedding").collect()
+    )
+    sample = np.stack([np.asarray(r["embedding"]) for r in sample_rows])
+    books = train_codebooks(sample.astype(np.float64), m=8, k=16, iters=10)
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"],
+        dtype=np.float64,
+    )
+    return emb, books, q
+
+
+@op("embedding_pq_codes", tags=("similarity", "llm", "approx", "extra"))
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression (published FAISS/Jégou design,
+    functions/pq.py): 64 float32s → 8 uint8 codes per vector (32×; m=8 subspaces of
+    dim 8, k=16 centroids — empirically the best recall/size point on this
+    synthetic corpus, see tests).
+    Codebooks train driver-side on a bounded deterministic sample and ride
+    to executors in the task closure; encoding is vectorized per Arrow
+    batch; no shuffle anywhere. Rows-only (k-means is not SQL-expressible);
+    determinism across runs/partitionings, reconstruction-error bounds, and
+    code distribution are asserted in tests/test_similarity.py."""
+    from aced_etl_pod_spark.functions.pq import pq_quantize
+
+    emb, books, _ = _pq_books_and_query(spark, sf_dir)
+    out = pq_quantize(emb, books)
+    return out.select(
+        "vec_id", "pq_code", F.round("recon_err", 4).alias("recon_err")
+    ).orderBy("vec_id")
+
+
+@op("sim_ann_pq_adc_topk", tags=("similarity", "approx", "extra"))
+def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PQ + Asymmetric Distance Computation: the query stays exact;
+    each database vector is scored by summing 8 lookup-table entries
+    addressed by its PQ codes — the memory-bandwidth trick that lets one
+    machine scan billions of compressed vectors. One scan, one vectorized
+    Python stage, TakeOrdered top-k: zero shuffles, same plan shape as
+    sim_cosine_topk_fast. Completes the ANN family (sign-LSH buckets, IVF
+    probe, PQ compression — compose IVF+PQ for the full billion-scale
+    recipe). Rows-only; recall vs exact L2 asserted in tests."""
+    from aced_etl_pod_spark.functions.pq import adc_topk
+
+    emb, books, q = _pq_books_and_query(spark, sf_dir)
+    return adc_topk(emb.filter(F.col("vec_id") != 0), books, q, k=10)

@@ -41,11 +41,12 @@ _REGISTRY: dict[str, Op] = {}
 # round-4 additions that have never had a driver row (SURVEY §10 rotation
 # TODO) + embedding_quantize_int8 (the single red r04 row, re-checked after
 # the to_json output fix) + graph_pagerank (upgraded from no_oracle to a
-# DuckDB iterative-CTE oracle this round), backfilled to 50 with the
-# relational-core ops whose only driver row is r01 (scans → rowops →
-# functions → joins in registry-tail order) so their rows refresh against
-# the current codebase. Ops not listed keep canonical order after the
-# priority block. Rotate per round until every operator has a recent row.
+# DuckDB iterative-CTE oracle this round) + the 7 brand-new round-5 ops
+# (txn-log ACID family, runtime bloom filter, product quantization),
+# backfilled to 50 with the relational-core ops whose only driver row is
+# r01 (registry-tail order) so their rows refresh against the current
+# codebase. Ops not listed keep canonical order after the priority block.
+# Rotate per round until every operator has a recent row.
 _DRIVER_PRIORITY = (
     # -- never driver-checked (round-4 additions) --
     "sink_orc_roundtrip",
@@ -84,6 +85,9 @@ _DRIVER_PRIORITY = (
     "txnlog_file_skipping",
     "stream_txnlog_exactly_once",
     "join_runtime_bloom_filter",
+    # -- new this round: product quantization (ANN compression + ADC) --
+    "embedding_pq_codes",
+    "sim_ann_pq_adc_topk",
     # -- r01-only relational core, rows refreshed (registry-tail order) --
     "scan_parquet",
     "scan_ndjson",
@@ -100,8 +104,6 @@ _DRIVER_PRIORITY = (
     "fn_string",
     "fn_date",
     "fn_math",
-    "fn_conditional",
-    "fn_array",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
