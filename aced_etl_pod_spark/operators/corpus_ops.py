@@ -33,6 +33,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.operators.util import money, money_sql
@@ -1473,3 +1474,197 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# -- Round-5: URL canonicalization dedup -----------------------------------
+
+
+@op(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'https://example.com/item/' || (o_orderkey % 500)
+               WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/item/' || (o_orderkey % 500)
+               WHEN 2 THEN 'https://example.com/item/' || (o_orderkey % 500)
+                           || '/?utm_source=mail&ref=2'
+               ELSE 'https://www.example.com/item/' || (o_orderkey % 500)
+                    || '#frag'
+             END AS url
+      FROM orders
+    ), parts AS (
+      SELECT o_orderkey, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(.*)$', 1) AS pathq
+      FROM raw
+    ), canon AS (
+      SELECT o_orderkey, url,
+             scheme || '://' ||
+             regexp_replace(regexp_replace(hostport, '^www\.', ''),
+                            ':(443|80)$', '') ||
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pathq, '#.*$', ''),
+                   '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+                 '[?&]+$', ''),
+               '/+$', '') AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_surface_forms,
+           MIN(o_orderkey) AS survivor_key
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("dedup", "text", "extra"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the corpus-curation step that collapses
+    crawl-surface variants (scheme/host case, default ports, www prefix,
+    tracking params, fragments, trailing slashes) into one canonical key
+    before content dedup ever runs. Four deterministic surface variants are
+    synthesized per order row; canonicalization is a pure JVM regexp chain
+    (identical RE2-compatible patterns run on both engines), then a single
+    hash aggregation groups survivors. At 100 TB: no UDF, one exchange on
+    the canonical key, and the regexp work rides the scan."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    item = (F.col("o_orderkey") % 500).cast("string")
+    url = (
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.concat(F.lit("https://example.com/item/"), item))
+        .when(F.col("o_orderkey") % 4 == 1,
+              F.concat(F.lit("HTTPS://EXAMPLE.COM:443/item/"), item))
+        .when(F.col("o_orderkey") % 4 == 2,
+              F.concat(F.lit("https://example.com/item/"), item,
+                       F.lit("/?utm_source=mail&ref=2")))
+        .otherwise(F.concat(F.lit("https://www.example.com/item/"), item,
+                            F.lit("#frag")))
+    )
+    raw = o.withColumn("url", url)
+    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1))
+    pathq = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+(.*)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(443|80)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(pathq, r"#.*$", ""),
+                r"(utm_[a-z]+|ref)=[^&#]*&?", ""),
+            r"[?&]+$", ""),
+        r"/+$", "")
+    canon = raw.withColumn(
+        "canonical_url", F.concat(scheme, F.lit("://"), host, path)
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("url").alias("n_surface_forms"),
+            F.min("o_orderkey").alias("survivor_key"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# -- Round-5: count-min sketch (mergeable frequency estimates) -------------
+
+_CMS_W = 8  # buckets per row — deliberately small so collisions happen
+_CMS_HASHES = ((0, 2654435761, 17), (1, 2246822519, 29),
+               (2, 3266489917, 41), (3, 668265263, 53))
+
+
+@op(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH types AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY event_type) AS tid
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), ev AS (
+      SELECT t.tid FROM events e JOIN types t USING (event_type)
+    ), h AS (
+      SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_HASHES)})
+        AS s(j, a, b)
+    ), cells AS (
+      SELECT h.j, (ev.tid * h.a + h.b) % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev CROSS JOIN h
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT t.event_type,
+             MIN(COALESCE(c.c, 0)) AS cms_est
+      FROM types t
+      CROSS JOIN h
+      LEFT JOIN cells c
+        ON c.j = h.j AND c.bucket = (t.tid * h.a + h.b) % {_CMS_W}
+      GROUP BY 1
+    ), exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_n, s.cms_est,
+           CAST(s.cms_est - e.exact_n AS BIGINT) AS overcount
+    FROM exact e JOIN est s USING (event_type)
+    ORDER BY e.event_type
+    """,
+    tags=("agg", "sketch", "approx", "extra"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) built with pure DataFrame
+    ops: d=4 hash rows × w=8 buckets; every event contributes one count to
+    one bucket per row, a point estimate is the MIN over its d cells, and
+    the one-sided error guarantee (est ≥ exact, est ≤ exact + εN) is
+    visible in the emitted overcount column. Hashing is multiplicative on a
+    dense type id (portable: the identical arithmetic runs on both
+    engines), so even the sketch CELLS are cross-engine reproducible and
+    the whole op full-hash-checks — unusual for a sketch.
+
+    Scale shape: the build is one map-side-combining aggregation whose
+    output is ≤ d·w cells regardless of input size — per-shard sketches
+    merge by cell-wise addition (same mergeable-partials pattern as
+    agg_hll_union_shards / agg_bitmap_exact_distinct), so 100 TB of events
+    reduces to a 32-cell table with no keyspace shuffle."""
+    e = load(spark, sf_dir, "events").select("event_type")
+    w_order = W.orderBy("event_type")
+    types = (
+        e.distinct().withColumn("tid", F.row_number().over(w_order))
+    )
+    ev = e.join(F.broadcast(types), "event_type").select("tid")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((F.col("tid") * F.lit(a) + F.lit(b)) % _CMS_W).alias("bucket"),
+            )
+            for j, a, b in _CMS_HASHES
+        ]
+    )
+    cells = (
+        ev.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    t_probes = types.select(
+        "event_type", F.explode(probes).alias("p")
+    ).select("event_type", F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+    est = (
+        t_probes.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("event_type")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+    exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy("event_type")
+    )

@@ -261,3 +261,34 @@ def test_quantile_bucketize_approx_path_no_window(spark):
         assert max(sizes) <= 2 * min(sizes) + 2, (flag, sizes)
         for prev, cur in zip(rs, rs[1:]):
             assert prev.hi <= cur.lo, (flag, prev, cur)
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min's one-sided guarantee: every point estimate >= the exact
+    count (a min over cells each containing the key's full count plus
+    non-negative collision mass)."""
+    from aced_etl_pod_spark.operators.corpus_ops import agg_count_min_sketch
+
+    rows = agg_count_min_sketch(spark, SF_SMALL).collect()
+    assert rows, "no event types"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["exact_n"] + r["overcount"] for r in rows)
+
+
+def test_url_canonical_collapses_all_variants(spark):
+    """Each canonical item URL must absorb every surface form that maps to
+    it: with 4 variants cycling on o_orderkey % 4 and items on % 500, any
+    canonical key with >= 4 occurrences must have seen > 1 surface form,
+    and no canonical URL may retain a port, fragment, tracking param,
+    uppercase host, or trailing slash."""
+    import re
+
+    from aced_etl_pod_spark.operators.corpus_ops import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        u = r["canonical_url"]
+        assert re.fullmatch(r"https://example\.com/item/\d+", u), u
+        if r["n_occurrences"] >= 4:
+            assert r["n_surface_forms"] >= 2
