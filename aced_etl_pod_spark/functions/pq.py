@@ -142,3 +142,67 @@ def adc_topk(emb: DataFrame, books: np.ndarray, query: np.ndarray, k: int = 10,
         .orderBy("adc_dist", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (the published FAISS IVFADC architecture): a coarse
+    quantizer routes each vector to a cell; PQ encodes the RESIDUAL
+    (vector − its centroid); a query probes only the ``n_probe`` nearest
+    cells and ADC-scores candidates with a per-cell lookup table built
+    from the query's residual against that cell.
+
+    ``coarse`` is (C, d) centroids, ``books`` the residual codebooks.
+    Executed as ONE scan + one vectorized Python stage (cell assignment,
+    probe filter, residual encode, table lookup all per Arrow batch) +
+    TakeOrdered — zero shuffles; non-probed vectors cost one argmin and
+    are dropped before any PQ work."""
+    cd2 = ((coarse - query[None, :]) ** 2).sum(axis=1)
+    probed = np.argsort(cd2, kind="stable")[:n_probe]
+    tabs = {int(c): adc_table(query - coarse[c], books) for c in probed}
+    probed_set = set(int(c) for c in probed)
+    m = books.shape[0]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            d2 = ((vecs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1)
+            keep = np.isin(cells, list(probed_set))
+            if not keep.any():
+                yield pd.DataFrame({"vec_id": [], "adc_dist": []}).astype(
+                    {"vec_id": "int64", "adc_dist": "float64"}
+                )
+                continue
+            v = vecs[keep]
+            cell_kept = cells[keep]
+            res = v - coarse[cell_kept]
+            codes = encode_batch(res, books)
+            dist = np.empty(len(v), dtype=np.float64)
+            for c in probed_set:
+                cmask = cell_kept == c
+                if cmask.any():
+                    tab = tabs[c]
+                    dist[cmask] = tab[
+                        np.arange(m)[None, :], codes[cmask]
+                    ].sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values[keep], "adc_dist": dist}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, adc_dist double"
+    )
+    return (
+        scored.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )

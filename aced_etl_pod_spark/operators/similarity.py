@@ -350,3 +350,30 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, books, q = _pq_books_and_query(spark, sf_dir)
     return adc_topk(emb.filter(F.col("vec_id") != 0), books, q, k=10)
+
+
+@op("sim_ann_ivf_pq_topk", tags=("similarity", "approx", "extra"))
+def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full published billion-scale ANN recipe (FAISS IVFADC):
+    a 16-cell coarse quantizer routes vectors; PQ encodes each vector's
+    RESIDUAL against its cell centroid (residuals are smaller than raw
+    vectors, so the same codebook budget quantizes finer); the query
+    probes its 4 nearest cells and ADC-scores only those candidates with
+    per-cell residual lookup tables. Everything trains driver-side on the
+    bounded sample; the search is one scan + one vectorized Python stage
+    + TakeOrdered, zero shuffles, and ~n_probe/C of the corpus does PQ
+    work (the rest dies at a centroid argmin). Rows-only; recall vs exact
+    L2 asserted in tests/test_similarity.py."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import ivfpq_topk, train_codebooks
+
+    emb, _, q = _pq_books_and_query(spark, sf_dir)
+    sample_rows = emb.orderBy("vec_id").limit(512).select("embedding").collect()
+    S = np.stack([np.asarray(r["embedding"]) for r in sample_rows]).astype(np.float64)
+    coarse = train_codebooks(S, m=1, k=16, iters=10)[0]
+    assign = ((S[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = train_codebooks(S - coarse[assign], m=8, k=16, iters=10)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") != 0), coarse, books, q, k=10, n_probe=4
+    )

@@ -246,3 +246,70 @@ def txn_append_idempotent(
     if any(h.get("op") == token for h in table_history(table)):
         return None
     return txn_write(spark, df, table, mode="append", op_name=token)
+
+
+def build_changefeed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit table for the change feed: c0 = orders with key%5 in
+    (0,1); c1 OVERWRITES with key%5 in (1,2) — so v0→v1 has inserts
+    (%5=2), deletes (%5=0) and carried-over rows (%5=1)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(f"txn_cdc_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    if current_version(table) == 1:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    txn_write(spark, o.filter((F.col("o_orderkey") % 5).isin(0, 1)), table,
+              mode="append", op_name="load_v0")
+    txn_write(spark, o.filter((F.col("o_orderkey") % 5).isin(1, 2)), table,
+              mode="overwrite", op_name="replace_v1")
+    return table
+
+
+@op(
+    "txnlog_change_feed",
+    oracle="""
+    WITH v0 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderkey % 5 IN (0, 1)),
+         v1 AS (SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderkey % 5 IN (1, 2)),
+         ins AS (SELECT 'insert' AS change_type, o_orderstatus,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v0)
+                 GROUP BY o_orderstatus),
+         del AS (SELECT 'delete' AS change_type, o_orderstatus,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM v0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+                 GROUP BY o_orderstatus)
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    ORDER BY change_type, o_orderstatus
+    """,
+    tags=("scan", "acid", "cdc", "extra"),
+)
+def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two committed snapshots (the table-format
+    CDC/'change data feed' read): diff version 0 against version 1 by key
+    — anti-joins over the two snapshot reads yield inserts and deletes,
+    grouped per status. Downstream incremental consumers (index refresh,
+    aggregate maintenance) process only the delta, never the full table —
+    the read-side complement of stream_txnlog_exactly_once's write side.
+    Both snapshot reads prune their file sets from the log before Spark
+    lists anything."""
+    table = build_changefeed_table(spark, sf_dir)
+    v0 = txn_read(spark, table, version=0).select("o_orderkey", "o_orderstatus")
+    v1 = txn_read(spark, table, version=1).select("o_orderkey", "o_orderstatus")
+    ins = (
+        v1.join(v0.select("o_orderkey"), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("insert").alias("change_type"), "o_orderstatus", "n")
+    )
+    dels = (
+        v0.join(v1.select("o_orderkey"), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("delete").alias("change_type"), "o_orderstatus", "n")
+    )
+    return ins.unionByName(dels).orderBy("change_type", "o_orderstatus")

@@ -315,3 +315,35 @@ def test_pq_compression_ratio():
     books = train_codebooks(X, m=8, k=16, iters=5)
     codes = encode_batch(X, books)
     assert codes.nbytes * 32 == X.astype(np.float32).nbytes
+
+
+def test_ivfpq_recall_and_probe_fraction(spark):
+    """IVF-PQ must stay a usable approximation (top-10 overlaps exact
+    top-10 by >=2 and exact top-50 by >=5 — measured 3 and 7) while only
+    probing 4 of 16 cells, i.e. the candidate set that does PQ work is a
+    strict subset of the corpus."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import train_codebooks
+    from aced_etl_pod_spark.operators.similarity import sim_ann_ivf_pq_topk
+
+    X, ids = _emb_matrix(spark)
+    q = X[ids == 0][0]
+    mask = ids != 0
+    d = ((X[mask] - q) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")
+    exact10 = set(ids[mask][order[:10]].tolist())
+    exact50 = set(ids[mask][order[:50]].tolist())
+    got = [r["vec_id"] for r in sim_ann_ivf_pq_topk(spark, SF_SMALL).collect()]
+    assert len(got) == 10
+    assert len(set(got) & exact10) >= 2
+    assert len(set(got) & exact50) >= 5
+    # probe fraction: cells hold ~n/16 each; 4 probed cells must cover
+    # well under the whole corpus (sanity on the coarse quantizer)
+    S = X[:512]
+    coarse = train_codebooks(S, m=1, k=16, iters=10)[0]
+    cells = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    cd2 = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    probed = set(np.argsort(cd2, kind="stable")[:4].tolist())
+    frac = np.isin(cells, list(probed)).mean()
+    assert frac < 0.8
