@@ -313,3 +313,30 @@ def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("delete").alias("change_type"), "o_orderstatus", "n")
     )
     return ins.unionByName(dels).orderBy("change_type", "o_orderstatus")
+
+
+@op(
+    "txnlog_compact",
+    oracle=_snap_sql(3, "o_orderkey % 7 <= 2") + " ORDER BY o_orderstatus",
+    tags=("sink", "acid", "extra"),
+)
+def txnlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction: the 4 range-partitioned live files of the orders txn
+    table are rewritten into 1 and swapped in a single atomic commit
+    (version 3). Logical content must be byte-identical to the v2
+    snapshot — the oracle is the SAME aggregation the pre-compaction
+    snapshot checks against — while the live file count drops 4 → 1 and
+    time travel to v2 still resolves the original files (asserted in
+    tests). This is the small-file problem's answer at 100 TB: streaming
+    ingest produces many small commits; compaction folds them into
+    scan-efficient files without blocking readers for even a moment."""
+    from aced_etl_pod_spark.sources.txnlog import txn_compact
+
+    base = build_orders_txn_table(spark, sf_dir)
+    # compact a COPY so the shared 3-commit fixture keeps its v2 shape
+    table = scratch_dir(base.rstrip("/") + "_compacted_copy")
+    if current_version(table) != 3:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.copytree(base, table)
+        txn_compact(spark, table, target_files=1, stats_cols=("o_orderkey",))
+    return _snapshot_agg(txn_read(spark, table), 3).orderBy("o_orderstatus")

@@ -242,3 +242,51 @@ def table_history(table: str) -> list[dict]:
             first = json.loads(f.readline())
         out.append(first.get("commit", {"version": v}))
     return out
+
+
+def txn_compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Compaction (the OPTIMIZE operation): rewrite the current live file
+    set into ``target_files`` larger files and commit the swap atomically
+    (removes of every old file + adds of the new ones in ONE log entry).
+    Logical table content is unchanged — readers before the commit see the
+    old files, readers after see the new ones, and a time-travel read at
+    an earlier version still resolves the original files (compaction never
+    deletes data files, only de-references them; physical vacuum is a
+    separate retention-driven step, as in the published designs)."""
+    live = snapshot_files(table)
+    df = spark.read.parquet(*[os.path.join(table, f["path"]) for f in live])
+    staging = os.path.join(table, f".staging-compact-{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    attempt = current_version(table) + 1
+    adds = []
+    for seq, fname in enumerate(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ):
+        final = f"v{attempt}-compact-p{os.getpid()}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, fname), os.path.join(table, final))
+        rows, stats = _file_stats(os.path.join(table, final), stats_cols)
+        adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        actions = (
+            [{"commit": {"op": "compact", "version": version}}]
+            + [{"remove": {"path": f["path"]}} for f in live]
+            + adds
+        )
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            # a rival commit landed; revalidate that OUR source files are
+            # still the live set (else the compaction is stale — abort)
+            if {f["path"] for f in snapshot_files(table)} != {
+                f["path"] for f in live
+            }:
+                raise
