@@ -109,3 +109,38 @@ def channel_means(img: np.ndarray) -> tuple[float, float, float]:
     """Per-channel mean over the decoded pixels (float64)."""
     m = img.reshape(-1, 3).mean(axis=0)
     return float(m[0]), float(m[1]), float(m[2])
+
+
+def decode_ppm_stream(data: bytes, max_frames: int = 10000) -> tuple[list[np.ndarray], str | None]:
+    """Decode a concatenated-P6 stream (the Netpbm spec explicitly allows
+    multiple images per file — the closest published 'video' container a
+    pure-NumPy codec can parse): repeatedly parse header + raster until
+    the buffer is exhausted. Returns (frames, error): on a torn tail the
+    cleanly-decoded prefix frames are kept and the error is reported —
+    per-record quarantine at the FRAME level."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    n = len(data)
+    while pos < n and len(frames) < max_frames:
+        try:
+            magic, p = _read_token(data, pos)
+            if magic != b"P6":
+                return frames, f"bad magic at offset {pos}: {magic!r}"
+            w_tok, p = _read_token(data, p)
+            h_tok, p = _read_token(data, p)
+            mv_tok, p = _read_token(data, p)
+            w, h, maxval = int(w_tok), int(h_tok), int(mv_tok)
+            if not (0 < maxval <= 255):
+                return frames, f"unsupported maxval {maxval} at offset {pos}"
+            p += 1
+            need = w * h * 3
+            raster = data[p : p + need]
+            if len(raster) < need:
+                return frames, f"torn frame at offset {pos}: {len(raster)}/{need}"
+            frames.append(
+                np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+            )
+            pos = p + need
+        except ValueError as exc:
+            return frames, str(exc)
+    return frames, None

@@ -23,7 +23,6 @@ from aced_etl_pod_spark.functions.similarity import (
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.sources.binary import (
     decode_stub,
-    frame_sample_stub,
     generate_blob_fixture,
     read_binary,
 )
@@ -202,18 +201,31 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("multimodal_frame_sample", tags=("multimodal", "extra"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling plumbing: binaryFile scan → mapInPandas
-    1→N row explosion (every 2nd 32-byte 'frame' per blob), per-frame mean
-    + digest. Rows-checked; exact frame counts/values asserted in
-    tests/test_multimodal.py. A real ffmpeg sampler swaps in one function."""
-    src = generate_blob_fixture(n=32, sub="multimodal_frames")
-    blobs = read_binary(spark, src)
-    frames = frame_sample_stub(blobs.select("path", "content"))
+    """REAL video-style frame sampling: each blob is a genuine
+    concatenated-P6 (Netpbm multi-image) stream; the mapInPandas stage
+    parses every frame header + raster (functions/imagecodec.py), keeps
+    every 2nd decoded frame, and emits geometry, pixel mean, and the
+    digest of the canonical re-encode — 1→N Arrow row explosion with
+    frame-level quarantine (the torn last blob yields its decodable
+    prefix plus a decode_error row instead of killing the scan).
+    Rows-checked; exact frame counts, pixel math vs local NumPy decode,
+    and quarantine behavior asserted in tests/test_multimodal.py."""
+    from aced_etl_pod_spark.sources.binary import (
+        generate_ppm_video_fixture,
+        sample_ppm_frames,
+    )
+
+    src = generate_ppm_video_fixture(n=16, frames=6, sub="multimodal_frames_ppm")
+    blobs = read_binary(spark, src, glob="*.ppm")
+    frames = sample_ppm_frames(blobs.select("path", "content"), every_n=2)
     return frames.select(
-        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        F.regexp_extract("path", r"vid_(\d+)\.ppm", 1).cast("long").alias("blob_id"),
         "frame_idx",
+        "width",
+        "height",
         F.round("frame_mean", 4).alias("frame_mean"),
         "frame_digest",
+        "decode_error",
     )
 
 

@@ -340,3 +340,31 @@ def txnlog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copytree(base, table)
         txn_compact(spark, table, target_files=1, stats_cols=("o_orderkey",))
     return _snapshot_agg(txn_read(spark, table), 3).orderBy("o_orderstatus")
+
+
+@op(
+    "txnlog_checkpoint_vacuum",
+    oracle=_snap_sql(4, "o_orderkey % 7 <= 2") + " ORDER BY o_orderstatus",
+    tags=("sink", "acid", "extra"),
+)
+def txnlog_checkpoint_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log maintenance lifecycle: checkpoint (materialized live set in one
+    log entry → replay is O(commits since checkpoint), not O(history)) then
+    vacuum (physical deletion of de-referenced files outside retention —
+    the documented destructive step every published table format pairs
+    with time travel). Runs on a copy of the 3-commit fixture: compact →
+    checkpoint → vacuum, then reads the snapshot, which must still match
+    the same v2-content oracle — maintenance must never change logical
+    content. At production commit rates this pair is what keeps a 10⁶-
+    commit table readable in milliseconds and its storage bounded."""
+    from aced_etl_pod_spark.sources.txnlog import txn_checkpoint, txn_compact, vacuum
+
+    base = build_orders_txn_table(spark, sf_dir)
+    table = scratch_dir(base.rstrip("/") + "_ckpt_copy")
+    if current_version(table) != 4:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.copytree(base, table)
+        txn_compact(spark, table, target_files=1, stats_cols=("o_orderkey",))
+        txn_checkpoint(table)
+        vacuum(table, keep_versions=0)
+    return _snapshot_agg(txn_read(spark, table), 4).orderBy("o_orderstatus")

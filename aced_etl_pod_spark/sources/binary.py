@@ -233,3 +233,82 @@ def decode_resize_ppm(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFram
             )
 
     return df.mapInPandas(work, PPM_DECODE_RESIZE_SCHEMA)
+
+
+PPM_FRAME_SCHEMA = (
+    "path string, frame_idx long, width int, height int, frame_mean double,"
+    " frame_digest string, decode_error string"
+)
+
+
+def generate_ppm_video_fixture(n: int = 16, frames: int = 6,
+                               sub: str = "multimodal_ppm_video") -> str:
+    """REAL multi-frame fixtures: blob i is a concatenated-P6 stream of
+    ``frames`` 8×6 images whose pixels are deterministic functions of
+    (blob, frame, x, y). The last blob's final frame is torn mid-raster to
+    exercise frame-level quarantine."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import encode_ppm
+
+    out = scratch_dir(sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for i in range(n):
+        chunks = []
+        for t in range(frames):
+            yy, xx = np.mgrid[0:6, 0:8]
+            img = np.stack(
+                [
+                    (xx * 5 + t * 31 + i * 7) % 256,
+                    (yy * 9 + t * 13 + i * 3) % 256,
+                    (xx + yy + t + i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            chunks.append(encode_ppm(img))
+        data = b"".join(chunks)
+        if i == n - 1:
+            data = data[:-70]  # tear the final frame's raster
+        with open(os.path.join(out, f"vid_{i:04d}.ppm"), "wb") as f:
+            f.write(data)
+    return out
+
+
+def sample_ppm_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse each blob as a concatenated-P6 stream
+    (functions/imagecodec.py::decode_ppm_stream — genuine per-frame header
+    parsing + raster reshape), keep every ``every_n``-th decoded frame,
+    emit per-frame geometry, pixel mean, and a digest of the CANONICAL
+    re-encode (so the digest is codec-defined, not byte-offset-defined).
+    A torn stream yields its decodable prefix frames plus a decode_error
+    row — frame-level quarantine, the contract a real ffmpeg sampler
+    needs at 10⁹-video scale. 1→N Arrow row explosion via mapInPandas."""
+    from aced_etl_pod_spark.functions.imagecodec import (
+        channel_means,
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frames, err = decode_ppm_stream(bytes(content))
+                for idx in range(0, len(frames), every_n):
+                    img = frames[idx]
+                    mr, mg, mb = channel_means(img)
+                    rows.append(
+                        (path, idx, img.shape[1], img.shape[0],
+                         (mr + mg + mb) / 3.0,
+                         hashlib.sha256(encode_ppm(img)).hexdigest(), None)
+                    )
+                if err is not None:
+                    rows.append((path, -1, None, None, None, None, err))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "frame_idx", "width", "height",
+                         "frame_mean", "frame_digest", "decode_error"],
+            )
+
+    return df.mapInPandas(sample, PPM_FRAME_SCHEMA)

@@ -177,7 +177,20 @@ def snapshot_files(table: str, version: int | None = None) -> list[dict]:
         return []
     upto = latest if version is None else min(version, latest)
     live: dict[str, dict] = {}
-    for v in range(upto + 1):
+    start = 0
+    # Start replay at the newest checkpoint at-or-before ``upto``: a
+    # checkpoint's add actions ARE the full live set as of that version,
+    # so earlier log entries are redundant for this read.
+    for v in range(upto, -1, -1):
+        cp = _log_path(table, v)
+        if not os.path.exists(cp):
+            continue
+        with open(cp) as f:
+            first = json.loads(f.readline())
+        if first.get("commit", {}).get("op") == "checkpoint":
+            start = v
+            break
+    for v in range(start, upto + 1):
         path = _log_path(table, v)
         if not os.path.exists(path):
             continue
@@ -290,3 +303,58 @@ def txn_compact(
                 f["path"] for f in live
             }:
                 raise
+
+
+def txn_checkpoint(table: str) -> int:
+    """Write a checkpoint action into the NEXT log version: the fully
+    materialized live file set ("checkpoint" line + its add actions).
+    Replay can then start from the newest checkpoint instead of version 0,
+    bounding snapshot construction to O(commits since checkpoint) — the
+    published Delta checkpoint-parquet idea in JSON form. A checkpoint is
+    just another atomic commit: concurrent writers race it like any other
+    version."""
+    while True:
+        version = current_version(table) + 1
+        live = snapshot_files(table, version - 1)
+        actions = [
+            {"commit": {"op": "checkpoint", "version": version}},
+            {"checkpoint": {"base": version}},
+        ] + [{"add": f if "stats" in f else dict(f)} for f in live]
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            continue
+
+
+def latest_checkpoint(table: str) -> int | None:
+    """Version of the newest checkpoint commit, or None."""
+    best = None
+    for v in range(current_version(table) + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            first = json.loads(f.readline())
+        if first.get("commit", {}).get("op") == "checkpoint":
+            best = v
+    return best
+
+
+def vacuum(table: str, keep_versions: int = 0) -> list[str]:
+    """Physically delete data files no snapshot in the retention window
+    references. Retention: the live sets of the latest version and the
+    ``keep_versions`` versions before it are protected; anything on disk
+    outside that union (compacted-away files, crashed-writer orphans) is
+    removed. DESTRUCTIVE for time travel past the window — that is the
+    documented contract of every published vacuum. Returns deleted names."""
+    latest = current_version(table)
+    protected: set[str] = set()
+    for v in range(max(0, latest - keep_versions), latest + 1):
+        protected |= {f["path"] for f in snapshot_files(table, v)}
+    deleted = []
+    for fname in os.listdir(table):
+        if fname.endswith(".parquet") and fname not in protected:
+            os.unlink(os.path.join(table, fname))
+            deleted.append(fname)
+    return sorted(deleted)

@@ -193,3 +193,60 @@ def test_multimodal_resize_real_decode(spark):
     again = {r["blob_id"]: r["thumb_digest"]
              for r in multimodal_resize(spark, "unused").collect()}
     assert {k: r["thumb_digest"] for k, r in rows.items()} == again
+
+
+def test_ppm_stream_decoder():
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    f1 = np.full((2, 3, 3), 10, np.uint8)
+    f2 = np.full((4, 2, 3), 200, np.uint8)
+    frames, err = decode_ppm_stream(encode_ppm(f1) + encode_ppm(f2))
+    assert err is None and len(frames) == 2
+    assert np.array_equal(frames[0], f1) and np.array_equal(frames[1], f2)
+    frames, err = decode_ppm_stream((encode_ppm(f1) + encode_ppm(f2))[:-5])
+    assert len(frames) == 1 and "torn frame" in err
+    frames, err = decode_ppm_stream(b"nonsense")
+    assert frames == [] and "bad magic" in err
+
+
+def test_multimodal_frame_sample_real_decode(spark):
+    """16 blobs × 6 frames, every 2nd kept → 3 frame rows per clean blob;
+    the torn blob (15) still yields its decodable prefix frames plus one
+    quarantine row; frame pixel math matches a local NumPy recompute."""
+    import hashlib as _h
+
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import encode_ppm
+    from aced_etl_pod_spark.operators.similarity import multimodal_frame_sample
+
+    rows = multimodal_frame_sample(spark, "unused").collect()
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r["blob_id"], []).append(r)
+    assert set(by_blob) == set(range(16))
+    for i in range(15):
+        assert sorted(r["frame_idx"] for r in by_blob[i]) == [0, 2, 4]
+        assert all(r["decode_error"] is None for r in by_blob[i])
+        assert all(r["width"] == 8 and r["height"] == 6 for r in by_blob[i])
+    # torn blob: frame 5 of 6 is torn -> frames 0..4 decodable -> kept 0,2,4
+    bad = by_blob[15]
+    errs = [r for r in bad if r["decode_error"] is not None]
+    assert len(errs) == 1 and "torn frame" in errs[0]["decode_error"]
+    assert sorted(r["frame_idx"] for r in bad if r["decode_error"] is None) == [0, 2, 4]
+    # exact pixel math for blob 2, frame 2
+    i, t = 2, 2
+    yy, xx = np.mgrid[0:6, 0:8]
+    img = np.stack(
+        [(xx * 5 + t * 31 + i * 7) % 256, (yy * 9 + t * 13 + i * 3) % 256,
+         (xx + yy + t + i) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    row = next(r for r in by_blob[2] if r["frame_idx"] == 2)
+    assert row["frame_digest"] == _h.sha256(encode_ppm(img)).hexdigest()
+    assert abs(row["frame_mean"] - round(float(img.mean()), 4)) < 1e-9

@@ -170,3 +170,41 @@ def test_compaction_preserves_content_and_history(spark):
     # pre-compaction snapshot still readable (files only de-referenced)
     v2 = sorted(r["o_orderkey"] for r in txn_read(spark, table, version=2).collect())
     assert v2 == before
+
+
+def test_checkpoint_bounds_replay_and_preserves_snapshots(spark, table):
+    """A checkpoint materializes the live set in one log entry; replay
+    from it must equal replay from version 0, for the checkpointed
+    version AND later commits."""
+    from aced_etl_pod_spark.sources.txnlog import latest_checkpoint, txn_checkpoint
+
+    txn_write(spark, _df(spark, 0, 5), table)
+    txn_write(spark, _df(spark, 5, 9), table)
+    txn_write(spark, _df(spark, 100, 101), table, mode="overwrite")
+    cp = txn_checkpoint(table)
+    assert cp == 3 and latest_checkpoint(table) == 3
+    assert sorted(r["id"] for r in txn_read(spark, table).collect()) == [100]
+    txn_write(spark, _df(spark, 200, 202), table)  # post-checkpoint append
+    assert sorted(r["id"] for r in txn_read(spark, table).collect()) == [100, 200, 201]
+    # pre-checkpoint time travel still replays the full log
+    assert txn_read(spark, table, version=1).count() == 9
+
+
+def test_vacuum_removes_only_unreferenced(spark, table):
+    """Vacuum deletes compacted-away/orphan files outside retention but
+    never a file any protected snapshot references."""
+    import os as _os
+
+    from aced_etl_pod_spark.sources.txnlog import txn_compact, vacuum
+
+    txn_write(spark, _df(spark, 0, 10).repartition(3), table, stats_cols=("id",))
+    txn_compact(spark, table, target_files=1)
+    # orphan from a "crashed writer"
+    live = snapshot_files(table)[0]["path"]
+    with open(_os.path.join(table, "v9-p1-00000.parquet"), "wb") as f:
+        f.write(b"junk")
+    deleted = vacuum(table, keep_versions=0)
+    assert "v9-p1-00000.parquet" in deleted
+    assert live not in deleted
+    assert len(deleted) >= 3  # the 3 pre-compaction files + orphan
+    assert sorted(r["id"] for r in txn_read(spark, table).collect()) == list(range(10))
