@@ -1668,3 +1668,198 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- Round-5: KMV (theta-style) distinct sketch with mergeable union -------
+
+_KMV_K = 64
+_KMV_HASH = "((user_id * 2654435761) % 4294967296)"
+
+
+@op(
+    "agg_kmv_theta_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ), sk AS (
+      SELECT event_type, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS kept
+      FROM ranked WHERE rk <= {_KMV_K}
+      GROUP BY event_type
+    ), per_type AS (
+      SELECT s.event_type,
+             e.exact_distinct,
+             CASE WHEN s.kept < {_KMV_K} THEN CAST(s.kept AS DOUBLE)
+                  ELSE round(({_KMV_K} - 1) * 4294967296.0 / s.kth, 2)
+             END AS kmv_est
+      FROM sk s JOIN (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+        FROM events GROUP BY event_type
+      ) e USING (event_type)
+    ), union_ranked AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rk
+      FROM (SELECT DISTINCT h FROM ranked WHERE rk <= 64)
+    ), union_sk AS (
+      SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS kept
+      FROM union_ranked WHERE rk <= {_KMV_K}
+    )
+    SELECT * FROM (
+      SELECT event_type, exact_distinct, kmv_est FROM per_type
+      UNION ALL
+      SELECT '__union__' AS event_type,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+             CASE WHEN kept < {_KMV_K} THEN CAST(kept AS DOUBLE)
+                  ELSE round(({_KMV_K} - 1) * 4294967296.0 / kth, 2)
+             END
+      FROM union_sk
+    ) ORDER BY event_type
+    """,
+    tags=("agg", "sketch", "approx", "extra"),
+)
+def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style distinct sketch (Bar-Yossef et al. k-minimum-
+    values, the core of the published theta-sketch family): per group keep
+    the k smallest distinct hash values; distinct ≈ (k-1)·U/h_k. The UNION
+    row demonstrates the property that makes these sketches matter at
+    100 TB: the union estimate is computed by MERGING the per-group hash
+    sets (take k smallest of the union of sketches — never re-scanning
+    data), yet lands near the true cross-group distinct.
+
+    Portable multiplicative hashing (Knuth 2654435761 mod 2³²) makes every
+    estimate identical on both engines, so the sketch full-hash-checks
+    like agg_count_min_sketch. Plan: one distinct shuffle on (type, h) —
+    the sketch payload itself is ≤ k rows per group."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = e.select(
+        "event_type",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("h"),
+    ).distinct()
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    sk = (
+        hashed.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("kept"))
+    )
+    est = F.when(
+        F.col("kept") < _KMV_K, F.col("kept").cast("double")
+    ).otherwise(F.round((_KMV_K - 1) * 4294967296.0 / F.col("kth"), 2))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    per_type = sk.join(exact, "event_type").select(
+        "event_type", "exact_distinct", est.alias("kmv_est")
+    )
+    # Union sketch = MERGE of the per-group sketches: k smallest of the
+    # union of each group's kept hashes. Correct because any of the global
+    # k smallest hashes is, within its own group, also among that group's
+    # k smallest — so it survives into the merge input (≤ k·G rows, tiny;
+    # the full distinct hash set is never re-sorted globally).
+    kept_hashes = (
+        hashed.withColumn("rk", rk).filter(F.col("rk") <= _KMV_K).select("h")
+        .distinct()
+    )
+    union_sk = (
+        kept_hashes.withColumn("rk", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rk") <= _KMV_K)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("kept"))
+    )
+    union_exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    union_row = union_sk.crossJoin(union_exact).select(
+        F.lit("__union__").alias("event_type"), "exact_distinct",
+        est.alias("kmv_est"),
+    )
+    return per_type.unionByName(union_row).orderBy("event_type")
+
+
+# -- Round-5: data-quality expectation checks ------------------------------
+
+
+@op(
+    "dq_expectation_checks",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orderkey_not_null' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_failed
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'status_accepted_values',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'totalprice_positive',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_referential',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             ) AS BIGINT)
+      FROM orders
+    )
+    SELECT expectation, n_checked, n_failed,
+           n_failed = 0 AS passed
+    FROM checks ORDER BY expectation
+    """,
+    tags=("dq", "agg", "extra"),
+)
+def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-tests / Great-
+    Expectations / Delta-constraints pattern): not-null, uniqueness,
+    accepted values, range, and referential integrity, each evaluated as
+    a conditional aggregate in ONE pass over the fact table (plus one
+    broadcast semi-join for the FK check) — no per-check scans. At 100 TB
+    this runs as a single scan with map-side partial aggregation; the
+    output is the audit row a pipeline gate consumes before publishing a
+    txn-log commit."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    flagged = o.join(
+        F.broadcast(c.distinct()),
+        o.o_custkey == F.col("c_custkey"),
+        "left",
+    ).withColumn("fk_missing", F.col("c_custkey").isNull())
+    agg = flagged.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("f_null"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("f_dup"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("f_status"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("f_price"),
+        F.count_if(F.col("fk_missing")).alias("f_fk"),
+    )
+    rows = [
+        ("orderkey_not_null", "f_null"),
+        ("orderkey_unique", "f_dup"),
+        ("status_accepted_values", "f_status"),
+        ("totalprice_positive", "f_price"),
+        ("custkey_referential", "f_fk"),
+    ]
+    parts = [
+        agg.select(
+            F.lit(name).alias("expectation"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col(col).cast("long").alias("n_failed"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for name, col in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("expectation")

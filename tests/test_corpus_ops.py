@@ -292,3 +292,20 @@ def test_url_canonical_collapses_all_variants(spark):
         assert re.fullmatch(r"https://example\.com/item/\d+", u), u
         if r["n_occurrences"] >= 4:
             assert r["n_surface_forms"] >= 2
+
+
+def test_kmv_estimate_quality_and_union_merge(spark):
+    """KMV estimates must be near exact (k=64 → ~12% std err; allow 3σ)
+    and the union row — computed purely by merging per-group sketches —
+    must estimate the true cross-group distinct to the same tolerance."""
+    from aced_etl_pod_spark.operators.corpus_ops import agg_kmv_theta_distinct
+
+    rows = {r["event_type"]: r for r in agg_kmv_theta_distinct(spark, SF_SMALL).collect()}
+    assert "__union__" in rows
+    for t, r in rows.items():
+        exact, est = r["exact_distinct"], r["kmv_est"]
+        assert est > 0
+        if exact <= 64:
+            assert est == exact  # under-full sketch is exact by construction
+        else:
+            assert abs(est - exact) / exact < 0.40, (t, exact, est)
