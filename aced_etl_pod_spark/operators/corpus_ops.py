@@ -1863,3 +1863,90 @@ def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("expectation")
+
+
+# -- Round-5: bigram collocations by pointwise mutual information ----------
+
+
+@op(
+    "text_bigram_pmi_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), uni AS (
+      SELECT unnest(l) AS tok FROM toks
+    ), uni_c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tok FROM uni GROUP BY tok
+    ), n_uni AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nu FROM uni
+    ), bi AS (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+      FROM toks WHERE len(l) >= 2
+    ), bi_c AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bi GROUP BY 1, 2
+    ), n_bi AS (
+      SELECT CAST(SUM(c_ab) AS DOUBLE) AS nb FROM bi_c
+    )
+    SELECT a, b, c_ab,
+           round(ln((c_ab / nb) / ((ca.c_tok / nu) * (cb.c_tok / nu))), 4)
+             AS pmi
+    FROM bi_c
+    JOIN uni_c ca ON ca.tok = a
+    JOIN uni_c cb ON cb.tok = b
+    CROSS JOIN n_uni CROSS JOIN n_bi
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+    tags=("text", "llm", "extra"),
+)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information (ln p(ab)/(p(a)p(b)), min support 5) — the classic
+    phrase-detection statistic (word2vec's phrase pass, NLTK collocations)
+    a corpus pipeline runs before tokenizer/vocab training. Bigrams are
+    built with zip-of-shifted-array-slices INSIDE the row (no posexplode
+    self-join: the pairing never leaves the scan), then two hash aggs +
+    broadcast count joins. The unigram/bigram count tables are vocab-sized
+    (≪ corpus), so at 100 TB the only full-data work is the one explode;
+    everything after operates on counts."""
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("l")
+    )
+    uni = d.select(F.explode("l").alias("tok"))
+    uni_c = uni.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    n_uni = uni.agg(F.count("*").cast("double").alias("nu"))
+    pairs = (
+        d.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, F.size("l") - 1),
+                    F.expr("slice(l, 2, size(l) - 1)"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.0").alias("a"), F.col("z.1").alias("b"))
+    )
+    bi_c = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    n_bi = bi_c.agg(F.sum("c_ab").cast("double").alias("nb"))
+    ca = uni_c.select(F.col("tok").alias("a"), F.col("c_tok").alias("c_a"))
+    cb = uni_c.select(F.col("tok").alias("b"), F.col("c_tok").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("nb"))
+            / ((F.col("c_a") / F.col("nu")) * (F.col("c_b") / F.col("nu")))
+        ),
+        4,
+    )
+    return (
+        bi_c.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )

@@ -368,3 +368,47 @@ def txnlog_checkpoint_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_checkpoint(table)
         vacuum(table, keep_versions=0)
     return _snapshot_agg(txn_read(spark, table), 4).orderBy("o_orderstatus")
+
+
+@op(
+    "txnlog_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 6 IN (0, 1)
+    ORDER BY o_orderkey
+    """,
+    tags=("scan", "acid", "extra"),
+)
+def txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution from the LOG: generation 1 commits 2-column rows,
+    a metaData action widens the schema, generation 2 commits 3-column
+    rows — and the snapshot read resolves the FINAL schema from the log,
+    so gen-1 files surface NULL for the later column. No mergeSchema
+    footer sweep: at 100 TB the log is one read, a million file footers
+    are not. (Same semantics as scan_parquet_schema_merge, but decided by
+    the table format rather than by scanning every file.)"""
+    import json as _json
+
+    from aced_etl_pod_spark.sources.txnlog import (
+        txn_read_with_schema,
+        txn_set_schema,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(f"txn_schevo_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    o = load(spark, sf_dir, "orders")
+    if current_version(table) != 3:
+        shutil.rmtree(table, ignore_errors=True)
+        gen1 = o.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+        gen2 = o.filter(F.col("o_orderkey") % 6 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txn_write(spark, gen1, table, op_name="gen1")
+        txn_set_schema(table, _json.dumps(gen2.schema.jsonValue()))
+        txn_write(spark, gen2, table, op_name="gen2")
+    return txn_read_with_schema(spark, table).orderBy("o_orderkey")

@@ -358,3 +358,60 @@ def vacuum(table: str, keep_versions: int = 0) -> list[str]:
             os.unlink(os.path.join(table, fname))
             deleted.append(fname)
     return sorted(deleted)
+
+
+def txn_set_schema(table: str, schema_json: str) -> None:
+    """Record the table's CURRENT schema as a metaData action in the next
+    commit made by txn_write — stored here, attached by the writer. For
+    simplicity the schema rides its own commit (the published formats
+    fold it into the writing commit; the isolation property is the same
+    because the publish is atomic either way)."""
+    while True:
+        version = current_version(table) + 1
+        actions = [
+            {"commit": {"op": "set_schema", "version": version}},
+            {"metaData": {"schemaJson": schema_json}},
+        ]
+        try:
+            _publish(table, version, actions)
+            return
+        except CommitConflict:
+            continue
+
+
+def table_schema(table: str, version: int | None = None):
+    """Latest metaData schema at-or-before ``version`` (None = latest),
+    parsed back into a Spark StructType; None if never recorded."""
+    from pyspark.sql.types import StructType
+
+    latest = current_version(table)
+    upto = latest if version is None else min(version, latest)
+    found = None
+    for v in range(upto + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                action = json.loads(line)
+                if "metaData" in action:
+                    found = action["metaData"]["schemaJson"]
+    return None if found is None else StructType.fromJson(json.loads(found))
+
+
+def txn_read_with_schema(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read that resolves the schema FROM THE LOG (latest
+    metaData at-or-before the version) instead of file inference: files
+    written before a column existed surface NULLs for it — schema
+    evolution exactly as the published formats define it, without
+    Spark's mergeSchema footer sweep (at 100 TB, reading one log beats
+    opening a million footers)."""
+    schema = table_schema(table, version)
+    files = snapshot_files(table, version)
+    if schema is None or not files:
+        return txn_read(spark, table, version)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, f["path"]) for f in files]
+    )
