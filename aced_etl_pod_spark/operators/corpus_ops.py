@@ -1950,3 +1950,107 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(20)
     )
+
+
+# -- Round-5: gaps-and-islands (consecutive-run grouping) ------------------
+
+
+@op(
+    "win_gap_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events WHERE event_type = 'click'
+    ), grp AS (
+      SELECT user_id, event_id, event_id - rn AS island_key FROM seq
+    ), islands AS (
+      SELECT user_id, island_key,
+             MIN(event_id) AS island_start,
+             MAX(event_id) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM grp GROUP BY user_id, island_key
+    )
+    SELECT user_id, island_start, island_end, island_len
+    FROM islands
+    WHERE island_len >= 3
+    ORDER BY user_id, island_start
+    """,
+    tags=("window", "extra"),
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: group each user's click events into maximal runs
+    of CONSECUTIVE event_ids via the classic row_number-difference trick
+    (id − rank is constant within a run), then keep islands of length ≥ 3.
+    The canonical SQL pattern for streak/uptime/contiguity analysis that
+    has no dedicated operator in any engine. One window partitioned by
+    user + one aggregation — both shuffle on user_id only, so the plan
+    reuses a single exchange at any scale."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("event_id"))
+    grp = e.withColumn("island_key", F.col("event_id") - rn)
+    return (
+        grp.groupBy("user_id", "island_key")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count("*").alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .select("user_id", "island_start", "island_end", "island_len")
+        .orderBy("user_id", "island_start")
+    )
+
+
+@op(
+    "fn_url_parse",
+    oracle=r"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             'https://shop.example.com:8443/cat/' || (o_orderkey % 20)
+             || '/item?sku=' || (o_orderkey % 500) || '&lang=en#detail'
+               AS url
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]sku=([^&#]*)', 1) AS sku,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM raw
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "text", "extra"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction via Spark's built-in ``parse_url``
+    (PROTOCOL / HOST / PATH / QUERY / REF plus keyed query-parameter
+    lookup) — the JVM expression a crawl pipeline uses instead of a
+    Python urllib UDF. The DuckDB oracle mirrors each component with
+    regexp_extract, pinning the exact semantics (host excludes the port;
+    query excludes '?' and the fragment; REF is the bare fragment)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey")
+    url = F.concat(
+        F.lit("https://shop.example.com:8443/cat/"),
+        (F.col("o_orderkey") % 20).cast("string"),
+        F.lit("/item?sku="),
+        (F.col("o_orderkey") % 500).cast("string"),
+        F.lit("&lang=en#detail"),
+    )
+    raw = o.withColumn("url", url)
+    return raw.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("sku")).alias("sku"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    ).orderBy("o_orderkey")
