@@ -163,3 +163,56 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_sub o, LATERAL split_priority(o.o_orderpriority) t
         """
     )
+
+
+@op(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS discounted
+    FROM lineitem
+    WHERE l_quantity >= 25
+    """,
+    tags=("udf", "extra"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python stage — the UDF receives
+    raw ``pyarrow.RecordBatch``es and computes with Arrow compute kernels
+    directly, skipping the pandas conversion both ``mapInPandas`` and
+    pandas UDFs pay. The right surface when the Python work is itself
+    columnar (Arrow/NumPy kernels, model featurizers): at 100 TB the
+    serialization tax is the difference between a Python stage that keeps
+    up with the scan and one that doesn't. Filter applied BEFORE the
+    Python stage so the scan prunes rows JVM-side; rounding applied after
+    with the decimal sandwich."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def discount(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            out = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            # declared output schema says int64/float64 — cast explicitly,
+            # Spark does NOT coerce a mismatched Arrow type for you
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    pc.cast(out, pa.float64()),
+                ],
+                names=["l_orderkey", "l_linenumber", "raw"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    out = li.mapInArrow(
+        discount, "l_orderkey long, l_linenumber long, raw double"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", money(F.col("raw")).alias("discounted")
+    )

@@ -41,7 +41,7 @@ _REGISTRY: dict[str, Op] = {}
 # round-4 additions that have never had a driver row (SURVEY §10 rotation
 # TODO) + embedding_quantize_int8 (the single red r04 row, re-checked after
 # the to_json output fix) + graph_pagerank (upgraded from no_oracle to a
-# DuckDB iterative-CTE oracle this round) + the 19 brand-new round-5 ops
+# DuckDB iterative-CTE oracle this round) + the 20 brand-new round-5 ops
 # (txn-log ACID family, runtime bloom filter, product quantization, URL
 # dedup, count-min sketch, change feed, compaction, IVF-PQ),
 # backfilled to 50 with the relational-core ops whose only driver row is
@@ -102,10 +102,10 @@ _DRIVER_PRIORITY = (
     "text_bigram_pmi_topk",
     "win_gap_islands",
     "fn_url_parse",
+    "udf_map_in_arrow",
     # -- r01-only relational core, rows refreshed (registry-tail order) --
     "scan_parquet",
     "scan_ndjson",
-    "scan_csv",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
