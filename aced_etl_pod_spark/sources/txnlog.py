@@ -43,15 +43,27 @@ incremental, concurrent-safe generalization a Spark warehouse needs.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
+import threading
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txnlog"
 _PAD = 20
+
+# Per-invocation unique id for staging dirs and data-file names: pid alone
+# is NOT unique within a process — two threads (e.g. racing foreachBatch
+# epochs, or the concurrency tests) would clobber each other's staging and
+# final file names. pid + thread id + a process-wide counter is.
+_WRITE_SEQ = itertools.count()
+
+
+def _writer_uid() -> str:
+    return f"p{os.getpid()}-t{threading.get_ident()}-{next(_WRITE_SEQ)}"
 
 
 class CommitConflict(Exception):
@@ -81,7 +93,7 @@ def _publish(table: str, version: int, actions: list[dict]) -> None:
     concurrency — the caller revalidates and retries)."""
     log = os.path.join(table, LOG_DIR)
     os.makedirs(log, exist_ok=True)
-    tmp = os.path.join(log, f".commit-{os.getpid()}-{version}.tmp")
+    tmp = os.path.join(log, f".commit-{_writer_uid()}-{version}.tmp")
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, sort_keys=True) + "\n")
@@ -134,19 +146,20 @@ def txn_write(
     an overwrite retry re-reads the live set so it removes the winner's
     files too."""
     os.makedirs(table, exist_ok=True)
-    staging = os.path.join(table, f".staging-{os.getpid()}")
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-{uid}")
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
     # Move staged parquet into the table root ONCE, under names unique to
-    # this writer (pid + first attempted version + seq) — data files are
-    # immutable and unreferenced until a log commit names them, so a crash
-    # or a lost commit race leaves only orphans, never a torn table.
+    # this writer invocation — data files are immutable and unreferenced
+    # until a log commit names them, so a crash or a lost commit race
+    # leaves only orphans, never a torn table.
     attempt = current_version(table) + 1
     adds = []
     for seq, fname in enumerate(
         f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
     ):
-        final = f"v{attempt}-p{os.getpid()}-{seq:05d}.parquet"
+        final = f"v{attempt}-{uid}-{seq:05d}.parquet"
         os.replace(os.path.join(staging, fname), os.path.join(table, final))
         rows, stats = _file_stats(os.path.join(table, final), stats_cols)
         adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
@@ -273,7 +286,8 @@ def txn_compact(
     separate retention-driven step, as in the published designs)."""
     live = snapshot_files(table)
     df = spark.read.parquet(*[os.path.join(table, f["path"]) for f in live])
-    staging = os.path.join(table, f".staging-compact-{os.getpid()}")
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-compact-{uid}")
     shutil.rmtree(staging, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
     attempt = current_version(table) + 1
@@ -281,7 +295,7 @@ def txn_compact(
     for seq, fname in enumerate(
         f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
     ):
-        final = f"v{attempt}-compact-p{os.getpid()}-{seq:05d}.parquet"
+        final = f"v{attempt}-compact-{uid}-{seq:05d}.parquet"
         os.replace(os.path.join(staging, fname), os.path.join(table, final))
         rows, stats = _file_stats(os.path.join(table, final), stats_cols)
         adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
