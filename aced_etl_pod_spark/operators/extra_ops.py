@@ -899,3 +899,124 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("n"),
         )
     )
+
+
+# -- Round-5: product-analytics operators ----------------------------------
+
+
+@op(
+    "agg_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ) ORDER BY step
+    """,
+    tags=("agg", "analytics", "extra"),
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly AFTER their
+    first view, then purchased strictly after that click — the sequential
+    min-timestamp construction every product-analytics engine ships as a
+    dedicated operator, expressed as three time-constrained aggregations.
+    Epoch-microsecond comparisons on both engines so sub-second ordering
+    agrees exactly. Plan: each step is one shuffle on user_id, and steps
+    2-3 join against the (strictly shrinking) per-user step table, never
+    re-scanning events more than the three type-filtered passes —
+    at 100 TB each pass prunes on the event_type predicate first."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("t").alias("t3"))
+    )
+    rows = [(1, "view", s1), (2, "click", s2), (3, "purchase", s3)]
+    parts = [
+        df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("event_type"),
+            F.col("n_users").cast("long"),
+        )
+        for step, name, df in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
+
+
+@op(
+    "win_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS w0
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.w0,
+             (epoch_us(e.ts) // 604800000000) - f.w0 AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(w0 AS BIGINT) AS cohort_week,
+           CAST(weeks_since AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    ORDER BY cohort_week, weeks_since
+    """,
+    tags=("agg", "analytics", "extra"),
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity epoch-week
+    (integer floor-division of epoch micros — no calendar/timezone
+    semantics to disagree on), counted distinct per (cohort, weeks-since)
+    cell. The product-analytics staple behind every retention curve. Two
+    shuffles on user_id (first-seen, then the distinct), then a cell-count
+    agg whose output is weeks² rows — tiny at any corpus size."""
+    wk = 604_800_000_000  # microseconds per week
+    e = load(spark, sf_dir, "events").select(
+        "user_id", (F.floor(F.unix_micros("ts") / wk)).alias("w")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("w").alias("w0"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select("user_id", "w0", (F.col("w") - F.col("w0")).alias("weeks_since"))
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("w0").cast("long").alias("cohort_week"),
+            F.col("weeks_since").cast("long").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -41,12 +41,11 @@ _REGISTRY: dict[str, Op] = {}
 # round-4 additions that have never had a driver row (SURVEY §10 rotation
 # TODO) + embedding_quantize_int8 (the single red r04 row, re-checked after
 # the to_json output fix) + graph_pagerank (upgraded from no_oracle to a
-# DuckDB iterative-CTE oracle this round) + the 20 brand-new round-5 ops
+# DuckDB iterative-CTE oracle this round) + the 22 brand-new round-5 ops
 # (txn-log ACID family, runtime bloom filter, product quantization, URL
 # dedup, count-min sketch, change feed, compaction, IVF-PQ),
-# backfilled to 50 with the relational-core ops whose only driver row is
-# r01 (registry-tail order) so their rows refresh against the current
-# codebase. Ops not listed keep canonical order after the priority block.
+# with no backfill left — the round-5 additions fill the
+# window exactly. Ops not listed keep canonical order after the block.
 # Rotate per round until every operator has a recent row.
 _DRIVER_PRIORITY = (
     # -- never driver-checked (round-4 additions) --
@@ -103,9 +102,8 @@ _DRIVER_PRIORITY = (
     "win_gap_islands",
     "fn_url_parse",
     "udf_map_in_arrow",
-    # -- r01-only relational core, rows refreshed (registry-tail order) --
-    "scan_parquet",
-    "scan_ndjson",
+    "agg_funnel_steps",
+    "win_retention_cohorts",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
