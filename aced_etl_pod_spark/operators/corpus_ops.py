@@ -2054,3 +2054,85 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("sku")).alias("sku"),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     ).orderBy("o_orderkey")
+
+
+# -- Round-5: nearest as-of join (both directions, closest wins) -----------
+
+
+# Round-6 registration queue (see streaming_ops.STREAM_SLIDING_TOPK_ORACLE
+# note): finished + locally oracle-verified; registers in round 6.
+JOIN_ASOF_NEAREST_ORACLE = """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'error'
+    ), scored AS (
+      SELECT l.event_id, l.user_id, r.t AS err_t,
+             abs(r.t - l.t) AS adist,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY abs(r.t - l.t), r.t) AS rk
+      FROM l JOIN r ON l.user_id = r.user_id
+    )
+    SELECT l.event_id, l.user_id,
+           s.err_t AS nearest_error_us,
+           s.adist AS abs_us
+    FROM l LEFT JOIN (SELECT * FROM scored WHERE rk = 1) s
+      USING (event_id)
+    ORDER BY event_id
+"""
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the CLOSEST error in time in
+    EITHER direction (tie → the earlier one), completing the as-of triple
+    (backward join_asof_event, forward join_asof_forward, nearest here).
+
+    Scalable formulation: one union-tag pass carries the latest-preceding
+    error ts (backward window) AND the earliest-following error ts
+    (forward window) in the same user_id-partitioned sort, then a pure
+    expression picks whichever is closer. One shuffle, linear — while the
+    oracle's argmin-over-inequality-join is what a naive banded plan would
+    compute, quadratic per user."""
+    from pyspark.sql.window import Window as W
+
+    events = load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("is_l"),
+    )
+    right = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("t"))
+        .distinct()
+        .select(F.lit(None).cast("long").alias("event_id"), "user_id", "t",
+                F.lit(0).alias("is_l"))
+    )
+    u = left.unionByName(right)
+    # backward: latest right ts at-or-before; is_l ASC at ties so a
+    # same-instant error is visible to the purchase (matches abs-dist 0)
+    wb = (W.partitionBy("user_id").orderBy("t", F.asc("is_l"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("user_id").orderBy("t", F.desc("is_l"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    r_ts = F.when(F.col("is_l") == 0, F.col("t"))
+    carried = (
+        u.withColumn("prev_t", F.last(r_ts, ignorenulls=True).over(wb))
+        .withColumn("next_t", F.first(r_ts, ignorenulls=True).over(wf))
+    )
+    prev_d = F.col("t") - F.col("prev_t")
+    next_d = F.col("next_t") - F.col("t")
+    pick_prev = F.col("next_t").isNull() | (
+        F.col("prev_t").isNotNull() & (prev_d <= next_d)
+    )
+    nearest = F.when(pick_prev, F.col("prev_t")).otherwise(F.col("next_t"))
+    return (
+        carried.filter(F.col("is_l") == 1)
+        .select(
+            "event_id", "user_id",
+            nearest.alias("nearest_error_us"),
+            F.abs(nearest - F.col("t")).alias("abs_us"),
+        )
+        .orderBy("event_id")
+    )

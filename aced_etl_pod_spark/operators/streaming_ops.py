@@ -14,6 +14,7 @@ dedup/agg state grows without bound — the 100 TB failure mode).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.registry import op
@@ -404,3 +405,61 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["source", "content_key"])
     )
     return run_to_memory(kept_keys, "t_curation", "append")
+
+
+# Round-6 registration queue: the r05 driver window is full (26 round-4
+# ops + 22 round-5 ops + the int8/pagerank re-checks the round-4 VERDICT
+# explicitly requires). This op is finished and locally oracle-verified
+# (tests/test_parity.py::test_round6_queue_parity); round 6 moves it into
+# the rotated window via @op. Deferring REGISTRATION (not code) keeps the
+# census-freshness gate honest: every registered op stays externally
+# checkable.
+STREAM_SLIDING_TOPK_ORACLE = f"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes')
+               AS win_start,
+             event_type
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ), counted AS (
+      SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM shifted GROUP BY 1, 2
+    ), ranked AS (
+      SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM counted
+    )
+    SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
+           event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY win_start, rk
+"""
+
+
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-N: top-3 event types per 1-hour window sliding every 15
+    minutes. The STREAMING stage is the stateful windowed count (the part
+    that must survive late data and restarts); the rank-and-cut runs as a
+    batch query over the sink table — the standard serving split, since
+    per-window top-k is not an incremental streaming operator but the
+    counts it consumes are. Oracle materializes the same 4 shifted buckets
+    and ranks with the identical (n DESC, event_type) total order."""
+    src = materialize_batches(spark, sf_dir, "sliding_topk")
+    agg = (
+        read_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "t_sliding_topk", "complete")
+    w = W.partitionBy("window.start").orderBy(F.desc("n"), "event_type")
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("window.start", TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("win_start", "rk")
+    )

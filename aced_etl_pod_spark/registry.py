@@ -75,10 +75,6 @@ _DRIVER_PRIORITY = (
     "agg_bitmap_exact_distinct",
     "join_dynamic_partition_pruning",
     "fn_try_arithmetic",
-    # -- red r04 row, re-check after the scalar-output fix --
-    "embedding_quantize_int8",
-    # -- upgraded no_oracle -> full oracle this round --
-    "graph_pagerank",
     # -- new this round: ACID txn-log table format + runtime filters --
     "scan_txnlog_snapshot",
     "txnlog_time_travel",
@@ -104,6 +100,10 @@ _DRIVER_PRIORITY = (
     "udf_map_in_arrow",
     "agg_funnel_steps",
     "win_retention_cohorts",
+    # -- red r04 row, re-check after the scalar-output fix --
+    "embedding_quantize_int8",
+    # -- upgraded no_oracle -> full oracle this round --
+    "graph_pagerank",
 )
 
 # Operator-family modules; importing them runs the @op decorators.

@@ -100,3 +100,27 @@ def test_census_fully_externally_verified_or_queued():
         f"{len(missing)} ops have no external correctness row and are not in "
         f"the driver window — queue them in _DRIVER_PRIORITY: {missing}"
     )
+
+
+def test_round6_queue_parity(spark, con):
+    """Ops finished in round 5 but deferred from registration (the r05
+    window is full with VERDICT-mandated re-checks): verify them against
+    their oracles with the same differential gate they'll face when
+    round 6 registers them."""
+    from aced_etl_pod_spark.operators.corpus_ops import (
+        JOIN_ASOF_NEAREST_ORACLE,
+        join_asof_nearest,
+    )
+    from aced_etl_pod_spark.operators.streaming_ops import (
+        STREAM_SLIDING_TOPK_ORACLE,
+        stream_sliding_topk,
+    )
+
+    for fn, oracle in [
+        (join_asof_nearest, JOIN_ASOF_NEAREST_ORACLE),
+        (stream_sliding_topk, STREAM_SLIDING_TOPK_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
