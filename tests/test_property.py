@@ -215,3 +215,121 @@ def test_random_join_type_matches_duckdb(join_env, opreds, cpred, jtype):
         )
     exp = con.execute(sql).fetchone()
     assert (got["n"], got["s"]) == exp, (jtype, opreds, cpred)
+
+
+# -- Round-5 kernel properties (no Spark needed: pure NumPy/filesystem) ----
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_any_geometry(h, w, seed):
+    """encode→decode is the identity for every image geometry."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import decode_ppm, encode_ppm
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    oh=st.integers(min_value=1, max_value=16),
+    ow=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bilinear_resize_bounds_and_identity(h, w, oh, ow, seed):
+    """Resampled pixels stay inside the source min/max per channel
+    (bilinear is a convex combination), and same-size resize is exact."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import resize_bilinear
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = resize_bilinear(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    for c in range(3):
+        assert out[:, :, c].min() >= img[:, :, c].min()
+        assert out[:, :, c].max() <= img[:, :, c].max()
+    assert np.array_equal(resize_bilinear(img, h, w), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=20, max_value=120),
+    m=st.sampled_from([2, 4, 8]),
+    k=st.integers(min_value=2, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pq_adc_equals_exact_distance_to_reconstruction(n, m, k, seed):
+    """The ADC lookup-sum IS the exact squared L2 between the query and
+    the RECONSTRUCTED vector — table lookups must introduce no
+    approximation beyond quantization itself. Also: codes are stable
+    under re-encode of the reconstruction (quantizer idempotence on its
+    own codewords)."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import (
+        adc_table,
+        decode_codes,
+        encode_batch,
+        train_codebooks,
+    )
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = train_codebooks(X[: min(64, n)], m=m, k=k, iters=4)
+    codes = encode_batch(X, books)
+    recon = decode_codes(codes, books)
+    q = X[0]
+    tab = adc_table(q, books)
+    adc = tab[np.arange(m)[None, :], codes].sum(axis=1)
+    exact = ((recon - q[None, :]) ** 2).sum(axis=1)
+    assert np.allclose(adc, exact, rtol=1e-10, atol=1e-10)
+    assert np.array_equal(encode_batch(recon, books), codes)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["append", "overwrite"]),
+                  st.integers(min_value=1, max_value=5)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_txnlog_replay_matches_dict_model(tmp_path_factory, ops):
+    """Model-based check WITHOUT Spark: drive the log with synthetic add/
+    remove actions mirroring a dict reference model; snapshot_files must
+    equal the model at every version."""
+    from aced_etl_pod_spark.sources.txnlog import _publish, snapshot_files
+
+    table = str(tmp_path_factory.mktemp("txn"))
+    model: dict[str, dict] = {}
+    history = []
+    fid = 0
+    for version, (mode, nfiles) in enumerate(ops):
+        actions = [{"commit": {"op": mode, "version": version}}]
+        if mode == "overwrite":
+            actions += [{"remove": {"path": p}} for p in list(model)]
+            model.clear()
+        for _ in range(nfiles):
+            path = f"f{fid}.parquet"
+            fid += 1
+            entry = {"path": path, "rows": 1, "stats": {}}
+            actions.append({"add": entry})
+            model[path] = entry
+        _publish(table, version, actions)
+        history.append(dict(model))
+    for v, expected in enumerate(history):
+        got = {f["path"]: f for f in snapshot_files(table, v)}
+        assert got == expected, f"version {v}"
+    latest = {f["path"]: f for f in snapshot_files(table)}
+    assert latest == history[-1]
