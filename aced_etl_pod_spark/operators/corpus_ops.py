@@ -1529,9 +1529,11 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking params, fragments, trailing slashes) into one canonical key
     before content dedup ever runs. Four deterministic surface variants are
     synthesized per order row; canonicalization is a pure JVM regexp chain
-    (identical RE2-compatible patterns run on both engines), then a single
-    hash aggregation groups survivors. At 100 TB: no UDF, one exchange on
-    the canonical key, and the regexp work rides the scan."""
+    (identical RE2-compatible patterns run on both engines), then the
+    standard two-phase distinct aggregation groups survivors (partial on
+    (canonical, url), final on canonical — the exact plan a distributed
+    COUNT DISTINCT needs). At 100 TB: no UDF, two bounded exchanges, and
+    the regexp work rides the scan."""
     o = load(spark, sf_dir, "orders").select("o_orderkey")
     item = (F.col("o_orderkey") % 500).cast("string")
     url = (

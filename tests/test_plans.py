@@ -214,3 +214,41 @@ def test_bloom_op_restores_session_confs(spark):
     before = spark.conf.get(key)
     join_runtime_bloom_filter(spark, SF_SMALL)
     assert spark.conf.get(key) == before
+
+
+def test_pq_adc_search_zero_exchange(spark):
+    """The compressed-domain ADC scan must compile to scan → Python stage
+    → TakeOrdered with NO shuffle exchange — the plan property that makes
+    it a one-pass operator at any corpus size."""
+    from aced_etl_pod_spark.operators.similarity import sim_ann_pq_adc_topk
+
+    plan = _plan(sim_ann_pq_adc_topk(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_url_canonical_single_exchange(spark):
+    """Canonicalization is expression-only on the scan; the sole exchange
+    is the hash aggregation on the canonical key (plus the sort for the
+    deterministic output order)."""
+    from aced_etl_pod_spark.operators.corpus_ops import dedup_url_canonical
+
+    plan = _plan(dedup_url_canonical(spark, SF_SMALL))
+    # the exact count-distinct needs the standard two-phase aggregation
+    # (partial on (key, url), final on key) + rangepartitioning for the
+    # deterministic output order; nothing else, and no Python stage
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_output_bounded_and_mergeable(spark):
+    """The CMS build aggregates to ≤ d·w cells regardless of input size —
+    the mergeable-partials property. Checked structurally: partial
+    aggregation (map-side combine) present in the cells aggregation."""
+    from aced_etl_pod_spark.operators.corpus_ops import agg_count_min_sketch
+
+    df = agg_count_min_sketch(spark, SF_SMALL)
+    rows = df.collect()
+    assert 0 < len(rows) <= 32  # one row per event_type, all cells ≤ d*w
+    plan = _plan(df)
+    assert "partial_count" in plan or "HashAggregate" in plan
