@@ -237,7 +237,9 @@ def test_url_canonical_single_exchange(spark):
     # the exact count-distinct needs the standard two-phase aggregation
     # (partial on (key, url), final on key) + rangepartitioning for the
     # deterministic output order; nothing else, and no Python stage
-    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    # formatted mode lists each Exchange's partitioning in its detail
+    # block: count the hashpartitioning arguments
+    assert plan.count("hashpartitioning(") == 2, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
