@@ -1,0 +1,472 @@
+"""Incremental-maintenance and advanced-analytics operators (round-6
+registration queue — finished and locally oracle-verified here; they take
+registry slots when the driver window rotates).
+
+Families in this module:
+
+* **incremental view maintenance** (``mv_incremental_refresh``): a
+  persisted aggregate snapshot is refreshed by merging the DELTA's
+  mergeable partials — the base data is never rescanned. This is the
+  pattern that turns a nightly 100 TB full recompute into an O(delta)
+  merge, and it falls out of the same partial-agg algebra the sketch
+  family (agg_hll_union_shards / agg_bitmap_exact_distinct) persists.
+* **cascading time-hierarchy rollups** (``agg_cascading_rollup``):
+  day aggregates computed FROM hour partials and week aggregates FROM day
+  partials (the continuous-aggregate / hypertable-rollup pattern) —
+  coarser grains never touch raw events, and the oracle proves
+  compose-equals-recompute.
+* **engine-gap windows** (``win_ewma``): exponentially weighted moving
+  average as a bounded-frame closed form — Spark has no recursive window,
+  so the truncated EWMA is expressed as an index-weighted sum over the
+  collected frame, entirely in JVM higher-order functions.
+* **semantic dedup** (``dedup_semantic_cluster``): SemDeDup-style
+  embedding dedup — seeded k-means clustering, then near-duplicate
+  pruning against each cluster's representative. The clustering state
+  (K×D centroids) is the only driver-side data; every per-row pass is a
+  Catalyst expression over broadcast centroid literals.
+
+(Reference analog: the reference rebuilds its query stores wholesale per
+job — etl-job/fhir_import_export.py:230-258 re-creates the index, then
+:264-274 re-counts it; the incremental family here is what replaces that
+wholesale rebuild at 100 TB. The EWMA/semantic ops extend the engine's
+training-data tier; the reference has no counterpart.)
+
+Determinism follows the house rules (registry.py docstring): decimal
+sandwich on every float output, total-order tie-breaks on every rank,
+and — specific to this module — decimal-typed PARTIALS so that
+partial-merge equals direct-compute exactly, not just to rounding.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.tables import load, scratch_dir
+
+# ---------------------------------------------------------------------------
+# mv_incremental_refresh
+# ---------------------------------------------------------------------------
+
+# Base/delta split: the snapshot covers 90% of orders; the "new batch" is
+# the remaining 10%. Sums are carried as DECIMAL(18,6) partials so the
+# merged total is bit-identical to a direct recompute (double partials
+# would only agree to rounding).
+_MV_DELTA_MOD = 10
+
+MV_INCREMENTAL_REFRESH_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total,
+           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(*), 2) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def _mv_partials(df: DataFrame) -> DataFrame:
+    """Mergeable partial state for the sales-by-status view: (group, count,
+    exact decimal sum). count+sum compose under addition; avg is DERIVED at
+    read time — never stored, because stored averages don't merge."""
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_dec"),
+    )
+
+
+def mv_snapshot_path(sf_dir: str) -> str:
+    """Snapshot location, fingerprint-keyed like the DPP fixture so
+    regenerated testdata invalidates it (ADVICE r5 discipline)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    return scratch_dir(f"mv_sales_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: merge the delta's partial
+    aggregates into the persisted snapshot WITHOUT rescanning the base.
+
+    The view is sales-by-status (count, exact-decimal sum, derived avg).
+    Base rows (o_orderkey % 10 != 0) are aggregated ONCE into an
+    O(|groups|)-row snapshot parquet; the refresh aggregates only the
+    delta (o_orderkey % 10 == 0), unions the two partial states, and
+    re-aggregates the tiny union. The oracle recomputes the view from ALL
+    rows — compose-equals-recompute is exact because the partials are
+    decimals, not doubles.
+
+    Scale story: at 100 TB the snapshot is O(groups) and the refresh cost
+    is O(delta) — the base is read exactly once ever. The merge plan
+    shuffles only |groups| + |delta groups| rows; the delta scan's
+    modulo filter is pushed to the parquet reader.
+    tests/test_incremental.py asserts the snapshot is built once (marker
+    mtime stable across calls) and stays O(groups)-sized.
+    """
+    o = load(spark, sf_dir, "orders")
+    snap = mv_snapshot_path(sf_dir)
+    marker = os.path.join(snap, "_SUCCESS")
+    if not os.path.exists(marker):
+        base = o.filter(F.col("o_orderkey") % _MV_DELTA_MOD != 0)
+        _mv_partials(base).coalesce(1).write.mode("overwrite").parquet(snap)
+
+    snapshot = spark.read.parquet(snap)
+    delta = _mv_partials(o.filter(F.col("o_orderkey") % _MV_DELTA_MOD == 0))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_dec", 2).cast("double").alias("total"),
+        F.round(F.col("total_dec").cast("double") / F.col("n"), 2)
+        .cast("double")
+        .alias("avg_price"),
+    ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# agg_cascading_rollup
+# ---------------------------------------------------------------------------
+
+AGG_CASCADING_ROLLUP_ORACLE = """
+    SELECT 'day' AS level,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'week' AS level,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+    FROM events GROUP BY date_trunc('week', ts)
+"""
+
+
+def agg_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading time-hierarchy rollup: hour partials from raw events, DAY
+    aggregates from the HOUR partials, WEEK aggregates from the DAY
+    partials — the continuous-aggregate pattern where each coarser grain
+    composes the next finer grain's mergeable state instead of rescanning
+    raw data. The oracle computes day and week DIRECTLY from events, so a
+    hash match proves compose-equals-recompute exactly (decimal partials;
+    count/sum compose under addition).
+
+    Scale story: at 100 TB the hour partials are the only pass over raw
+    events; day is an aggregation of ~24× fewer rows, week of ~7× fewer
+    again. This is how a metrics warehouse serves year-spanning queries
+    without ever re-reading the event log — and since the partial state
+    is the same shape the MV snapshot persists (mv_incremental_refresh),
+    the two patterns compose: append hour partials incrementally, roll
+    up lazily. Both engines truncate weeks to Monday 00:00 (ISO)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("t"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "h").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("t").alias("t")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("t").alias("t")
+    )
+
+    def fmt(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.date_format("b", "yyyy-MM-dd").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.round("t", 2).cast("double").alias("total"),
+        )
+
+    return fmt(daily, "day").unionByName(fmt(weekly, "week"))
+
+
+# ---------------------------------------------------------------------------
+# win_ewma
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_K = 16  # truncation width: (1-α)^16 ≈ 0.003 — tail mass is negligible
+
+EWMA_DECAY = 1.0 - EWMA_ALPHA
+
+WIN_EWMA_ORACLE = f"""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), agg AS (
+      SELECT i.event_id, i.user_id,
+             sum(j.value * pow({EWMA_DECAY}, i.rn - j.rn)) AS num,
+             count(*) AS k
+      FROM s i JOIN s j
+        ON i.user_id = j.user_id AND j.rn BETWEEN i.rn - {EWMA_K - 1} AND i.rn
+      GROUP BY i.event_id, i.user_id
+    )
+    SELECT event_id, user_id,
+           CAST(round(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA})
+                           AS DECIMAL(18,8)), 4) AS DOUBLE) AS ewma
+    FROM agg
+"""
+
+
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the classic
+    RECURSIVE smoother (y_i = αx_i + (1-α)y_{i-1}) that no SQL window
+    frame can express directly. Expressed instead as its closed form over
+    a truncated frame: the last K=16 observations weighted by
+    (1-α)^age and normalized by the finite geometric mass
+    (1-(1-α)^k)/α — pandas' adjust=True EWMA restricted to K terms,
+    where the dropped tail carries (1-α)^K ≈ 0.3% of the weight. The
+    truncation is part of the op's CONTRACT (both engines compute the
+    identical finite sum), not an approximation bolted on after.
+
+    Plan: one shuffle on user_id; the frame collect is bounded (K
+    elements) so per-row state is O(K) — the win_median_rolling
+    discipline. The weighted sum runs in JVM higher-order functions
+    (transform-with-index + aggregate) over the collected frame: no
+    Python, no self-join — while the DuckDB oracle pays the quadratic
+    (i,j) pair join, the Spark side is linear in rows × K."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), W.currentRow)
+    )
+    # collect_list over an ordered frame preserves frame order: index 0 is
+    # the oldest row in the frame, the last element is the current row.
+    frame = F.collect_list("value").over(w)
+    n = F.size(frame)
+    weighted = F.transform(
+        frame,
+        lambda x, i: x * F.pow(F.lit(EWMA_DECAY), (n - 1 - i).cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    mass = (F.lit(1.0) - F.pow(F.lit(EWMA_DECAY), n.cast("double"))) / F.lit(
+        EWMA_ALPHA
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((num / mass).cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_cluster (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # centroids
+SEMDEDUP_DIM = 64
+# cos-sim-to-representative above τ => near-dup, dropped. τ is a corpus-
+# calibrated parameter: real embedding corpora use ~0.95+ (SemDeDup paper);
+# the synthetic random embeddings top out at cos≈0.49 to their reps, so the
+# test value sits inside the observed range — the oracle then exercises BOTH
+# branches of is_kept (≈15% of rows drop at sf0.01) instead of vacuously
+# keeping everything.
+SEMDEDUP_TAU = 0.25
+# Every cross-engine float (distances, centroid components, cosines) is
+# decimal-sandwiched to 6dp at each stage, so both engines iterate from
+# IDENTICAL doubles and the argmin/rank tie-breaks agree exactly.
+_R = 6
+
+DEDUP_SEMANTIC_CLUSTER_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), ex AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM e, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM e ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ), c0x AS (
+      SELECT c0.cid, ex.dim, ex.x AS cx FROM c0 JOIN ex USING (vec_id)
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT g.vec_id, g.cid,
+               row_number() OVER (PARTITION BY g.vec_id
+                                  ORDER BY g.d, g.cid) AS rk
+        FROM (
+          SELECT ex.vec_id, c.cid,
+                 round(CAST(sum((ex.x - c.cx) * (ex.x - c.cx))
+                            AS DECIMAL(18,8)), {_R}) AS d
+          FROM ex JOIN c0x c ON ex.dim = c.dim
+          GROUP BY ex.vec_id, c.cid) g) WHERE rk = 1
+    ), c1 AS (
+      SELECT a1.cid, ex.dim,
+             round(CAST(avg(ex.x) AS DECIMAL(18,8)), {_R}) AS cx
+      FROM a1 JOIN ex USING (vec_id) GROUP BY a1.cid, ex.dim
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT g.vec_id, g.cid,
+               row_number() OVER (PARTITION BY g.vec_id
+                                  ORDER BY g.d, g.cid) AS rk
+        FROM (
+          SELECT ex.vec_id, c.cid,
+                 round(CAST(sum((ex.x - c.cx) * (ex.x - c.cx))
+                            AS DECIMAL(18,8)), {_R}) AS d
+          FROM ex JOIN c1 c ON ex.dim = c.dim
+          GROUP BY ex.vec_id, c.cid) g) WHERE rk = 1
+    ), c2 AS (
+      SELECT a2.cid, ex.dim,
+             round(CAST(avg(ex.x) AS DECIMAL(18,8)), {_R}) AS cx
+      FROM a2 JOIN ex USING (vec_id) GROUP BY a2.cid, ex.dim
+    ), af AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT g.vec_id, g.cid, g.d,
+               row_number() OVER (PARTITION BY g.vec_id
+                                  ORDER BY g.d, g.cid) AS rk
+        FROM (
+          SELECT ex.vec_id, c.cid,
+                 round(CAST(sum((ex.x - c.cx) * (ex.x - c.cx))
+                            AS DECIMAL(18,8)), {_R}) AS d
+          FROM ex JOIN c2 c ON ex.dim = c.dim
+          GROUP BY ex.vec_id, c.cid) g) WHERE rk = 1
+    ), rep AS (
+      SELECT cid, vec_id AS rep_id FROM (
+        SELECT cid, vec_id,
+               row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk
+        FROM af) WHERE rk = 1
+    ), sim AS (
+      SELECT m.vec_id, m.cid, r.rep_id,
+             round(CAST(sum(a.x * b.x)
+                        / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x)))
+                        AS DECIMAL(18,8)), {_R}) AS cos_rep
+      FROM af m JOIN rep r ON m.cid = r.cid
+      JOIN ex a ON a.vec_id = m.vec_id
+      JOIN ex b ON b.vec_id = r.rep_id AND b.dim = a.dim
+      GROUP BY m.vec_id, m.cid, r.rep_id
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(cos_rep AS DOUBLE) AS cos_rep,
+           (vec_id = rep_id OR cos_rep <= {SEMDEDUP_TAU}) AS is_kept
+    FROM sim
+"""
+
+
+def _lit_vec(vals):
+    return F.array(*[F.lit(float(v)).cast("double") for v in vals])
+
+
+def _sqdist_to(centroid) -> "F.Column":
+    """Rounded squared L2 from the embedding column to a literal centroid —
+    unrolled zip_with/aggregate, evaluated in whole-stage codegen."""
+    diffs = F.zip_with(
+        F.col("emb"), _lit_vec(centroid), lambda x, y: (x - y) * (x - y)
+    )
+    return F.round(
+        F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x).cast("decimal(18,8)"),
+        _R,
+    )
+
+
+def _assign(df: DataFrame, cents: list[tuple[int, list]]) -> DataFrame:
+    """Argmin over rounded distances, ties to the smallest cid (the list is
+    cid-sorted, and array_position returns the FIRST match)."""
+    dists = F.array(*[_sqdist_to(c) for _, c in cents])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    idx = F.array_position(dists, F.array_min(dists))
+    return df.withColumn("cid", F.element_at(cids, idx.cast("int"))).withColumn(
+        "d", F.element_at(dists, idx.cast("int"))
+    )
+
+
+def _update(df: DataFrame) -> list[tuple[int, list]]:
+    """New centroids = per-dimension member means, rounded to 6dp (the
+    cross-engine contract), collected as O(K x D) driver state — the one
+    place k-means genuinely needs driver data, and it is centroids, not
+    rows."""
+    rows = (
+        df.select("cid", F.posexplode("emb").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("x").cast("decimal(18,8)"), _R).alias("cx"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.dim] = float(r.cx)
+    return [
+        (cid, [dims[i] for i in range(SEMDEDUP_DIM)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning for
+    training corpora — cluster the embedding space with k-means, pick each
+    cluster's representative (the member nearest its centroid), and drop
+    members whose cosine similarity to the representative exceeds τ. Wins
+    over pairwise embedding dedup (dedup_embedding_cosine) because the
+    candidate set is per-cluster, not all-pairs: O(n·K·D) per sweep
+    instead of O(n²·D).
+
+    Determinism contract (both engines, stage by stage): centroids seed
+    from the K smallest vec_ids; TWO Lloyd iterations; every distance,
+    mean, and cosine is decimal-rounded to 6dp before it feeds a
+    comparison, so the argmin/rank tie-breaks (distance, then cid / then
+    vec_id) see identical doubles on Spark and DuckDB. k-means here is a
+    FIXED-ITERATION pipeline stage, not a converge-until loop — which is
+    also the honest 100 TB posture (each sweep is one scan; you budget
+    sweeps, you don't promise convergence).
+
+    Plan: centroids are broadcast LITERALS (O(K·D) driver state — the
+    only collect); assignment is unrolled zip_with/aggregate in
+    whole-stage codegen, one scan per sweep, no shuffle; the update is a
+    posexplode + partial-agg groupBy shuffling K·D mean partials per
+    partition, not rows. The final near-dup test joins each member to its
+    cluster's rep — K rows broadcast. At 100 TB: sweeps scale linearly,
+    the rep join stays broadcast, and τ-pruning drops ~the SemDeDup-paper
+    fraction of the corpus before tokenization ever runs."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    seeds = e.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    cents = [(i, [float(v) for v in r.emb]) for i, r in enumerate(seeds)]
+    for _ in range(2):
+        cents = _update(_assign(e, cents))
+    final = _assign(e, cents)
+
+    wrep = W.partitionBy("cid").orderBy("d", "vec_id")
+    reps = (
+        final.withColumn("rk", F.row_number().over(wrep))
+        .filter(F.col("rk") == 1)
+        .select(F.col("cid"), F.col("vec_id").alias("rep_id"),
+                F.col("emb").alias("rep_emb"))
+    )
+    m = final.join(F.broadcast(reps), "cid")
+    dot = F.aggregate(
+        F.zip_with("emb", "rep_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cos = F.round((dot / (nrm("emb") * nrm("rep_emb"))).cast("decimal(18,8)"), _R)
+    return m.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster"),
+        cos.cast("double").alias("cos_rep"),
+        (
+            (F.col("vec_id") == F.col("rep_id"))
+            | (cos <= F.lit(SEMDEDUP_TAU))
+        ).alias("is_kept"),
+    )

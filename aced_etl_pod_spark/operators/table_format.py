@@ -412,3 +412,151 @@ def txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_set_schema(table, _json.dumps(gen2.schema.jsonValue()))
         txn_write(spark, gen2, table, op_name="gen2")
     return txn_read_with_schema(spark, table).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (round-6 registration queue — finished + locally
+# oracle-verified; registers when the driver window rotates).
+# ---------------------------------------------------------------------------
+
+# Predicate constants shared by the op and its oracle: a customer band and
+# one calendar year. o_orderdate spans 1995..2001 at every SF, so the date
+# band prunes ~6/7 of a date-clustered layout at any scale; the custkey
+# band covers a fixed 40-key slice of the (SF-scaled) key space.
+ZORDER_CUST_LO, ZORDER_CUST_HI = 40, 79
+ZORDER_DAY_LO, ZORDER_DAY_HI = "1999-01-01", "1999-12-31"
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z-value
+ZORDER_FILES = 16
+
+TXNLOG_ZORDER_ORACLE = f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {money_sql('sum(o_totalprice)')} AS total
+    FROM orders
+    WHERE o_custkey BETWEEN {ZORDER_CUST_LO} AND {ZORDER_CUST_HI}
+      AND CAST(o_orderdate AS DATE)
+            BETWEEN DATE '{ZORDER_DAY_LO}' AND DATE '{ZORDER_DAY_HI}'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def _interleave_bits(a, b, bits: int):
+    """16-bit Morton code from two ``bits``-bit integer columns — pure
+    Catalyst (shiftleft/bitwise-OR chain unrolled at plan-build time), so
+    the clustering key costs one projection, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def build_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders rewritten in Z-order on (o_custkey, order day): both columns
+    are min-max scaled to 8 bits (the boundary min/max is a 1-row collect,
+    the same broadcast-boundary discipline as feature_quantile_bucketize),
+    bit-interleaved into a Morton code, range-partitioned AND sorted on it,
+    then committed to the txn log with per-file min/max for BOTH columns.
+    Cached per source fingerprint (DPP discipline)."""
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(f"txn_zorder_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    if current_version(table) >= 0:
+        return table
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    )
+    lo_c, hi_c, lo_d, hi_d = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_day"), F.max("o_day")
+    ).first()
+    span = (1 << ZORDER_BITS) - 1
+
+    def scale(col, lo, hi):
+        return F.least(
+            F.lit(span),
+            ((col - F.lit(lo)) * span / F.lit(max(hi - lo, 1))).cast("long"),
+        )
+
+    z = o.withColumn(
+        "zval",
+        _interleave_bits(
+            scale(F.col("o_custkey"), lo_c, hi_c),
+            scale(F.col("o_day"), lo_d, hi_d),
+            ZORDER_BITS,
+        ),
+    )
+    clustered = z.repartitionByRange(ZORDER_FILES, "zval").sortWithinPartitions(
+        "zval"
+    )
+    txn_write(
+        spark,
+        clustered.drop("zval"),
+        table,
+        stats_cols=("o_custkey", "o_day"),
+        op_name="zorder",
+    )
+    return table
+
+
+def _zorder_prune(files: list[dict]) -> list[dict]:
+    """Manifest-level prune on BOTH clustered dimensions (conjunction of
+    per-column min/max overlap tests against the op's band predicates)."""
+    import datetime as _dt
+
+    epoch = _dt.date(1992, 1, 1)
+    d_lo = (_dt.date.fromisoformat(ZORDER_DAY_LO) - epoch).days
+    d_hi = (_dt.date.fromisoformat(ZORDER_DAY_HI) - epoch).days
+    kept = []
+    for f in files:
+        sc = f.get("stats", {}).get("o_custkey")
+        sd = f.get("stats", {}).get("o_day")
+        if sc is not None and (sc["max"] < ZORDER_CUST_LO or sc["min"] > ZORDER_CUST_HI):
+            continue
+        if sd is not None and (sd["max"] < d_lo or sd["min"] > d_hi):
+            continue
+        kept.append(f)
+    return kept
+
+
+def zorder_pruned_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(live files, files surviving the two-dimension prune) — test hook."""
+    table = build_zorder_table(spark, sf_dir)
+    files = snapshot_files(table)
+    return len(files), len(_zorder_prune(files))
+
+
+def txnlog_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering for MULTI-column file skipping:
+    orders is rewritten sorted by the bit-interleaved (o_custkey, day)
+    code, so each data file covers a small rectangle of the 2-D key space
+    and its footer min/max is tight on BOTH columns — a band predicate on
+    EITHER column (or both, as here) prunes most files from the manifest
+    alone. A single-column sort gives tight stats on one dimension only;
+    Z-order is how Delta/Iceberg-class warehouses make a petabyte fact
+    table skippable on several correlated access paths at once.
+
+    The oracle checks the query RESULT (scan minus skipped files must
+    lose no rows — stats pruning is a superset guarantee, and the
+    predicate is re-applied after the scan); tests/test_incremental.py
+    asserts the prune actually removes files on a 16-file layout at both
+    test SFs."""
+    table = build_zorder_table(spark, sf_dir)
+    files = _zorder_prune(snapshot_files(table))
+    df = spark.read.parquet(*[os.path.join(table, f["path"]) for f in files])
+    return (
+        df.filter(
+            F.col("o_custkey").between(ZORDER_CUST_LO, ZORDER_CUST_HI)
+            & F.col("o_orderdate")
+            .cast("date")
+            .between(F.lit(ZORDER_DAY_LO), F.lit(ZORDER_DAY_HI))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
