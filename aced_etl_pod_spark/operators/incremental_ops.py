@@ -470,3 +470,227 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (cos <= F.lit(SEMDEDUP_TAU))
         ).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_time_weighted_avg (TWAP)
+# ---------------------------------------------------------------------------
+
+WIN_TWAP_ORACLE = """
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(round(CAST(sum(value * (nxt - t)) / sum(nxt - t)
+                           AS DECIMAL(18,8)), 4) AS DOUBLE) AS twap
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over an IRREGULAR event series: each
+    observation is weighted by how long it was the current value (the
+    duration to the next event), so a burst of 1000 ticks in one second
+    counts the same as one tick held for a second — the correct mean for
+    sensor/price-style data where a plain avg() is sampling-rate-biased.
+
+    Plan: one shuffle on user_id for the lead() window, then a partial
+    aggregate — linear, two-exchange-free (window and groupBy share the
+    user_id partitioning, so Catalyst reuses the exchange). Durations are
+    exact integer micros; only the final quotient is floating, decimal-
+    sandwiched at 4dp on both engines."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("t")
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(
+            (F.sum(F.col("value") * dt) / F.sum(dt)).cast("decimal(18,8)"), 4
+        )
+        .cast("double")
+        .alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_topk
+# ---------------------------------------------------------------------------
+
+COV_TOPK = 20
+
+EMBEDDING_COVARIANCE_TOPK_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
+    ), m AS (
+      SELECT dim, round(CAST(avg(x) AS DECIMAL(18,8)), {_R}) AS mu
+      FROM ex GROUP BY dim
+    ), cov AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             round(CAST(sum((a.x - ma.mu) * (b.x - mb.mu)) / count(*)
+                        AS DECIMAL(18,8)), {_R}) AS cov
+      FROM ex a
+      JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      JOIN m ma ON ma.dim = a.dim
+      JOIN m mb ON mb.dim = b.dim
+      GROUP BY a.dim, b.dim
+    ), ranked AS (
+      SELECT dim_i, dim_j, CAST(cov AS DOUBLE) AS cov,
+             row_number() OVER (ORDER BY abs(cov) DESC, dim_i, dim_j) AS rk
+      FROM cov
+    )
+    SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+           cov, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {COV_TOPK}
+"""
+
+
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-|cov| off-diagonal entries of the embedding covariance matrix —
+    the mergeable-partial path to PCA/whitening statistics over a corpus.
+    Two passes: (1) per-dimension means (posexplode + partial agg, rounded
+    to 6dp — the cross-engine contract, as in dedup_semantic_cluster);
+    (2) an Arrow mapInPandas stage computes each batch's CENTERED Gram
+    partials with one numpy gemm and emits O(D²) partial sums per batch —
+    never O(n·D²) rows. The partials element-wise-sum in a map-side-
+    combining groupBy (index → sum), exactly the compose-without-rescan
+    algebra of the sketch family, but for dense second moments: at 100 TB
+    each executor ships 2016 doubles per batch, the reduce is O(D²), and
+    the data is scanned twice total. Final ranking is over D²/2 rows —
+    driver-free.
+
+    Oracle: the same two stages in long format (DuckDB self-join on
+    vec_id); identical 6dp rounding of means and covariances makes the
+    rank order engine-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    d = SEMDEDUP_DIM
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
+    )
+    means_rows = (
+        e.select(F.posexplode("emb").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(F.round(F.avg("x").cast("decimal(18,8)"), _R).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in means_rows:
+        mu[r.dim0] = float(r.mu)
+    iu = np.triu_indices(d, k=1)
+    n_pairs = len(iu[0])
+    bmu = spark.sparkContext.broadcast(mu)
+
+    def gram(batches):
+        m = bmu.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy()) - m  # (b, D) centered
+            G = X.T @ X  # one gemm per Arrow batch
+            yield pd.DataFrame(
+                {
+                    "idx": np.arange(n_pairs, dtype="int64"),
+                    "s": G[iu],
+                    "cnt": np.full(n_pairs, len(pdf), dtype="int64"),
+                }
+            )
+
+    partials = e.select("emb").mapInPandas(gram, "idx long, s double, cnt long")
+    # per-idx cnt sums each batch's row count once, so tot == n exactly
+    cov = (
+        partials.groupBy("idx")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("tot"))
+        .select(
+            "idx",
+            F.round((F.col("s") / F.col("tot")).cast("decimal(18,8)"), _R).alias(
+                "cov"
+            ),
+        )
+    )
+    # decode idx -> (dim_i, dim_j): build the literal pair arrays once
+    di = F.array(*[F.lit(int(v) + 1) for v in iu[0]])
+    dj = F.array(*[F.lit(int(v) + 1) for v in iu[1]])
+    decoded = cov.select(
+        F.element_at(di, F.col("idx").cast("int") + 1).cast("long").alias("dim_i"),
+        F.element_at(dj, F.col("idx").cast("int") + 1).cast("long").alias("dim_j"),
+        F.col("cov").cast("double").alias("cov"),
+    )
+    wrk = W.orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+    return (
+        decoded.withColumn("rk", F.row_number().over(wrk).cast("long"))
+        .filter(F.col("rk") <= COV_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_importance_weighted
+# ---------------------------------------------------------------------------
+
+# Quality-tiered keep rates (per-mille): short docs are heavily
+# downsampled, mid-length kept at half rate, long docs kept fully — the
+# quality-weighted mixing step of corpus curation, made deterministic with
+# the same Knuth hash-bucket the sampling family uses.
+_IW_TIERS_SQL = """CASE WHEN n_chars < 200 THEN 100
+                WHEN n_chars < 400 THEN 500
+                ELSE 1000 END"""
+
+SAMPLE_IMPORTANCE_WEIGHTED_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             {_IW_TIERS_SQL} AS keep_permille,
+             (((doc_id % {2**31}) * 2654435761) % {2**32}) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(keep_permille AS BIGINT) AS keep_permille
+    FROM t WHERE bucket < keep_permille
+"""
+
+
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted (quality-proportional) sampling: each document's
+    keep probability is a function of its quality tier (length here; any
+    scored feature in practice), and the keep decision is a deterministic
+    Knuth hash bucket — reproducible across runs, engines, and
+    repartitioning, with NO RNG state shared across executors. This is the
+    corpus-mixing step that up/down-weights sources before tokenization
+    (high-quality kept at 100%, boilerplate at 10%).
+
+    Plan: a pure filter — pushdown-eligible, zero shuffle, and composable
+    with the curation pipeline's quality gate. The per-tier EXPECTED
+    rates are also oracle-free to audit: bucket < p·1000 keeps exactly
+    the hash-slice of each tier."""
+    from aced_etl_pod_spark.operators.sampling import hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") < 200, 100)
+        .when(F.col("n_chars") < 400, 500)
+        .otherwise(1000)
+    )
+    b = hash_bucket("doc_id", 1000)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            tier.cast("long").alias("keep_permille"),
+            b.alias("_b"),
+        )
+        .filter(F.col("_b") < F.col("keep_permille"))
+        .drop("_b")
+    )

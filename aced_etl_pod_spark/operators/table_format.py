@@ -560,3 +560,211 @@ def txnlog_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (merge-on-read) — round-6/7 registration queue.
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 13
+
+TXNLOG_EQUALITY_DELETES_ORACLE = f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {money_sql('sum(o_totalprice)')} AS total
+    FROM orders
+    WHERE o_orderkey % {_DEL_MOD} != 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def build_mor_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0: full orders committed as 4 range-distributed files; v1: a
+    row-level DELETE (o_orderkey % 13 == 0) committed as an equality-
+    delete file — NO data file rewritten. Cached per source fingerprint."""
+    from aced_etl_pod_spark.sources.txnlog import txn_delete_keys
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(f"txn_mor_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    if current_version(table) == 1:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    txn_write(
+        spark,
+        o.repartitionByRange(4, "o_orderkey"),
+        table,
+        stats_cols=("o_orderkey",),
+        op_name="base",
+    )
+    txn_delete_keys(
+        spark,
+        o.filter(F.col("o_orderkey") % _DEL_MOD == 0),
+        table,
+        "o_orderkey",
+    )
+    return table
+
+
+def txnlog_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via equality-delete files (merge-on-read): the
+    DELETE commits O(matched keys) — one small key file + one log action —
+    instead of rewriting the data files that contain the rows (copy-on-
+    write would rewrite ~all of a 100 TB table for a 0.1% delete). Readers
+    subtract the delete keys with a BROADCAST anti-join until
+    txn_apply_deletes compacts the state back into plain files, after
+    which reads pay nothing. This is the published Iceberg-v2 equality-
+    delete / Delta deletion-vector trade, on the engine's own log.
+
+    The op reads the merge-on-read snapshot; tests assert the compaction
+    path separately (apply → plain read == MOR read, delete files
+    retired, version history intact). Oracle: orders minus the deleted
+    slice."""
+    from aced_etl_pod_spark.sources.txnlog import txn_read_mor
+
+    table = build_mor_orders_table(spark, sf_dir)
+    df = txn_read_mor(spark, table)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-file bloom index point lookup — round-6/7 registration queue.
+# ---------------------------------------------------------------------------
+
+BLOOM_LOOKUP_KEYS = (37, 411, 1203)  # present at every SF (max key >= 1499)
+BLOOM_PROBES = 3
+BLOOM_FILES = 8
+_KNUTH = 2654435761
+_H2 = 2246822519  # second multiplicative constant for double hashing
+
+TXNLOG_BLOOM_LOOKUP_ORACLE = f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN {BLOOM_LOOKUP_KEYS}
+    ORDER BY o_orderkey
+"""
+
+
+def _bloom_probe_positions(key: int, m: int) -> list[int]:
+    """Double-hashing probe positions — plain 64-bit integer arithmetic
+    (same portability discipline as sampling.hash_bucket), reproducible in
+    any engine or language."""
+    k = key % 2**31
+    h1 = (k * _KNUTH) % 2**32
+    h2 = ((k * _H2) % 2**32) | 1
+    return [(h1 + i * h2) % m for i in range(BLOOM_PROBES)]
+
+
+def build_bloom_indexed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed as 8 HASH-distributed files (every file spans the
+    full key range — min/max stats are useless here, which is the point:
+    the bloom sidecar prunes where zone maps cannot) plus a per-file bloom
+    index sidecar built in ONE Spark pass (explode probe positions →
+    collect_set per file). At production scale the index rows are emitted
+    by the writer itself; the sidecar shape (file → {{m, bits}}) is the
+    same either way."""
+    import json as _json
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(f"txn_bloom_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    idx_path = os.path.join(table, "_index", "bloom_o_orderkey.json")
+    if current_version(table) == 0 and os.path.exists(idx_path):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    txn_write(
+        spark,
+        o.repartition(BLOOM_FILES, "o_orderkey"),
+        table,
+        op_name="base",
+    )
+    files = snapshot_files(table)
+    rows_per_file = max(f["rows"] for f in files)
+    m = 1 << max(8, (rows_per_file * 16).bit_length())
+    paths = [os.path.join(table, f["path"]) for f in files]
+    df = spark.read.parquet(*paths).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    k = F.col("o_orderkey") % F.lit(2**31)
+    h1 = (k * _KNUTH) % F.lit(2**32)
+    h2 = ((k * _H2) % F.lit(2**32)).bitwiseOR(F.lit(1))
+    probes = F.array(
+        *[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(BLOOM_PROBES)]
+    )
+    bits = (
+        df.select("_file", F.explode(probes).alias("bit"))
+        .groupBy("_file")
+        .agg(F.collect_set("bit").alias("bits"))
+        .collect()
+    )
+    index = {r._file: {"m": m, "bits": sorted(int(b) for b in r.bits)} for r in bits}
+    os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+    with open(idx_path + ".tmp", "w") as f:
+        _json.dump(index, f)
+    os.replace(idx_path + ".tmp", idx_path)
+    return table
+
+
+def bloom_probed_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(live files, files the bloom probe admits for the lookup keys)."""
+    import json as _json
+
+    table = build_bloom_indexed_table(spark, sf_dir)
+    with open(os.path.join(table, "_index", "bloom_o_orderkey.json")) as f:
+        index = _json.load(f)
+    files = snapshot_files(table)
+    probed = []
+    for f_ in files:
+        ent = index.get(f_["path"])
+        if ent is None:
+            probed.append(f_)  # unindexed file: must be read (superset rule)
+            continue
+        bits = set(ent["bits"])
+        if any(
+            all(p in bits for p in _bloom_probe_positions(key, ent["m"]))
+            for key in BLOOM_LOOKUP_KEYS
+        ):
+            probed.append(f_)
+    return len(files), len(probed)
+
+
+def txnlog_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through a per-file bloom-filter INDEX sidecar: for a
+    key-IN list, only files whose bloom admits at least one key are ever
+    opened — on a hash-distributed layout where min/max zone maps prune
+    NOTHING (every file spans the key range). This is the secondary-index
+    answer for needle queries at 100 TB: the sidecar is O(files) metadata
+    consulted on the driver, false positives only cost an extra file read
+    (the IN predicate is re-applied after the scan — superset guarantee,
+    like every stats prune in the engine), and false negatives are
+    impossible by construction. tests assert probed < total while min/max
+    would have kept all 8 files."""
+    import json as _json
+
+    table = build_bloom_indexed_table(spark, sf_dir)
+    with open(os.path.join(table, "_index", "bloom_o_orderkey.json")) as f:
+        index = _json.load(f)
+    survivors = []
+    for f_ in snapshot_files(table):
+        ent = index.get(f_["path"])
+        if ent is None or any(
+            all(p in set(ent["bits"]) for p in _bloom_probe_positions(k, ent["m"]))
+            for k in BLOOM_LOOKUP_KEYS
+        ):
+            survivors.append(f_["path"])
+    df = spark.read.parquet(*[os.path.join(table, p) for p in survivors])
+    return (
+        df.filter(F.col("o_orderkey").isin(*BLOOM_LOOKUP_KEYS))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

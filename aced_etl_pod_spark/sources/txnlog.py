@@ -429,3 +429,133 @@ def txn_read_with_schema(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table, f["path"]) for f in files]
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level deletes: equality delete files (merge-on-read), as in the
+# published Iceberg v2 / Delta deletion-vector designs — a DELETE commits a
+# small file of matching KEY VALUES plus one log action; readers subtract
+# it with an anti-join until compaction rewrites the data files.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_delete_files(table: str, version: int | None = None) -> list[dict]:
+    """Live equality-delete file entries [{path, rows, key}] at ``version``.
+
+    Replays the FULL log (not from a checkpoint): checkpoints materialize
+    only data-file adds, and delete files are few by construction — a
+    compaction (txn_apply_deletes) retires them, so the set replayed here
+    stays O(deletes since last compaction)."""
+    latest = current_version(table)
+    if latest < 0:
+        return []
+    upto = latest if version is None else min(version, latest)
+    live: dict[str, dict] = {}
+    for v in range(0, upto + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add_delete" in action:
+                    live[action["add_delete"]["path"]] = action["add_delete"]
+                elif "remove_delete" in action:
+                    live.pop(action["remove_delete"]["path"], None)
+    return list(live.values())
+
+
+def txn_delete_keys(spark, keys_df, table: str, key_col: str) -> int:
+    """Commit a row-level DELETE as an equality-delete file: the matching
+    key values are written as one small parquet plus an ``add_delete`` log
+    action — O(matched keys) I/O, NO data-file rewrite. Readers must go
+    through txn_read_mor (merge-on-read) until txn_apply_deletes
+    compacts."""
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-del-{uid}")
+    shutil.rmtree(staging, ignore_errors=True)
+    keys_df.select(key_col).coalesce(1).write.mode("overwrite").parquet(staging)
+    attempt = current_version(table) + 1
+    adds = []
+    for seq, fname in enumerate(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ):
+        final = f"v{attempt}-delete-{uid}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, fname), os.path.join(table, final))
+        rows, _ = _file_stats(os.path.join(table, final), ())
+        adds.append(
+            {"add_delete": {"path": final, "rows": rows, "key": key_col}}
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        actions = [{"commit": {"op": "delete", "version": version}}] + adds
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            continue
+
+
+def txn_read_mor(spark, table: str, version: int | None = None):
+    """Merge-on-read snapshot: live data files MINUS live equality-delete
+    keys (left anti-join; the delete side is broadcast — it is small by
+    contract, and at 100 TB a per-file min/max scope check would bound the
+    anti-join to overlapping files exactly as in the published formats)."""
+    from pyspark.sql import functions as _F
+
+    df = txn_read(spark, table, version)
+    dels = snapshot_delete_files(table, version)
+    if not dels:
+        return df
+    key = dels[0]["key"]
+    keys = spark.read.parquet(*[os.path.join(table, d["path"]) for d in dels])
+    return df.join(
+        _F.broadcast(keys.withColumnRenamed(key, "__delkey").distinct()),
+        df[key] == _F.col("__delkey"),
+        "left_anti",
+    )
+
+
+def txn_apply_deletes(
+    spark, table: str, stats_cols: tuple[str, ...] = ()
+) -> int:
+    """Compact merge-on-read state: rewrite the live data files with the
+    delete keys APPLIED, then atomically swap (removes of old data files +
+    ``remove_delete`` of the delete files + adds of the purged files in
+    one commit). After this, plain txn_read equals txn_read_mor and the
+    read path pays no anti-join — the same write-amplification-for-read-
+    speed trade OPTIMIZE makes for small files."""
+    live = snapshot_files(table)
+    dels = snapshot_delete_files(table)
+    purged = txn_read_mor(spark, table)
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-purge-{uid}")
+    shutil.rmtree(staging, ignore_errors=True)
+    purged.write.mode("overwrite").parquet(staging)
+    attempt = current_version(table) + 1
+    adds = []
+    for seq, fname in enumerate(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ):
+        final = f"v{attempt}-purge-{uid}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, fname), os.path.join(table, final))
+        rows, stats = _file_stats(os.path.join(table, final), stats_cols)
+        adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        actions = (
+            [{"commit": {"op": "apply_deletes", "version": version}}]
+            + [{"remove": {"path": f["path"]}} for f in live]
+            + [{"remove_delete": {"path": d["path"]}} for d in dels]
+            + adds
+        )
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            if {f["path"] for f in snapshot_files(table)} != {
+                f["path"] for f in live
+            }:
+                raise

@@ -1,5 +1,7 @@
-"""Round-6 queue, second tranche: incremental maintenance (MV refresh,
-cascading rollups), Z-order clustering, EWMA, and SemDeDup. Same
+"""Round-6/7 registration queue (post-r05 tranches): incremental
+maintenance (MV refresh, cascading rollups), Z-order clustering, EWMA,
+SemDeDup, TWAP, covariance partials, importance-weighted sampling,
+equality deletes (merge-on-read), and the bloom index sidecar. Same
 differential gate these ops will face when the driver window rotates to
 them, plus the behavior each one's scale story promises."""
 
@@ -20,6 +22,11 @@ QUEUE = [
     (inc.win_ewma, inc.WIN_EWMA_ORACLE),
     (inc.dedup_semantic_cluster, inc.DEDUP_SEMANTIC_CLUSTER_ORACLE),
     (tf.txnlog_zorder_cluster, tf.TXNLOG_ZORDER_ORACLE),
+    (inc.win_time_weighted_avg, inc.WIN_TWAP_ORACLE),
+    (inc.embedding_covariance_topk, inc.EMBEDDING_COVARIANCE_TOPK_ORACLE),
+    (inc.sample_importance_weighted, inc.SAMPLE_IMPORTANCE_WEIGHTED_ORACLE),
+    (tf.txnlog_equality_deletes, tf.TXNLOG_EQUALITY_DELETES_ORACLE),
+    (tf.txnlog_bloom_index_lookup, tf.TXNLOG_BLOOM_LOOKUP_ORACLE),
 ]
 
 
@@ -92,3 +99,80 @@ def test_semdedup_reps_kept_one_per_cluster(spark):
     assert reps.is_kept.all()
     # τ sits inside the observed range: both branches are exercised
     assert 0 < out.is_kept.sum() < len(out)
+
+
+def test_equality_deletes_compaction_roundtrip(spark, tmp_path):
+    """apply_deletes must make the plain read equal the merge-on-read
+    result, retire the delete files, and leave history addressable."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.sources.txnlog import (
+        current_version,
+        snapshot_delete_files,
+        txn_apply_deletes,
+        txn_delete_keys,
+        txn_read,
+        txn_read_mor,
+        txn_write,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    table = str(tmp_path / "mor")
+    shutil.rmtree(table, ignore_errors=True)
+    o = load(spark, SF_SMALL, "orders")
+    txn_write(spark, o.repartitionByRange(3, "o_orderkey"), table)
+    txn_delete_keys(
+        spark, o.filter(F.col("o_orderkey") % 11 == 0), table, "o_orderkey"
+    )
+    mor = txn_read_mor(spark, table)
+    expect = o.filter(F.col("o_orderkey") % 11 != 0).count()
+    assert mor.count() == expect
+    # plain read still sees everything (delete is merge-on-read only)
+    assert txn_read(spark, table).count() == o.count()
+
+    v = txn_apply_deletes(spark, table)
+    assert v == current_version(table)
+    assert snapshot_delete_files(table) == []
+    assert txn_read(spark, table).count() == expect
+    assert txn_read_mor(spark, table).count() == expect
+    # time travel to the pre-delete snapshot still resolves v0's files
+    assert txn_read(spark, table, version=0).count() == o.count()
+
+
+def test_bloom_index_prunes_where_zone_maps_cannot(spark):
+    """On the hash-distributed layout every file spans the full key range
+    (min/max prune keeps all 8); the bloom sidecar must keep fewer."""
+    import os
+
+    from aced_etl_pod_spark.sources.txnlog import snapshot_files
+
+    total, probed = tf.bloom_probed_counts(spark, SF_SMALL)
+    assert total == tf.BLOOM_FILES
+    assert 0 < probed < total, f"bloom pruned nothing: {probed}/{total}"
+    # no false negatives: the probed files must contain ALL matching rows
+    table = tf.build_bloom_indexed_table(spark, SF_SMALL)
+    paths = [os.path.join(table, f["path"]) for f in snapshot_files(table)]
+    full = (
+        spark.read.parquet(*paths)
+        .where("o_orderkey in (37, 411, 1203)")
+        .count()
+    )
+    assert tf.txnlog_bloom_index_lookup(spark, SF_SMALL).count() == full
+
+
+def test_importance_sampling_tier_rates(spark):
+    """Each tier keeps ~its configured hash-slice (exact per the bucket
+    contract: bucket < p·1000 over a near-uniform hash)."""
+    out = inc.sample_importance_weighted(spark, SF_SMALL).toPandas()
+    from aced_etl_pod_spark.tables import load
+
+    d = load(spark, SF_SMALL, "documents").toPandas()
+    for lo, hi, p in [(0, 200, 0.1), (200, 400, 0.5), (400, 10**9, 1.0)]:
+        pop = d[(d.n_chars >= lo) & (d.n_chars < hi)]
+        kept = out[(out.n_chars >= lo) & (out.n_chars < hi)]
+        if len(pop) < 30:
+            continue
+        rate = len(kept) / len(pop)
+        assert abs(rate - p) < 0.15, f"tier [{lo},{hi}): {rate} vs {p}"
