@@ -254,3 +254,73 @@ def test_cms_output_bounded_and_mergeable(spark):
     assert 0 < len(rows) <= 32  # one row per event_type, all cells ≤ d*w
     plan = _plan(df)
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_twap_shares_one_user_exchange(spark):
+    """lead() window and the groupBy both key on user_id — Catalyst must
+    reuse the window's exchange for the aggregation (one hashpartitioning
+    in the whole plan), and nothing drops to Python."""
+    from aced_etl_pod_spark.operators.incremental_ops import (
+        win_time_weighted_avg,
+    )
+
+    plan = _plan(win_time_weighted_avg(spark, SF_SMALL))
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_ewma_single_exchange_no_python(spark):
+    """The bounded-frame closed form is pure JVM HOFs over one user_id
+    window exchange."""
+    from aced_etl_pod_spark.operators.incremental_ops import win_ewma
+
+    plan = _plan(win_ewma(spark, SF_SMALL))
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_importance_sampling_is_pure_filter(spark):
+    """The keep decision is a scan-side expression filter: zero exchanges
+    anywhere in the plan."""
+    from aced_etl_pod_spark.operators.incremental_ops import (
+        sample_importance_weighted,
+    )
+
+    plan = _plan(sample_importance_weighted(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_covariance_partials_one_exchange_one_arrow_stage(spark):
+    """Gram partials: ONE Arrow stage (the per-batch gemm — the declared
+    Python boundary) and ONE hash exchange (the O(D²) idx-sum reduce);
+    the per-pair rows never exceed D²/2 per batch."""
+    from aced_etl_pod_spark.operators.incremental_ops import (
+        embedding_covariance_topk,
+    )
+
+    plan = _plan(embedding_covariance_topk(spark, SF_SMALL))
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+
+
+def test_semdedup_assignment_sweep_is_shuffle_free(spark):
+    """One k-means sweep (assignment against broadcast centroid literals)
+    must be a pure scan+project: no exchange, no Python stage — the
+    property that makes sweeps linear at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.operators.incremental_ops import (
+        SEMDEDUP_K,
+        _assign,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    e = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = e.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    cents = [(i, [float(v) for v in r.emb]) for i, r in enumerate(seeds)]
+    plan = _plan(_assign(e, cents))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
