@@ -694,3 +694,184 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_b") < F.col("keep_permille"))
         .drop("_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# mv_incremental_join_view
+# ---------------------------------------------------------------------------
+
+MV_JOIN_VIEW_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def _mv_join_partials(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_dec"),
+        )
+    )
+
+
+def mv_join_snapshot_path(sf_dir: str) -> str:
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    return scratch_dir(f"mv_joinseg_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+
+
+def mv_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (revenue by customer
+    segment = orders ⋈ customer, aggregated): the delta-join algebra
+    Δ(O ⋈ C) = ΔO ⋈ C for a fact-append workload — the appended orders
+    join the (broadcast) dimension and their partials merge into the
+    snapshot; the base fact is NEVER rejoined or rescanned. The oracle
+    recomputes the view from the full join, so a hash match proves the
+    incremental algebra exact (decimal partials again).
+
+    Contract note, stated rather than hidden: with updates on BOTH sides
+    the classic algebra needs base probes (O ⋈ ΔC), which is why
+    production dimensions are SCD-managed (merge_scd2) rather than
+    mutated in place — fact-append + slowly-changing dims is the shape
+    this op maintains. At 100 TB: refresh cost is O(delta ⋈ dim) with
+    the dim broadcast, plus an O(groups) merge."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    snap = mv_join_snapshot_path(sf_dir)
+    marker = os.path.join(snap, "_SUCCESS")
+    if not os.path.exists(marker):
+        base = o.filter(F.col("o_orderkey") % _MV_DELTA_MOD != 0)
+        _mv_join_partials(base, c).coalesce(1).write.mode("overwrite").parquet(
+            snap
+        )
+    snapshot = spark.read.parquet(snap)
+    delta = _mv_join_partials(
+        o.filter(F.col("o_orderkey") % _MV_DELTA_MOD == 0), c
+    )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("n"), F.sum("total_dec").alias("total_dec"))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.round("total_dec", 2).cast("double").alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_quantile_merge
+# ---------------------------------------------------------------------------
+
+HIST_BIN_W = 8
+HIST_BINS = 64  # covers value ∈ [0, 512) — data range is [0.01, ~490]
+_QS = (0.5, 0.9, 0.99)
+
+AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
+    WITH per_shard AS (
+      SELECT event_type,
+             least({HIST_BINS - 1}, CAST(floor(value / {HIST_BIN_W}) AS INT))
+               AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), merged AS (
+      SELECT bin, sum(cnt) AS cnt FROM per_shard GROUP BY bin
+    ), cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS n
+      FROM merged
+    ), qs AS (
+      SELECT p FROM (VALUES (0.5), (0.9), (0.99)) AS v(p)
+    ), est AS (
+      SELECT qs.p, min(cum.bin) AS bin
+      FROM qs JOIN cum ON cum.cum >= qs.p * cum.n
+      GROUP BY qs.p
+    ), exact AS (
+      SELECT 0.5 AS p, quantile_cont(value, 0.5) AS x FROM events
+      UNION ALL
+      SELECT 0.9, quantile_cont(value, 0.9) FROM events
+      UNION ALL
+      SELECT 0.99, quantile_cont(value, 0.99) FROM events
+    )
+    SELECT CAST(est.p AS DOUBLE) AS p,
+           CAST((est.bin + 1) * {HIST_BIN_W} AS DOUBLE) AS est,
+           (abs((est.bin + 1) * {HIST_BIN_W} - exact.x) <= {HIST_BIN_W})
+             AS within_bin
+    FROM est JOIN exact ON est.p = exact.p
+    ORDER BY p
+"""
+
+
+def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from MERGEABLE fixed-bin histogram partials:
+    each shard (event_type) keeps 64 integer bin counts; shards compose by
+    plain addition; quantiles read off the merged cumulative histogram
+    with error bounded by ONE BIN WIDTH by construction. This completes
+    the engine's persisted-partial sketch suite — count/sum (MV), distinct
+    (HLL/bitmap/KMV), frequency (CMS, heavy hitters), and now quantiles —
+    all with the same compose-without-rescan algebra. The oracle checks
+    the estimate EXACTLY (integer bin counts are engine-invariant) and
+    additionally proves the contract: |estimate − exact quantile| ≤ bin
+    width, with the exact side computed by each engine's native
+    interpolated percentile.
+
+    At 100 TB: the shuffle is ≤ shards × 64 integers, the merge is
+    O(bins), and the histogram partials persist beside the data for
+    incremental refresh — the fixed-bin tradeoff (range known a priori)
+    buys exact mergeability that streaming t-digests only approximate."""
+    e = load(spark, sf_dir, "events")
+    binc = F.least(
+        F.lit(HIST_BINS - 1), F.floor(F.col("value") / HIST_BIN_W)
+    ).cast("int")
+    per_shard = e.groupBy("event_type", binc.alias("bin")).agg(
+        F.count("*").alias("cnt")
+    )
+    merged = per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+    )
+    qs = spark.createDataFrame([(p,) for p in _QS], "p double")
+    est = (
+        qs.join(cum, cum.cum >= qs.p * cum.n)
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    exact = e.agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"x{i}")
+            for i, p in enumerate(_QS)
+        ]
+    )
+    exact_rows = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"x{i}").alias("x")
+                    )
+                    for i, p in enumerate(_QS)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.p").alias("p"), F.col("e.x").alias("x"))
+    out = est.join(exact_rows, "p")
+    e_val = (F.col("bin") + 1) * HIST_BIN_W
+    return out.select(
+        F.col("p").cast("double").alias("p"),
+        e_val.cast("double").alias("est"),
+        (F.abs(e_val - F.col("x")) <= HIST_BIN_W).alias("within_bin"),
+    ).orderBy("p")

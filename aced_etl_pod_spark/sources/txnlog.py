@@ -211,7 +211,16 @@ def snapshot_files(table: str, version: int | None = None) -> list[dict]:
             for line in f:
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    # tag the entry with its commit version (the "sequence
+                    # number" of the published formats) — equality deletes
+                    # apply only to files committed BEFORE the delete. A
+                    # checkpoint's materialized adds carry the ORIGINAL v
+                    # forward (see txn_checkpoint), so sequence semantics
+                    # survive replay-from-checkpoint.
+                    live[action["add"]["path"]] = {
+                        **action["add"],
+                        "v": action["add"].get("v", v),
+                    }
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
     return list(live.values())
@@ -459,7 +468,10 @@ def snapshot_delete_files(table: str, version: int | None = None) -> list[dict]:
             for line in f:
                 action = json.loads(line)
                 if "add_delete" in action:
-                    live[action["add_delete"]["path"]] = action["add_delete"]
+                    live[action["add_delete"]["path"]] = {
+                        **action["add_delete"],
+                        "v": v,
+                    }
                 elif "remove_delete" in action:
                     live.pop(action["remove_delete"]["path"], None)
     return list(live.values())
@@ -498,23 +510,103 @@ def txn_delete_keys(spark, keys_df, table: str, key_col: str) -> int:
 
 
 def txn_read_mor(spark, table: str, version: int | None = None):
-    """Merge-on-read snapshot: live data files MINUS live equality-delete
-    keys (left anti-join; the delete side is broadcast — it is small by
-    contract, and at 100 TB a per-file min/max scope check would bound the
-    anti-join to overlapping files exactly as in the published formats)."""
+    """Merge-on-read snapshot with SEQUENCE semantics: an equality-delete
+    applies only to data files committed at a version STRICTLY BEFORE the
+    delete's version (the published Iceberg-v2 sequence-number rule) — so
+    a MERGE/upsert commit whose delete keys and replacement rows land in
+    the SAME version never deletes its own rows, and rows re-inserted
+    after a delete survive.
+
+    Plan: data files group by the set of deletes applicable to them (a
+    handful of segments — one per upsert generation still unreclaimed by
+    txn_apply_deletes); each segment anti-joins a BROADCAST union of its
+    applicable delete keys, and the segments union. At 100 TB the delete
+    side stays small by contract (compaction retires it), and a per-file
+    min/max scope check would further bound each anti-join exactly as in
+    the published formats."""
     from pyspark.sql import functions as _F
 
-    df = txn_read(spark, table, version)
+    files = snapshot_files(table, version)
     dels = snapshot_delete_files(table, version)
+    if not files:
+        return txn_read(spark, table, version)
     if not dels:
-        return df
+        return txn_read(spark, table, version)
     key = dels[0]["key"]
-    keys = spark.read.parquet(*[os.path.join(table, d["path"]) for d in dels])
-    return df.join(
-        _F.broadcast(keys.withColumnRenamed(key, "__delkey").distinct()),
-        df[key] == _F.col("__delkey"),
-        "left_anti",
+    # group data files by applicable delete versions
+    del_versions = sorted({d["v"] for d in dels})
+
+    def applicable(fv: int) -> tuple[int, ...]:
+        return tuple(v for v in del_versions if v > fv)
+
+    segments: dict[tuple[int, ...], list[str]] = {}
+    for f in files:
+        segments.setdefault(applicable(f.get("v", 0)), []).append(f["path"])
+    out = None
+    for dvs, paths in sorted(segments.items()):
+        seg = spark.read.parquet(*[os.path.join(table, p) for p in paths])
+        if dvs:
+            keys = spark.read.parquet(
+                *[os.path.join(table, d["path"]) for d in dels if d["v"] in dvs]
+            )
+            seg = seg.join(
+                _F.broadcast(
+                    keys.withColumnRenamed(key, "__delkey").distinct()
+                ),
+                seg[key] == _F.col("__delkey"),
+                "left_anti",
+            )
+        out = seg if out is None else out.unionByName(seg)
+    return out
+
+
+def txn_upsert(spark, df, table: str, key_col: str) -> int:
+    """MERGE INTO (upsert) as ONE atomic commit: an equality-delete file
+    of the incoming keys PLUS the incoming rows as new data files publish
+    together — matched rows are superseded, unmatched rows insert, and
+    readers see either the whole merge or none of it. The sequence rule
+    (deletes apply only to EARLIER files) is what lets the delete and the
+    replacement rows share a version. Cost is O(batch), never a base
+    rewrite — the merge-on-read MERGE of the published formats."""
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-upsert-{uid}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+    df.select(key_col).distinct().coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "keys")
     )
+    attempt = current_version(table) + 1
+    actions_files: list[dict] = []
+    for sub, kind in (("keys", "add_delete"), ("data", "add")):
+        for seq, fname in enumerate(
+            f
+            for f in sorted(os.listdir(os.path.join(staging, sub)))
+            if f.endswith(".parquet")
+        ):
+            final = f"v{attempt}-upsert-{kind}-{uid}-{seq:05d}.parquet"
+            os.replace(
+                os.path.join(staging, sub, fname), os.path.join(table, final)
+            )
+            rows, _ = _file_stats(os.path.join(table, final), ())
+            if kind == "add_delete":
+                actions_files.append(
+                    {"add_delete": {"path": final, "rows": rows, "key": key_col}}
+                )
+            else:
+                actions_files.append(
+                    {"add": {"path": final, "rows": rows, "stats": {}}}
+                )
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        actions = [
+            {"commit": {"op": "upsert", "version": version}}
+        ] + actions_files
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            continue
 
 
 def txn_apply_deletes(

@@ -27,6 +27,9 @@ QUEUE = [
     (inc.sample_importance_weighted, inc.SAMPLE_IMPORTANCE_WEIGHTED_ORACLE),
     (tf.txnlog_equality_deletes, tf.TXNLOG_EQUALITY_DELETES_ORACLE),
     (tf.txnlog_bloom_index_lookup, tf.TXNLOG_BLOOM_LOOKUP_ORACLE),
+    (inc.mv_incremental_join_view, inc.MV_JOIN_VIEW_ORACLE),
+    (inc.agg_histogram_quantile_merge, inc.AGG_HISTOGRAM_QUANTILE_ORACLE),
+    (tf.txnlog_merge_upsert, tf.TXNLOG_MERGE_UPSERT_ORACLE),
 ]
 
 
@@ -176,3 +179,35 @@ def test_importance_sampling_tier_rates(spark):
             continue
         rate = len(kept) / len(pop)
         assert abs(rate - p) < 0.15, f"tier [{lo},{hi}): {rate} vs {p}"
+
+
+def test_upsert_sequence_semantics(spark, tmp_path):
+    """The Iceberg-v2 sequence rule, directly: an upsert's delete keys
+    apply only to EARLIER files — never to the rows committed alongside
+    them, and never to rows re-upserted later."""
+    import shutil
+
+    from aced_etl_pod_spark.sources.txnlog import (
+        snapshot_delete_files,
+        txn_apply_deletes,
+        txn_read,
+        txn_read_mor,
+        txn_upsert,
+        txn_write,
+    )
+
+    table = str(tmp_path / "useq")
+    shutil.rmtree(table, ignore_errors=True)
+    df = lambda rows: spark.createDataFrame(rows, "k long, val string")  # noqa: E731
+    txn_write(spark, df([(1, "a"), (2, "a")]), table)
+    txn_upsert(spark, df([(2, "b"), (3, "b")]), table, "k")
+    txn_upsert(spark, df([(1, "c")]), table, "k")
+
+    state = {r.k: r.val for r in txn_read_mor(spark, table).collect()}
+    assert state == {1: "c", 2: "b", 3: "b"}
+
+    # compaction collapses the merge-on-read segments into plain files
+    txn_apply_deletes(spark, table)
+    assert snapshot_delete_files(table) == []
+    plain = {r.k: r.val for r in txn_read(spark, table).collect()}
+    assert plain == {1: "c", 2: "b", 3: "b"}
