@@ -211,3 +211,34 @@ def test_upsert_sequence_semantics(spark, tmp_path):
     assert snapshot_delete_files(table) == []
     plain = {r.k: r.val for r in txn_read(spark, table).collect()}
     assert plain == {1: "c", 2: "b", 3: "b"}
+
+
+def test_checkpoint_preserves_sequence_semantics(spark, tmp_path):
+    """A checkpoint's materialized adds carry each file's ORIGINAL commit
+    version forward, so merge-on-read still applies deletes to the right
+    segments when replay starts at the checkpoint."""
+    import shutil
+
+    from aced_etl_pod_spark.sources.txnlog import (
+        latest_checkpoint,
+        txn_checkpoint,
+        txn_read_mor,
+        txn_upsert,
+        txn_write,
+    )
+
+    table = str(tmp_path / "ckseq")
+    shutil.rmtree(table, ignore_errors=True)
+    df = lambda rows: spark.createDataFrame(rows, "k long, val string")  # noqa: E731
+    txn_write(spark, df([(1, "a"), (2, "a")]), table)
+    txn_upsert(spark, df([(2, "b")]), table, "k")
+    cv = txn_checkpoint(table)
+    assert latest_checkpoint(table) == cv
+    # replay-from-checkpoint must NOT re-tag v0's file to the checkpoint
+    # version (which would exempt it from the v1 delete)
+    state = {r.k: r.val for r in txn_read_mor(spark, table).collect()}
+    assert state == {1: "a", 2: "b"}
+    # and a post-checkpoint upsert still supersedes checkpointed files
+    txn_upsert(spark, df([(1, "d")]), table, "k")
+    state = {r.k: r.val for r in txn_read_mor(spark, table).collect()}
+    assert state == {1: "d", 2: "b"}
