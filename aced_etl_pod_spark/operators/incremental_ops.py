@@ -879,3 +879,83 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_val.cast("double").alias("est"),
         (F.abs(e_val - F.col("x")) <= HIST_BIN_W).alias("within_bin"),
     ).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_whiten (rows-only: eigendecomposition is not
+# SQL-expressible; contract is property-tested — whitened covariance ≈ I)
+# ---------------------------------------------------------------------------
+
+WHITEN_EPS = 1e-6
+
+
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding corpus — the consumer of the
+    covariance partials (embedding_covariance_topk): the full D×D second-
+    moment matrix reduces from per-batch gemm partials exactly as there,
+    the D×D eigendecomposition runs on the DRIVER (O(D³) on a 64×64
+    matrix — model-sized state, like the k-means centroids and PQ
+    codebooks), and the whitening transform broadcasts back for a single
+    Arrow map over the data. Whitening is the standard preconditioner
+    before embedding-space search/clustering (and the core of PCA dim
+    reduction — keep the top rows of the same eigenbasis).
+
+    Output is rows-only for the driver gate (eigenvectors are not
+    SQL-expressible; sign/order of degenerate eigenvectors is
+    engine-specific); the CONTRACT is property-tested instead:
+    cov(whitened) == I within tolerance (tests/test_incremental.py).
+
+    At 100 TB: two linear passes (covariance partials; transform), one
+    O(D²) shuffle, driver state O(D²) — n never touches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    d = SEMDEDUP_DIM
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # pass 1: mean + full Gram partials per batch (same shape as the
+    # covariance op, full matrix this time)
+    def gram_full(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            G = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "idx": np.arange(d * d + d, dtype="int64"),
+                    "s": np.concatenate([G.ravel(), X.sum(axis=0)]),
+                    "cnt": np.full(d * d + d, len(pdf), dtype="int64"),
+                }
+            )
+
+    rows = (
+        e.select("emb")
+        .mapInPandas(gram_full, "idx long, s double, cnt long")
+        .groupBy("idx")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("tot"))
+        .collect()
+    )
+    n = rows[0].tot  # every idx row carries the same total count
+    g = np.zeros(d * d + d)
+    for r in rows:
+        g[r.idx] = r.s
+    G = g[: d * d].reshape(d, d)
+    mu = g[d * d :] / n
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    wm = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, WHITEN_EPS))) @ vecs.T
+    bw = spark.sparkContext.broadcast((mu, wm))
+
+    def whiten(batches):
+        m, w = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = (np.stack(pdf["emb"].to_numpy()) - m) @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "white": list(X)}
+            )
+
+    return e.mapInPandas(whiten, "vec_id long, white array<double>")

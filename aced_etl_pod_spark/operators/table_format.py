@@ -856,3 +856,68 @@ def txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     ).orderBy("user_id")
+
+
+STREAM_TXNLOG_MERGE_UPSERT_ORACLE = TXNLOG_MERGE_UPSERT_ORACLE
+
+
+def stream_txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO: the event stream folds into a keyed state
+    table one micro-batch at a time — each epoch's per-user latest rows
+    txn_upsert atomically (delete-keys + rows, one commit), tagged with
+    the epoch id so a REPLAYED epoch is recognized in the log and skipped
+    (the same idempotent-token contract as stream_txnlog_exactly_once,
+    now for upserts). The test double-fires epoch 0 deliberately; the
+    final state still equals "latest event per user" recomputed from the
+    raw stream, because the duplicate merge is refused by the log.
+
+    This is the streaming CDC serving path at 100 TB: at-least-once
+    delivery + idempotent atomic merges = exactly-once state, with each
+    merge costing O(batch) and compaction (txn_apply_deletes) bounding
+    the merge-on-read segments the readers pay for."""
+    from aced_etl_pod_spark.sources.txnlog import table_history, txn_upsert
+    from aced_etl_pod_spark.streaming.replay import (
+        materialize_batches,
+        read_stream,
+        run_foreach_batch,
+    )
+
+    cuts = [F.lit(c).cast("timestamp") for c in _UPSERT_WEEKS]
+    src = materialize_batches(
+        spark, sf_dir, "txnlog_upsert",
+        splits=[
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+            F.col("ts") >= cuts[2],
+        ],
+    )
+    table = scratch_dir("stream/txnlog_upsert_table")
+    shutil.rmtree(table, ignore_errors=True)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        token = f"merge-epoch-{epoch_id}"
+        if any(h.get("op") == token for h in table_history(table)):
+            return
+        if epoch_id == 0:
+            txn_write(spark, _latest_per_user(batch_df), table, op_name=token)
+        else:
+            txn_upsert(
+                spark, _latest_per_user(batch_df), table, "user_id",
+                op_name=token,
+            )
+
+    run_foreach_batch(read_stream(spark, src), merge_batch)
+    # deliberate epoch replay: the token is already in the log -> no-op
+    e = load(spark, sf_dir, "events")
+    merge_batch(e.filter(F.col("ts") < cuts[0]), 0)
+
+    from aced_etl_pod_spark.sources.txnlog import txn_read_mor
+
+    df = txn_read_mor(spark, table)
+    return df.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    ).orderBy("user_id")

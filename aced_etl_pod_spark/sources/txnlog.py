@@ -560,7 +560,9 @@ def txn_read_mor(spark, table: str, version: int | None = None):
     return out
 
 
-def txn_upsert(spark, df, table: str, key_col: str) -> int:
+def txn_upsert(
+    spark, df, table: str, key_col: str, op_name: str = "upsert"
+) -> int:
     """MERGE INTO (upsert) as ONE atomic commit: an equality-delete file
     of the incoming keys PLUS the incoming rows as new data files publish
     together — matched rows are superseded, unmatched rows insert, and
@@ -600,7 +602,7 @@ def txn_upsert(spark, df, table: str, key_col: str) -> int:
     while True:
         version = current_version(table) + 1
         actions = [
-            {"commit": {"op": "upsert", "version": version}}
+            {"commit": {"op": op_name, "version": version}}
         ] + actions_files
         try:
             _publish(table, version, actions)

@@ -242,3 +242,25 @@ def test_checkpoint_preserves_sequence_semantics(spark, tmp_path):
     txn_upsert(spark, df([(1, "d")]), table, "k")
     state = {r.k: r.val for r in txn_read_mor(spark, table).collect()}
     assert state == {1: "d", 2: "b"}
+
+
+def test_stream_merge_upsert_parity(spark, con):
+    """Streaming MERGE (foreachBatch + idempotent atomic upsert, with a
+    deliberate epoch replay inside the op) equals latest-per-key from the
+    raw stream."""
+    sdf = tf.stream_txnlog_merge_upsert(spark, SF_SMALL).toPandas()
+    ddf = con.execute(tf.STREAM_TXNLOG_MERGE_UPSERT_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_pca_whitening_identity_covariance(spark):
+    """The whitening contract: cov(whitened corpus) == I within numeric
+    tolerance (eigen floor WHITEN_EPS aside) — the rows-only op's
+    correctness check."""
+    import numpy as np
+
+    pdf = inc.embedding_pca_whiten(spark, SF_SMALL).toPandas()
+    X = np.stack(pdf["white"].to_numpy())
+    C = np.cov(X.T, bias=True)
+    assert np.abs(C - np.eye(C.shape[0])).max() < 1e-8
