@@ -24,6 +24,20 @@ Families in this module:
   pruning against each cluster's representative. The clustering state
   (K×D centroids) is the only driver-side data; every per-row pass is a
   Catalyst expression over broadcast centroid literals.
+* **join-view IVM** (``mv_incremental_join_view``): the delta-join
+  algebra Δ(O⋈C)=ΔO⋈C for fact-append + broadcast dims.
+* **irregular time series** (``win_time_weighted_avg``): TWAP —
+  duration-weighted mean via lead(), exact integer-micros weights.
+* **second-moment partials** (``embedding_covariance_topk`` /
+  ``embedding_pca_whiten``): per-Arrow-batch gemm Gram partials that
+  element-wise compose (O(D²) shuffle, never O(n·D²) rows), ranked
+  covariances with a full long-format oracle, and driver-side eigh +
+  broadcast ZCA transform on top.
+* **quantile sketch** (``agg_histogram_quantile_merge``): mergeable
+  fixed-bin histogram partials — completes the persisted-partial suite
+  (count/sum, distinct, frequency, quantiles).
+* **corpus mixing** (``sample_importance_weighted``): quality-tiered
+  keep rates on the Knuth hash bucket — a pure pushdown filter.
 
 (Reference analog: the reference rebuilds its query stores wholesale per
 job — etl-job/fhir_import_export.py:230-258 re-creates the index, then
@@ -45,7 +59,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money
 from aced_etl_pod_spark.tables import load, scratch_dir
 
 # ---------------------------------------------------------------------------
