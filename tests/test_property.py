@@ -325,7 +325,9 @@ def test_txnlog_replay_matches_dict_model(tmp_path_factory, ops):
             fid += 1
             entry = {"path": path, "rows": 1, "stats": {}}
             actions.append({"add": entry})
-            model[path] = entry
+            # replay tags each live entry with its commit version (the
+            # sequence number equality-deletes key off)
+            model[path] = {**entry, "v": version}
         _publish(table, version, actions)
         history.append(dict(model))
     for v, expected in enumerate(history):
