@@ -335,3 +335,98 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (registration queue — finished + locally verified in
+# tests/test_incremental.py; registers when the driver window rotates).
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle(iterations: int = LPA_ITERS) -> str:
+    """Unrolled-CTE oracle for label propagation — one CTE per synchronous
+    round, same chaining technique as _pagerank_oracle. Pure integer
+    arithmetic end to end, so the match is exact with no rounding."""
+    step = """l{k} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, p.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, p.label) AS rk
+        FROM e JOIN l{p} p ON e.src = p.node
+        GROUP BY e.dst, p.label) t WHERE rk = 1
+    )"""
+    chain = ",\n    ".join(
+        step.format(k=k, p=k - 1) for k in range(1, iterations + 1)
+    )
+    return f"""
+    WITH ed AS (
+      SELECT DISTINCT o_custkey AS a, -(l_suppkey + 1) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT a AS src, b AS dst FROM ed
+      UNION ALL
+      SELECT b AS src, a AS dst FROM ed
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM e
+    ),
+    {chain}
+    SELECT node, label AS community FROM l{iterations} ORDER BY node
+    """
+
+
+GRAPH_LABEL_PROPAGATION_ORACLE = _lpa_oracle()
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    (symmetrized) customer↔supplier purchase graph: every node starts
+    labeled with its own id; each round it adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label — the determinism
+    twist that makes classic LPA (random tie-break, async order) exactly
+    reproducible and therefore fully oracle-checkable, unrolled CTE per
+    round like graph_pagerank. Fixed LPA_ITERS rounds: like the k-means
+    and PageRank stages, iteration count is a budget, not a convergence
+    promise — the honest posture for bounded-cost graph passes at 100 TB.
+
+    Distinct from dedup_cluster_cc (min-label = connected components):
+    frequency-argmax labels split dense regions into communities rather
+    than collapsing every reachable node.
+
+    Plan per round: one shuffle-join (labels onto edge sources) + one
+    partial-agg count + one per-node window argmax — the label table,
+    never the edge list, is what iterates; integer-only state, no float
+    drift across engines."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (-(F.col("l_suppkey") + 1)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = ed.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        ed.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.window import Window as _W
+
+    for _ in range(LPA_ITERS):
+        nb = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").count()
+        w = _W.partitionBy("node").orderBy(F.desc("count"), "label")
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        "node", F.col("label").alias("community")
+    ).orderBy("node")

@@ -445,9 +445,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's rep — K rows broadcast. At 100 TB: sweeps scale linearly,
     the rep join stays broadcast, and τ-pruning drops ~the SemDeDup-paper
     fraction of the corpus before tokenization ever runs."""
+    # cache: the corpus is scanned by 3 assignment sweeps + 2 update
+    # collects + the seed pick — at cluster scale this is "persist the
+    # working set for the k-means epoch", the standard iterative pattern
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .cache()
     )
     seeds = e.orderBy("vec_id").limit(SEMDEDUP_K).collect()
     cents = [(i, [float(v) for v in r.emb]) for i, r in enumerate(seeds)]

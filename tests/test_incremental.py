@@ -12,6 +12,7 @@ import os
 import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
+from aced_etl_pod_spark.operators import advanced_ops as adv
 from aced_etl_pod_spark.operators import incremental_ops as inc
 from aced_etl_pod_spark.operators import table_format as tf
 from tests.conftest import SF_SMALL
@@ -30,6 +31,7 @@ QUEUE = [
     (inc.mv_incremental_join_view, inc.MV_JOIN_VIEW_ORACLE),
     (inc.agg_histogram_quantile_merge, inc.AGG_HISTOGRAM_QUANTILE_ORACLE),
     (tf.txnlog_merge_upsert, tf.TXNLOG_MERGE_UPSERT_ORACLE),
+    (adv.graph_label_propagation, adv.GRAPH_LABEL_PROPAGATION_ORACLE),
 ]
 
 
