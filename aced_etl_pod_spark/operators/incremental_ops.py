@@ -976,3 +976,68 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(whiten, "vec_id long, white array<double>")
+
+
+# ---------------------------------------------------------------------------
+# win_anomaly_zscore
+# ---------------------------------------------------------------------------
+
+ZSCORE_W = 20  # trailing window width (rows)
+ZSCORE_MIN = 10  # minimum observations before scoring
+ZSCORE_TAU = 2.5
+
+WIN_ANOMALY_ZSCORE_ORACLE = f"""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS z,
+           (abs(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4))
+              > {ZSCORE_TAU}) AS is_outlier
+    FROM s WHERE n >= {ZSCORE_MIN} AND sd > 0
+"""
+
+
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly scoring in batch: each event's z-score
+    against the TRAILING 20-observation window of its own series (mean and
+    sample stddev over the frame; scored only once ≥10 observations
+    exist, so cold-start noise never flags). The timeseries quality gate
+    that pairs with dq_expectation_checks — DQ validates schema-level
+    invariants, this flags distributional breaks per entity.
+
+    Plan: one exchange on user_id shared by all three frame aggregates
+    (same window spec ⇒ one sort, one pass); the boolean is derived from
+    the ROUNDED z on both engines so the flag can't disagree at the
+    threshold boundary. At 100 TB: linear per series, O(frame) state —
+    and the same frame algebra runs unchanged as a Structured Streaming
+    window over event-time."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_W - 1), W.currentRow)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count("*").over(w)
+    z = F.round(((F.col("value") - mu) / sd).cast("decimal(18,8)"), 4)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            z.cast("double").alias("z"),
+            (F.abs(z) > ZSCORE_TAU).alias("is_outlier"),
+            n.alias("_n"),
+            sd.alias("_sd"),
+        )
+        .filter((F.col("_n") >= ZSCORE_MIN) & (F.col("_sd") > 0))
+        .drop("_n", "_sd")
+    )

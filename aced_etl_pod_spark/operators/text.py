@@ -417,3 +417,79 @@ def dedup_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (round-6 registration queue — finished + verified in
+# tests/test_incremental.py; registers when the driver window rotates).
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8
+
+DEDUP_NGRAM_CONTAINMENT_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS g
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.g, x -> list_contains(b.g, x))) AS inter,
+             len(a.g) AS na
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id != b.doc_id
+       AND (len(a.g) < len(b.g)
+            OR (len(a.g) = len(b.g) AND a.doc_id < b.doc_id))
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / na, 4) AS containment
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / na >= {CONTAIN_TAU}
+"""
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: 3-gram shingle containment
+    |A∩B| / |A| — catches a document embedded inside a larger one (quoted
+    articles, boilerplate-wrapped reposts), exactly the case symmetric
+    Jaccard misses because the big document inflates the union. The
+    smaller doc is always the contained side (size tie → id order), so
+    each candidate pair appears once with a well-defined direction.
+
+    Like dedup_ngram_jaccard this is the EXACT tier, group-bounded by
+    language; at corpus scale the candidate set comes from the minhash
+    band join (functions/dedup.py) instead of the within-group product —
+    containment then re-ranks candidates with this same expression.
+    Shingling is pure Catalyst (sequence + transform + element_at)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 2), i -> "
+            "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+            "element_at(w, i + 2)))"
+        )
+    )
+    t = (
+        d.select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", "lang", grams.alias("g"))
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), "lang", F.col("g").alias("ga"))
+    b = t.select(F.col("doc_id").alias("id_b"), "lang", F.col("g").alias("gb"))
+    pairs = a.join(b, "lang").filter(
+        (F.col("id_a") != F.col("id_b"))
+        & (
+            (F.size("ga") < F.size("gb"))
+            | ((F.size("ga") == F.size("gb")) & (F.col("id_a") < F.col("id_b")))
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    contain = inter / F.size("ga")
+    return (
+        pairs.withColumn("containment", F.round(contain, 4))
+        .filter(contain >= CONTAIN_TAU)
+        .select("id_a", "id_b", "containment")
+    )

@@ -13,6 +13,7 @@ import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
 from aced_etl_pod_spark.operators import advanced_ops as adv
+from aced_etl_pod_spark.operators import text as txt
 from aced_etl_pod_spark.operators import incremental_ops as inc
 from aced_etl_pod_spark.operators import table_format as tf
 from tests.conftest import SF_SMALL
@@ -32,6 +33,8 @@ QUEUE = [
     (inc.agg_histogram_quantile_merge, inc.AGG_HISTOGRAM_QUANTILE_ORACLE),
     (tf.txnlog_merge_upsert, tf.TXNLOG_MERGE_UPSERT_ORACLE),
     (adv.graph_label_propagation, adv.GRAPH_LABEL_PROPAGATION_ORACLE),
+    (txt.dedup_ngram_containment, txt.DEDUP_NGRAM_CONTAINMENT_ORACLE),
+    (inc.win_anomaly_zscore, inc.WIN_ANOMALY_ZSCORE_ORACLE),
 ]
 
 
