@@ -168,22 +168,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "extra"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs within a language group (the exact
-    counterpart the LSH family approximates; group-bounded join keeps it
-    from being a global cross product)."""
+    """Exact token-set Jaccard pairs (threshold 0.85) via PPJoin-style
+    PREFIX FILTERING (Xiao et al., WWW'08) — not an all-pairs product:
+    tokens are globally ordered by ascending document frequency; if
+    J(A,B) ≥ τ their (n − ⌈τ·n⌉ + 1)-prefixes under that order MUST share
+    a token (pigeonhole on the suffix), so candidates are generated by an
+    equi-join on PREFIX postings only — the rarest ~15% of each doc's
+    tokens, which is what keeps join buckets small even though common
+    tokens (stopwords) are shared by every document. Survivors are then
+    verified EXACTLY with array_intersect, so the result set is identical
+    to the naive form the DuckDB oracle still computes (the scale ladder
+    measured the naive plan at 27× cost for 10× data; this plan removes
+    the quadratic candidate step while keeping exactness — unlike minhash
+    banding, which would trade recall).
+
+    Plan: postings → df count (broadcast back) → per-doc (df, token) sort
+    → prefix explode → equi-join on (token, lang) → distinct pairs →
+    verify join. At 100 TB the df table join becomes a shuffle join and a
+    hot-prefix cap bounds the worst bucket; the verify stage touches only
+    true candidates."""
+    TAU = 0.85
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks"))
-    a = t.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang"), F.col("toks").alias("toks_b"))
-    pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    uni = (F.size("toks_a") + F.size("toks_b")).cast("double") - F.size(
-        F.array_intersect("toks_a", "toks_b")
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    post = t.select("doc_id", "lang", F.explode("toks").alias("tok"))
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        post.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("s")
+        )
+    )
+    n = F.size("s")
+    plen = n - F.ceil(n * TAU).cast("int") + 1
+    pref = ranked.select(
+        "doc_id", "lang", F.explode(F.slice("s", 1, plen)).alias("p")
+    ).select("doc_id", "lang", F.col("p.tok").alias("tok"))
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    vb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    uni = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     jac = inter / uni
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.85)
+        .filter(jac >= TAU)
         .select("id_a", "id_b", "jaccard")
     )
 
