@@ -425,3 +425,42 @@ def test_histogram_quantile_within_one_bin(xs):
         rank = max(1, math.ceil(p * n - 1e-9))
         exact = srt[rank - 1]
         assert abs(est - exact) <= HIST_BIN_W + 1e-6
+
+
+@given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    ),
+    tau_pct=st.integers(min_value=50, max_value=95),
+)
+@settings(max_examples=120, deadline=None)
+def test_ppjoin_prefix_filter_never_misses_a_pair(docs, tau_pct):
+    """The exactness guarantee behind dedup_ngram_jaccard's re-plan
+    (pure-Python mirror of the Spark logic): order tokens by ascending
+    global df (ties by token), take each doc's (n − ⌈τ·n⌉ + 1)-prefix —
+    every pair with true Jaccard ≥ τ MUST share a prefix token
+    (pigeonhole on the suffix). Tested adversarially over random set
+    universes and thresholds."""
+    import math
+    from collections import Counter
+
+    tau = tau_pct / 100.0
+    dfc = Counter(t for d in docs for t in set(d))
+    order = {t: (dfc[t], t) for t in dfc}
+
+    def prefix(d):
+        s = sorted(d, key=lambda t: order[t])
+        plen = len(s) - math.ceil(tau * len(s)) + 1
+        return set(s[:plen])
+
+    prefs = [prefix(d) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i]), set(docs[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                assert prefs[i] & prefs[j], (
+                    f"missed pair jac={jac:.3f} tau={tau}: {a} {b}"
+                )
