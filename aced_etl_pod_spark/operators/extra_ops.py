@@ -1020,3 +1020,106 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal join (round-6/7 registration queue — finished + verified
+# in tests/test_incremental.py; registers when the driver window rotates).
+# ---------------------------------------------------------------------------
+
+_SCD2_CUT = "1998-01-01"
+
+JOIN_SCD2_TEMPORAL_ORACLE = f"""
+    WITH dim AS (
+      SELECT c_custkey AS key,
+             'seg-' || CAST(c_custkey % 5 AS VARCHAR) AS seg,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '{_SCD2_CUT}' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'seg-upd', DATE '{_SCD2_CUT}', NULL
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(o.o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.key
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+    GROUP BY d.seg
+    ORDER BY d.seg
+"""
+
+
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join of facts to an SCD TYPE-2 dimension:
+    every order joins the dimension VERSION that was valid on its order
+    date — the standard warehouse pattern that merge_scd2's output exists
+    to serve. The fixture dimension has two generations (all customers at
+    'seg-N' from 1992; every third customer re-versioned to 'seg-upd' at
+    1998-01-01), so both the closed-interval and the open-current paths are
+    exercised.
+
+    Scalable formulation: NOT an interval join — the dim's validity
+    windows partition time per key, so "the version valid at t" is
+    exactly "the latest valid_from ≤ t": a backward AS-OF association.
+    Union-tag both inputs on (key, date), sort once per key with dim rows
+    first on date ties, and carry last(seg) forward — ONE shuffle on the
+    join key, no range predicate, no broadcast requirement (works even
+    when the dim's history is too big to broadcast; the oracle pays the
+    interval join instead). Same trick as join_asof_event, applied to the
+    SCD2 contract."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    cut = F.lit(_SCD2_CUT).cast("date")
+    v1 = c.select(
+        F.col("c_custkey").alias("key"),
+        F.concat(F.lit("seg-"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "seg"
+        ),
+        F.lit("1992-01-01").cast("date").alias("vfrom"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.lit("seg-upd").alias("seg"),
+            cut.alias("vfrom"),
+        )
+    )
+    dim = v1.unionByName(v2).select(
+        "key", F.col("vfrom").alias("d"), "seg",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    facts = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(0).alias("is_dim"),
+        F.col("o_totalprice").alias("price"),
+    )
+    u = dim.unionByName(facts)
+    # dim first on date ties: a version starting on the order date IS the
+    # valid one (valid_from inclusive)
+    w = (
+        W.partitionBy("key")
+        .orderBy("d", F.desc("is_dim"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = u.withColumn(
+        "cur_seg", F.last(F.when(F.col("is_dim") == 1, F.col("seg")), True).over(w)
+    )
+    return (
+        tagged.filter(F.col("is_dim") == 0)
+        .groupBy(F.col("cur_seg").alias("seg"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("seg")
+    )

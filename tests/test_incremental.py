@@ -13,6 +13,7 @@ import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
 from aced_etl_pod_spark.operators import advanced_ops as adv
+from aced_etl_pod_spark.operators import extra_ops as ext
 from aced_etl_pod_spark.operators import text as txt
 from aced_etl_pod_spark.operators import incremental_ops as inc
 from aced_etl_pod_spark.operators import table_format as tf
@@ -35,6 +36,7 @@ QUEUE = [
     (adv.graph_label_propagation, adv.GRAPH_LABEL_PROPAGATION_ORACLE),
     (txt.dedup_ngram_containment, txt.DEDUP_NGRAM_CONTAINMENT_ORACLE),
     (inc.win_anomaly_zscore, inc.WIN_ANOMALY_ZSCORE_ORACLE),
+    (ext.join_scd2_temporal, ext.JOIN_SCD2_TEMPORAL_ORACLE),
 ]
 
 
