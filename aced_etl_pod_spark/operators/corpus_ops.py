@@ -2138,3 +2138,79 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV sink round-trip with hostile content (round-6/7 registration queue —
+# finished + verified in tests/test_incremental.py).
+# ---------------------------------------------------------------------------
+
+SINK_CSV_ROUNDTRIP_ORACLE = f"""
+    WITH t AS (
+      SELECT o_orderstatus,
+             o_orderpriority || ',"' || o_orderstatus || '"' || chr(10)
+               || 'line2' AS tricky,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(tricky)) AS BIGINT) AS tricky_len,
+           bit_xor({_MD5_60.format(expr="tricky")}) AS content_digest,
+           {{money}} AS total
+    FROM t
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+""".format(money="CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)")
+
+
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan round-trip with HOSTILE content: every row carries
+    embedded delimiters, embedded double-quotes, AND an embedded newline —
+    the three things that corrupt naive CSV paths. The write quotes and
+    escapes (quoteAll + doubled quotes); the read uses multiLine +
+    explicit schema; the manifest (count, byte length, md5-xor digest,
+    price total) is computed from the READ-BACK rows and must equal the
+    oracle computed from the source — so a green row proves lossless
+    quoting through the full cycle, not merely that the write succeeded.
+
+    Plan: parallel unsorted write (one file per partition), schema-d read
+    (no inference scan), map-side-combined manifest agg. The multiLine
+    caveat IS the scale note: embedded newlines defeat naive line
+    splitting, so files are read whole-file-per-task — the reason
+    columnar formats win at 100 TB and CSV stays an EXCHANGE format at
+    the edges (fhir_import_export.py ships flat exports the same way)."""
+    o = load(spark, sf_dir, "orders")
+    tricky = F.concat(
+        F.col("o_orderpriority"),
+        F.lit(',"'),
+        F.col("o_orderstatus"),
+        F.lit('"'),
+        F.lit("\n"),
+        F.lit("line2"),
+    )
+    src = o.select(
+        "o_orderstatus", tricky.alias("tricky"), "o_totalprice"
+    )
+    out = scratch_dir("sink_csv_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        src.write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(out)
+    )
+    back = spark.read.options(header=True, multiLine=True, escape='"').schema(
+        "o_orderstatus string, tricky string, o_totalprice double"
+    ).csv(out)
+    digest = F.conv(F.substring(F.md5("tricky"), 1, 15), 16, 10).cast("long")
+    return (
+        back.withColumn("__h", digest)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("tricky")).cast("long").alias("tricky_len"),
+            F.expr("bit_xor(__h)").alias("content_digest"),
+            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -13,6 +13,7 @@ import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
 from aced_etl_pod_spark.operators import advanced_ops as adv
+from aced_etl_pod_spark.operators import corpus_ops as cor
 from aced_etl_pod_spark.operators import extra_ops as ext
 from aced_etl_pod_spark.operators import text as txt
 from aced_etl_pod_spark.operators import incremental_ops as inc
@@ -37,6 +38,7 @@ QUEUE = [
     (txt.dedup_ngram_containment, txt.DEDUP_NGRAM_CONTAINMENT_ORACLE),
     (inc.win_anomaly_zscore, inc.WIN_ANOMALY_ZSCORE_ORACLE),
     (ext.join_scd2_temporal, ext.JOIN_SCD2_TEMPORAL_ORACLE),
+    (cor.sink_csv_roundtrip, cor.SINK_CSV_ROUNDTRIP_ORACLE),
 ]
 
 
