@@ -1,0 +1,200 @@
+"""Data-governance / privacy operators (round-7 registration queue —
+finished and locally oracle-verified here; registered when the driver
+window next rotates).
+
+The warehouse tier the reference serves is a *governed* one (its whole
+job surface is project-scoped authz — etl-job/fhir_import_export.py's
+arborist checks, re-expressed in plans/authz.py). This module adds the
+data-side governance primitives that sit next to that access-side story:
+
+* **k-anonymity audit** (``dq_k_anonymity``): group sizes over a
+  quasi-identifier tuple, flagging equivalence classes below k — the
+  re-identification-risk gate run before a governed export. One
+  partial-agg pass, O(classes) output.
+* **consistent pseudonymization** (``fn_pseudonymize_consistent``):
+  key-coherent tokenization — the same subject always maps to the same
+  opaque token, so JOINS STILL WORK across pseudonymized tables. Uses the
+  house portable multiplicative hash so both engines derive identical
+  tokens; the op proves join-coherence by aggregating orders through the
+  pseudonym instead of the raw key.
+* **CIDR classification** (``fn_ip_cidr_classify``): longest-prefix-match
+  of IPv4 addresses against a broadcast CIDR policy table — the log-
+  enrichment / egress-audit primitive. Prefix match is pure integer
+  division (each CIDR row carries its 2^(32-plen) divisor), so no engine-
+  specific shift semantics are involved and the op full-hash-checks.
+
+Scale posture: all three are one-scan shapes — a partial agg (k-anon), a
+key-local projection + equi-join (pseudonymize), and a broadcast-dim
+theta-light join whose dim is O(policy rows) (CIDR). Nothing here
+shuffles more than its group keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aced_etl_pod_spark.tables import load
+
+_K = 5
+_BAL_BUCKET = 2000.0
+
+DQ_K_ANONYMITY_ORACLE = f"""
+    SELECT c_mktsegment,
+           c_nationkey,
+           CAST(floor(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) >= {_K} AS k_anonymous
+    FROM customer
+    GROUP BY 1, 2, 3
+"""
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class census over the quasi-identifier tuple
+    (segment, nation, balance bucket): class size + the k>=5 flag. The
+    flag compares an exact integer count, so it cannot split across
+    engines. At 100 TB this is one map-side-combining aggregation whose
+    output is O(distinct QI tuples); the suppression step a publisher
+    would run next is a broadcast semi-join of the flagged classes back
+    onto the rows."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _BAL_BUCKET).alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "bal_bucket",
+            "n",
+            (F.col("n") >= _K).alias("k_anonymous"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey", "bal_bucket")
+    )
+
+
+_PSEUDO = "(c_custkey * 2654435761) % 4294967296"
+
+FN_PSEUDONYMIZE_CONSISTENT_ORACLE = f"""
+    WITH p AS (
+      SELECT c_custkey,
+             'u' || CAST({_PSEUDO} AS VARCHAR) AS pseudonym,
+             c_mktsegment
+      FROM customer
+    )
+    SELECT p.pseudonym,
+           p.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(CAST(coalesce(sum(o.o_totalprice), 0) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS total_spend
+    FROM p LEFT JOIN orders o ON o.o_custkey = p.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subject tokenization that preserves join coherence:
+    customers get an opaque `uNNN` token from the portable hash, orders
+    are aggregated THROUGH the token (left join keeps order-less
+    subjects at zero). Because the hash is keyed arithmetic, re-runs and
+    other tables derive the same token — referential integrity survives
+    pseudonymization, which is the whole point of consistent (vs salted-
+    random) tokens. Production hardening note (documented, not simulated):
+    swap the multiplicative hash for a keyed HMAC kept in a secret store;
+    the plan shape — key-local projection, no extra shuffle — is
+    unchanged."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("u"), F.expr(_PSEUDO).cast("string")).alias("pseudonym"),
+        "c_mktsegment",
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("pseudonym", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(
+                "CAST(round(CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(18,6)), 2)"
+                " AS DOUBLE)"
+            ).alias("total_spend"),
+        )
+        .orderBy("pseudonym")
+    )
+
+
+# (label, network-as-uint32, prefix length, 2^(32-plen) divisor).
+# Deliberately overlapping so longest-prefix-match is exercised:
+# private-10 ⊂ low-half, private-192-168 ⊂ high-quarter, multicast ⊂
+# high-quarter, private-172-16 ⊂ high-half.
+_CIDRS = (
+    ("private-10", 167772160, 8, 16777216),
+    ("private-172-16", 2886729728, 12, 1048576),
+    ("private-192-168", 3232235520, 16, 65536),
+    ("multicast", 3758096384, 4, 268435456),
+    ("high-quarter", 3221225472, 2, 1073741824),
+    ("low-half", 0, 1, 2147483648),
+    ("high-half", 2147483648, 1, 2147483648),
+)
+
+_IP = "(event_id * 2654435761) % 4294967296"
+
+_CIDR_VALUES = ", ".join(f"('{l}', {n}, {p}, {d})" for l, n, p, d in _CIDRS)
+
+FN_IP_CIDR_CLASSIFY_ORACLE = f"""
+    WITH cidr(label, net, plen, bucket_div) AS (VALUES {_CIDR_VALUES}),
+    ips AS (SELECT {_IP} AS ip, user_id FROM events),
+    matched AS (
+      SELECT ips.ip, ips.user_id, cidr.label, cidr.plen,
+             row_number() OVER (
+               PARTITION BY ips.ip, ips.user_id
+               ORDER BY cidr.plen DESC, cidr.label
+             ) AS rk
+      FROM ips JOIN cidr ON ips.ip // cidr.bucket_div = cidr.net // cidr.bucket_div
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM matched WHERE rk = 1
+    GROUP BY label
+"""
+
+
+def fn_ip_cidr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix CIDR classification of (synthetic, hash-derived)
+    event IPv4 addresses against a 7-row policy table. The policy rows
+    carry their own 2^(32-plen) divisor, so containment is the portable
+    integer test `ip div d == net div d` — no shift operators, no
+    signedness edge. The policy side is broadcast (O(rules)); each event
+    matches every covering rule and a per-ip window keeps the most
+    specific — at 100 TB that window partitions by the event row, so it
+    is a within-partition top-1, not a global sort. Real-world swap-in:
+    the same plan serves a threat-intel or egress-allowlist table of a
+    few thousand rules."""
+    e = load(spark, sf_dir, "events").select(
+        F.expr(_IP).alias("ip"), "user_id"
+    )
+    cidr = spark.createDataFrame(
+        list(_CIDRS), "label string, net long, plen int, bucket_div long"
+    )
+    m = e.join(
+        F.broadcast(cidr),
+        F.expr("ip div bucket_div") == F.expr("net div bucket_div"),
+    )
+    w = W.partitionBy("ip", "user_id").orderBy(F.desc("plen"), "label")
+    best = m.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("ip").alias("n_ips"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("label")
+    )
