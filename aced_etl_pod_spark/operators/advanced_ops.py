@@ -521,6 +521,12 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0).cast("long"))
     )
     for _ in range(BFS_HOPS):
+        # `reached` appears TWICE per round (kept + pushed); without a
+        # cache the logical plan doubles every hop — 2^hops copies of the
+        # seed scan. Caching collapses both references to one
+        # InMemoryRelation per round (at cluster scale: localCheckpoint,
+        # which also truncates the lineage for failure recovery).
+        reached = reached.cache()
         pushed = reached.join(edges, reached.node == edges.src).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
