@@ -222,3 +222,112 @@ def agg_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_lat", "cell_lon")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_geo_point_in_polygon (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+# Three convex polygons in raw milli-degree space (lon_mil = x in
+# [0, 300000), lat_mil = y in [0, 90000)), vertices counter-clockwise.
+# Integer vertices + integer points => the half-plane cross products are
+# exact BIGINT arithmetic; no float enters the containment decision.
+_POLYGONS = {
+    "diamond": [(175000, 45000), (150000, 70000), (125000, 45000), (150000, 20000)],
+    "box": [(40000, 10000), (90000, 10000), (90000, 30000), (40000, 30000)],
+    "tri": [(220000, 50000), (280000, 55000), (250000, 85000)],
+}
+
+
+def _polygon_edges():
+    rows = []
+    for label, verts in _POLYGONS.items():
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        bbox = (min(xs), max(xs), min(ys), max(ys))
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((label, x1, y1, x2, y2, *bbox))
+    return rows
+
+
+_EDGE_VALUES = ", ".join(
+    f"('{l}', {x1}, {y1}, {x2}, {y2}, {bx1}, {bx2}, {by1}, {by2})"
+    for l, x1, y1, x2, y2, bx1, bx2, by1, by2 in _polygon_edges()
+)
+
+JOIN_GEO_POINT_IN_POLYGON_ORACLE = f"""
+    WITH edges(label, x1, y1, x2, y2, bx1, bx2, by1, by2) AS
+      (VALUES {_EDGE_VALUES}),
+    pts AS (
+      SELECT c_custkey,
+             {_lon_mil_sql('c_custkey')} AS px,
+             {_lat_mil_sql('c_custkey')} AS py
+      FROM customer
+    ),
+    hits AS (
+      SELECT p.c_custkey, e.label,
+             (e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1)
+               AS cross_z
+      FROM pts p JOIN edges e
+        ON p.px BETWEEN e.bx1 AND e.bx2 AND p.py BETWEEN e.by1 AND e.by2
+    ),
+    verdicts AS (
+      SELECT c_custkey, label, min(cross_z) >= 0 AS inside
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_bbox_candidates,
+           CAST(count(*) FILTER (WHERE inside) AS BIGINT) AS n_inside
+    FROM verdicts GROUP BY label
+"""
+
+
+def join_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join against a broadcast polygon table: candidate
+    (point, polygon) pairs come from a bounding-box theta join (the prune
+    step — at scale the bbox test is what a grid/R-tree index would
+    answer), and containment is the convex half-plane test: a point is
+    inside iff EVERY edge's cross product is non-negative (vertices CCW).
+    Points and vertices live in integer milli-degree space, so the
+    decision is exact BIGINT arithmetic — no float epsilon, no
+    cross-engine trig.
+
+    Scale: the polygon side is O(edges) and broadcast; each point pays
+    the bbox test per polygon (or per grid-cell bucket of polygons when
+    the table grows — the same cell-blocking join_geo_gridded_radius
+    uses); the min-agg over a point's edges is a within-group fold of a
+    handful of rows. Output is O(polygons)."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_lon_mil_sql("c_custkey")).alias("px"),
+        F.expr(_lat_mil_sql("c_custkey")).alias("py"),
+    )
+    edges = spark.createDataFrame(
+        _polygon_edges(),
+        "label string, x1 long, y1 long, x2 long, y2 long,"
+        " bx1 long, bx2 long, by1 long, by2 long",
+    )
+    hits = pts.join(
+        F.broadcast(edges),
+        (F.col("px").between(F.col("bx1"), F.col("bx2")))
+        & (F.col("py").between(F.col("by1"), F.col("by2"))),
+    ).select(
+        "c_custkey",
+        "label",
+        (
+            (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+            - (F.col("y2") - F.col("y1")) * (F.col("px") - F.col("x1"))
+        ).alias("cross_z"),
+    )
+    verdicts = hits.groupBy("c_custkey", "label").agg(
+        (F.min("cross_z") >= 0).alias("inside")
+    )
+    return (
+        verdicts.groupBy("label")
+        .agg(
+            F.count("*").alias("n_bbox_candidates"),
+            F.count_if(F.col("inside")).alias("n_inside"),
+        )
+        .orderBy("label")
+    )

@@ -830,3 +830,95 @@ def seq_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ntok",
         (F.col("ntok") > FFD_CAPACITY).alias("oversize"),
     ).orderBy("shard", "bin_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges (round-7 registration queue; rows-only by design)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+# No SQL oracle: each round's rewrite depends on the argmax VALUE of the
+# previous round, so the computation cannot be expressed as one static
+# SQL string. Contract = rows-only + tests/test_queue7.py's exact-match
+# against a from-scratch local BPE trainer (same tie-break), which is
+# stronger than a hash check on any single engine.
+TEXT_BPE_TRAIN_MERGES_ORACLE = None
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed byte-pair-encoding merge training (the Sennrich BPE
+    recipe, re-shaped for a cluster): build the word-frequency vocabulary
+    once (the only pass over the corpus — at 100 TB this distinct-words
+    aggregation IS the heavy step and it partial-aggregates), then run
+    BPE_MERGES rounds of: count adjacent symbol pairs weighted by word
+    frequency (distributed explode + partial agg over the SMALL vocab
+    table), pick the global argmax (count desc, then lexicographic — the
+    deterministic tie-break), and rewrite every word's symbol array with
+    a leftmost-non-overlapping fold, entirely in Catalyst HOFs (no Python
+    touches the symbol arrays).
+
+    Driver state per round is ONE row (the winning pair) — the same
+    bounded-driver-state discipline as the k-means seeds and PQ
+    codebooks. The vocab table is cached per round so the k rewrites
+    don't re-derive the corpus scan. Words carry a trailing '_'
+    end-of-word marker, so merges never cross word boundaries.
+
+    Output: the merge table (rank, left, right, merged, pair count) —
+    the artifact a tokenizer ships. Rows-only by design (iterative
+    argmax); exact-match-tested against a local reference trainer."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr(
+                "concat(filter(split(w, ''), x -> x <> ''), array('_'))"
+            ).alias("syms"),
+            "n",
+        )
+        .cache()
+    )
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merged = a + b
+        merges.append((rank, a, b, merged, int(cnt)))
+        # Leftmost non-overlapping merge application as a left fold: if
+        # the accumulator's last symbol is `a` and the next is `b`,
+        # replace the last with `ab`, else append.
+        vocab = vocab.select(
+            F.expr(
+                f"""aggregate(syms, cast(array() as array<string>),
+                    (acc, x) -> if(size(acc) > 0
+                                   AND element_at(acc, size(acc)) = '{a}'
+                                   AND x = '{b}',
+                                   concat(slice(acc, 1, size(acc) - 1),
+                                          array('{merged}')),
+                                   concat(acc, array(x))))"""
+            ).alias("syms"),
+            "n",
+        ).cache()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count long"
+    ).orderBy("merge_rank")

@@ -141,3 +141,61 @@ def interleave_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "source", F.row_number().over(w).cast("long").alias("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_per_group (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_RSV_K = 20
+_RSV_SALT_BUCKETS = 32
+
+SAMPLE_RESERVOIR_PER_GROUP_ORACLE = f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id,
+             (event_id * 2654435761) % 4294967296 AS h,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id * 2654435761) % 4294967296, event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT event_type, event_id, user_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_RSV_K}
+"""
+
+
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-group sampling, reservoir-style but deterministic: rows
+    rank by the portable Knuth hash of their id (a reproducible stand-in
+    for the reservoir's random tags) and each group keeps its k smallest.
+
+    Scale shape — the two-phase top-k: pass 1 takes the per-(group, salt
+    bucket) top-k, so the first sort runs over groups*buckets partitions
+    in parallel and emits at most groups*buckets*k candidate rows; pass 2
+    takes the true per-group top-k of that bounded candidate set. The
+    per-bucket top-k is a superset of the global top-k (every global
+    winner is also a winner within its own bucket), so the two-phase
+    result is EXACTLY the single-sort result — the oracle is the plain
+    one-window formulation. This is how per-group sampling avoids one
+    giant sort per hot group when there are few, huge groups (the 5
+    event types here at 100 TB)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.expr("(event_id * 2654435761) % 4294967296").alias("h"),
+    ).withColumn("salt", F.col("h") % _RSV_SALT_BUCKETS)
+    w1 = W.partitionBy("event_type", "salt").orderBy("h", "event_id")
+    cand = (
+        e.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _RSV_K)
+        .drop("rk1", "salt")
+    )
+    w2 = W.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= _RSV_K)
+        .select("event_type", "event_id", "user_id", "rk")
+        .orderBy("event_type", "rk")
+    )

@@ -202,3 +202,95 @@ def test_ffd_matches_reference_greedy(spark):
             want[row.doc_id] = (shard, placed)
     got = {r.doc_id: (r.shard, r.bin_id) for r in p.itertuples()}
     assert got == want
+
+
+QUEUE2 = [
+    (geo.join_geo_point_in_polygon, geo.JOIN_GEO_POINT_IN_POLYGON_ORACLE),
+]
+
+
+def test_queue7_parity_polygon(spark, con):
+    sdf = geo.join_geo_point_in_polygon(spark, SF_SMALL).toPandas()
+    ddf = con.execute(geo.JOIN_GEO_POINT_IN_POLYGON_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+
+def test_queue7_parity_reservoir(spark, con):
+    from aced_etl_pod_spark.operators import sampling as smp
+
+    sdf = smp.sample_reservoir_per_group(spark, SF_SMALL).toPandas()
+    ddf = con.execute(smp.SAMPLE_RESERVOIR_PER_GROUP_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+
+def test_polygon_containment_matches_shoelace_reference(spark):
+    """Independent check of the half-plane test: a pure-Python point-in-
+    convex-polygon (same CCW cross rule, integer arithmetic) over every
+    customer point reproduces the op's per-polygon counts."""
+    df = geo.join_geo_point_in_polygon(spark, SF_SMALL).toPandas()
+    got = {r.label: (r.n_bbox_candidates, r.n_inside) for r in df.itertuples()}
+
+    def point(key):
+        px = ((key * geo._LON_MUL) % geo._MOD32) % 300000
+        py = ((key * geo._LAT_MUL) % geo._MOD32) % 90000
+        return px, py
+
+    want = {}
+    for label, verts in geo._POLYGONS.items():
+        xs, ys = [v[0] for v in verts], [v[1] for v in verts]
+        bbox = (min(xs), max(xs), min(ys), max(ys))
+        nb = ni = 0
+        for c in range(150):
+            px, py = point(c)
+            if not (bbox[0] <= px <= bbox[1] and bbox[2] <= py <= bbox[3]):
+                continue
+            nb += 1
+            inside = all(
+                (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+                for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1])
+            )
+            ni += inside
+        want[label] = (nb, ni)
+    assert got == want
+
+
+def test_bpe_matches_reference_trainer(spark):
+    """The distributed BPE reproduces a from-scratch local trainer exactly
+    (same vocabulary, same leftmost-fold merge application, same
+    count-then-lexicographic tie-break) — merges AND their pair counts."""
+    import collections
+
+    import duckdb
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in llm.text_bpe_train_merges(spark, SF_SMALL).collect()
+    ]
+
+    texts = duckdb.connect().execute(
+        f"SELECT text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    vocab = collections.Counter()
+    for (t,) in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + ["_"])] += 1
+    want = []
+    for rank in range(1, llm.BPE_MERGES + 1):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, cnt))
+        new_vocab = collections.Counter()
+        for syms, n in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    assert got == want
