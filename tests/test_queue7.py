@@ -294,3 +294,34 @@ def test_bpe_matches_reference_trainer(spark):
             new_vocab[tuple(out)] += n
         vocab = new_vocab
     assert got == want
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_queue7_plan_shapes(spark):
+    """The 100 TB claims, read off the physical plans: the geo radius join
+    is an equi-join on cells (no cartesian), the polygon and CIDR joins
+    broadcast their tiny policy side, readability is a pure zero-exchange
+    projection, and the interpolation shares ONE exchange for grid, join
+    and both window frames."""
+    p = _plan(geo.join_geo_gridded_radius(spark, SF_SMALL))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    p = _plan(geo.join_geo_point_in_polygon(spark, SF_SMALL))
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p
+
+    from aced_etl_pod_spark.operators import governance_ops as gov2
+
+    p = _plan(gov2.fn_ip_cidr_classify(spark, SF_SMALL))
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p
+
+    p = _plan(txt.text_readability_score(spark, SF_SMALL))
+    # orderBy is presentation; no hash/aggregate exchange beyond the sort
+    assert "HashAggregate" not in p and "Python" not in p
+
+    p = _plan(ext.ts_interpolate_linear(spark, SF_SMALL))
+    assert p.count("Exchange hashpartitioning(user_id") <= 2  # grid + series ops
