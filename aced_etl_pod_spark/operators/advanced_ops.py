@@ -536,3 +536,91 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return reached.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_unroll_paths (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_HIER_ROUNDS = 12  # covers depth <= 12; ternary tree depth at sf0.1 is 9
+
+HIERARCHY_UNROLL_PATHS_ORACLE = """
+    WITH RECURSIVE
+    e AS (
+      SELECT c_custkey AS child, (c_custkey - 1) // 3 AS parent
+      FROM customer WHERE c_custkey > 0
+    ),
+    anc AS (
+      SELECT c_custkey AS node, c_custkey AS anc,
+             CAST(c_custkey AS VARCHAR) AS path
+      FROM customer
+      UNION ALL
+      SELECT a.node, e.parent, CAST(e.parent AS VARCHAR) || '/' || a.path
+      FROM anc a JOIN e ON a.anc = e.child
+    )
+    SELECT node,
+           CAST(anc AS BIGINT) AS root,
+           CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+             AS depth,
+           '/' || path AS path
+    FROM anc WHERE anc = 0 ORDER BY node
+"""
+
+
+def hierarchy_unroll_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (the WITH RECURSIVE gap in Spark
+    SQL): every node's full root path over a parent-child EDGE TABLE —
+    org charts, bills of material, category trees. The fixture forest is
+    a ternary tree on customer keys (parent(k) = (k-1) div 3, root 0),
+    carried as DATA so the op exercises real joins, not key arithmetic.
+
+    Spark has no recursive CTE, so the unroll is the loop-of-joins
+    pattern: each round, rows whose current ancestor is not yet the root
+    extend one level via a broadcast join onto the edge table and prepend
+    the parent to the path; settled rows pass through untouched.
+    Convergence is bounded by tree depth (9 at sf0.1; 12 rounds fixed) —
+    like the PageRank/BFS/LPA stages, iteration count is a budget. The
+    oracle is DuckDB's native WITH RECURSIVE over the same edges —
+    engine-native recursion vs unrolled joins, differential by
+    construction.
+
+    Scale: the ITERATING table is O(nodes) and each round touches one
+    broadcast join (edge table O(nodes) too — at true scale, partition
+    both by the ancestor key; rounds = tree depth, which is log-bounded
+    for balanced hierarchies). Path strings grow O(depth); per-round
+    cache keeps the lineage linear, same discipline as graph_bfs_khop."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.filter(F.col("c_custkey") > 0)
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.expr("(c_custkey - 1) div 3").alias("parent"),
+        )
+        .cache()
+    )
+    paths = c.select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_custkey").alias("anc"),
+        F.col("c_custkey").cast("string").alias("path"),
+    )
+    for _ in range(_HIER_ROUNDS):
+        paths = paths.cache()
+        ext = paths.join(
+            F.broadcast(edges), paths.anc == edges.child, "left"
+        ).select(
+            "node",
+            F.coalesce("parent", "anc").alias("anc"),
+            F.when(
+                F.col("parent").isNotNull(),
+                F.concat(F.col("parent").cast("string"), F.lit("/"), F.col("path")),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+        paths = ext
+    return paths.select(
+        "node",
+        F.col("anc").cast("long").alias("root"),
+        (F.size(F.split("path", "/")) - 1).cast("long").alias("depth"),
+        F.concat(F.lit("/"), F.col("path")).alias("path"),
+    ).orderBy("node")

@@ -1295,3 +1295,96 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_v"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+# 24 deterministic promo windows over the events month: every 30 h, with a
+# hash-derived 6..53 h duration. Pure integer epoch-second arithmetic, so
+# both engines derive identical intervals. 2024-01-01T00:00Z = 1704067200.
+_PROMO_START = "1704067200 + id * 108000"
+_PROMO_DUR = "3600 * (6 + (id * 2654435761) % 4294967296 % 48)"
+_IVL_BUCKET = 86400  # 1-day blocking buckets
+
+JOIN_INTERVAL_OVERLAP_ORACLE = f"""
+    WITH promos AS (
+      SELECT range AS id,
+             {_PROMO_START.replace('id', 'range')} AS p_start,
+             {_PROMO_START.replace('id', 'range')}
+               + {_PROMO_DUR.replace('id', 'range')} AS p_end
+      FROM range(24)
+    ),
+    spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(epoch(min(ts)) AS BIGINT) AS s_start,
+             CAST(epoch(max(ts)) AS BIGINT) AS s_end
+      FROM events GROUP BY 1, 2
+    )
+    SELECT p.id AS promo_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM promos p JOIN spans s
+      ON s.s_start <= p.p_end AND p.p_start <= s.s_end
+    GROUP BY 1
+"""
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (temporal sibling of the geo grid join):
+    which user activity spans overlap which promo windows. The naive form
+    is a theta join (start_a <= end_b AND start_b <= end_a) — quadratic
+    candidates at scale. Here both interval sets explode to the 1-day
+    buckets they COVER (sequence over integer epoch-day ids, computed
+    distributed) and candidates come from the bucket equi-join; a pair
+    overlapping several shared buckets is emitted once by the standard
+    trick of keeping only the bucket that contains the later of the two
+    starts. The oracle is the plain theta join — proving the blocking is
+    exact.
+
+    Scale: shuffle keys are integer day-buckets; an interval pays one row
+    per covered day (bounded by its duration / bucket width — the
+    granularity knob); no cartesian anywhere. This is how range/interval
+    joins run on engines without a native interval-join operator, and the
+    same shape serves IP-range and genomic-interval joins."""
+    promos = spark.range(24).select(
+        F.col("id"),
+        F.expr(_PROMO_START).alias("p_start"),
+        F.expr(f"{_PROMO_START} + {_PROMO_DUR}").alias("p_end"),
+    )
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.unix_timestamp(F.min("ts")).alias("s_start"),
+        F.unix_timestamp(F.max("ts")).alias("s_end"),
+    )
+    pb = promos.select(
+        "id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.expr(f"sequence(p_start div {_IVL_BUCKET}, p_end div {_IVL_BUCKET})")
+        ).alias("bucket"),
+    )
+    sb = spans.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.expr(f"sequence(s_start div {_IVL_BUCKET}, s_end div {_IVL_BUCKET})")
+        ).alias("bucket"),
+    )
+    pairs = pb.join(sb, "bucket").filter(
+        (F.col("s_start") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("s_end"))
+        # dedup: count the pair only in the bucket holding max(starts)
+        & (F.expr(f"greatest(p_start, s_start) div {_IVL_BUCKET}") == F.col("bucket"))
+    )
+    return (
+        pairs.groupBy(F.col("id").alias("promo_id"))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("promo_id")
+    )

@@ -620,3 +620,71 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,9)), 2) AS DOUBLE)"
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_search_boolean (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TEXT_SEARCH_BOOLEAN_ORACLE = """
+    SELECT doc_id,
+           (' ' || text || ' ') LIKE '% table scan %' AS matched_phrase,
+           ((' ' || text || ' ') LIKE '% spark %'
+            AND (' ' || text || ' ') LIKE '% join %') AS matched_and
+    FROM documents
+    WHERE (' ' || text || ' ') LIKE '% table scan %'
+       OR ((' ' || text || ' ') LIKE '% spark %'
+           AND (' ' || text || ' ') LIKE '% join %')
+"""
+
+
+def text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + phrase full-text retrieval over an inverted index — the
+    search primitive next to text_bm25_score's ranking. The query is
+    `"table scan" OR (spark AND join)`:
+
+    * postings = posexplode of the token array → (doc, position, term);
+      only the query's terms survive the filter, so the probe reads a
+      sliver of the index (at scale: partition the postings table BY TERM
+      and this becomes a pruned scan);
+    * phrase match = positional self-join (term2's position = term1's +1)
+      — the classic positional-postings adjacency probe;
+    * AND match = group-by-doc HAVING countDistinct(term) = 2.
+
+    The oracle deliberately runs the OTHER algorithm (padded LIKE full
+    scan) — differential testing across query plans, not just engines.
+    Exact because tokens are single-space separated; positions come from
+    the same split, so adjacency == substring match."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term").isin("table", "scan", "spark", "join"))
+    t1 = toks.filter(F.col("term") == "table").select("doc_id", F.col("pos").alias("p1"))
+    t2 = toks.filter(F.col("term") == "scan").select("doc_id", F.col("pos").alias("p2"))
+    phrase = (
+        t1.join(t2, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .select("doc_id")
+        .distinct()
+        .withColumn("matched_phrase", F.lit(True))
+    )
+    conj = (
+        toks.filter(F.col("term").isin("spark", "join"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .select("doc_id")
+        .withColumn("matched_and", F.lit(True))
+    )
+    return (
+        phrase.join(conj, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("matched_phrase", F.lit(False)).alias("matched_phrase"),
+            F.coalesce("matched_and", F.lit(False)).alias("matched_and"),
+        )
+        .orderBy("doc_id")
+    )

@@ -325,3 +325,71 @@ def test_queue7_plan_shapes(spark):
 
     p = _plan(ext.ts_interpolate_linear(spark, SF_SMALL))
     assert p.count("Exchange hashpartitioning(user_id") <= 2  # grid + series ops
+
+
+QUEUE3 = [
+    ("join_interval_overlap", "ext"),
+    ("text_search_boolean", "txt"),
+    ("hierarchy_unroll_paths", "adv"),
+]
+
+
+@pytest.mark.parametrize("name,mod", QUEUE3, ids=[n for n, _ in QUEUE3])
+def test_queue7_parity_tranche10(spark, con, name, mod):
+    m = {"ext": ext, "txt": txt, "adv": adv}[mod]
+    fn = getattr(m, name)
+    oracle = getattr(m, name.upper() + "_ORACLE")
+    sdf = fn(spark, SF_SMALL).toPandas()
+    ddf = con.execute(oracle).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name}: {errs[:5]}"
+
+
+def test_hierarchy_paths_match_closed_form(spark):
+    """The join-loop traversal reproduces the closed-form parent chain
+    (parent(k) = (k-1)//3) for every node — path, depth and root."""
+    df = adv.hierarchy_unroll_paths(spark, SF_SMALL).toPandas()
+    assert len(df) == 150
+    for r in df.itertuples():
+        chain, k = [r.node], r.node
+        while k > 0:
+            k = (k - 1) // 3
+            chain.append(k)
+        want = "/" + "/".join(str(x) for x in reversed(chain))
+        assert r.path == want and r.depth == len(chain) - 1 and r.root == 0
+
+
+def test_interval_blocking_emits_each_pair_once(spark):
+    """Remove the aggregation and check raw candidate pairs are unique —
+    the max(starts)-bucket dedup rule leaves exactly one row per
+    overlapping (promo, span) pair even when a pair shares several
+    buckets (long promos span up to 3 day-buckets)."""
+    from pyspark.sql import functions as F
+
+    promos = spark.range(24).select(
+        "id",
+        F.expr(ext._PROMO_START).alias("p_start"),
+        F.expr(f"{ext._PROMO_START} + {ext._PROMO_DUR}").alias("p_end"),
+    )
+    from aced_etl_pod_spark.tables import load
+
+    e = load(spark, SF_SMALL, "events")
+    spans = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.unix_timestamp(F.min("ts")).alias("s_start"),
+        F.unix_timestamp(F.max("ts")).alias("s_end"),
+    )
+    B = ext._IVL_BUCKET
+    pb = promos.select(
+        "id", "p_start", "p_end",
+        F.explode(F.expr(f"sequence(p_start div {B}, p_end div {B})")).alias("bucket"),
+    )
+    sb = spans.select(
+        "user_id", "day", "s_start", "s_end",
+        F.explode(F.expr(f"sequence(s_start div {B}, s_end div {B})")).alias("bucket"),
+    )
+    pairs = pb.join(sb, "bucket").filter(
+        (F.col("s_start") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("s_end"))
+        & (F.expr(f"greatest(p_start, s_start) div {B}") == F.col("bucket"))
+    ).select("id", "user_id", "day").toPandas()
+    assert not pairs.duplicated().any()
