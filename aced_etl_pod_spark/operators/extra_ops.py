@@ -1317,9 +1317,14 @@ JOIN_INTERVAL_OVERLAP_ORACLE = f"""
       FROM range(24)
     ),
     spans AS (
+      -- floor() before the BIGINT cast: DuckDB's double->BIGINT cast
+      -- ROUNDS, Spark's unix_timestamp truncates — without the floor a
+      -- span ending at x.5+ seconds reaches one second further on the
+      -- DuckDB side and can cross a promo boundary (caught by the sf0.1
+      -- sweep: one extra span on one promo).
       SELECT user_id, CAST(ts AS DATE) AS day,
-             CAST(epoch(min(ts)) AS BIGINT) AS s_start,
-             CAST(epoch(max(ts)) AS BIGINT) AS s_end
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
       FROM events GROUP BY 1, 2
     )
     SELECT p.id AS promo_id,
