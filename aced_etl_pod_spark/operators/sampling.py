@@ -199,3 +199,75 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "user_id", "rk")
         .orderBy("event_type", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_sample_estimate_ci (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_AQP_PCT = 10  # keep buckets < 10 of 100 => 10% sample
+
+AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
+    WITH s AS (
+      SELECT event_type,
+             sum(value) AS exact_sum,
+             sum(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
+                      THEN value END) AS samp_sum,
+             count(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
+                        THEN 1 END) AS n_sample
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(round(CAST(exact_sum AS DECIMAL(18,6)), 2) AS DOUBLE) AS exact_sum,
+           CAST(round(CAST(samp_sum * {100.0 / _AQP_PCT} AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS est_sum,
+           CAST(round(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                      / exact_sum * 100 AS DECIMAL(18,9)), 2) AS DOUBLE)
+             AS rel_err_pct,
+           round(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                 / exact_sum * 100 AS DECIMAL(18,9)), 2) <= 15.0 AS within_15pct
+    FROM s
+"""
+
+
+def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling: a 10%
+    Knuth-bucket sample estimates each group's sum (Horvitz-Thompson
+    inverse-probability scale-up), reported NEXT TO the exact answer with
+    the realized relative error and a 15%-tolerance flag — the
+    sample-then-verify harness an AQP deployment runs before trusting the
+    cheap path. Both aggregates come out of ONE conditional-aggregation
+    scan (the dq_expectation_checks pattern), and the flag compares the
+    ROUNDED error so the boolean can't split engines.
+
+    At 100 TB only the sample branch runs (a pushdown-able bucket filter
+    — same shape as sample_bernoulli_hash, so the scan itself shrinks
+    ~10x); the exact branch here exists to exhibit the error the sample
+    would have hidden. The estimator is unbiased because the hash bucket
+    is independent of `value`; per-group CI width scales 1/sqrt(n_sample)
+    — the knob is the bucket count."""
+    e = load(spark, sf_dir, "events")
+    samp = F.when(hash_bucket("event_id") < _AQP_PCT, F.col("value"))
+    s = e.groupBy("event_type").agg(
+        F.count(samp).alias("n_sample"),
+        F.sum("value").alias("exact_raw"),
+        F.sum(samp).alias("samp_raw"),
+    )
+    scale = 100.0 / _AQP_PCT
+    err = (
+        f"round(CAST(abs(samp_raw * {scale} - exact_raw) / exact_raw * 100"
+        " AS DECIMAL(18,9)), 2)"
+    )
+    return s.select(
+        "event_type",
+        F.col("n_sample").cast("long").alias("n_sample"),
+        F.expr("CAST(round(CAST(exact_raw AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "exact_sum"
+        ),
+        F.expr(
+            f"CAST(round(CAST(samp_raw * {scale} AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("est_sum"),
+        F.expr(f"CAST({err} AS DOUBLE)").alias("rel_err_pct"),
+        F.expr(f"{err} <= 15.0").alias("within_15pct"),
+    ).orderBy("event_type")

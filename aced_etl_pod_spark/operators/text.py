@@ -688,3 +688,89 @@ def text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring_spans (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 50  # window width in characters
+
+DEDUP_EXACT_SUBSTRING_SPANS_ORACLE = f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {_SPAN_W - 1})) AS i
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, substr(text, i, {_SPAN_W}) AS w FROM idx
+    ),
+    rep AS (
+      SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT wins.doc_id,
+             count(*) AS n_windows,
+             count(rep.w) AS n_repeated
+      FROM wins LEFT JOIN rep ON wins.w = rep.w
+      GROUP BY wins.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+           CAST(round(CAST(coalesce(p.n_repeated, 0)
+                      / greatest(CAST(coalesce(p.n_windows, 0) AS DOUBLE), 1.0)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS frac_repeated
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (the 'deduplicating training
+    data' signal): every 50-character window of every document, stride 1;
+    a window whose text occurs >= 2 times anywhere in the corpus (another
+    doc OR another offset — self-repetition counts, as in the published
+    recipe) marks its position as duplicated, and each document reports
+    its duplicated-window fraction — the signal used to cut verbatim
+    boilerplate and templated spam before training.
+
+    Plan: windows via sequence+explode (distributed, no driver loop),
+    repeated set via one partial-agg groupBy on the window text, marks
+    via an equi-join back onto the postings. Stride-1 windows shuffle
+    O(corpus bytes × W) — that IS the cost of exact span dedup; the
+    documented cheap tiers are dedup_chunk_content_defined (content-
+    defined anchors) and dedup_minhash_lsh (probabilistic), with this op
+    as the exact verifier on their candidates. At 100 TB the window text
+    would be xxhash64-digested before the shuffle (dedup_exact_hash's
+    trick); the raw-text key here keeps the oracle portable. Docs shorter
+    than one window carry zero windows (left join keeps them)."""
+    d = load(spark, sf_dir, "documents")
+    wins = d.filter(F.length("text") >= _SPAN_W).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, length(text) - {_SPAN_W - 1})")).alias("i"),
+        "text",
+    ).select("doc_id", F.expr(f"substr(text, i, {_SPAN_W})").alias("w"))
+    rep = wins.groupBy("w").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
+    per_doc = (
+        wins.join(rep.select("w"), "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+            F.expr(
+                "CAST(round(CAST(coalesce(n_repeated, 0)"
+                " / greatest(CAST(coalesce(n_windows, 0) AS DOUBLE), 1.0)"
+                " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("frac_repeated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -393,3 +393,61 @@ def test_interval_blocking_emits_each_pair_once(spark):
         & (F.expr(f"greatest(p_start, s_start) div {B}") == F.col("bucket"))
     ).select("id", "user_id", "day").toPandas()
     assert not pairs.duplicated().any()
+
+
+def test_queue7_parity_tranche11(spark, con):
+    from aced_etl_pod_spark.operators import sampling as smp
+
+    for fn, oracle in [
+        (smp.agg_sample_estimate_ci, smp.AGG_SAMPLE_ESTIMATE_CI_ORACLE),
+        (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_substring_spans_reference(spark):
+    """Independent pure-Python recount of the repeated-window fractions:
+    build the full window multiset locally, mark windows with global
+    count >= 2, compare per-doc counts exactly."""
+    import collections
+
+    import duckdb
+
+    df = txt.dedup_exact_substring_spans(spark, SF_SMALL).toPandas()
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    W = txt._SPAN_W
+    counts = collections.Counter()
+    wins = {}
+    for doc_id, text in docs:
+        ws = [text[i : i + W] for i in range(len(text) - W + 1)]
+        wins[doc_id] = ws
+        counts.update(ws)
+    got = {r.doc_id: (r.n_windows, r.n_repeated) for r in df.itertuples()}
+    for doc_id, ws in wins.items():
+        n_rep = sum(1 for w in ws if counts[w] >= 2)
+        assert got[doc_id] == (len(ws), n_rep), doc_id
+
+
+def test_aqp_estimator_is_unbiased_shape(spark):
+    """The estimate must be exactly samp_sum / p with p from the bucket
+    count — recomputed from the raw parquet in Python."""
+    import duckdb
+
+    from aced_etl_pod_spark.operators import sampling as smp
+
+    df = smp.agg_sample_estimate_ci(spark, SF_SMALL).toPandas()
+    raw = duckdb.connect().execute(
+        f"SELECT event_id, event_type, value FROM '{SF_SMALL}/events.parquet'"
+    ).fetchdf()
+    raw["bucket"] = (raw.event_id * 2654435761) % 2**32 % 100
+    for r in df.itertuples():
+        g = raw[raw.event_type == r.event_type]
+        s = g[g.bucket < smp._AQP_PCT]
+        assert r.n_sample == len(s)
+        assert abs(r.est_sum - round(s.value.sum() * 10, 2)) < 0.02
+        assert abs(r.exact_sum - round(g.value.sum(), 2)) < 0.02
