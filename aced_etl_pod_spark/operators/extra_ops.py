@@ -1393,3 +1393,132 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_percentile (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+AGG_WEIGHTED_PERCENTILE_ORACLE = """
+    WITH by_val AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, v, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM by_val
+    )
+    SELECT l_returnflag,
+           CAST(round(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS wp50,
+           CAST(round(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS wp90
+    FROM cum GROUP BY l_returnflag
+"""
+
+
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (p50/p90 of extended price, weighted by
+    quantity) — the engine-gap aggregate neither Spark nor most SQL
+    dialects ship. Definition: the smallest value whose cumulative weight
+    reaches q x total. Weights are aggregated PER DISTINCT VALUE first,
+    so the cumulative sum runs over a deterministic sequence (equal
+    values can't straddle the threshold in engine-specific orders), and
+    they stay DECIMAL through the cumsum so the threshold comparison is
+    exact — the same partial-exactness trick as the MV family.
+
+    Scale: one partial agg to (group, value) grain — the heavy reduce —
+    then a window over the collapsed values (DISTINCT prices per group,
+    orders of magnitude smaller than rows). The approximate tier for
+    unbounded value domains is agg_histogram_quantile_merge's binned
+    partials; this is the exact tier."""
+    li = load(spark, sf_dir, "lineitem")
+    by_val = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w")
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("l_returnflag")
+    cum = by_val.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    pick = lambda q: F.expr(
+        f"CAST(round(CAST(min(CASE WHEN cw >= tw * {q} THEN v END)"
+        " AS DECIMAL(18,6)), 2) AS DOUBLE)"
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(pick(0.5).alias("wp50"), pick(0.9).alias("wp90"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_drawdown_runmax (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_DRAWDOWN_RUNMAX_ORACLE = """
+    WITH series AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmax
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, runmax,
+             round(CAST((value - runmax) / runmax * 100 AS DECIMAL(18,9)), 4)
+               AS dd_pct
+      FROM series
+    )
+    SELECT user_id,
+           CAST(round(CAST(max(runmax) AS DECIMAL(18,6)), 2) AS DOUBLE) AS peak,
+           CAST(min(dd_pct) AS DOUBLE) AS max_drawdown_pct
+    FROM dd GROUP BY user_id
+"""
+
+
+def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per series (the finance/SLO-burn window):
+    running max over the (ts, event_id)-ordered series, per-row drawdown
+    = (value - peak)/peak, and the per-user worst drawdown + peak. One
+    window and one aggregate sharing a single series-key exchange; the
+    running max is O(1) state per row. The drawdown ratio is the only
+    float and goes through the decimal sandwich BEFORE the min, so the
+    argmin can't flip on sub-rounding noise."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    series = e.select(
+        "user_id", "value", F.max("value").over(w).alias("runmax")
+    ).select(
+        "user_id",
+        "runmax",
+        F.expr(
+            "round(CAST((value - runmax) / runmax * 100 AS DECIMAL(18,9)), 4)"
+        ).alias("dd_pct"),
+    )
+    return (
+        series.groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(max(runmax) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            ).alias("peak"),
+            F.min("dd_pct").cast("double").alias("max_drawdown_pct"),
+        )
+        .orderBy("user_id")
+    )

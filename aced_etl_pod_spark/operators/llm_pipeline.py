@@ -922,3 +922,60 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, pair_count long"
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_apply_bpe (round-7 registration queue; rows-only by design)
+# ---------------------------------------------------------------------------
+
+# Rows-only for the same reason as the trainer: the merge table is the
+# result of an iterative argmax. The semantics are pinned by the
+# reference-tokenizer exact-match test in tests/test_queue7.py.
+TOKENIZER_APPLY_BPE_ORACLE = None
+
+
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the serving half
+    of the tokenizer pair (text_bpe_train_merges trains it). Every word
+    starts as characters + the '_' end marker; the BPE_MERGES merges are
+    folded over each word IN TRAINING ORDER, each one the same leftmost
+    non-overlapping Catalyst fold the trainer used — the whole
+    tokenization is a chain of JVM higher-order functions, no Python in
+    the scan.
+
+    Output per document: whitespace token count, post-BPE symbol count,
+    and the compression ratio vs raw characters — the stats a data
+    curator uses for per-doc token budgeting (packing, pricing, context
+    fits). Scale: the merge table is O(merges) driver state broadcast as
+    expression literals; the corpus pass is one zero-shuffle projection,
+    embarrassingly parallel."""
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in text_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    sym_expr = "concat(filter(split(w, ''), x -> x <> ''), array('_'))"
+    for a, b, m in merges:
+        sym_expr = f"""aggregate({sym_expr}, cast(array() as array<string>),
+            (acc, x) -> if(size(acc) > 0
+                           AND element_at(acc, size(acc)) = '{a}'
+                           AND x = '{b}',
+                           concat(slice(acc, 1, size(acc) - 1), array('{m}')),
+                           concat(acc, array(x))))"""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))")
+        .cast("long")
+        .alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(text, ' '), w -> w <> ''),"
+            f" w -> size({sym_expr})), 0, (s, x) -> s + x)"
+        )
+        .cast("long")
+        .alias("n_bpe_symbols"),
+        F.expr(
+            "CAST(round(CAST(aggregate(transform(filter(split(text, ' '),"
+            f" w -> w <> ''), w -> size({sym_expr})), 0, (s, x) -> s + x)"
+            " / CAST(length(text) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("symbols_per_char"),
+    ).orderBy("doc_id")

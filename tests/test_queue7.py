@@ -451,3 +451,98 @@ def test_aqp_estimator_is_unbiased_shape(spark):
         assert r.n_sample == len(s)
         assert abs(r.est_sum - round(s.value.sum() * 10, 2)) < 0.02
         assert abs(r.exact_sum - round(g.value.sum(), 2)) < 0.02
+
+
+def test_queue7_parity_tranche12(spark, con):
+    for fn, oracle in [
+        (ext.agg_weighted_percentile, ext.AGG_WEIGHTED_PERCENTILE_ORACLE),
+        (ext.win_drawdown_runmax, ext.WIN_DRAWDOWN_RUNMAX_ORACLE),
+        (geo.join_geo_nearest_broadcast, geo.JOIN_GEO_NEAREST_BROADCAST_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_weighted_percentile_definition(spark):
+    """wp50/wp90 recomputed from raw rows in Python with the textbook
+    definition (smallest value whose cumulative weight reaches q*total)."""
+    import duckdb
+
+    df = ext.agg_weighted_percentile(spark, SF_SMALL).toPandas()
+    raw = duckdb.connect().execute(
+        f"SELECT l_returnflag f, l_extendedprice v, l_quantity w "
+        f"FROM '{SF_SMALL}/lineitem.parquet'"
+    ).fetchdf()
+    for r in df.itertuples():
+        g = raw[raw.f == r.l_returnflag].groupby("v", as_index=False).w.sum()
+        g = g.sort_values("v")
+        tot = g.w.sum()
+        for q, got in ((0.5, r.wp50), (0.9, r.wp90)):
+            cw = 0.0
+            for row in g.itertuples():
+                cw += row.w
+                if cw >= tot * q:
+                    assert abs(got - round(row.v, 2)) < 1e-9, (r.l_returnflag, q)
+                    break
+
+
+def test_bpe_apply_matches_reference_tokenizer(spark):
+    """tokenizer_apply_bpe's symbol counts equal a local tokenizer that
+    trains the same merges (reference trainer) and applies them with the
+    same leftmost fold."""
+    import collections
+
+    import duckdb
+
+    texts = [
+        t
+        for (t,) in duckdb.connect()
+        .execute(f"SELECT text FROM '{SF_SMALL}/documents.parquet' ORDER BY doc_id")
+        .fetchall()
+    ]
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + ["_"])] += 1
+    merges = []
+    for _ in range(llm.BPE_MERGES):
+        pairs = collections.Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        nv = collections.Counter()
+        for syms, n in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nv[tuple(out)] += n
+        vocab = nv
+
+    def encode_word(w):
+        syms = list(w) + ["_"]
+        for a, b in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_symbols)
+        for r in llm.tokenizer_apply_bpe(spark, SF_SMALL).collect()
+    }
+    for doc_id, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        n_sym = sum(len(encode_word(w)) for w in words)
+        assert got[doc_id] == (len(words), n_sym), doc_id
