@@ -172,9 +172,13 @@ def fn_ip_cidr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry their own 2^(32-plen) divisor, so containment is the portable
     integer test `ip div d == net div d` — no shift operators, no
     signedness edge. The policy side is broadcast (O(rules)); each event
-    matches every covering rule and a per-ip window keeps the most
-    specific — at 100 TB that window partitions by the event row, so it
-    is a within-partition top-1, not a global sort. Real-world swap-in:
+    matches every covering rule and the most specific wins via
+    max(struct(plen, label)) — the partial-aggregating argmax
+    (SCALE.md's argmin-not-window rule: each task reduces its matches
+    map-side; a per-ip row_number window would exchange and sort the
+    whole match set). Same-length rules are disjoint by construction, so
+    plen ties cannot occur and the struct-max winner equals the
+    (plen DESC, label ASC) window the oracle states. Real-world swap-in:
     the same plan serves a threat-intel or egress-allowlist table of a
     few thousand rules."""
     e = load(spark, sf_dir, "events").select(
@@ -187,8 +191,9 @@ def fn_ip_cidr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cidr),
         F.expr("ip div bucket_div") == F.expr("net div bucket_div"),
     )
-    w = W.partitionBy("ip", "user_id").orderBy(F.desc("plen"), "label")
-    best = m.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    best = m.groupBy("ip", "user_id").agg(
+        F.max(F.struct("plen", "label")).alias("b")
+    ).select("ip", "user_id", F.col("b.label").alias("label"))
     return (
         best.groupBy("label")
         .agg(
