@@ -2214,3 +2214,78 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_one_hot_encode / feature_standard_scale (round-7 queue)
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+FEATURE_ONE_HOT_ORACLE = (
+    "SELECT c_custkey, "
+    + ", ".join(
+        f"CAST(c_mktsegment = '{s}' AS INTEGER) AS is_{s.lower()}"
+        for s in _SEGMENTS
+    )
+    + " FROM customer"
+)
+
+
+def feature_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of the market segment against a FIXED category
+    list (the production contract: the category vocabulary is a pinned
+    artifact of the feature store, not re-inferred per batch — unseen
+    categories encode all-zero instead of silently growing the width).
+    Pure conditional projection: zero shuffle, whole-stage codegen,
+    column pruning leaves a 2-column scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        *[
+            (F.col("c_mktsegment") == s).cast("int").alias(f"is_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    ).orderBy("c_custkey")
+
+
+FEATURE_STANDARD_SCALE_ORACLE = """
+    WITH stats AS (
+      SELECT c_nationkey,
+             avg(c_acctbal) AS mu,
+             stddev_samp(c_acctbal) AS sigma
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(round(CAST((c.c_acctbal - s.mu) / s.sigma
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS z
+    FROM customer c JOIN stats s USING (c_nationkey)
+"""
+
+
+def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization: group means/stddevs from one
+    partial-agg pass, broadcast back onto the rows (O(groups) join side),
+    z sandwiched at 4dp — cross-engine float noise in the two-pass
+    stddev lives at 1e-12, far below the rounding. The two-pass shape is
+    deliberate: a fused single-pass Welford per row would forfeit the
+    broadcast and re-shuffle the fact table; stats-then-broadcast is how
+    feature scaling runs over 100 TB (and the stats table is exactly the
+    kind of partial the MV family persists and refreshes)."""
+    c = load(spark, sf_dir, "customer")
+    stats = c.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sigma"),
+    )
+    return (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.expr(
+                "CAST(round(CAST((c_acctbal - mu) / sigma AS DECIMAL(18,9)), 4)"
+                " AS DOUBLE)"
+            ).alias("z"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1522,3 +1522,119 @@ def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_chi_square_independence (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+STAT_CHI_SQUARE_ORACLE = """
+    WITH obs AS (
+      SELECT event_type, user_id % 3 AS cohort, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.event_type, o.cohort, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.cohort) AS col_tot,
+             sum(o.o) OVER () AS n
+      FROM obs o
+    )
+    SELECT event_type, cohort,
+           CAST(o AS BIGINT) AS observed,
+           CAST(round(CAST(row_tot * col_tot / CAST(n AS DOUBLE)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS expected,
+           CAST(round(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                      / (row_tot * col_tot / CAST(n AS DOUBLE))
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS contribution
+    FROM margins
+"""
+
+
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence as a contingency-table plan:
+    observed cell counts (one partial agg), row/column/grand margins as
+    windows over the TINY cell table (types x cohorts, not the raw
+    events), expected counts and per-cell chi-square contributions. The
+    statistic is sum(contribution) and the dof (r-1)(c-1) — left to the
+    caller so the output stays one uniform grain. The raw-data pass is a
+    single partial-aggregating groupBy; everything after operates on
+    O(cells) rows, which is the textbook split for contingency analytics
+    at any scale."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("cohort")
+    ).agg(F.count("*").alias("o"))
+    wr = W.partitionBy("event_type")
+    wc = W.partitionBy("cohort")
+    wn = W.partitionBy()
+    m = obs.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    return m.select(
+        "event_type",
+        "cohort",
+        F.col("o").cast("long").alias("observed"),
+        F.expr(
+            "CAST(round(CAST(row_tot * col_tot / CAST(n AS DOUBLE)"
+            " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("expected"),
+        F.expr(
+            "CAST(round(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)"
+            " / (row_tot * col_tot / CAST(n AS DOUBLE))"
+            " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("contribution"),
+    ).orderBy("event_type", "cohort")
+
+
+# ---------------------------------------------------------------------------
+# agg_frequent_pairs_market_basket (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_MB_TOPK = 20
+
+AGG_FREQUENT_PAIRS_ORACLE = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, CAST(support AS BIGINT) AS support
+    FROM pairs
+    ORDER BY support DESC, pa, pb
+    LIMIT {_MB_TOPK}
+"""
+
+
+def agg_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs.
+    Within-order self-join on the DISTINCT (order, part) item set with
+    pa < pb (each unordered pair once), partial-agg support counts,
+    total-order top-k. Pair blow-up is quadratic in ITEMS PER BASKET
+    (~4 here), not in orders — the standard bound; a pathological basket
+    would be capped the way minhash caps degenerate bands (count items
+    per order, drop or sample baskets over the cap — the documented
+    guard, not needed on this data). The A-priori support-threshold
+    refinement prunes the item set BEFORE pairing at true scale; the
+    plan shape (equi-join on the basket key, map-side pair counting) is
+    unchanged."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(_MB_TOPK)
+    )

@@ -546,3 +546,51 @@ def test_bpe_apply_matches_reference_tokenizer(spark):
         words = [w for w in t.split(" ") if w]
         n_sym = sum(len(encode_word(w)) for w in words)
         assert got[doc_id] == (len(words), n_sym), doc_id
+
+
+def test_queue7_parity_tranche13(spark, con):
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    for fn, oracle in [
+        (ext.stat_chi_square_independence, ext.STAT_CHI_SQUARE_ORACLE),
+        (ext.agg_frequent_pairs_market_basket, ext.AGG_FREQUENT_PAIRS_ORACLE),
+        (cor.feature_one_hot_encode, cor.FEATURE_ONE_HOT_ORACLE),
+        (cor.feature_standard_scale, cor.FEATURE_STANDARD_SCALE_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_chi_square_against_scipy_formula(spark):
+    """Total chi-square recomputed from the observed table with the
+    closed-form marginals (pure Python), and one-hot rows sum to exactly
+    one flag; z-scores per nation mean ~0 and std ~1."""
+    import duckdb
+
+    cells = ext.stat_chi_square_independence(spark, SF_SMALL).toPandas()
+    obs = {(r.event_type, r.cohort): r.observed for r in cells.itertuples()}
+    rows = sorted({k[0] for k in obs})
+    cols = sorted({k[1] for k in obs})
+    n = sum(obs.values())
+    chi2 = 0.0
+    for r in rows:
+        for c in cols:
+            o = obs.get((r, c), 0)
+            e = sum(obs[k] for k in obs if k[0] == r) * sum(
+                obs[k] for k in obs if k[1] == c
+            ) / n
+            chi2 += (o - e) ** 2 / e
+    assert abs(cells.contribution.sum() - chi2) < 5e-3
+
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    oh = cor.feature_one_hot_encode(spark, SF_SMALL).toPandas()
+    flag_cols = [c for c in oh.columns if c.startswith("is_")]
+    assert (oh[flag_cols].sum(axis=1) == 1).all()
+
+    z = cor.feature_standard_scale(spark, SF_SMALL).toPandas()
+    g = z.groupby("c_nationkey").z
+    assert (g.mean().abs() < 0.01).all()
+    assert ((g.std() - 1).abs() < 0.05).all()
