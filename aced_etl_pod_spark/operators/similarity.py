@@ -389,3 +389,47 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb.filter(F.col("vec_id") != 0), coarse, books, q, k=10, n_probe=4
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_features (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_AUDIO_FEATURES_ORACLE = None  # no DuckDB view over a blob dir
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: the fixture is genuine RIFF/WAVE PCM-16 files
+    and the mapInPandas stage runs a spec-correct chunk walker
+    (functions/audiocodec.py — skips unknown chunks, honors odd-chunk
+    padding), then emits exact integer clip features (duration, RMS,
+    peak, zero crossings) and the digest of a canonical re-encode. The
+    deliberately truncated last clip exercises the per-record quarantine
+    (decode_error populated, metrics NULL). Completes the multimodal
+    triad: PPM images (multimodal_resize), concatenated-P6 video frames
+    (multimodal_frame_sample), and now WAV audio — every modality
+    exercising a real published codec in pure NumPy.
+
+    Scale: binaryFile scan → Arrow-batched decode, embarrassingly
+    parallel, zero shuffle; features are O(1) per clip and mergeable
+    downstream (the corpus-stats partials pattern)."""
+    from aced_etl_pod_spark.sources.binary import (
+        decode_wav_features,
+        generate_wav_fixture,
+        read_binary,
+    )
+
+    src = generate_wav_fixture(n=24)
+    blobs = read_binary(spark, src, glob="*.wav")
+    feats = decode_wav_features(blobs.select("path", "content"))
+    return feats.select(
+        F.regexp_extract("path", r"clip_(\d+)\.wav", 1).cast("long").alias("clip_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "peak",
+        "zero_crossings",
+        "echo_digest",
+        "decode_error",
+    ).orderBy("clip_id")

@@ -312,3 +312,102 @@ def sample_ppm_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(sample, PPM_FRAME_SCHEMA)
+
+
+def generate_wav_fixture(n: int = 24, sub: str = "multimodal_wav") -> str:
+    """Deterministic REAL audio: clip i is a (200 + 40*i)-sample 8 kHz
+    triangle wave of integer period (80 + 4*i) and amplitude (1000 +
+    500*i) — pure integer arithmetic, so every byte is reproducible
+    across runs and platforms (no float trig, no RNG). The last clip is
+    deliberately truncated mid-'data' chunk to exercise the per-record
+    quarantine, mirroring the corrupt-PPM path."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.audiocodec import encode_wav
+
+    out = scratch_dir(sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    sr = 8000
+    for i in range(n):
+        n_samp = 200 + 40 * i
+        period = 80 + 4 * i
+        amp = 1000 + 500 * i
+        t = np.arange(n_samp, dtype=np.int64)
+        half = period // 2
+        tri = np.abs((t % period) - half)  # 0..half
+        samples = ((tri * 2 * amp) // half - amp).astype(np.int16)
+        data = encode_wav(samples, sr)
+        if i == n - 1:
+            data = data[: len(data) // 2]
+        with open(os.path.join(out, f"clip_{i:04d}.wav"), "wb") as f:
+            f.write(data)
+    return out
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + clip features over (path, content) rows;
+    per-record quarantine on decode failure (decode_error populated,
+    metrics NULL) — one torn clip must not kill a million-blob scan."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", LongType()),
+            StructField("zero_crossings", LongType()),
+            StructField("echo_digest", StringType()),
+            StructField("decode_error", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aced_etl_pod_spark.functions.audiocodec import (
+            clip_features,
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    sr, samples = decode_wav(bytes(content))
+                    feats = clip_features(samples, sr)
+                    digest = hashlib.sha256(encode_wav(samples, sr)).hexdigest()
+                    rows.append(
+                        {
+                            "path": path,
+                            "sample_rate": sr,
+                            **feats,
+                            "echo_digest": digest,
+                            "decode_error": None,
+                        }
+                    )
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "path": path,
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms": None,
+                            "peak": None,
+                            "zero_crossings": None,
+                            "echo_digest": None,
+                            "decode_error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)

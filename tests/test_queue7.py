@@ -594,3 +594,71 @@ def test_chi_square_against_scipy_formula(spark):
     g = z.groupby("c_nationkey").z
     assert (g.mean().abs() < 0.01).all()
     assert ((g.std() - 1).abs() < 0.05).all()
+
+
+def test_audio_decode_matches_local_reference(spark):
+    """The Spark-side WAV decode equals a direct local decode of the same
+    fixture files: features, round-trip digest, and the quarantine row."""
+    import glob
+    import hashlib
+
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.audiocodec import (
+        clip_features,
+        decode_wav,
+        encode_wav,
+    )
+    from aced_etl_pod_spark.operators import similarity as sim
+    from aced_etl_pod_spark.sources.binary import generate_wav_fixture
+
+    df = sim.multimodal_audio_features(spark, SF_SMALL).toPandas()
+    src = generate_wav_fixture(n=24, sub="wav_reference")
+    files = sorted(glob.glob(src + "/*.wav"))
+    assert len(df) == len(files) == 24
+    ok = bad = 0
+    for i, path in enumerate(files):
+        blob = open(path, "rb").read()
+        row = df[df.clip_id == i].iloc[0]
+        try:
+            sr, samples = decode_wav(blob)
+        except ValueError as exc:
+            assert row.decode_error == str(exc)
+            bad += 1
+            continue
+        feats = clip_features(samples, sr)
+        assert row.sample_rate == sr
+        assert row.n_samples == feats["n_samples"]
+        assert row.rms == feats["rms"] and row.peak == feats["peak"]
+        assert row.zero_crossings == feats["zero_crossings"]
+        assert row.echo_digest == hashlib.sha256(encode_wav(samples, sr)).hexdigest()
+        ok += 1
+    assert ok == 23 and bad == 1
+    # codec round-trip is byte-exact on a clean clip
+    blob = open(files[0], "rb").read()
+    sr, samples = decode_wav(blob)
+    assert encode_wav(samples, sr) == blob
+
+
+def test_wav_chunk_walker_handles_extra_chunks():
+    """Spec conformance: unknown chunks before 'data' (with odd-size
+    padding) are skipped, not fatal — and bad magic / truncation raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aced_etl_pod_spark.functions.audiocodec import decode_wav, encode_wav
+
+    samples = np.array([0, 1000, -1000, 500], dtype=np.int16)
+    blob = encode_wav(samples, 8000)
+    # splice an odd-sized LIST chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + extra + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, out = decode_wav(spliced)
+    assert sr == 8000 and (out == samples).all()
+    with _pytest.raises(ValueError):
+        decode_wav(b"JUNK" + blob[4:])
+    with _pytest.raises(ValueError):
+        decode_wav(blob[: len(blob) - 3])
