@@ -463,3 +463,85 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_anomaly_window_zscore (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
+    WITH wins AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, avg(total) AS mu, stddev_samp(total) AS sigma,
+             count(*) AS n_windows
+      FROM wins GROUP BY 1
+    )
+    SELECT w.user_id,
+           strftime(w.h, '{TS_FMT_DUCK}') AS win_start,
+           w.total,
+           CAST(round(CAST((w.total - s.mu) / s.sigma AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS z,
+           round(CAST((w.total - s.mu) / s.sigma AS DECIMAL(18,9)), 4) > 3.0
+             AS is_anomaly
+    FROM wins w JOIN stats s USING (user_id)
+    WHERE s.n_windows >= 10 AND s.sigma > 0
+"""
+
+
+def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection with the maintain-then-score split
+    (the streaming twin win_anomaly_zscore's docstring promises): the
+    STREAM maintains per-(user, 1-hour tumbling window) totals — bounded
+    state, watermark-evictable — and the SCORING pass runs over the
+    materialized window table, flagging windows whose total sits more
+    than 3 rounded-sigma from that user's window population (cold-start
+    gate: >= 10 windows and nonzero spread, like the batch twin). This is
+    the lambda split used by stream_sliding_topk: per-event work happens
+    in the stream at O(state) cost; population statistics — which a
+    stream cannot see without unbounded state — run on the O(windows)
+    aggregate, which is 5-6 orders smaller than the event stream at
+    100 TB. Full replay == the batch hourly groupBy, so the whole
+    composition is oracle-checked, not just rows-checked."""
+    src = materialize_batches(spark, sf_dir, "anomaly_z")
+    agg = (
+        read_stream(spark, src)
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(
+            F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+                "total"
+            )
+        )
+    )
+    sink = run_to_memory(agg, "t_anomaly_z", "complete")
+    # Self-joining one memory-sink plan trips Spark's conflicting-
+    # reference resolver (MemoryPlan attributes don't dedup); a
+    # localCheckpoint snaps the lineage to a plain RDD scan, which
+    # self-joins fine — and is what the serving layer would do anyway
+    # (score against a materialized snapshot, not the live sink).
+    wins = sink.select(
+        "user_id",
+        F.date_format("window.start", TS_FMT_SPARK).alias("win_start"),
+        "total",
+    ).localCheckpoint(eager=True)
+    stats = wins.groupBy("user_id").agg(
+        F.avg("total").alias("mu"),
+        F.stddev_samp("total").alias("sigma"),
+        F.count("*").alias("n_windows"),
+    )
+    z = "round(CAST((total - mu) / sigma AS DECIMAL(18,9)), 4)"
+    return (
+        wins.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n_windows") >= 10) & (F.col("sigma") > 0))
+        .select(
+            "user_id",
+            "win_start",
+            "total",
+            F.expr(f"CAST({z} AS DOUBLE)").alias("z"),
+            F.expr(f"{z} > 3.0").alias("is_anomaly"),
+        )
+    )

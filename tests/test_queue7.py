@@ -662,3 +662,38 @@ def test_wav_chunk_walker_handles_extra_chunks():
         decode_wav(b"JUNK" + blob[4:])
     with _pytest.raises(ValueError):
         decode_wav(blob[: len(blob) - 3])
+
+
+@pytest.mark.slow
+def test_queue7_parity_stream_anomaly(spark, con):
+    from aced_etl_pod_spark.operators import streaming_ops as so
+
+    sdf = so.stream_anomaly_window_zscore(spark, SF_SMALL).toPandas()
+    ddf = con.execute(so.STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_wav_roundtrip_hypothesis():
+    """Property: encode->decode is the identity for ANY int16 sample
+    array and sample rate (hypothesis-generated), and decode->encode
+    reproduces the canonical bytes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aced_etl_pod_spark.functions.audiocodec import decode_wav, encode_wav
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+        st.integers(min_value=1, max_value=192000),
+    )
+    def check(vals, sr):
+        samples = np.array(vals, dtype=np.int16)
+        blob = encode_wav(samples, sr)
+        sr2, out = decode_wav(blob)
+        assert sr2 == sr and (out == samples).all()
+        assert encode_wav(out, sr2) == blob
+
+    check()
