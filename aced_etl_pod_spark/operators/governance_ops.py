@@ -203,3 +203,157 @@ def fn_ip_cidr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_slo (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+DQ_FRESHNESS_SLO_ORACLE = """
+    WITH now_ref AS (SELECT max(ts) AS now_ts FROM events),
+    -- floor(epoch(.)) per timestamp BEFORE differencing: Spark's
+    -- unix_timestamp truncates each timestamp to whole seconds, DuckDB's
+    -- epoch(a - b) keeps the microsecond fraction (same divergence class
+    -- as the interval-overlap fix, commit 6fd3690).
+    gaps AS (
+      SELECT event_type, ts,
+             floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id))) AS gap_s
+      FROM events
+    ),
+    per_src AS (
+      SELECT event_type,
+             max(ts) AS last_ts,
+             avg(gap_s) AS avg_gap_s,
+             count(*) AS n
+      FROM gaps GROUP BY event_type
+    )
+    SELECT p.event_type,
+           strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(p.n AS BIGINT) AS n_events,
+           CAST(round(CAST(p.avg_gap_s / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)
+             AS avg_gap_min,
+           CAST(round(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
+                / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE) AS lag_min,
+           round(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts))) / 60.0
+                 AS DECIMAL(18,9)), 2)
+             > 3 * round(CAST(p.avg_gap_s / 60.0 AS DECIMAL(18,9)), 2)
+             AS stale
+    FROM per_src p CROSS JOIN now_ref r
+"""
+
+
+def dq_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO audit per source: last arrival, expected cadence
+    (mean inter-arrival gap from a lag window), current lag vs the
+    corpus-wide reference 'now' (max ts — deterministic, so the oracle
+    can run it; production would inject wall clock), and a stale flag
+    when the lag exceeds 3x the learned cadence — both sides of the
+    comparison ROUNDED first so the boolean can't split engines. One
+    window pass + one group agg + a 1-row broadcast of 'now'. This is
+    the monitor a pipeline scheduler polls — O(sources) output at any
+    event volume."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    )
+    per_src = gaps.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.avg("gap_s").alias("avg_gap_s"),
+        F.count("*").alias("n"),
+    )
+    now_ref = e.agg(F.max("ts").alias("now_ts"))
+    gm = "round(CAST(avg_gap_s / 60.0 AS DECIMAL(18,9)), 2)"
+    lm = "round(CAST((unix_timestamp(now_ts) - unix_timestamp(last_ts)) / 60.0 AS DECIMAL(18,9)), 2)"
+    return (
+        per_src.crossJoin(F.broadcast(now_ref))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.col("n").cast("long").alias("n_events"),
+            F.expr(f"CAST({gm} AS DOUBLE)").alias("avg_gap_min"),
+            F.expr(f"CAST({lm} AS DOUBLE)").alias("lag_min"),
+            F.expr(f"{lm} > 3 * {gm}").alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_schema_contract (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+# Deterministic bad rows spliced into the scan so every violation class
+# has members (the raw table is synthetically clean).
+_BAD_PROPS = (
+    (-1, "not json at all"),
+    (-2, '{"other": 5}'),
+    (-3, '{"k": "text"}'),
+    (-4, '{"k": 999}'),
+)
+_BAD_VALUES = ", ".join(f"({i}, '{p}')" for i, p in _BAD_PROPS)
+
+DQ_SCHEMA_CONTRACT_ORACLE = f"""
+    WITH raw AS (
+      SELECT event_id, props FROM events
+      UNION ALL
+      SELECT * FROM (VALUES {_BAD_VALUES}) AS bad(event_id, props)
+    ),
+    checked AS (
+      SELECT event_id,
+             CASE
+               WHEN try_cast(props AS JSON) IS NULL THEN 'unparseable'
+               WHEN json_extract(props, '$.k') IS NULL THEN 'missing_key'
+               WHEN try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                    IS NULL THEN 'wrong_type'
+               WHEN try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                    NOT BETWEEN 0 AND 99 THEN 'out_of_range'
+               ELSE 'ok'
+             END AS klass
+      FROM raw
+    )
+    SELECT klass, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_example
+    FROM checked GROUP BY klass
+"""
+
+
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema-contract audit over a semi-structured column: every
+    row is classified into exactly one violation class (unparseable /
+    missing key / wrong type / out of range / ok) with a count and a
+    smallest example id per class — the pre-ingest contract gate for an
+    event stream. Four deterministic bad rows are spliced in (the
+    synthetic table is clean) so every class is exercised on both
+    engines. Spark side uses get_json_object + try casts, DuckDB its
+    JSON extension — different parsers, same contract, which is the
+    point: the CONTRACT, not the parser, defines validity. One
+    conditional projection + one partial agg; O(classes) output."""
+    e = load(spark, sf_dir, "events").select("event_id", "props")
+    bad = spark.createDataFrame(list(_BAD_PROPS), "event_id long, props string")
+    raw = e.unionAll(bad)
+    k_str = "get_json_object(props, '$.k')"
+    klass = F.expr(
+        f"""CASE
+          WHEN get_json_object(props, '$') IS NULL THEN 'unparseable'
+          WHEN {k_str} IS NULL THEN 'missing_key'
+          WHEN try_cast({k_str} AS BIGINT) IS NULL THEN 'wrong_type'
+          WHEN try_cast({k_str} AS BIGINT) NOT BETWEEN 0 AND 99
+            THEN 'out_of_range'
+          ELSE 'ok'
+        END"""
+    )
+    return (
+        raw.select("event_id", klass.alias("klass"))
+        .groupBy("klass")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").cast("long").alias("first_example"),
+        )
+        .orderBy("klass")
+    )

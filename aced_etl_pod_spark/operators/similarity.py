@@ -433,3 +433,81 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "echo_digest",
         "decode_error",
     ).orderBy("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_diversified_topk (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+_MMR_POOL = 20
+
+# Rows-only: each greedy round's argmax embeds the previously selected
+# VECTORS into the next round's expression, so the computation is not one
+# static SQL string. Exactness is pinned by the local reference MMR in
+# tests/test_queue7.py.
+SIM_MMR_DIVERSIFIED_TOPK_ORACLE = None
+
+
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein) — the
+    diversified-retrieval stage a RAG serving path runs after ANN
+    recall: from the cosine top-20 candidate pool for query vec_id=0,
+    greedily pick K=5 results maximizing
+    lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s).
+
+    Distributed shape: candidate RECALL is the scalable part (one scan +
+    TakeOrdered, or the ANN/PQ path at corpus scale); the greedy runs K
+    rounds over the POOL as Catalyst expressions — each round one job on
+    a 20-row frame, with the selected vectors inlined as array literals
+    (driver state = K vectors, the k-means/PQ discipline). Penalty terms
+    use the same zip_with dot-product kernel as the recall stage. An
+    all-pairs pool similarity matrix is never materialized."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    pool = (
+        brute_force_topk(emb.filter(F.col("vec_id") != 0), q, k=_MMR_POOL)
+        .join(emb, "vec_id")
+        .select("vec_id", "embedding", F.col("cos_sim").alias("rel"))
+        .cache()
+    )
+
+    def cos_to_lit(vec):
+        lit = "array(" + ", ".join(f"CAST({float(x)} AS FLOAT)" for x in vec) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {lit}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            f" / (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v))"
+            f" * sqrt(aggregate({lit}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v)))"
+        )
+
+    selected: list = []
+    chosen_ids: list = []
+    remaining = pool
+    for rank in range(1, MMR_K + 1):
+        if len(selected) > 1:
+            penalty = "greatest(" + ", ".join(cos_to_lit(v) for v in selected) + ")"
+        elif selected:
+            penalty = cos_to_lit(selected[0])
+        else:
+            penalty = "CAST(0.0 AS DOUBLE)"
+        score = F.expr(
+            f"{MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * ({penalty})"
+        ).alias("mmr")
+        best = (
+            remaining.select("vec_id", "embedding", "rel", score)
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen_ids.append(
+            (rank, int(best.vec_id), round(float(best.rel), 6), round(float(best.mmr), 6))
+        )
+        selected.append(list(best.embedding))
+        remaining = remaining.filter(F.col("vec_id") != int(best.vec_id))
+    return spark.createDataFrame(
+        chosen_ids, "rank int, vec_id long, relevance double, mmr_score double"
+    ).orderBy("rank")

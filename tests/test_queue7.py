@@ -697,3 +697,56 @@ def test_wav_roundtrip_hypothesis():
         assert encode_wav(out, sr2) == blob
 
     check()
+
+
+def test_queue7_parity_tranche14(spark, con):
+    for fn, oracle in [
+        (gov.dq_freshness_slo, gov.DQ_FRESHNESS_SLO_ORACLE),
+        (gov.dq_schema_contract, gov.DQ_SCHEMA_CONTRACT_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_mmr_matches_reference_greedy(spark):
+    """The in-plan MMR greedy equals a from-scratch NumPy MMR over the
+    same pool (top-20 cosine, vec_id tie-break): identical pick order."""
+    import duckdb
+    import numpy as np
+
+    from aced_etl_pod_spark.operators import similarity as sim
+
+    got = [
+        (r.rank, r.vec_id)
+        for r in sim.sim_mmr_diversified_topk(spark, SF_SMALL).collect()
+    ]
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = sorted(
+        ((cos(vecs[v], q), v) for v in vecs if v != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[: sim._MMR_POOL]
+    pool = {v: rel for rel, v in sims}
+    selected, want = [], []
+    for rank in range(1, sim.MMR_K + 1):
+        best, best_score = None, None
+        for v, rel in pool.items():
+            pen = max((cos(vecs[v], vecs[s]) for s in selected), default=0.0)
+            score = sim.MMR_LAMBDA * rel - (1 - sim.MMR_LAMBDA) * pen
+            if best is None or score > best_score + 1e-12 or (
+                abs(score - best_score) <= 1e-12 and v < best
+            ):
+                best, best_score = v, score
+        want.append((rank, best))
+        selected.append(best)
+        del pool[best]
+    assert got == want
