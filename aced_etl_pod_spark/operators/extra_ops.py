@@ -1638,3 +1638,61 @@ def agg_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("support"), "pa", "pb")
         .limit(_MB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# win_period_over_period (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_PERIOD_OVER_PERIOD_ORACLE = """
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, month, revenue,
+           CAST(round(CAST((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100 AS DECIMAL(18,9)), 2)
+                AS DOUBLE) AS mom_pct,
+           CAST(round(CAST((revenue - lag(revenue, 12) OVER w)
+                      / lag(revenue, 12) OVER w * 100 AS DECIMAL(18,9)), 2)
+                AS DOUBLE) AS yoy_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY prio ORDER BY month)
+"""
+
+
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year growth per order priority —
+    the reporting-layer staple. Revenue collapses to the (group, month)
+    grain first (DECIMAL partials), then both offsets come from ONE lag
+    window ordered by the formatted month key (lag-12 stands in for the
+    same-month-last-year join; a calendar gap shifts the offset, which
+    is the documented caveat shared by every offset-based YoY — the
+    gap-free fix is the dense month grid of ts_resample_gap_fill).
+    Percent changes are decimal-sandwiched; first periods stay NULL. At
+    scale: the heavy reduce is the partial agg; the window runs over
+    O(groups x months) rows."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.expr(
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)"
+        ).alias("revenue")
+    )
+    w = W.partitionBy("prio").orderBy("month")
+    pct = lambda off: F.expr(
+        f"CAST(round(CAST((revenue - lag(revenue, {off}) OVER"
+        " (PARTITION BY prio ORDER BY month))"
+        f" / lag(revenue, {off}) OVER (PARTITION BY prio ORDER BY month)"
+        " * 100 AS DECIMAL(18,9)), 2) AS DOUBLE)"
+    )
+    return monthly.select(
+        "prio", "month", "revenue",
+        pct(1).alias("mom_pct"),
+        pct(12).alias("yoy_pct"),
+    ).orderBy("prio", "month")

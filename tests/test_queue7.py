@@ -750,3 +750,10 @@ def test_mmr_matches_reference_greedy(spark):
         selected.append(best)
         del pool[best]
     assert got == want
+
+
+def test_queue7_parity_tranche15(spark, con):
+    sdf = ext.win_period_over_period(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.WIN_PERIOD_OVER_PERIOD_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
