@@ -979,3 +979,133 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(length(text) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE)"
         ).alias("symbols_per_char"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_rag_context_pack (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+RAG_QUERY = "spark join window table scan"
+_RAG_CHUNK, _RAG_STRIDE, _RAG_MIN, _RAG_DIM = 32, 16, 8, 16
+_RAG_POOL, _RAG_BUDGET = 20, 128
+
+# Rows-only: the query embedding is computed driver-side and inlined, and
+# the whole pipeline is pinned by an end-to-end local reference
+# implementation in tests/test_queue7.py (exact chunk set, hash
+# embeddings, ranking, and budget cut).
+PIPELINE_RAG_CONTEXT_PACK_ORACLE = None
+
+
+def _rag_tok_hash(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h
+
+
+def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving path fused into ONE plan — the retrieval twin of
+    pipeline_corpus_curation's ingest pipeline:
+
+    1. CHUNK: 32-token sliding windows, stride 16 (sequence+explode,
+       zero shuffle), short tails (<8 tokens) dropped;
+    2. EMBED: 16-dim feature hashing (Weinberger et al.) entirely in
+       Catalyst — per-token polynomial hash (aggregate fold over chars),
+       signed-bucket sums, L2 normalize; the deterministic stand-in for
+       a neural encoder with the same plan shape (tokens explode →
+       ONE (chunk, dim) partial agg → chunk-grain vector assembly);
+    3. RECALL: cosine top-20 against the query embedding (computed
+       driver-side with the same hash, inlined as literals — zero extra
+       jobs), total-order tie-break;
+    4. PACK: greedy context assembly under a 128-token budget — rank
+       cumsum over the 20-row pool, keep prefixes that fit.
+
+    Zero-norm chunks (signed buckets can cancel) are dropped by the same
+    guard the reference applies. At 100 TB stages 1-2 are the corpus
+    pipeline (one shuffle), stage 3 swaps in the ANN/PQ recall path, and
+    stage 4 is O(pool). Rows-only by design; exact end-to-end reference
+    match in tests."""
+    d = load(spark, sf_dir, "documents")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> w <> '')").alias("words"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, size(words) - 1, {_RAG_STRIDE})")
+            ).alias("start"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.expr(f"slice(words, start + 1, {_RAG_CHUNK})").alias("toks"),
+        )
+        .filter(F.size("toks") >= _RAG_MIN)
+    )
+    tok = chunks.select(
+        "doc_id",
+        "start",
+        F.size("toks").alias("n_tokens"),
+        F.explode("toks").alias("t"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "aggregate(filter(split(t, ''), c -> c <> ''), 0L,"
+            " (h, c) -> (h * 31 + ascii(c)) % 2147483647)"
+        ),
+    )
+    buckets = tok.groupBy(
+        "doc_id", "start", "n_tokens", (F.col("h") % _RAG_DIM).alias("idx")
+    ).agg(F.sum(F.expr("((h div 16) % 2) * 2 - 1")).alias("s"))
+    vecs = (
+        buckets.groupBy("doc_id", "start", "n_tokens")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(idx, s)))").alias("m")
+        )
+        .select(
+            "doc_id",
+            "start",
+            "n_tokens",
+            F.expr(
+                f"transform(sequence(0, {_RAG_DIM - 1}),"
+                " d -> CAST(coalesce(m[d], 0) AS DOUBLE))"
+            ).alias("raw"),
+        )
+        .withColumn(
+            "norm",
+            F.expr("sqrt(aggregate(raw, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))"),
+        )
+        .filter(F.col("norm") > 0)
+        .withColumn("emb", F.expr("transform(raw, v -> v / norm)"))
+    )
+    qcounts = [0.0] * _RAG_DIM
+    for t in RAG_QUERY.split(" "):
+        h = _rag_tok_hash(t)
+        qcounts[h % _RAG_DIM] += ((h // 16) % 2) * 2 - 1
+    qn = sum(v * v for v in qcounts) ** 0.5
+    qlit = "array(" + ", ".join(f"CAST({v / qn} AS DOUBLE)" for v in qcounts) + ")"
+    scored = vecs.select(
+        "doc_id",
+        "start",
+        "n_tokens",
+        F.expr(
+            f"aggregate(zip_with(emb, {qlit}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("cos_raw"),
+    ).withColumn("cos", F.round("cos_raw", 6))
+    pool = scored.orderBy(F.desc("cos"), "doc_id", "start").limit(_RAG_POOL)
+    wr = W.orderBy(F.desc("cos"), "doc_id", "start")
+    packed = (
+        pool.withColumn("rank", F.row_number().over(wr))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(wr.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+    )
+    return packed.select(
+        "rank", "doc_id", "start", "n_tokens", "cum_tokens", "cos"
+    ).orderBy("rank")

@@ -757,3 +757,53 @@ def test_queue7_parity_tranche15(spark, con):
     ddf = con.execute(ext.WIN_PERIOD_OVER_PERIOD_ORACLE).fetchdf()
     errs = compare(sdf, ddf)
     assert not errs, errs[:5]
+
+
+def test_rag_pipeline_matches_reference(spark):
+    """End-to-end local reimplementation of the fused RAG pipeline
+    (chunking, feature-hash embeddings, cosine recall, budget pack) —
+    the op's rows must match exactly."""
+    import math
+
+    import duckdb
+
+    got = [
+        (r.rank, r.doc_id, r.start, r.n_tokens, r.cum_tokens, r.cos)
+        for r in llm.pipeline_rag_context_pack(spark, SF_SMALL).collect()
+    ]
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    def rnd6(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    def embed(tokens):
+        v = [0.0] * llm._RAG_DIM
+        for t in tokens:
+            h = llm._rag_tok_hash(t)
+            v[h % llm._RAG_DIM] += ((h // 16) % 2) * 2 - 1
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else None
+
+    q = embed(llm.RAG_QUERY.split(" "))
+    scored = []
+    for doc_id, text in docs:
+        words = [w for w in text.split(" ") if w]
+        for start in range(0, len(words), llm._RAG_STRIDE):
+            toks = words[start : start + llm._RAG_CHUNK]
+            if len(toks) < llm._RAG_MIN:
+                continue
+            e = embed(toks)
+            if e is None:
+                continue
+            cos = rnd6(sum(a * b for a, b in zip(e, q)))
+            scored.append((cos, doc_id, start, len(toks)))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want, cum = [], 0
+    for rank, (cos, doc_id, start, n) in enumerate(scored[: llm._RAG_POOL], 1):
+        cum += n
+        if cum > llm._RAG_BUDGET:
+            break
+        want.append((rank, doc_id, start, n, cum, cos))
+    assert got == want
