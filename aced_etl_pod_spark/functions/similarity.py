@@ -317,3 +317,59 @@ def brute_force_topk_unrolled(
     cos = F.expr(dot_q) / (F.sqrt(F.expr(norm_e)) * F.lit(q_norm))
     scored = df.select(id_col, cos.alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame,
+    k: int = 3,
+    target_bucket: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe sign-LSH k-NN (Lv et al.): the probe side visits its own
+    bucket AND every Hamming-1 neighbor (one exploded row per flipped
+    plane), so a true neighbor separated by a single unlucky hyperplane is
+    still found. The payoff is the plane/recall trade: multiprobe affords
+    NARROWER buckets (here target ~16 vs single-probe's ~64) for the same
+    recall, so the in-bucket re-rank shrinks while the probe side grows
+    only by the constant factor (1 + planes) — the same economics as the
+    geo join's 3x3 neighborhood explode. Each ordered pair matches at
+    most once (the base bucket is fixed; the probe set is distinct), so
+    no dedup pass is needed."""
+    from pyspark.sql import Window as W
+
+    n = emb.count()
+    head = emb.select(emb_col).head(1)
+    dim = len(head[0][0]) if head else 0
+    n_planes = lsh_planes_for(n, target_bucket)
+    planes = random_hyperplanes(dim=dim, n_planes=n_planes)
+    max_bucket_size = 16 * target_bucket
+    bucketed = emb.withColumn("bucket", signature_bucket(emb_col, planes))
+    bucket_n = F.count("*").over(W.partitionBy("bucket"))
+    base = (
+        bucketed.withColumn("bucket_n", bucket_n)
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .select(
+            F.col(id_col).alias("nbr_id"), "bucket", F.col(emb_col).alias("emb_b")
+        )
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"int(bucket) ^ {1 << i}").alias(f"p{i}") for i in range(n_planes)],
+    )
+    probe = bucketed.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb_a"),
+        F.explode(probes).alias("bucket"),
+    )
+    pairs = (
+        probe.join(base, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine_expr("emb_a", "emb_b"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "nbr_id", F.round("cos", 6).alias("cos_sim"))
+    )

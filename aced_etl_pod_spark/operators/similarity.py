@@ -511,3 +511,25 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen_ids, "rank int, vec_id long, relevance double, mmr_score double"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_lsh_multiprobe_topk (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE = None  # approximate by design
+
+
+def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH k-NN — the refinement the round-4 review asked
+    for on top of the scale-parameterized LSH: Hamming-1 neighbor buckets
+    are probed too (functions/similarity.py::ann_lsh_multiprobe_topk), so
+    recall no longer depends on every separating hyperplane being lucky,
+    and bucket width can shrink (target ~16 vs ~64) for the same recall —
+    smaller in-bucket re-ranks, probe side grows only (1 + planes)x.
+    Rows-checked (approximate); recall vs brute force, and
+    recall >= single-probe LSH, asserted in tests."""
+    from aced_etl_pod_spark.functions.similarity import ann_lsh_multiprobe_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_multiprobe_topk(emb, k=3)

@@ -807,3 +807,41 @@ def test_rag_pipeline_matches_reference(spark):
             break
         want.append((rank, doc_id, start, n, cum, cos))
     assert got == want
+
+
+def test_multiprobe_lsh_recall_beats_single_probe(spark):
+    """Multiprobe (Hamming-1 neighbor buckets, narrower target) must
+    reach at least single-probe's recall@3 vs brute force — the whole
+    point of probing past one unlucky hyperplane — and clear an absolute
+    floor."""
+    import duckdb
+    import numpy as np
+
+    from aced_etl_pod_spark.operators import similarity as sim
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    sims = M @ M.T
+    np.fill_diagonal(sims, -2)
+    truth = {
+        ids[r]: {ids[c] for c in np.argsort(-sims[r])[:3]} for r in range(len(ids))
+    }
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.vec_id, set()).add(r.nbr_id)
+        hits = sum(len(got.get(v, set()) & truth[v]) for v in truth)
+        return hits / (3 * len(truth))
+
+    from aced_etl_pod_spark.functions.similarity import ann_lsh_topk
+
+    emb = sim.load(spark, SF_SMALL, "embeddings")
+    single = recall(ann_lsh_topk(emb, k=3, target_bucket=64))
+    multi = recall(sim.sim_ann_lsh_multiprobe_topk(spark, SF_SMALL))
+    assert multi >= single - 1e-9, (multi, single)
+    assert multi >= 0.35, multi
