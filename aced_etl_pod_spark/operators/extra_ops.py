@@ -1696,3 +1696,122 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(1).alias("mom_pct"),
         pct(12).alias("yoy_pct"),
     ).orderBy("prio", "month")
+
+
+# ---------------------------------------------------------------------------
+# win_percent_rank_cume / scan_date_dim_generate / fn_surrogate_key_md5
+# (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_PERCENT_RANK_CUME_ORACLE = """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,9)), 6)
+                AS DOUBLE) AS pr,
+           CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,9)), 6)
+                AS DOUBLE) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a total-ordered frame (the
+    distribution-position windows win_ntile_pct doesn't cover). The
+    order key carries the unique o_orderkey tie-break, so rank positions
+    — and therefore both ratios — are cross-engine deterministic even
+    among equal prices. One exchange on the partition key."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CAST(round(CAST(percent_rank() OVER (PARTITION BY o_orderstatus"
+            " ORDER BY o_totalprice, o_orderkey) AS DECIMAL(18,9)), 6) AS DOUBLE)"
+        ).alias("pr"),
+        F.expr(
+            "CAST(round(CAST(cume_dist() OVER (PARTITION BY o_orderstatus"
+            " ORDER BY o_totalprice, o_orderkey) AS DECIMAL(18,9)), 6) AS DOUBLE)"
+        ).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+SCAN_DATE_DIM_GENERATE_ORACLE = """
+    SELECT strftime(d, '%Y-%m-%d') AS dt,
+           CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+           CAST(year(d) AS BIGINT) AS yr,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(month(d) AS BIGINT) AS mth,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           isodow(d) >= 6 AS is_weekend
+    FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+"""
+
+
+def scan_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (the warehouse date-dim builder): a
+    dense day series covering the orders date range with surrogate key
+    and calendar attributes — generated DISTRIBUTED via sequence+explode,
+    no driver loop, no source file. ISO day-of-week is used because
+    Spark's dayofweek() is Sunday-1 while DuckDB's dow is Sunday-0 —
+    the dimension pins the portable definition. Conformed dims like this
+    broadcast to every fact join at 100 TB; 7 years = 2557 rows."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(DATE '1995-01-01', DATE '2001-12-31', interval 1 day)"
+                )
+            ).alias("dt")
+        )
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt_out"),
+            F.date_format("dt", "yyyyMMdd").cast("long").alias("date_key"),
+            F.year("dt").cast("long").alias("yr"),
+            F.quarter("dt").cast("long").alias("qtr"),
+            F.month("dt").cast("long").alias("mth"),
+            F.expr("CAST(weekday(dt) + 1 AS BIGINT)").alias("iso_dow"),
+            F.expr("weekday(dt) + 1 >= 6").alias("is_weekend"),
+        )
+        .withColumnRenamed("dt_out", "dt")
+        .orderBy("dt")
+    )
+
+
+FN_SURROGATE_KEY_MD5_ORACLE = """
+    SELECT o_orderkey,
+           md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')) AS sk,
+           CAST(count(*) OVER (PARTITION BY
+               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d'))) AS BIGINT) AS sk_width
+    FROM orders
+"""
+
+
+def fn_surrogate_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting: md5 over a delimited
+    concatenation of the natural-key columns — the portable, engine-
+    agnostic way to mint stable warehouse keys (md5 is bit-identical
+    everywhere, unlike engine-native hash()/xxhash64 which differ
+    between Spark and DuckDB). The delimiter guards against
+    concatenation ambiguity ('ab'+'c' vs 'a'+'bc'), and sk_width (rows
+    sharing a key) audits natural-key uniqueness in the same pass.
+    Zero-shuffle projection + one count window on the key."""
+    o = load(spark, sf_dir, "orders")
+    sk = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+    )
+    w = W.partitionBy(sk)
+    return o.select(
+        "o_orderkey",
+        sk.alias("sk"),
+        F.count("*").over(w).cast("long").alias("sk_width"),
+    ).orderBy("o_orderkey")

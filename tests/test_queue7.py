@@ -845,3 +845,34 @@ def test_multiprobe_lsh_recall_beats_single_probe(spark):
     multi = recall(sim.sim_ann_lsh_multiprobe_topk(spark, SF_SMALL))
     assert multi >= single - 1e-9, (multi, single)
     assert multi >= 0.35, multi
+
+
+def test_queue7_parity_tranche16(spark, con):
+    for fn, oracle in [
+        (ext.win_percent_rank_cume, ext.WIN_PERCENT_RANK_CUME_ORACLE),
+        (ext.scan_date_dim_generate, ext.SCAN_DATE_DIM_GENERATE_ORACLE),
+        (ext.fn_surrogate_key_md5, ext.FN_SURROGATE_KEY_MD5_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_surrogate_keys_collision_free_on_true_naturals(spark):
+    """sk_width > 1 must mean the natural key genuinely repeats (audited
+    against a raw pandas groupby), and distinct sk count == distinct
+    natural-key count (md5 injective on this domain)."""
+    import duckdb
+
+    df = ext.fn_surrogate_key_md5(spark, SF_SMALL).toPandas()
+    raw = duckdb.connect().execute(
+        f"SELECT o_orderkey, CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus"
+        f" || '|' || strftime(o_orderdate, '%Y-%m-%d') AS nk"
+        f" FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchdf()
+    m = raw.merge(df, on="o_orderkey")
+    widths = m.groupby("nk").o_orderkey.count()
+    for r in m.itertuples():
+        assert r.sk_width == widths[r.nk]
+    assert m.sk.nunique() == m.nk.nunique()
