@@ -921,3 +921,61 @@ def stream_txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# txnlog_overwrite_partition (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TXNLOG_OVERWRITE_PARTITION_ORACLE = (
+    _snap_sql(3, "o_orderstatus <> 'O' OR o_totalprice > 100.0")
+    + " ORDER BY o_orderstatus"
+)
+
+
+def txnlog_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE PARTITION on the transaction log — the third leg
+    of the write path (append / merge_upsert / partition overwrite): a
+    status-partitioned orders table (one commit per status, files exactly
+    aligned so footer stats prove partition membership) has its 'O'
+    partition atomically reloaded with a filtered restatement
+    (o_totalprice > 100). One commit removes exactly the 'O'-aligned
+    files and adds the replacements; 'F'/'P' files keep their original
+    add actions, time travel to v2 still shows the pre-restatement 'O'
+    rows, and a straddling file makes the commit REFUSE rather than
+    silently drop co-resident rows (all asserted in tests). This is the
+    nightly-restatement primitive: reload one day/region/source without
+    rewriting — or even blocking readers of — the other 99.9% of a
+    100 TB table."""
+    from aced_etl_pod_spark.sources.txnlog import txn_overwrite_partition
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    table = scratch_dir(
+        f"txn_orders_part_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    if current_version(table) != 3:
+        shutil.rmtree(table, ignore_errors=True)
+        for status in ("F", "O", "P"):
+            txn_write(
+                spark,
+                o.filter(F.col("o_orderstatus") == status).repartition(2),
+                table,
+                mode="append",
+                stats_cols=("o_orderstatus", "o_orderkey"),
+                op_name=f"load_{status}",
+            )
+        txn_overwrite_partition(
+            spark,
+            o.filter(
+                (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100.0)
+            ).repartition(2),
+            table,
+            part_col="o_orderstatus",
+            part_value="O",
+            stats_cols=("o_orderkey",),
+        )
+    return _snapshot_agg(txn_read(spark, table), 3).orderBy("o_orderstatus")

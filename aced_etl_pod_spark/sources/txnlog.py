@@ -653,3 +653,76 @@ def txn_apply_deletes(
                 f["path"] for f in live
             }:
                 raise
+
+
+def txn_overwrite_partition(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    part_col: str,
+    part_value,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Dynamic partition overwrite as ONE atomic commit: replace exactly
+    the files belonging to logical partition ``part_col == part_value``
+    (identified by their footer stats: min == max == value) with ``df``'s
+    files. Readers never see a state where the partition is half-swapped,
+    and files of other partitions are not touched (their add actions stay
+    live) — INSERT OVERWRITE PARTITION semantics on the log.
+
+    A live file whose stats STRADDLE the partition value (min != max but
+    the range contains it) would make file-level replacement lossy, so
+    the commit refuses with ValueError — the writer discipline is that
+    partition-aligned tables are written partition-aligned (every add in
+    this repo's fixtures carries exact-stats files). The check re-runs on
+    every optimistic retry against the then-current snapshot."""
+    os.makedirs(table, exist_ok=True)
+    uid = _writer_uid()
+    staging = os.path.join(table, f".staging-{uid}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    attempt = current_version(table) + 1
+    all_stats = tuple(dict.fromkeys((part_col, *stats_cols)))
+    adds = []
+    for seq, fname in enumerate(
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ):
+        final = f"v{attempt}-{uid}-{seq:05d}.parquet"
+        os.replace(os.path.join(staging, fname), os.path.join(table, final))
+        rows, stats = _file_stats(os.path.join(table, final), all_stats)
+        ps = stats.get(part_col)
+        if ps is None or ps["min"] != part_value or ps["max"] != part_value:
+            raise ValueError(
+                f"replacement file {final} is not aligned to partition "
+                f"{part_col}={part_value!r} (stats {ps})"
+            )
+        adds.append({"add": {"path": final, "rows": rows, "stats": stats}})
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        version = current_version(table) + 1
+        removes = []
+        for f in snapshot_files(table, version - 1):
+            ps = (f.get("stats") or {}).get(part_col)
+            if ps is None:
+                raise ValueError(
+                    f"live file {f['path']} has no {part_col} stats; cannot "
+                    "prove partition alignment"
+                )
+            if ps["min"] == part_value and ps["max"] == part_value:
+                removes.append({"remove": {"path": f["path"]}})
+            elif ps["min"] <= part_value <= ps["max"]:
+                raise ValueError(
+                    f"live file {f['path']} straddles {part_col}="
+                    f"{part_value!r} ({ps}); partition overwrite would drop "
+                    "co-resident rows"
+                )
+        actions = (
+            [{"commit": {"op": "overwrite_partition", "version": version}}]
+            + removes
+            + adds
+        )
+        try:
+            _publish(table, version, actions)
+            return version
+        except CommitConflict:
+            continue

@@ -876,3 +876,63 @@ def test_surrogate_keys_collision_free_on_true_naturals(spark):
     for r in m.itertuples():
         assert r.sk_width == widths[r.nk]
     assert m.sk.nunique() == m.nk.nunique()
+
+
+def test_partition_overwrite_acid(spark, con):
+    """The partition-overwrite commit: oracle parity, time travel shows
+    the pre-restatement partition, other partitions' files are untouched,
+    and a straddling file refuses the commit."""
+    import pytest as _pytest
+
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.sources.txnlog import (
+        snapshot_files,
+        txn_overwrite_partition,
+        txn_read,
+    )
+    from aced_etl_pod_spark.tables import load, scratch_dir
+
+    sdf = tf.txnlog_overwrite_partition(spark, SF_SMALL).toPandas()
+    ddf = con.execute(tf.TXNLOG_OVERWRITE_PARTITION_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+    import os
+
+    st = os.stat(os.path.join(SF_SMALL, "orders.parquet"))
+    table = scratch_dir(
+        f"txn_orders_part_sf0.001_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    # time travel: v2 (before the restatement) holds ALL 'O' rows
+    o = load(spark, SF_SMALL, "orders")
+    n_all_o = o.filter("o_orderstatus = 'O'").count()
+    v2 = txn_read(spark, table, version=2)
+    assert v2.filter("o_orderstatus = 'O'").count() == n_all_o
+    # other partitions' physical files survived the overwrite untouched
+    before = {f["path"] for f in snapshot_files(table, 2)}
+    after = {f["path"] for f in snapshot_files(table, 3)}
+    kept = before & after
+    gone = before - after
+    import json
+
+    def status_of(path):
+        for f in snapshot_files(table, 2):
+            if f["path"] == path:
+                return f["stats"]["o_orderstatus"]["min"]
+
+    assert all(status_of(p) in ("F", "P") for p in kept)
+    assert all(status_of(p) == "O" for p in gone)
+    # a replacement set that isn't partition-aligned refuses to commit
+    with _pytest.raises(ValueError, match="not aligned"):
+        txn_overwrite_partition(
+            spark,
+            o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .filter("o_orderstatus <> 'F'")
+            .repartition(1),
+            table,
+            part_col="o_orderstatus",
+            part_value="O",
+        )
+    # the refused attempt must not have advanced the table version
+    from aced_etl_pod_spark.sources.txnlog import current_version
+
+    assert current_version(table) == 3
