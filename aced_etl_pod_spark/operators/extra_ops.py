@@ -1815,3 +1815,135 @@ def fn_surrogate_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.alias("sk"),
         F.count("*").over(w).cast("long").alias("sk_width"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# win_streak_longest_current (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_STREAK_LONGEST_CURRENT_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    runs AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                           AS INTEGER) AS DATE) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len, max(d) AS last_d
+      FROM runs GROUP BY 1, 2
+    ),
+    corpus AS (SELECT max(CAST(ts AS DATE)) AS today FROM events)
+    SELECT s.user_id,
+           CAST(max(s.len) AS BIGINT) AS longest_streak,
+           CAST(coalesce(max(CASE WHEN s.last_d = c.today THEN s.len END), 0)
+                AS BIGINT) AS current_streak
+    FROM streaks s CROSS JOIN corpus c
+    GROUP BY s.user_id
+"""
+
+
+def win_streak_longest_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the engagement-metrics
+    staple): the gaps-and-islands constant (date minus dense row index is
+    invariant within a run) groups consecutive days, then one aggregate
+    yields each user's longest streak and the streak that is still alive
+    at the corpus 'today' (max date — deterministic reference, like the
+    freshness op). Distinct-days collapse first, so the window runs over
+    O(users x active-days); one exchange on the user key end-to-end."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "grp", F.expr("date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT))")
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.max("d").alias("last_d")
+    )
+    today = e.agg(F.max(F.to_date("ts")).alias("today"))
+    return (
+        streaks.crossJoin(F.broadcast(today))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.coalesce(
+                F.max(F.when(F.col("last_d") == F.col("today"), F.col("len"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("current_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_attribution_last_touch (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+AGG_ATTRIBUTION_LAST_TOUCH_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    attributed AS (
+      SELECT p.event_id,
+             max_by(t.event_type,
+                    strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || t.event_type)
+               FILTER (WHERE t.ts IS NOT NULL) AS channel
+      FROM purchases p LEFT JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 2 HOUR
+      GROUP BY p.event_id
+    )
+    SELECT coalesce(channel, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY 1
+"""
+
+
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent view/click/signup touch in the preceding 2 hours (ties on the
+    same microsecond break by channel name — max_by over a fixed-width
+    'timestamp|channel' composite string, lexicographically equal to the
+    (ts, channel) pair on both engines), purchases with no touch in the
+    window report as 'unattributed'. The join is the bounded interval
+    shape of join_asof_event (user-key equi-join + time-range predicate,
+    NOT an unbounded sort), and the per-purchase argmax is the
+    partial-aggregating max_by — the argmin-not-window rule again.
+    Output is O(channels)."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS")),
+        "left",
+    )
+    attributed = j.groupBy("event_id").agg(
+        F.expr(
+            "max_by(channel, concat(date_format(t_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),"
+            " '|', channel))"
+        ).alias("channel")
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("channel", F.lit("unattributed")).alias("channel")
+        )
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("channel")
+    )

@@ -936,3 +936,43 @@ def test_partition_overwrite_acid(spark, con):
     from aced_etl_pod_spark.sources.txnlog import current_version
 
     assert current_version(table) == 3
+
+
+def test_queue7_parity_tranche18(spark, con):
+    for fn, oracle in [
+        (ext.win_streak_longest_current, ext.WIN_STREAK_LONGEST_CURRENT_ORACLE),
+        (ext.agg_attribution_last_touch, ext.AGG_ATTRIBUTION_LAST_TOUCH_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_streaks_reference(spark):
+    """Longest/current streaks recomputed with a plain Python scan over
+    each user's sorted active-day set."""
+    import datetime
+
+    import duckdb
+
+    df = ext.win_streak_longest_current(spark, SF_SMALL).toPandas()
+    raw = duckdb.connect().execute(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM "
+        f"'{SF_SMALL}/events.parquet'"
+    ).fetchdf()
+    today = raw.d.max()
+    got = {r.user_id: (r.longest_streak, r.current_streak) for r in df.itertuples()}
+    for uid, grp in raw.groupby("user_id"):
+        days = sorted(grp.d)
+        longest = cur = 1
+        best = 1
+        runs = [[days[0]]]
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                runs[-1].append(b)
+            else:
+                runs.append([b])
+        best = max(len(r) for r in runs)
+        current = len(runs[-1]) if runs[-1][-1] == today else 0
+        assert got[uid] == (best, current), uid
