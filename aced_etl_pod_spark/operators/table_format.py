@@ -979,3 +979,54 @@ def txnlog_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=("o_orderkey",),
         )
     return _snapshot_agg(txn_read(spark, table), 3).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# txnlog_branch_merge (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TXNLOG_BRANCH_MERGE_ORACLE = (
+    _snap_sql(3, "o_orderkey % 7 <= 3") + " ORDER BY o_orderstatus"
+)
+
+
+def txnlog_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-based isolated writes (the Nessie/Iceberg-refs workflow on
+    the txn log): an ETL job branches the 3-commit orders table at v2
+    with ZERO data copies (the seed commit references the base's
+    immutable files in place), appends its batch (o_orderkey % 7 == 3)
+    ON THE BRANCH — base readers see nothing — then fast-forward merges:
+    the branch delta squashes into ONE atomic base commit (v3). A base
+    that advanced past the branch point refuses the merge
+    (CommitConflict, rebase is the caller's decision) and a tag pins the
+    pre-merge version immutably — both asserted in tests. This is how a
+    pipeline stages risky multi-table work at 100 TB: validate on the
+    branch, publish with one swap, never block or half-expose readers."""
+    from aced_etl_pod_spark.sources.txnlog import (
+        create_branch,
+        merge_branch,
+        set_tag,
+    )
+
+    base_fix = build_orders_txn_table(spark, sf_dir)
+    base = scratch_dir(base_fix.rstrip("/") + "_branch_base")
+    branch = base.rstrip("/") + "_etl_branch"
+    if current_version(base) != 3:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(branch, ignore_errors=True)
+        shutil.copytree(base_fix, base)
+        set_tag(base, "pre-merge", 2)
+        create_branch(base, branch)
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        txn_write(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 3).repartition(2),
+            branch,
+            mode="append",
+            stats_cols=("o_orderkey",),
+            op_name="branch_append",
+        )
+        merge_branch(base, branch)
+    return _snapshot_agg(txn_read(spark, base), 3).orderBy("o_orderstatus")

@@ -81,7 +81,7 @@ def current_version(table: str) -> int:
         return -1
     versions = [
         int(f[:-5]) for f in os.listdir(log)
-        if f.endswith(".json") and not f.startswith(".")
+        if f.endswith(".json") and f[:-5].isdigit()  # skip refs.json etc.
     ]
     return max(versions, default=-1)
 
@@ -726,3 +726,126 @@ def txn_overwrite_partition(
             return version
         except CommitConflict:
             continue
+
+
+# ---------------------------------------------------------------------------
+# Branches and tags (Nessie/Iceberg-refs style, zero-copy)
+# ---------------------------------------------------------------------------
+
+
+def create_branch(base_table: str, branch_table: str, version: int | None = None) -> int:
+    """Branch a table at ``version`` (default: latest) with ZERO data
+    copies: the branch's seed commit (v0) records a `branch` action
+    (base path + pinned base version) plus add actions whose paths point
+    INTO the base directory (relative), so the branch reads the base's
+    immutable files in place. Branch writes then commit normally in the
+    branch's own log — invisible to base readers until merge."""
+    base_abs = os.path.abspath(base_table)
+    os.makedirs(branch_table, exist_ok=True)
+    if current_version(branch_table) >= 0:
+        raise ValueError(f"branch dir {branch_table} already has a log")
+    base_v = current_version(base_table) if version is None else version
+    rel = os.path.relpath(base_abs, os.path.abspath(branch_table))
+    actions: list[dict] = [
+        {"commit": {"op": "branch", "version": 0}},
+        {"branch": {"base": base_abs, "base_version": base_v}},
+    ]
+    for f in snapshot_files(base_table, base_v):
+        actions.append(
+            {"add": {**f, "path": os.path.join(rel, f["path"]), "v": 0}}
+        )
+    _publish(branch_table, 0, actions)
+    return base_v
+
+
+def branch_info(branch_table: str) -> dict:
+    with open(_log_path(branch_table, 0)) as f:
+        for line in f:
+            action = json.loads(line)
+            if "branch" in action:
+                return action["branch"]
+    raise ValueError(f"{branch_table} is not a branch (no branch action in v0)")
+
+
+def merge_branch(base_table: str, branch_table: str) -> int:
+    """Fast-forward merge: squash the branch's delta vs its seed into ONE
+    atomic base commit. Requires the base still at the pinned version
+    (true fast-forward); a diverged base raises CommitConflict — the
+    resolution (rebase the branch) is the caller's decision, never a
+    silent clobber. Branch-local data files are copied into the base
+    directory; removes of seed files are rewritten base-relative. Readers
+    of base see nothing until the single commit publishes."""
+    info = branch_info(branch_table)
+    base_abs = os.path.abspath(base_table)
+    if os.path.abspath(info["base"]) != base_abs:
+        raise ValueError("branch was not created from this base table")
+    base_v = current_version(base_table)
+    if base_v != info["base_version"]:
+        raise CommitConflict(
+            f"base advanced to v{base_v} past the branch point "
+            f"v{info['base_version']}; rebase required"
+        )
+    seed_paths = {f["path"] for f in snapshot_files(branch_table, 0)}
+    live = snapshot_files(branch_table)
+    live_paths = {f["path"] for f in live}
+    version = base_v + 1
+    uid = _writer_uid()
+    actions: list[dict] = [
+        {"commit": {"op": "merge_branch", "version": version}}
+    ]
+    for p in sorted(seed_paths - live_paths):
+        base_rel = os.path.relpath(
+            os.path.abspath(os.path.join(branch_table, p)), base_abs
+        )
+        actions.append({"remove": {"path": base_rel}})
+    seq = 0
+    for f in sorted(
+        (f for f in live if f["path"] not in seed_paths),
+        key=lambda f: f["path"],
+    ):
+        if os.sep in f["path"]:
+            raise ValueError(f"unexpected non-local live file {f['path']}")
+        final = f"m{version}-{uid}-{seq:05d}.parquet"
+        shutil.copy2(
+            os.path.join(branch_table, f["path"]),
+            os.path.join(base_table, final),
+        )
+        actions.append(
+            {"add": {**{k: v for k, v in f.items() if k != "v"}, "path": final}}
+        )
+        seq += 1
+    _publish(base_table, version, actions)
+    return version
+
+
+def _refs_path(table: str) -> str:
+    return os.path.join(table, "_txnlog", "refs.json")
+
+
+def set_tag(table: str, name: str, version: int | None = None) -> int:
+    """Name an immutable version. Re-tagging an existing name to a
+    DIFFERENT version raises — tags are release markers, not branches."""
+    v = current_version(table) if version is None else version
+    path = _refs_path(table)
+    refs = {"tags": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            refs = json.load(f)
+    existing = refs["tags"].get(name)
+    if existing is not None and existing != v:
+        raise ValueError(f"tag {name!r} already pins v{existing}")
+    refs["tags"][name] = v
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, path)
+    return v
+
+
+def read_tag(spark: SparkSession, table: str, name: str) -> DataFrame:
+    path = _refs_path(table)
+    with open(path) as f:
+        refs = json.load(f)
+    if name not in refs["tags"]:
+        raise KeyError(f"unknown tag {name!r}")
+    return txn_read(spark, table, version=refs["tags"][name])

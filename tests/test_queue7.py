@@ -976,3 +976,66 @@ def test_streaks_reference(spark):
         best = max(len(r) for r in runs)
         current = len(runs[-1]) if runs[-1][-1] == today else 0
         assert got[uid] == (best, current), uid
+
+
+def test_branch_merge_acid(spark, con):
+    """Branch workflow guarantees: oracle parity of the merged base,
+    isolation before merge, zero-copy seed, diverged-base merge refusal,
+    and tag immutability."""
+    import os
+
+    import pytest as _pytest
+
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.sources.txnlog import (
+        CommitConflict,
+        create_branch,
+        current_version,
+        merge_branch,
+        read_tag,
+        set_tag,
+        snapshot_files,
+        txn_read,
+        txn_write,
+    )
+    from aced_etl_pod_spark.tables import load, scratch_dir
+
+    sdf = tf.txnlog_branch_merge(spark, SF_SMALL).toPandas()
+    ddf = con.execute(tf.TXNLOG_BRANCH_MERGE_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+    base_fix = tf.build_orders_txn_table(spark, SF_SMALL)
+    base = scratch_dir(base_fix.rstrip("/") + "_branch_base")
+    # the pre-merge tag still resolves the v2 content (no %7==3 rows)
+    tagged = read_tag(spark, base, "pre-merge")
+    assert tagged.filter("o_orderkey % 7 = 3").count() == 0
+    # tags are immutable
+    with _pytest.raises(ValueError, match="already pins"):
+        set_tag(base, "pre-merge", 3)
+
+    # fresh isolation + divergence scenario on copies
+    import shutil
+
+    iso_base = scratch_dir(base_fix.rstrip("/") + "_iso_base")
+    iso_branch = iso_base.rstrip("/") + "_br"
+    shutil.rmtree(iso_base, ignore_errors=True)
+    shutil.rmtree(iso_branch, ignore_errors=True)
+    shutil.copytree(base_fix, iso_base)
+    create_branch(iso_base, iso_branch)
+    # zero-copy: the branch dir holds no parquet of its own after seeding
+    assert not [f for f in os.listdir(iso_branch) if f.endswith(".parquet")]
+    o = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    txn_write(spark, o.filter("o_orderkey % 7 = 3").repartition(1), iso_branch,
+              stats_cols=("o_orderkey",), op_name="branch_append")
+    # isolation: base content unchanged while the branch sees its rows
+    assert txn_read(spark, iso_base).filter("o_orderkey % 7 = 3").count() == 0
+    assert txn_read(spark, iso_branch).filter("o_orderkey % 7 = 3").count() > 0
+    # diverge the base -> fast-forward merge must refuse
+    txn_write(spark, o.filter("o_orderkey % 7 = 4").repartition(1), iso_base,
+              stats_cols=("o_orderkey",), op_name="rival")
+    v_before = current_version(iso_base)
+    with _pytest.raises(CommitConflict, match="rebase required"):
+        merge_branch(iso_base, iso_branch)
+    assert current_version(iso_base) == v_before
