@@ -2289,3 +2289,78 @@ def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_fixed_width (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_FW_LAYOUT = (("o_orderkey", 10), ("o_custkey", 8), ("o_orderstatus", 1),
+              ("o_totalprice", 12))
+
+
+def _fixed_width_fixture(sf_dir: str) -> str:
+    """Deterministic mainframe-style fixed-width export of the orders
+    subset (o_orderkey % 11 == 0), one right-padded field per layout
+    column, written once per source fingerprint."""
+    import os
+
+    import duckdb
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_dir(f"fixedwidth_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    path = os.path.join(out, "orders.fw")
+    if not os.path.exists(path + ".done"):
+        rows = duckdb.connect().execute(
+            f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                       printf('%.2f', o_totalprice) AS price
+                FROM '{sf_dir}/orders.parquet'
+                WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey"""
+        ).fetchall()
+        with open(path, "w") as f:
+            for ok, ck, stt, price in rows:
+                f.write(f"{ok:<10d}{ck:<8d}{stt:<1s}{price:<12s}\n")
+        open(path + ".done", "w").close()
+    return path
+
+
+SCAN_FIXED_WIDTH_ORACLE = """
+    WITH lines AS (
+      SELECT column0 AS line FROM read_csv('{path}', header=false, delim='\x01',
+                                           quote='', columns={{'column0': 'VARCHAR'}})
+    )
+    SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS o_orderkey,
+           CAST(trim(substr(line, 11, 8)) AS BIGINT) AS o_custkey,
+           trim(substr(line, 19, 1)) AS o_orderstatus,
+           CAST(trim(substr(line, 20, 12)) AS DOUBLE) AS o_totalprice
+    FROM lines
+"""
+
+
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-style) file ingestion: no delimiters,
+    fields live at byte offsets declared by a layout, parsed with
+    substring+trim+cast — entirely in Catalyst over a spark.read.text
+    scan, so the parse is whole-stage codegen and splits like any text
+    file (record = line). The oracle re-parses the same file with the
+    same offsets in DuckDB. This is the ingestion format every bank/telco
+    migration still starts from; layout errors surface as cast NULLs a
+    dq_schema_contract-style gate would catch downstream."""
+    path = _fixed_width_fixture(sf_dir)
+    lines = spark.read.text(path)
+    pos = 1
+    cols = []
+    for name, width in _FW_LAYOUT:
+        c = F.expr(f"trim(substr(value, {pos}, {width}))")
+        if name in ("o_orderkey", "o_custkey"):
+            c = c.cast("long")
+        elif name == "o_totalprice":
+            c = c.cast("double")
+        cols.append(c.alias(name))
+        pos += width
+    return lines.select(*cols).orderBy("o_orderkey")
+
+
+def scan_fixed_width_oracle(sf_dir: str) -> str:
+    return SCAN_FIXED_WIDTH_ORACLE.format(path=_fixed_width_fixture(sf_dir))

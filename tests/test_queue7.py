@@ -1039,3 +1039,45 @@ def test_branch_merge_acid(spark, con):
     with _pytest.raises(CommitConflict, match="rebase required"):
         merge_branch(iso_base, iso_branch)
     assert current_version(iso_base) == v_before
+
+
+def test_queue7_parity_tranche20(spark, con):
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+    from aced_etl_pod_spark.operators import table_format as tf
+
+    for fn, oracle in [
+        (tf.plan_result_cache, tf.PLAN_RESULT_CACHE_ORACLE),
+        (cor.scan_fixed_width, cor.scan_fixed_width_oracle(SF_SMALL)),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_result_cache_hit_and_invalidation(spark):
+    """Contract: repeated same-version reads never recompute (compute
+    counter frozen), and a table commit changes the key (recompute)."""
+    import shutil
+
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.sources.txnlog import current_version, txn_write
+    from aced_etl_pod_spark.tables import load, scratch_dir
+
+    base_fix = tf.build_orders_txn_table(spark, SF_SMALL)
+    table = scratch_dir(base_fix.rstrip("/") + "_cache_unit")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.copytree(base_fix, table)
+    n0 = tf.RESULT_CACHE_COMPUTES["n"]
+    tf._cached_snapshot_agg(spark, table).collect()
+    assert tf.RESULT_CACHE_COMPUTES["n"] == n0 + 1
+    tf._cached_snapshot_agg(spark, table).collect()
+    tf._cached_snapshot_agg(spark, table).collect()
+    assert tf.RESULT_CACHE_COMPUTES["n"] == n0 + 1  # pure hits
+    o = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    txn_write(spark, o.filter("o_orderkey % 7 = 4").repartition(1), table,
+              stats_cols=("o_orderkey",), op_name="bump")
+    tf._cached_snapshot_agg(spark, table).collect()
+    assert tf.RESULT_CACHE_COMPUTES["n"] == n0 + 2  # version-keyed recompute
