@@ -2364,3 +2364,70 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scan_fixed_width_oracle(sf_dir: str) -> str:
     return SCAN_FIXED_WIDTH_ORACLE.format(path=_fixed_width_fixture(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# scan_multiline_json (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+
+def _multiline_json_fixture(sf_dir: str) -> str:
+    """A pretty-printed JSON ARRAY file (one logical document spanning
+    many lines — the API-export format, vs NDJSON's record-per-line),
+    built deterministically from the orders subset."""
+    import json
+    import os
+
+    import duckdb
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_dir(f"mljson_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    path = os.path.join(out, "orders.json")
+    if not os.path.exists(path + ".done"):
+        rows = duckdb.connect().execute(
+            f"""SELECT o_orderkey, o_orderstatus,
+                       round(o_totalprice, 2) AS o_totalprice
+                FROM '{sf_dir}/orders.parquet'
+                WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey"""
+        ).fetchall()
+        docs = [
+            {"o_orderkey": k, "o_orderstatus": s, "o_totalprice": p}
+            for k, s, p in rows
+        ]
+        with open(path, "w") as f:
+            json.dump(docs, f, indent=2)
+        open(path + ".done", "w").close()
+    return path
+
+
+SCAN_MULTILINE_JSON_ORACLE = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM read_json('{path}', format='array')
+"""
+
+
+def scan_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON scan: one pretty-printed ARRAY document (the REST
+    export / config-dump format) rather than NDJSON records. Spark needs
+    multiLine=true — without it each physical line is (mis)parsed as a
+    record; WITH it the file is one unsplittable unit, which is the
+    documented scale trade: multiline JSON cannot be split across tasks,
+    so big exports should be converted to NDJSON/parquet at the edge
+    (the same boundary-format argument as sink_csv_roundtrip's multiLine
+    note). DuckDB reads the identical file with format='array'."""
+    path = _multiline_json_fixture(sf_dir)
+    return (
+        spark.read.option("multiLine", "true")
+        .json(path)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def scan_multiline_json_oracle(sf_dir: str) -> str:
+    return SCAN_MULTILINE_JSON_ORACLE.format(path=_multiline_json_fixture(sf_dir))

@@ -1947,3 +1947,164 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_decompose (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TS_SEASONAL_DECOMPOSE_ORACLE = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT h, total,
+             CASE WHEN count(*) OVER w = 25
+                  THEN CAST(round(CAST(avg(total) OVER w AS DECIMAL(18,9)), 2)
+                       AS DOUBLE) END AS trend
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+      SELECT hour(h) AS hod,
+             CAST(round(CAST(avg(total - trend) AS DECIMAL(18,9)), 4) AS DOUBLE)
+               AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(tr.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           tr.total, tr.trend, seas.seasonal,
+           CASE WHEN tr.trend IS NOT NULL
+                THEN CAST(round(CAST(tr.total - tr.trend - seas.seasonal
+                     AS DECIMAL(18,9)), 4) AS DOUBLE) END AS residual
+    FROM tr JOIN seas ON hour(tr.h) = seas.hod
+"""
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + daily
+    seasonality + residual) of the hourly event series: trend = centered
+    25-hour moving average (NULL where the window is incomplete — no
+    fabricated edge trend), seasonal = mean detrended value per
+    hour-of-day, residual = the rest. Three stages, each a partial agg
+    or a bounded-frame window: the raw pass collapses to O(hours) rows
+    first, so trend/seasonal run over the tiny series — the same
+    collapse-then-analyze split as the chi-square and anomaly ops. The
+    seasonal table is O(24) and broadcast back."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "total"
+        )
+    )
+    w = W.orderBy("h").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "h",
+        "total",
+        F.when(
+            F.count("*").over(w) == 25,
+            F.expr(
+                "CAST(round(CAST(avg(total) OVER (ORDER BY h ROWS BETWEEN 12"
+                " PRECEDING AND 12 FOLLOWING) AS DECIMAL(18,9)), 2) AS DOUBLE)"
+            ),
+        ).alias("trend"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.hour("h").alias("hod"))
+        .agg(
+            F.expr(
+                "CAST(round(CAST(avg(total - trend) AS DECIMAL(18,9)), 4)"
+                " AS DOUBLE)"
+            ).alias("seasonal")
+        )
+    )
+    return (
+        tr.join(F.broadcast(seas), F.hour(tr.h) == seas.hod)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "total",
+            "trend",
+            "seasonal",
+            F.when(
+                F.col("trend").isNotNull(),
+                F.expr(
+                    "CAST(round(CAST(total - trend - seasonal"
+                    " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+                ),
+            ).alias("residual"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_outlier_mad (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_OUTLIER_MAD_ORACLE = """
+    WITH med AS (
+      SELECT user_id,
+             CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,9)), 4)
+                  AS DOUBLE) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, med,
+             CAST(round(CAST(quantile_cont(ad, 0.5) AS DECIMAL(18,9)), 4)
+                  AS DOUBLE) AS mad
+      FROM dev GROUP BY user_id, med
+    )
+    SELECT d.user_id, d.med, m.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (
+             WHERE round(CAST(d.ad AS DECIMAL(18,9)), 4)
+                   > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id, d.med, m.mad
+"""
+
+
+def win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counting by median absolute deviation — the
+    breakdown-resistant sibling of the z-score ops (one wild value
+    inflates a stddev but barely moves a median). Two percentile passes
+    (per-user median, then median of absolute deviations), stats
+    broadcast back, flags compare the ROUNDED deviation against the
+    3x1.4826xMAD fence (the normal-consistency constant) so the count
+    can't split engines. Exact interpolated percentiles on both sides
+    (Spark percentile == DuckDB quantile_cont); the approx tier at
+    unbounded scale is the histogram-partial quantile sketch."""
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    med = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(round(CAST(percentile(value, 0.5) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "user_id").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id", "med").agg(
+        F.expr(
+            "CAST(round(CAST(percentile(ad, 0.5) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("user_id", "mad")), "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(
+                F.expr("round(CAST(ad AS DECIMAL(18,9)), 4) > 3 * 1.4826 * mad")
+            ).alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )

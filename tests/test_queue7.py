@@ -1081,3 +1081,29 @@ def test_result_cache_hit_and_invalidation(spark):
               stats_cols=("o_orderkey",), op_name="bump")
     tf._cached_snapshot_agg(spark, table).collect()
     assert tf.RESULT_CACHE_COMPUTES["n"] == n0 + 2  # version-keyed recompute
+
+
+def test_queue7_parity_tranche21(spark, con):
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    for fn, oracle in [
+        (ext.ts_seasonal_decompose, ext.TS_SEASONAL_DECOMPOSE_ORACLE),
+        (ext.win_outlier_mad, ext.WIN_OUTLIER_MAD_ORACLE),
+        (cor.scan_multiline_json, cor.scan_multiline_json_oracle(SF_SMALL)),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_seasonal_decomposition_additivity(spark):
+    """Where the trend exists, total == trend + seasonal + residual to
+    rounding, and seasonal components average to ~0 across hours-of-day
+    (the additive-model identity)."""
+    df = ext.ts_seasonal_decompose(spark, SF_SMALL).toPandas()
+    inner = df[df.trend.notna()]
+    err = (inner.total - inner.trend - inner.seasonal - inner.residual).abs()
+    assert err.max() < 0.01
+    hods = df.drop_duplicates("seasonal").seasonal
+    assert abs(hods.mean()) < hods.abs().max()
