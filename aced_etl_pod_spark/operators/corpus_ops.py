@@ -2431,3 +2431,74 @@ def scan_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scan_multiline_json_oracle(sf_dir: str) -> str:
     return SCAN_MULTILINE_JSON_ORACLE.format(path=_multiline_json_fixture(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# scan_file_provenance (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+
+def _provenance_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Status-partitioned parquet copy of orders (3 files) so provenance
+    has several sources to attribute."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_dir(f"prov_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    marker = os.path.join(out, "_SUCCESS_FIX")
+    if not os.path.exists(marker):
+        o = load(spark, sf_dir, "orders")
+        (
+            o.repartition("o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    return out
+
+
+SCAN_FILE_PROVENANCE_ORACLE = """
+    SELECT regexp_extract(filename, 'o_orderstatus=([A-Z])', 1) AS partition_value,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM read_parquet('{path}/*/*.parquet', filename=true)
+    GROUP BY 1
+"""
+
+
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance: every row reports WHICH physical file
+    produced it (Spark's input_file_name() / DuckDB's filename=true),
+    rolled up to rows/files/totals per source partition — the debugging
+    primitive behind 'which shard produced these bad rows' and the
+    audit-trail column a governed export writes alongside the data.
+    Zero-cost at scan time (the name is execution metadata, not data);
+    the rollup is one partial agg. Both engines attribute the SAME
+    partitioned fixture and must agree file-for-file."""
+    path = _provenance_fixture(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("fname", F.input_file_name())
+        .withColumn(
+            "partition_value",
+            F.regexp_extract("fname", "o_orderstatus=([A-Z])", 1),
+        )
+        .groupBy("partition_value")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("fname").alias("n_files"),
+            F.expr(
+                "CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2)"
+                " AS DOUBLE)"
+            ).alias("total"),
+        )
+        .orderBy("partition_value")
+    )
+
+
+def scan_file_provenance_oracle(spark: SparkSession, sf_dir: str) -> str:
+    return SCAN_FILE_PROVENANCE_ORACLE.format(path=_provenance_fixture(spark, sf_dir))

@@ -216,3 +216,62 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", money(F.col("raw")).alias("discounted")
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_table_argument (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+UDTF_TABLE_ARGUMENT_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
+           max_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
+    FROM events GROUP BY user_id
+"""
+
+
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.5+/4 polymorphic table function surface: a Python UDTF
+    invoked with a TABLE(...) argument, PARTITION BY user_id ORDER BY
+    (ts, event_id) — the engine routes each user's rows, in order, into
+    one UDTF instance (eval per row, terminate emits the summary). This
+    is the MATCH_RECOGNIZE-class escape hatch for per-key sequential
+    logic the DataFrame API can't express declaratively, with the
+    PARTITION BY clause doing exactly what applyInPandas' groupBy does —
+    but streamed row-wise, so a partition never materializes as one
+    in-memory frame. Oracle: the same first/last-by-time summary via
+    min_by/max_by over a fixed-width 'timestamp|event_id' composite
+    (lexicographically the (ts, event_id) total order)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, first_type string, last_type string")
+    class PerUserSummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.first, self.last
+
+    spark.udtf.register("per_user_summary", PerUserSummary)
+    events_path = f"{sf_dir}/events.parquet"
+    load(spark, sf_dir, "events").createOrReplaceTempView("udtf_events_src")
+    return spark.sql(
+        """SELECT * FROM per_user_summary(
+             TABLE(SELECT user_id, event_type, ts, event_id
+                   FROM udtf_events_src)
+             PARTITION BY user_id ORDER BY (ts, event_id))"""
+    ).orderBy("user_id")

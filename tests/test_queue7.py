@@ -1107,3 +1107,17 @@ def test_seasonal_decomposition_additivity(spark):
     assert err.max() < 0.01
     hods = df.drop_duplicates("seasonal").seasonal
     assert abs(hods.mean()) < hods.abs().max()
+
+
+def test_queue7_parity_tranche22(spark, con):
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+    from aced_etl_pod_spark.operators import udfs
+
+    for fn, oracle in [
+        (cor.scan_file_provenance, cor.scan_file_provenance_oracle(spark, SF_SMALL)),
+        (udfs.udtf_table_argument, udfs.UDTF_TABLE_ARGUMENT_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
