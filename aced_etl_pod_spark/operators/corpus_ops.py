@@ -2502,3 +2502,77 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scan_file_provenance_oracle(spark: SparkSession, sf_dir: str) -> str:
     return SCAN_FILE_PROVENANCE_ORACLE.format(path=_provenance_fixture(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_portable (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # 2^6 registers
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al.)
+
+AGG_HLL_PORTABLE_ORACLE = f"""
+    WITH h AS (
+      SELECT (user_id * 2654435761) % 4294967296 AS hv FROM events
+    ),
+    parts AS (
+      SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN w = 0 THEN 27
+                  ELSE 27 - length(bin(w)) END AS r
+      FROM parts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(r) AS BIGINT) AS register
+    FROM rho GROUP BY bucket
+"""
+
+
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles with PORTABLE arithmetic,
+    so even the sketch REGISTERS cross-engine hash-check (the same
+    'sketch cells oracle-check' property as agg_count_min_sketch —
+    normally impossible for HLL because engine-native hashes differ):
+    the Knuth hash splits into a 6-bit bucket and a 26-bit suffix, the
+    register is max(leading-zero-rank) where rank comes from length(bin(w))
+    — bin() has identical no-padding semantics in Spark and DuckDB. The
+    Flajolet estimator (alpha*m^2 / sum 2^-M, linear-counting fallback
+    below the 2.5m threshold) is asserted against a from-scratch local
+    HLL and the exact count in tests, not in the driver hash (it is
+    derived driver-side arithmetic over 64 integers).
+
+    Scale: one partial-agg pass to m=64 integer registers; shards merge
+    by element-wise max — the canonical mergeable sketch, here with a
+    cross-engine-reproducible guarantee the native approx_count_distinct
+    (agg_approx_distinct) cannot give."""
+    e = load(spark, sf_dir, "events")
+    parts = e.select(
+        F.expr(f"(user_id * 2654435761) % 4294967296 % {_HLL_M}").alias("bucket"),
+        F.expr(f"(user_id * 2654435761) % 4294967296 div {_HLL_M}").alias("w"),
+    )
+    rho = parts.select(
+        "bucket",
+        F.expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END").alias("r"),
+    )
+    return (
+        rho.groupBy("bucket")
+        .agg(F.max("r").cast("long").alias("register"))
+        .select(F.col("bucket").cast("long"), "register")
+        .orderBy("bucket")
+    )
+
+
+def hll_estimate_from_registers(registers: dict[int, int], m: int = _HLL_M) -> float:
+    """The Flajolet estimator over a (possibly sparse) register map —
+    driver-side arithmetic shared by the op's tests and any consumer
+    merging persisted register partials."""
+    import math
+
+    z = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = _HLL_ALPHA * m * m / z
+    v = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    return est

@@ -1121,3 +1121,44 @@ def test_queue7_parity_tranche22(spark, con):
         ddf = con.execute(oracle).fetchdf()
         errs = compare(sdf, ddf)
         assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_hll_portable_registers_and_estimate(spark, con):
+    """Registers hash-check cross-engine; the Flajolet estimate lands
+    within HLL error of the exact distinct count at two data sizes; and
+    element-wise max of per-shard registers equals the whole-corpus
+    registers (mergeability)."""
+    import duckdb
+
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    sdf = cor.agg_hll_portable(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.AGG_HLL_PORTABLE_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+    for sf, tol in ((SF_SMALL, 0.35), ("/root/testdata/sf0.1", 0.20)):
+        regs = {
+            r.bucket: r.register
+            for r in cor.agg_hll_portable(spark, sf).toPandas().itertuples()
+        }
+        est = cor.hll_estimate_from_registers(regs)
+        exact = duckdb.connect().execute(
+            f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+        ).fetchone()[0]
+        assert abs(est - exact) / exact < tol, (sf, est, exact)
+
+    # mergeability: split the corpus by event parity, max-merge registers
+    full = duckdb.connect().execute(
+        f"""WITH h AS (SELECT (user_id * 2654435761) % 4294967296 AS hv,
+                               event_id FROM '{SF_SMALL}/events.parquet')
+            SELECT event_id % 2 AS shard, hv % 64 AS bucket,
+                   max(CASE WHEN hv // 64 = 0 THEN 27
+                            ELSE 27 - length(bin(hv // 64)) END) AS r
+            FROM h GROUP BY 1, 2"""
+    ).fetchdf()
+    merged = full.groupby("bucket").r.max().to_dict()
+    whole = {
+        r.bucket: r.register
+        for r in cor.agg_hll_portable(spark, SF_SMALL).toPandas().itertuples()
+    }
+    assert merged == whole
