@@ -624,3 +624,99 @@ def hierarchy_unroll_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.split("path", "/")) - 1).cast("long").alias("depth"),
         F.concat(F.lit("/"), F.col("path")).alias("path"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# graph_shortest_path_weighted (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_SPW_ROUNDS = 6
+
+_SPW_EDGES_CTE = """
+    ed AS (
+      SELECT DISTINCT o_custkey AS a, -(l_suppkey + 1) AS b,
+             (o_custkey + l_suppkey) % 7 + 1 AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+      SELECT a AS src, b AS dst, w FROM ed
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM ed
+    ),
+    d0 AS (
+      SELECT DISTINCT c_custkey AS node, 0 AS dist
+      FROM customer WHERE c_custkey % 50 = 0
+    )
+"""
+
+
+def _spw_oracle(rounds: int) -> str:
+    ctes = [_SPW_EDGES_CTE]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d{i - 1}.dist + e.w AS dist
+        FROM d{i - 1} JOIN e ON d{i - 1}.node = e.src
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+
+
+GRAPH_SHORTEST_PATH_WEIGHTED_ORACLE = _spw_oracle(_SPW_ROUNDS)
+
+
+def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source-set shortest paths by synchronous
+    Bellman-Ford relaxation (6 fixed rounds — paths of <= 6 edges; like
+    every iterative op here, the round count is a budget): dist' =
+    min(dist, min over edges (dist[src] + w)). Deterministic integer
+    weights ((cust + supp) % 7 + 1) keep the oracle exact; the unrolled
+    CTE matches graph_bfs_khop's shape with the weighted relax. Per-round
+    cache collapses the double self-reference (the BFS lineage lesson);
+    at cluster scale the relax join partitions by src and only the
+    distance table iterates. Negative-cycle concerns don't arise
+    (weights >= 1); on general graphs fixed-round Bellman-Ford still
+    converges monotonically, it just may not have SETTLED — the honest
+    bounded-cost contract."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (-(F.col("l_suppkey") + 1)).alias("b"),
+            ((F.col("o_custkey") + F.col("l_suppkey")) % 7 + 1).alias("w"),
+        )
+        .distinct()
+    )
+    edges = (
+        ed.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(ed.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .cache()
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    dist = (
+        c.filter(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_custkey").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(_SPW_ROUNDS):
+        dist = dist.cache()
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.orderBy("node")

@@ -2576,3 +2576,76 @@ def hll_estimate_from_registers(registers: dict[int, int], m: int = _HLL_M) -> f
     if est <= 2.5 * m and v > 0:
         est = m * math.log(m / v)
     return est
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_set_intersection (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_KMVI_K = 16
+
+# One shared ANSI SQL text runs VERBATIM on both engines (the
+# sql_shared_ansi discipline): KMV sketches of two user sets, their
+# union sketch, and the theta-style intersection estimate — every
+# intermediate (kth minimum hash, sketch sizes, overlap count) is
+# portable integer arithmetic, so the WHOLE derivation hash-checks, not
+# just the final number.
+AGG_KMV_SET_INTERSECTION_SQL = f"""
+    WITH a_ids AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+    b_ids AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase'),
+    ah AS (SELECT (user_id * 2654435761) % 4294967296 AS h FROM a_ids),
+    bh AS (SELECT (user_id * 2654435761) % 4294967296 AS h FROM b_ids),
+    sk_a AS (SELECT h FROM ah ORDER BY h LIMIT {_KMVI_K}),
+    sk_b AS (SELECT h FROM bh ORDER BY h LIMIT {_KMVI_K}),
+    sk_u AS (SELECT h FROM (SELECT DISTINCT h FROM
+             (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b) both_sk) d
+             ORDER BY h LIMIT {_KMVI_K}),
+    s AS (
+      SELECT (SELECT count(*) FROM sk_a) AS ka,
+             (SELECT max(h) FROM sk_a) AS kth_a,
+             (SELECT count(*) FROM sk_b) AS kb,
+             (SELECT max(h) FROM sk_b) AS kth_b,
+             (SELECT count(*) FROM sk_u) AS ku,
+             (SELECT max(h) FROM sk_u) AS kth_u,
+             (SELECT count(*) FROM sk_u
+              WHERE h IN (SELECT h FROM sk_a)
+                AND h IN (SELECT h FROM sk_b)) AS overlap,
+             (SELECT count(*) FROM a_ids
+              WHERE user_id IN (SELECT user_id FROM b_ids)) AS exact_inter
+    )
+    SELECT CAST(ka AS BIGINT) AS ka, CAST(kth_a AS BIGINT) AS kth_a,
+           CAST(kb AS BIGINT) AS kb, CAST(kth_b AS BIGINT) AS kth_b,
+           CAST(ku AS BIGINT) AS ku, CAST(kth_u AS BIGINT) AS kth_u,
+           CAST(overlap AS BIGINT) AS overlap,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(round(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS est_union,
+           CAST(round(CAST((CAST(overlap AS DOUBLE) / ku) *
+                (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS est_intersection
+    FROM s
+"""
+
+AGG_KMV_SET_INTERSECTION_ORACLE = AGG_KMV_SET_INTERSECTION_SQL
+
+
+def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set-operation estimation on KMV sketches: the clicked
+    and purchased user sets are sketched as their k=16 minimum portable
+    hashes, the union sketch is the k minimums of the sketch union, and
+    the intersection estimate is (overlap fraction within the union
+    sketch) x (union estimate) — the published theta-sketch recipe, with
+    small sets degrading to EXACT (sketch = whole set). The same SQL
+    text runs verbatim on both engines, so every intermediate — kth
+    minimum, sketch sizes, overlap count — hash-checks, completing the
+    sketch suite's set-algebra corner (distinct: HLL/KMV/bitmap;
+    frequency: CMS; quantiles: histogram; now set ops). At 100 TB both
+    side sketches are O(k) mergeable partials and the estimate is
+    driver-trivial; the exact_inter column exists to exhibit the error,
+    exactly as agg_sample_estimate_ci does."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(AGG_KMV_SET_INTERSECTION_SQL)

@@ -1162,3 +1162,27 @@ def test_hll_portable_registers_and_estimate(spark, con):
         for r in cor.agg_hll_portable(spark, SF_SMALL).toPandas().itertuples()
     }
     assert merged == whole
+
+
+def test_queue7_parity_tranche24(spark, con):
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    for fn, oracle in [
+        (adv.graph_shortest_path_weighted, adv.GRAPH_SHORTEST_PATH_WEIGHTED_ORACLE),
+        (cor.agg_kmv_set_intersection, cor.AGG_KMV_SET_INTERSECTION_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_weighted_paths_dominated_by_hops(spark):
+    """Weighted distances are >= the unweighted hop distances (weights
+    >= 1) and seeds sit at 0 — the Bellman-Ford sanity pair."""
+    wd = {r.node: r.dist for r in adv.graph_shortest_path_weighted(spark, SF_SMALL).collect()}
+    hd = {r.node: r.dist for r in adv.graph_bfs_khop(spark, SF_SMALL).collect()}
+    assert all(wd[n] == 0 for n in wd if n % 50 == 0 and n >= 0 and hd.get(n) == 0)
+    for n, d in hd.items():
+        if n in wd:
+            assert wd[n] >= d, (n, wd[n], d)
