@@ -2108,3 +2108,138 @@ def win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_conversion_lag_percentiles (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+AGG_CONVERSION_LAG_ORACLE = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events GROUP BY user_id
+    ),
+    lags AS (
+      SELECT user_id,
+             CAST(floor(epoch(first_buy)) - floor(epoch(first_view)) AS BIGINT)
+               AS lag_s
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(round(CAST(quantile_cont(lag_s, 0.5) / 60.0
+                AS DECIMAL(18,9)), 2) AS DOUBLE) AS p50_min,
+           CAST(round(CAST(quantile_cont(lag_s, 0.9) / 60.0
+                AS DECIMAL(18,9)), 2) AS DOUBLE) AS p90_min,
+           CAST(round(CAST(max(lag_s) / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)
+             AS max_min
+    FROM lags
+"""
+
+
+def agg_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag between first view
+    and first purchase (users who purchased before ever viewing are
+    excluded — the funnel direction matters), summarized as p50/p90/max
+    minutes. One conditional-min pass collapses the events to O(users)
+    rows; the percentile runs on that collapsed table. Whole-second
+    epochs per the truncate-vs-fraction house rule; exact interpolated
+    percentiles on both engines."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fb"),
+    )
+    lags = firsts.filter(
+        F.col("fv").isNotNull() & F.col("fb").isNotNull() & (F.col("fb") >= F.col("fv"))
+    ).select(
+        (F.unix_timestamp("fb") - F.unix_timestamp("fv")).alias("lag_s")
+    )
+    return lags.agg(
+        F.count("*").alias("n_converted"),
+        F.expr(
+            "CAST(round(CAST(percentile(lag_s, 0.5) / 60.0 AS DECIMAL(18,9)), 2)"
+            " AS DOUBLE)"
+        ).alias("p50_min"),
+        F.expr(
+            "CAST(round(CAST(percentile(lag_s, 0.9) / 60.0 AS DECIMAL(18,9)), 2)"
+            " AS DOUBLE)"
+        ).alias("p90_min"),
+        F.expr(
+            "CAST(round(CAST(max(lag_s) / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)"
+        ).alias("max_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_regression_slope (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
+    WITH series AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id, ts, event_id,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx,
+             sum(value) OVER w AS sy,
+             sum(x * value) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx
+      FROM series
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE n = 10) AS BIGINT) AS n_windows,
+           CAST(round(CAST(avg(CASE WHEN n = 10
+                AND n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_slope_per_hr
+    FROM sums GROUP BY user_id
+"""
+
+
+def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: the least-squares slope of value vs time over
+    each trailing 10-event window, from the closed-form
+    (nSxy - SxSy)/(nSxx - Sx^2) — four running sums sharing ONE window
+    frame, no matrix work, O(1) state per row (the window-variant of
+    agg_regression's global fit). Incomplete head windows (n < 10) are
+    excluded rather than fit on fewer points; epochs are whole-second
+    BIGINTs so the sums are exact integers times exact doubles and the
+    only float division is the final slope, sandwiched at 4dp. Output
+    aggregates to per-user mean hourly slope — the drift monitor a
+    metrics pipeline alerts on."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    sums = e.select(
+        "user_id",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.unix_timestamp("ts")).over(w).alias("sx"),
+        F.sum("value").over(w).alias("sy"),
+        F.sum(F.unix_timestamp("ts") * F.col("value")).over(w).alias("sxy"),
+        F.sum(F.unix_timestamp("ts") * F.unix_timestamp("ts")).over(w).alias("sxx"),
+    )
+    return (
+        sums.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("n") == 10).alias("n_windows"),
+            F.expr(
+                "CAST(round(CAST(avg(CASE WHEN n = 10"
+                " AND n * sxx - sx * sx <> 0"
+                " THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END)"
+                " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("avg_slope_per_hr"),
+        )
+        .orderBy("user_id")
+    )

@@ -1186,3 +1186,14 @@ def test_weighted_paths_dominated_by_hops(spark):
     for n, d in hd.items():
         if n in wd:
             assert wd[n] >= d, (n, wd[n], d)
+
+
+def test_queue7_parity_tranche25(spark, con):
+    for fn, oracle in [
+        (ext.agg_conversion_lag_percentiles, ext.AGG_CONVERSION_LAG_ORACLE),
+        (ext.win_rolling_regression_slope, ext.WIN_ROLLING_REGRESSION_SLOPE_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
