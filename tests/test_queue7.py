@@ -1055,18 +1055,20 @@ def test_queue7_parity_tranche20(spark, con):
         assert not errs, f"{fn.__name__}: {errs[:5]}"
 
 
-def test_result_cache_hit_and_invalidation(spark):
+def test_result_cache_hit_and_invalidation(spark, tmp_path):
     """Contract: repeated same-version reads never recompute (compute
-    counter frozen), and a table commit changes the key (recompute)."""
+    counter frozen), and a table commit changes the key (recompute).
+    The table lives under tmp_path so the (path, version) cache key is
+    unique per test run — the cache itself persists across runs BY
+    DESIGN (that is the feature), so a reused path would start warm."""
     import shutil
 
     from aced_etl_pod_spark.operators import table_format as tf
     from aced_etl_pod_spark.sources.txnlog import current_version, txn_write
-    from aced_etl_pod_spark.tables import load, scratch_dir
+    from aced_etl_pod_spark.tables import load
 
     base_fix = tf.build_orders_txn_table(spark, SF_SMALL)
-    table = scratch_dir(base_fix.rstrip("/") + "_cache_unit")
-    shutil.rmtree(table, ignore_errors=True)
+    table = str(tmp_path / "cache_unit")
     shutil.copytree(base_fix, table)
     n0 = tf.RESULT_CACHE_COMPUTES["n"]
     tf._cached_snapshot_agg(spark, table).collect()
