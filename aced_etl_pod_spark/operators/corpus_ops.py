@@ -2649,3 +2649,122 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as agg_sample_estimate_ci does."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(AGG_KMV_SET_INTERSECTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sliding_distinct (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+AGG_HLL_SLIDING_DISTINCT_ORACLE = f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             (user_id * 2654435761) % 4294967296 AS hv
+      FROM events
+    ),
+    daily AS (
+      SELECT day, hv % {_HLL_M} AS bucket,
+             max(CASE WHEN hv // {_HLL_M} = 0 THEN 27
+                      ELSE 27 - length(bin(hv // {_HLL_M})) END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    grid AS (
+      SELECT d.day, b.bucket
+      FROM days d, (SELECT DISTINCT bucket FROM daily) b
+    ),
+    dense AS (
+      SELECT g.day, g.bucket, coalesce(daily.r, 0) AS r
+      FROM grid g LEFT JOIN daily ON daily.day = g.day
+                                 AND daily.bucket = g.bucket
+    ),
+    merged AS (
+      SELECT day, bucket,
+             max(r) OVER (PARTITION BY bucket ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS r,
+             count(*) OVER (PARTITION BY bucket ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS nd
+      FROM dense
+    ),
+    exact AS (
+      SELECT d1.day, count(DISTINCT e.user_id) AS exact_u
+      FROM days d1 JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d1.day - 6 AND d1.day
+      GROUP BY 1
+    )
+    SELECT strftime(m.day, '%Y-%m-%d') AS day,
+           CAST(sum(m.r) AS BIGINT) AS register_sum,
+           CAST(count(*) FILTER (WHERE m.r > 0) AS BIGINT) AS nonzero_registers,
+           CAST(max(exact.exact_u) AS BIGINT) AS exact_trailing_users
+    FROM merged m JOIN exact ON exact.day = m.day
+    WHERE m.nd = 7
+    GROUP BY m.day
+"""
+
+
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users from MERGEABLE sketch partials: one
+    pass builds per-(day, bucket) HLL registers (the persisted partial),
+    and every day's trailing-week registers come from a window MAX per
+    bucket — the raw events are scanned ONCE regardless of how many
+    sliding windows are served. This is the composition the sketch suite
+    exists for: a naive trailing-distinct re-scans 7 days of events per
+    output day (the `exact` branch here does exactly that, emitted for
+    error visibility); the register path re-scans NOTHING. Registers are
+    the portable agg_hll_portable arithmetic, so even the merged
+    register sums cross-engine hash-check; partial (head) windows are
+    excluded. The estimate itself (hll_estimate_from_registers over each
+    day's 64 maxes) is asserted within HLL error of the exact column in
+    tests — driver-side arithmetic, like the PQ/k-means stages."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        F.to_date("ts").alias("day"),
+        F.expr("(user_id * 2654435761) % 4294967296").alias("hv"),
+    )
+    daily = h.groupBy(
+        "day", F.expr(f"hv % {_HLL_M}").alias("bucket")
+    ).agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN hv div {_HLL_M} = 0 THEN 27"
+                f" ELSE 27 - length(bin(hv div {_HLL_M})) END"
+            )
+        ).alias("r")
+    )
+    days = daily.select("day").distinct()
+    buckets = daily.select("bucket").distinct()
+    dense = (
+        days.crossJoin(buckets)
+        .join(daily, ["day", "bucket"], "left")
+        .select("day", "bucket", F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    w = W.partitionBy("bucket").orderBy("day").rowsBetween(-6, 0)
+    merged = dense.select(
+        "day",
+        "bucket",
+        F.max("r").over(w).alias("r"),
+        F.count("*").over(w).alias("nd"),
+    ).filter(F.col("nd") == 7)
+    exact = (
+        days.alias("d")
+        .join(
+            e.select(F.to_date("ts").alias("eday"), "user_id"),
+            F.col("eday").between(F.expr("date_sub(day, 6)"), F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_u"))
+    )
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.sum("r").cast("long").alias("register_sum"),
+            F.count_if(F.col("r") > 0).alias("nonzero_registers"),
+        )
+        .join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "register_sum",
+            "nonzero_registers",
+            F.col("exact_u").cast("long").alias("exact_trailing_users"),
+        )
+        .orderBy("day")
+    )
