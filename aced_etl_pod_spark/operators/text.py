@@ -774,3 +774,96 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+DEDUP_INCREMENTAL_MINHASH_ORACLE = None  # approximate family; equality vs
+# full recompute is asserted in tests/test_queue7.py instead.
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: dedupe a NEW batch (10% of docs)
+    against the existing corpus via a PERSISTED minhash band index — the
+    daily-increment pattern at 100 TB, where re-shingling and re-hashing
+    the whole corpus per batch is the cost that matters (the band join
+    itself is cheap; the text work is not). The corpus' (doc, band,
+    bucket) rows are computed once and stored as the index partial (the
+    same persisted-partial algebra as the MV/sketch families); each
+    increment hashes ONLY its own documents, joins its bands against the
+    stored index (plus within-batch self-collisions), and exact-verifies
+    survivors. The degenerate-bucket cap applies over the UNION
+    population, so results are IDENTICAL to a full recompute restricted
+    to pairs touching the increment — asserted exactly in tests.
+
+    Index contents: band rows only (fixed ~24 bytes/doc/band); shingle
+    arrays are re-joined once per surviving candidate, never stored or
+    shuffled wholesale (functions/dedup.py's O(candidates) discipline)."""
+    import os
+
+    from aced_etl_pod_spark.functions.dedup import _shingled_signatures
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    num_hashes, bands, threshold, cap = 32, 8, 0.5, 200
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+
+    def banded(df):
+        sigged = _shingled_signatures(df, "doc_id", "text", 3, num_hashes)
+        rows = num_hashes // bands
+        band_hash = F.array(
+            *[
+                F.xxhash64(F.slice("sig", b * rows + 1, rows), F.lit(b))
+                for b in range(bands)
+            ]
+        )
+        return sigged.select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(band_hash).alias("band", "bucket"),
+        )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = scratch_dir(f"mh_index_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    marker = os.path.join(idx, "_SUCCESS")
+    if not os.path.exists(marker):
+        banded(corpus).write.mode("overwrite").parquet(idx)
+    stored = spark.read.parquet(idx)
+    allb = stored.unionAll(banded(inc))
+    from pyspark.sql.window import Window as _W
+
+    bucket_n = F.count("*").over(_W.partitionBy("band", "bucket"))
+    allb = allb.withColumn("bn", bucket_n).filter(F.col("bn") <= cap).drop("bn")
+    left = allb.select(F.col("doc").alias("id_a"), "band", "bucket")
+    right = allb.select(F.col("doc").alias("id_b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from aced_etl_pod_spark.functions.dedup import with_shingles
+
+    sh = with_shingles(d.select("doc_id", "text"), "text", 3).select(
+        F.col("doc_id").alias("vid"), "shingles"
+    )
+    paired = cands.join(
+        sh.select(F.col("vid").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("vid").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        paired.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

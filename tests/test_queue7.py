@@ -1240,3 +1240,19 @@ def test_sliding_hll_estimates_track_exact(spark):
         regs = win.groupby("bucket").r.max().to_dict()
         est = cor.hll_estimate_from_registers(regs)
         assert abs(est - row.exact_trailing_users) / row.exact_trailing_users < 0.25
+
+
+def test_incremental_minhash_equals_full_recompute(spark):
+    """The persisted-index incremental dedup returns EXACTLY the full
+    recompute's pairs restricted to pairs touching the increment — the
+    correctness contract that makes the daily-increment pattern safe."""
+    from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs
+    from aced_etl_pod_spark.tables import load
+
+    inc_pairs = txt.dedup_incremental_minhash(spark, SF_SMALL).toPandas()
+    d = load(spark, SF_SMALL, "documents")
+    full = minhash_candidate_pairs(d, "doc_id", "text", threshold=0.5).toPandas()
+    fr = full[(full.id_a % 10 == 0) | (full.id_b % 10 == 0)]
+    a = {(r.id_a, r.id_b, r.jaccard) for r in inc_pairs.itertuples()}
+    b = {(r.id_a, r.id_b, r.jaccard) for r in fr.itertuples()}
+    assert a == b and len(a) > 0
