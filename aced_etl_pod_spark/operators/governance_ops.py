@@ -357,3 +357,77 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("klass")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity_generalize (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+_GEN_LEVELS = (1000, 2000, 4000, 8000, 16000, 1000000000)
+
+DQ_K_ANONYMITY_GENERALIZE_ORACLE = f"""
+    WITH levels(width) AS (VALUES {', '.join(f'({w})' for w in _GEN_LEVELS)}),
+    classes AS (
+      SELECT l.width, c.c_mktsegment,
+             CAST(floor((c.c_acctbal + 1000) / l.width) AS BIGINT)
+               AS bal_bucket,
+             count(*) AS n
+      FROM customer c CROSS JOIN levels l
+      GROUP BY 1, 2, 3
+    ),
+    level_ok AS (
+      SELECT width, min(n) AS min_class FROM classes GROUP BY width
+    ),
+    chosen AS (
+      SELECT min(width) AS width FROM level_ok WHERE min_class >= {_K}
+    )
+    SELECT c.width AS chosen_width, c.c_mktsegment, c.bal_bucket,
+           CAST(c.n AS BIGINT) AS n
+    FROM classes c JOIN chosen ON c.width = chosen.width
+"""
+
+
+def dq_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation half of the k-anonymity story (dq_k_anonymity
+    detects; this generalizes): balance buckets widen along a fixed
+    generalization ladder (1k, 2k, 4k, 8k, 16k) and the SMALLEST width
+    whose every equivalence class reaches k >= 5 is chosen — coarsen as
+    little as possible, but enough; the terminal 1e9 level is full
+    suppression of the numeric attribute (one bucket), the top every
+    generalization hierarchy must have so a valid level always exists
+    (balances are shifted by +1000 first so the domain is non-negative —
+    otherwise the sign split leaves two terminal buckets and a sparse
+    negative class can hold the whole ladder hostage). All ladder levels are evaluated in
+    ONE pass (cross join with the 5-row level table, then one partial
+    agg), so level selection is set-based and fully oracle-checkable —
+    no driver-side trial loop, which is also what makes it cheap at
+    100 TB: the ladder evaluation costs one aggregation regardless of
+    how many levels it considers. Output = the chosen width's class
+    table (the publishable generalized view)."""
+    c = load(spark, sf_dir, "customer")
+    levels = spark.createDataFrame([(w,) for w in _GEN_LEVELS], "width int")
+    classes = (
+        c.crossJoin(F.broadcast(levels))
+        .groupBy(
+            "width",
+            "c_mktsegment",
+            F.expr(
+                "CAST(floor((c_acctbal + 1000) / width) AS BIGINT)"
+            ).alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    level_ok = classes.groupBy("width").agg(F.min("n").alias("min_class"))
+    chosen = level_ok.filter(F.col("min_class") >= _K).agg(
+        F.min("width").alias("cw")
+    )
+    return (
+        classes.join(F.broadcast(chosen), classes.width == F.col("cw"))
+        .select(
+            F.col("width").alias("chosen_width"),
+            "c_mktsegment",
+            "bal_bucket",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment", "bal_bucket")
+    )

@@ -1256,3 +1256,26 @@ def test_incremental_minhash_equals_full_recompute(spark):
     a = {(r.id_a, r.id_b, r.jaccard) for r in inc_pairs.itertuples()}
     b = {(r.id_a, r.id_b, r.jaccard) for r in fr.itertuples()}
     assert a == b and len(a) > 0
+
+
+def test_queue7_parity_generalize(spark, con):
+    sdf = gov.dq_k_anonymity_generalize(spark, SF_SMALL).toPandas()
+    ddf = con.execute(gov.DQ_K_ANONYMITY_GENERALIZE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+    # the chosen level actually satisfies k, and the next-finer one doesn't
+    assert sdf.n.min() >= gov._K
+    import duckdb
+
+    width = int(sdf.chosen_width.iloc[0])
+    finer = [w for w in gov._GEN_LEVELS if w < width]
+    if finer:
+        w = finer[-1]
+        min_class = duckdb.connect().execute(
+            f"""SELECT min(n) FROM (
+                  SELECT count(*) AS n
+                  FROM '{SF_SMALL}/customer.parquet'
+                  GROUP BY c_mktsegment,
+                           CAST(floor((c_acctbal + 1000) / {w}) AS BIGINT))"""
+        ).fetchone()[0]
+        assert min_class < gov._K  # minimality of the chosen width
