@@ -497,12 +497,15 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = F.expr(
             f"{MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * ({penalty})"
         ).alias("mmr")
-        best = (
+        picked = (
             remaining.select("vec_id", "embedding", "rel", score)
             .orderBy(F.desc("mmr"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:  # pool exhausted (or empty corpus): stop gracefully
+            break
+        best = picked[0]
         chosen_ids.append(
             (rank, int(best.vec_id), round(float(best.rel), 6), round(float(best.mmr), 6))
         )

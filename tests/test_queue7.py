@@ -1337,3 +1337,82 @@ def test_cdc_replay_row_level_equivalence(spark):
         .fetchall()
     }
     assert head_keys == want
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """An sf dir whose every table has the right schema and ZERO rows —
+    the empty-partition / fresh-tenant robustness scenario."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("empty_sf")
+    con = duckdb.connect()
+    from aced_etl_pod_spark.tables import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMALL}/{t}.parquet' WHERE 1=0) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(out)
+
+
+def test_queue_ops_tolerate_empty_tables(spark, empty_sf):
+    """A curated sweep of queue ops against zero-row tables: every one
+    must return a DataFrame (usually empty) rather than raise — the
+    empty-daily-partition case a scheduled pipeline hits routinely.
+    Iterative ops (BFS, hierarchy, BPE) must terminate; windowed and
+    grid ops must tolerate empty bounds; MMR stops gracefully on an
+    exhausted pool."""
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+    from aced_etl_pod_spark.operators import llm_pipeline as llm2
+    from aced_etl_pod_spark.operators import similarity as sim
+
+    ops = [
+        geo.join_geo_gridded_radius,
+        geo.agg_geo_grid_density,
+        geo.join_geo_point_in_polygon,
+        geo.join_geo_nearest_broadcast,
+        gov.dq_k_anonymity,
+        gov.fn_pseudonymize_consistent,
+        gov.fn_ip_cidr_classify,
+        gov.dq_schema_contract,  # spliced bad rows remain -> 4 classes
+        gov.dq_k_anonymity_generalize,
+        adv.graph_bfs_khop,
+        adv.hierarchy_unroll_paths,
+        adv.graph_shortest_path_weighted,
+        ext.win_event_sequence_regex,
+        ext.ts_interpolate_linear,
+        ext.join_interval_overlap,
+        ext.agg_weighted_percentile,
+        ext.win_drawdown_runmax,
+        ext.stat_chi_square_independence,
+        ext.agg_frequent_pairs_market_basket,
+        ext.win_streak_longest_current,
+        ext.agg_attribution_last_touch,
+        ext.ts_seasonal_decompose,
+        ext.win_outlier_mad,
+        ext.win_percent_rank_cume,
+        ext.fn_surrogate_key_md5,
+        ext.win_rolling_regression_slope,
+        ext.agg_conversion_lag_percentiles,
+        ext.win_period_over_period,
+        txt.text_readability_score,
+        txt.text_search_boolean,
+        txt.dedup_exact_substring_spans,
+        cor.feature_one_hot_encode,
+        cor.feature_standard_scale,
+        cor.agg_hll_portable,
+        cor.agg_hll_sliding_distinct,
+        llm2.seq_pack_bins_ffd,
+        llm2.text_bpe_train_merges,
+        sim.sim_mmr_diversified_topk,
+    ]
+    failures = []
+    for fn in ops:
+        try:
+            n = fn(spark, empty_sf).count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001 - we want the full census
+            failures.append((fn.__name__, str(exc)[:120]))
+    assert not failures, failures
