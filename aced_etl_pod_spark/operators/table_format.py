@@ -1147,3 +1147,64 @@ def txnlog_cdc_replay_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame
         state = state.cache()
         prev = cur
     return _snapshot_agg(state, head).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# txnlog_check_constraints (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TXNLOG_CHECK_CONSTRAINTS_ORACLE = (
+    _snap_sql(3, "o_orderkey % 7 <= 1 AND o_totalprice > 0")
+    + " ORDER BY o_orderstatus"
+)
+
+
+def txnlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints on the transaction log (the Delta
+    CONSTRAINT feature): the table declares `positive_price`
+    (o_totalprice > 0) and `known_status` (status in F/O/P) in a
+    metadata action; a clean batch commits, a poisoned batch (one
+    negative price spliced in) is REFUSED before any file is staged —
+    the table's version does not advance and its content is untouched
+    (asserted in tests). Validation is one conditional-agg scan over the
+    BATCH regardless of constraint count; the full table is never
+    re-validated, which is the only enforcement shape that works at
+    100 TB ingest rates."""
+    from aced_etl_pod_spark.sources.txnlog import (
+        txn_set_constraints,
+        txn_write_checked,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = scratch_dir(
+        f"txn_checked_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_totalprice") > 0)
+    if current_version(table) != 3:
+        shutil.rmtree(table, ignore_errors=True)
+        txn_write(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 0).repartition(2),
+            table,
+            mode="append",
+            stats_cols=("o_orderkey",),
+            op_name="seed",
+        )
+        txn_set_constraints(
+            table,
+            {
+                "positive_price": "o_totalprice > 0",
+                "known_status": "o_orderstatus IN ('F', 'O', 'P')",
+            },
+        )
+        txn_write_checked(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 1).repartition(2),
+            table,
+            stats_cols=("o_orderkey",),
+            op_name="clean_batch",
+        )
+    return _snapshot_agg(txn_read(spark, table), 3).orderBy("o_orderstatus")

@@ -849,3 +849,78 @@ def read_tag(spark: SparkSession, table: str, name: str) -> DataFrame:
     if name not in refs["tags"]:
         raise KeyError(f"unknown tag {name!r}")
     return txn_read(spark, table, version=refs["tags"][name])
+
+
+# ---------------------------------------------------------------------------
+# Write-time CHECK constraints (Delta-style contract enforcement)
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolation(Exception):
+    pass
+
+
+def txn_set_constraints(table: str, constraints: dict[str, str]) -> int:
+    """Declare named CHECK constraints (SQL boolean expressions over the
+    row) as a `constraints` metadata action — from this version on, every
+    `txn_write_checked` commit must prove its batch satisfies them."""
+    version = current_version(table) + 1
+    _publish(
+        table,
+        version,
+        [
+            {"commit": {"op": "set_constraints", "version": version}},
+            {"constraints": constraints},
+        ],
+    )
+    return version
+
+
+def table_constraints(table: str, version: int | None = None) -> dict[str, str]:
+    latest = current_version(table)
+    upto = latest if version is None else min(version, latest)
+    found: dict[str, str] = {}
+    for v in range(0, upto + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                action = json.loads(line)
+                if "constraints" in action:
+                    found = action["constraints"]  # latest declaration wins
+    return found
+
+
+def txn_write_checked(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    stats_cols: tuple[str, ...] = (),
+    op_name: str = "checked_write",
+) -> int:
+    """Append that REFUSES to commit a batch violating the table's
+    declared CHECK constraints: one conditional-aggregation pass counts
+    violations per constraint (the dq_expectation_checks shape — a single
+    scan however many constraints exist), and any nonzero count raises
+    ConstraintViolation BEFORE any file is staged. Enforcement at the
+    write boundary is what keeps a 100 TB table's invariants true without
+    ever re-validating the whole table — only batches are checked, and
+    the log records the contract they were checked against."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(table)
+    if cons:
+        aggs = [
+            F.count(F.when(~F.expr(expr), F.lit(1))).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: int(row[name]) for name in cons if row[name]}
+        if bad:
+            raise ConstraintViolation(
+                f"batch violates constraints {bad}; commit refused"
+            )
+    return txn_write(
+        spark, df, table, mode="append", stats_cols=stats_cols, op_name=op_name
+    )

@@ -1416,3 +1416,56 @@ def test_queue_ops_tolerate_empty_tables(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001 - we want the full census
             failures.append((fn.__name__, str(exc)[:120]))
     assert not failures, failures
+
+
+def test_check_constraints_enforced(spark, con):
+    """Oracle parity for the checked table, and the refusal contract: a
+    poisoned batch raises ConstraintViolation, the version does not
+    advance, the content is untouched, and no data file was staged."""
+    import os
+
+    import pytest as _pytest
+
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.sources.txnlog import (
+        ConstraintViolation,
+        current_version,
+        txn_read,
+        txn_write_checked,
+    )
+    from aced_etl_pod_spark.tables import load, scratch_dir
+
+    sdf = tf.txnlog_check_constraints(spark, SF_SMALL).toPandas()
+    ddf = con.execute(tf.TXNLOG_CHECK_CONSTRAINTS_ORACLE).fetchdf()
+    assert not compare(sdf, ddf)
+
+    st = os.stat(os.path.join(SF_SMALL, "orders.parquet"))
+    table = scratch_dir(
+        f"txn_checked_sf0.001_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    v = current_version(table)
+    n = txn_read(spark, table).count()
+    files_before = sorted(
+        f for f in os.listdir(table) if f.endswith(".parquet")
+    )
+    from pyspark.sql import functions as F
+
+    poisoned = (
+        load(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 7 == 2)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 2, -1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    with _pytest.raises(ConstraintViolation, match="positive_price"):
+        txn_write_checked(spark, poisoned, table)
+    assert current_version(table) == v
+    assert txn_read(spark, table).count() == n
+    assert (
+        sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+        == files_before
+    )
