@@ -545,3 +545,97 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{z} > 3.0").alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_checked_ingest_dlq (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+STREAM_CHECKED_INGEST_DLQ_ORACLE = """
+    WITH tagged AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) % 4 AS epoch_id
+      FROM events WHERE user_id < 50
+    ),
+    epochs AS (
+      SELECT epoch_id,
+             count(*) AS n,
+             min(value) AS min_v
+      FROM tagged GROUP BY epoch_id
+    )
+    SELECT CAST(count(CASE WHEN min_v > 0.05 THEN 1 END) AS BIGINT)
+             AS committed_batches,
+           CAST(count(CASE WHEN min_v <= 0.05 THEN 1 END) AS BIGINT)
+             AS quarantined_batches,
+           CAST(sum(CASE WHEN min_v > 0.05 THEN n ELSE 0 END) AS BIGINT)
+             AS committed_rows,
+           CAST(sum(CASE WHEN min_v <= 0.05 THEN n ELSE 0 END) AS BIGINT)
+             AS quarantined_rows
+    FROM epochs
+"""
+
+
+def stream_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked streaming ingest with a dead-letter queue: each
+    micro-batch goes through the write-time constraint gate
+    (sources/txnlog.txn_write_checked — value > 0.05 here); a clean
+    batch commits to the main txn table, a violating batch is routed
+    WHOLE to the quarantine table instead of poisoning the main table or
+    killing the stream — the DLQ pattern that keeps a 100 TB ingest
+    pipeline running through bad-producer incidents while losing
+    nothing (the quarantine is a txn table too; replay after the
+    producer fix is txnlog_cdc territory). Batches are deterministic
+    hash-splits of the event stream, so the commit/quarantine census is
+    fully oracle-checkable."""
+    import shutil as _sh
+
+    from aced_etl_pod_spark.sources.txnlog import (
+        ConstraintViolation,
+        txn_read,
+        txn_set_constraints,
+        txn_write,
+        txn_write_checked,
+    )
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    splits = [
+        (F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) % 4") == i)
+        & (F.col("user_id") < 50)
+        for i in range(4)
+    ]
+    src = materialize_batches(spark, sf_dir, "dlq_ingest", splits=splits)
+    main = scratch_dir("dlq_main")
+    dlq = scratch_dir("dlq_quarantine")
+    ckpt = scratch_dir("dlq_ingest_ckpt")
+    # fresh run each invocation: tables AND checkpoint (a surviving
+    # checkpoint would mark every batch already-processed)
+    _sh.rmtree(main, ignore_errors=True)
+    _sh.rmtree(dlq, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
+    txn_set_constraints(main, {"value_floor": "value > 0.05"})
+    counts = {"committed": 0, "quarantined": 0}
+
+    def gate(batch_df, epoch_id):
+        rows = batch_df.select("event_type", "value")
+        try:
+            txn_write_checked(spark, rows, main, op_name=f"epoch_{epoch_id}")
+            counts["committed"] += 1
+        except ConstraintViolation:
+            txn_write(spark, rows, dlq, op_name=f"quarantine_{epoch_id}")
+            counts["quarantined"] += 1
+
+    q = (
+        read_stream(spark, src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    main_rows = txn_read(spark, main).count() if counts["committed"] else 0
+    dlq_rows = txn_read(spark, dlq).count() if counts["quarantined"] else 0
+    return spark.createDataFrame(
+        [(counts["committed"], counts["quarantined"], main_rows, dlq_rows)],
+        "committed_batches long, quarantined_batches long,"
+        " committed_rows long, quarantined_rows long",
+    )

@@ -1469,3 +1469,21 @@ def test_check_constraints_enforced(spark, con):
         sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
         == files_before
     )
+
+
+@pytest.mark.slow
+def test_queue7_parity_dlq(spark, con):
+    from aced_etl_pod_spark.operators import streaming_ops as so
+
+    sdf = so.stream_checked_ingest_dlq(spark, SF_SMALL).toPandas()
+    ddf = con.execute(so.STREAM_CHECKED_INGEST_DLQ_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+    # nothing lost: committed + quarantined rows == the filtered stream
+    row = sdf.iloc[0]
+    import duckdb
+
+    total = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_SMALL}/events.parquet' WHERE user_id < 50"
+    ).fetchone()[0]
+    assert row.committed_rows + row.quarantined_rows == total
