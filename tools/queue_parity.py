@@ -1,0 +1,172 @@
+"""Consolidated differential check for the UNREGISTERED queue operators
+(tranches 8-31 in test_queue7.py + the round-5b queue in
+test_incremental.py): run every queue op against its oracle at a given
+scale factor in one session.
+
+Usage:
+    python tools/queue_parity.py [--sf /root/testdata/sf0.01]
+
+This is the queue twin of tools/parity.py (which covers the 182
+REGISTERED ops). The pytest gates run the same pairs at sf0.001; this
+tool exists for the larger-SF sweeps the round logs in PLANS.md and for
+pre-registration checks during the round-6/7 window rotations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def queue_pairs():
+    """(name, fn, oracle_sql_or_None) for every queue op. Oracle factories
+    that need the sf_dir/spark are resolved lazily by the caller."""
+    from aced_etl_pod_spark.operators import advanced_ops as adv
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+    from aced_etl_pod_spark.operators import extra_ops as ext
+    from aced_etl_pod_spark.operators import geo_ops as geo
+    from aced_etl_pod_spark.operators import governance_ops as gov
+    from aced_etl_pod_spark.operators import incremental_ops as inc
+    from aced_etl_pod_spark.operators import llm_pipeline as llm
+    from aced_etl_pod_spark.operators import sampling as smp
+    from aced_etl_pod_spark.operators import similarity as sim
+    from aced_etl_pod_spark.operators import streaming_ops as so
+    from aced_etl_pod_spark.operators import table_format as tf
+    from aced_etl_pod_spark.operators import text as txt
+    from aced_etl_pod_spark.operators import udfs
+
+    pairs = [
+        # round-5b queue (test_incremental.py)
+        (inc.mv_incremental_refresh, inc.MV_INCREMENTAL_REFRESH_ORACLE),
+        (inc.agg_cascading_rollup, inc.AGG_CASCADING_ROLLUP_ORACLE),
+        (inc.win_ewma, inc.WIN_EWMA_ORACLE),
+        (inc.dedup_semantic_cluster, inc.DEDUP_SEMANTIC_CLUSTER_ORACLE),
+        (tf.txnlog_zorder_cluster, tf.TXNLOG_ZORDER_ORACLE),
+        (inc.win_time_weighted_avg, inc.WIN_TWAP_ORACLE),
+        (inc.embedding_covariance_topk, inc.EMBEDDING_COVARIANCE_TOPK_ORACLE),
+        (inc.sample_importance_weighted, inc.SAMPLE_IMPORTANCE_WEIGHTED_ORACLE),
+        (tf.txnlog_equality_deletes, tf.TXNLOG_EQUALITY_DELETES_ORACLE),
+        (tf.txnlog_bloom_index_lookup, tf.TXNLOG_BLOOM_LOOKUP_ORACLE),
+        (inc.mv_incremental_join_view, inc.MV_JOIN_VIEW_ORACLE),
+        (inc.agg_histogram_quantile_merge, inc.AGG_HISTOGRAM_QUANTILE_ORACLE),
+        (tf.txnlog_merge_upsert, tf.TXNLOG_MERGE_UPSERT_ORACLE),
+        (adv.graph_label_propagation, adv.GRAPH_LABEL_PROPAGATION_ORACLE),
+        (txt.dedup_ngram_containment, txt.DEDUP_NGRAM_CONTAINMENT_ORACLE),
+        (inc.win_anomaly_zscore, inc.WIN_ANOMALY_ZSCORE_ORACLE),
+        (ext.join_scd2_temporal, ext.JOIN_SCD2_TEMPORAL_ORACLE),
+        (cor.sink_csv_roundtrip, cor.SINK_CSV_ROUNDTRIP_ORACLE),
+        (cor.join_asof_nearest, cor.JOIN_ASOF_NEAREST_ORACLE),
+        (so.stream_sliding_topk, so.STREAM_SLIDING_TOPK_ORACLE),
+        (inc.embedding_pca_whiten, None),
+        (tf.stream_txnlog_merge_upsert, None),
+        # tranches 8-31 (test_queue7.py)
+        (geo.join_geo_gridded_radius, geo.JOIN_GEO_GRIDDED_RADIUS_ORACLE),
+        (geo.agg_geo_grid_density, geo.AGG_GEO_GRID_DENSITY_ORACLE),
+        (geo.join_geo_point_in_polygon, geo.JOIN_GEO_POINT_IN_POLYGON_ORACLE),
+        (geo.join_geo_nearest_broadcast, geo.JOIN_GEO_NEAREST_BROADCAST_ORACLE),
+        (gov.dq_k_anonymity, gov.DQ_K_ANONYMITY_ORACLE),
+        (gov.fn_pseudonymize_consistent, gov.FN_PSEUDONYMIZE_CONSISTENT_ORACLE),
+        (gov.fn_ip_cidr_classify, gov.FN_IP_CIDR_CLASSIFY_ORACLE),
+        (gov.dq_freshness_slo, gov.DQ_FRESHNESS_SLO_ORACLE),
+        (gov.dq_schema_contract, gov.DQ_SCHEMA_CONTRACT_ORACLE),
+        (gov.dq_k_anonymity_generalize, gov.DQ_K_ANONYMITY_GENERALIZE_ORACLE),
+        (adv.graph_bfs_khop, adv.GRAPH_BFS_KHOP_ORACLE),
+        (adv.hierarchy_unroll_paths, adv.HIERARCHY_UNROLL_PATHS_ORACLE),
+        (adv.graph_shortest_path_weighted, adv.GRAPH_SHORTEST_PATH_WEIGHTED_ORACLE),
+        (ext.win_event_sequence_regex, ext.WIN_EVENT_SEQUENCE_REGEX_ORACLE),
+        (ext.ts_interpolate_linear, ext.TS_INTERPOLATE_LINEAR_ORACLE),
+        (ext.join_interval_overlap, ext.JOIN_INTERVAL_OVERLAP_ORACLE),
+        (ext.agg_weighted_percentile, ext.AGG_WEIGHTED_PERCENTILE_ORACLE),
+        (ext.win_drawdown_runmax, ext.WIN_DRAWDOWN_RUNMAX_ORACLE),
+        (ext.stat_chi_square_independence, ext.STAT_CHI_SQUARE_ORACLE),
+        (ext.agg_frequent_pairs_market_basket, ext.AGG_FREQUENT_PAIRS_ORACLE),
+        (ext.win_streak_longest_current, ext.WIN_STREAK_LONGEST_CURRENT_ORACLE),
+        (ext.agg_attribution_last_touch, ext.AGG_ATTRIBUTION_LAST_TOUCH_ORACLE),
+        (ext.ts_seasonal_decompose, ext.TS_SEASONAL_DECOMPOSE_ORACLE),
+        (ext.win_outlier_mad, ext.WIN_OUTLIER_MAD_ORACLE),
+        (ext.win_percent_rank_cume, ext.WIN_PERCENT_RANK_CUME_ORACLE),
+        (ext.scan_date_dim_generate, ext.SCAN_DATE_DIM_GENERATE_ORACLE),
+        (ext.fn_surrogate_key_md5, ext.FN_SURROGATE_KEY_MD5_ORACLE),
+        (ext.win_rolling_regression_slope, ext.WIN_ROLLING_REGRESSION_SLOPE_ORACLE),
+        (ext.agg_conversion_lag_percentiles, ext.AGG_CONVERSION_LAG_ORACLE),
+        (ext.win_period_over_period, ext.WIN_PERIOD_OVER_PERIOD_ORACLE),
+        (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
+        (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
+        (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
+        (txt.dedup_incremental_minhash, None),
+        (cor.feature_one_hot_encode, cor.FEATURE_ONE_HOT_ORACLE),
+        (cor.feature_standard_scale, cor.FEATURE_STANDARD_SCALE_ORACLE),
+        (cor.agg_hll_portable, cor.AGG_HLL_PORTABLE_ORACLE),
+        (cor.agg_hll_sliding_distinct, cor.AGG_HLL_SLIDING_DISTINCT_ORACLE),
+        (cor.agg_kmv_set_intersection, cor.AGG_KMV_SET_INTERSECTION_ORACLE),
+        (cor.scan_fixed_width, "FACTORY:scan_fixed_width_oracle"),
+        (cor.scan_multiline_json, "FACTORY:scan_multiline_json_oracle"),
+        (cor.scan_file_provenance, "FACTORY_SPARK:scan_file_provenance_oracle"),
+        (tf.txnlog_overwrite_partition, tf.TXNLOG_OVERWRITE_PARTITION_ORACLE),
+        (tf.txnlog_branch_merge, tf.TXNLOG_BRANCH_MERGE_ORACLE),
+        (tf.plan_result_cache, tf.PLAN_RESULT_CACHE_ORACLE),
+        (tf.txnlog_cdc_replay_reconstruct, tf.TXNLOG_CDC_REPLAY_ORACLE),
+        (tf.txnlog_check_constraints, tf.TXNLOG_CHECK_CONSTRAINTS_ORACLE),
+        (smp.sample_reservoir_per_group, smp.SAMPLE_RESERVOIR_PER_GROUP_ORACLE),
+        (smp.agg_sample_estimate_ci, smp.AGG_SAMPLE_ESTIMATE_CI_ORACLE),
+        (udfs.udtf_table_argument, udfs.UDTF_TABLE_ARGUMENT_ORACLE),
+        (so.stream_anomaly_window_zscore, so.STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE),
+        (so.stream_checked_ingest_dlq, so.STREAM_CHECKED_INGEST_DLQ_ORACLE),
+        (llm.seq_pack_bins_ffd, None),
+        (llm.text_bpe_train_merges, None),
+        (llm.tokenizer_apply_bpe, None),
+        (llm.pipeline_rag_context_pack, None),
+        (sim.sim_mmr_diversified_topk, None),
+        (sim.sim_ann_lsh_multiprobe_topk, None),
+        (sim.multimodal_audio_features, None),
+    ]
+    return pairs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from aced_etl_pod_spark.operators import corpus_ops as cor
+    from aced_etl_pod_spark.oracle import compare, duck_con
+    from aced_etl_pod_spark.session import get_spark
+
+    spark = get_spark("queue_parity", shuffle_partitions=32)
+    con = duck_con(args.sf)
+    ok = rows_only = failed = 0
+    for fn, oracle in queue_pairs():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+            if oracle is None:
+                rows_only += 1
+                print(f"rows {fn.__name__}: {len(sdf)} rows "
+                      f"[{time.time() - t0:.1f}s]")
+                continue
+            if isinstance(oracle, str) and oracle.startswith("FACTORY_SPARK:"):
+                oracle = getattr(cor, oracle.split(":", 1)[1])(spark, args.sf)
+            elif isinstance(oracle, str) and oracle.startswith("FACTORY:"):
+                oracle = getattr(cor, oracle.split(":", 1)[1])(args.sf)
+            errs = compare(sdf, con.execute(oracle).fetchdf())
+            if errs:
+                failed += 1
+                print(f"FAIL {fn.__name__}: {errs[:3]}")
+            else:
+                ok += 1
+                print(f"ok   {fn.__name__}: {len(sdf)} rows "
+                      f"[{time.time() - t0:.1f}s]")
+        except Exception as exc:  # noqa: BLE001
+            failed += 1
+            print(f"ERR  {fn.__name__}: {str(exc)[:160]}")
+    total = ok + rows_only + failed
+    print(f"\n{ok} ok, {rows_only} rows-only, {failed} failed / {total} queue ops")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
