@@ -2243,3 +2243,110 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_coefficient / agg_entropy_categorical (round-7 queue)
+# ---------------------------------------------------------------------------
+
+AGG_GINI_COEFFICIENT_ORACLE = """
+    WITH shifted AS (
+      SELECT c_nationkey, c_acctbal + 1000 AS x, c_custkey
+      FROM customer
+    ),
+    ranked AS (
+      SELECT c_nationkey, x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, c_custkey) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n,
+             sum(x) OVER (PARTITION BY c_nationkey) AS sx
+      FROM shifted
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(round(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
+                - (max(n) + 1.0) / max(n) AS DECIMAL(18,9)), 4) AS DOUBLE)
+             AS gini
+    FROM ranked GROUP BY c_nationkey
+"""
+
+
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of (shifted non-negative) account
+    balances per nation — the inequality/concentration metric a revenue
+    or usage dashboard reports. Computed from the sorted-rank closed form
+    G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n: one window pass for ranks
+    (total-order tie-break on the key) and sums sharing the partition
+    exchange, one group agg. Balances shift +1000 first (Gini is defined
+    for non-negative support; same shift as the generalization ladder).
+    At scale the rank window partitions by group; a single giant group
+    would use the two-phase rank (the reservoir op's salt trick)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.col("c_acctbal") + 1000).alias("x"), "c_custkey"
+    )
+    w = W.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    wp = W.partitionBy("c_nationkey")
+    ranked = c.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr(
+                "CAST(round(CAST(2.0 * sum(i * x) / (max(n) * max(sx))"
+                " - (max(n) + 1.0) / max(n) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+AGG_ENTROPY_CATEGORICAL_ORACLE = """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    probs AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS tot
+      FROM counts
+    )
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(round(CAST(-sum((c / CAST(tot AS DOUBLE))
+                * log2(c / CAST(tot AS DOUBLE))) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS entropy_bits
+    FROM probs GROUP BY user_id
+"""
+
+
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (bits) —
+    the behavioral-diversity signal (bots pin near 0, uniform browsers
+    near log2(5)). Collapse to (user, type) counts first, window total,
+    then -sum(p log2 p) sandwiched at 4dp. Everything after the first
+    partial agg runs on O(users x types) rows."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    probs = counts.withColumn(
+        "tot", F.sum("c").over(W.partitionBy("user_id"))
+    )
+    return (
+        probs.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.expr(
+                "CAST(round(CAST(-sum((c / CAST(tot AS DOUBLE))"
+                " * log2(c / CAST(tot AS DOUBLE))) AS DECIMAL(18,9)), 4)"
+                " AS DOUBLE)"
+            ).alias("entropy_bits"),
+        )
+        .orderBy("user_id")
+    )

@@ -867,3 +867,72 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_growth_heaps (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TEXT_VOCAB_GROWTH_HEAPS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT tok, min(doc_id) AS first_doc FROM toks
+      WHERE tok <> '' GROUP BY tok
+    ),
+    doc_tokens AS (
+      SELECT doc_id, count(*) AS n_tok FROM toks WHERE tok <> '' GROUP BY doc_id
+    ),
+    checkpoints AS (
+      SELECT doc_id AS cp FROM doc_tokens WHERE (doc_id + 1) % 100 = 0
+    )
+    SELECT cp AS docs_seen,
+           CAST((SELECT sum(n_tok) FROM doc_tokens WHERE doc_id <= cp)
+                AS BIGINT) AS tokens_seen,
+           CAST((SELECT count(*) FROM firsts WHERE first_doc <= cp)
+                AS BIGINT) AS vocab_size
+    FROM checkpoints ORDER BY cp
+"""
+
+
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement every
+    tokenizer-budget and dedup-planning exercise starts from): at every
+    100-document checkpoint, how many tokens have been seen and how many
+    DISTINCT tokens exist among them. The cumulative-distinct trick: a
+    token's contribution is its FIRST document (one partial agg), so the
+    curve is a join of checkpoints against first-occurrence counts —
+    no per-checkpoint rescans, no quadratic prefix work; both cumulative
+    sums come from sorted one-pass aggregates over O(vocab) and O(docs)
+    rows. Corpus order here is doc_id (ingestion order); any other
+    curriculum order just swaps the ordering key."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    cps = doc_tokens.filter((F.col("doc_id") + 1) % 100 == 0).select(
+        F.col("doc_id").alias("cp")
+    )
+    tok_cum = (
+        cps.join(doc_tokens, doc_tokens.doc_id <= cps.cp)
+        .groupBy("cp")
+        .agg(F.sum("n_tok").cast("long").alias("tokens_seen"))
+    )
+    vocab_cum = (
+        cps.join(firsts, firsts.first_doc <= cps.cp)
+        .groupBy("cp")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    return (
+        tok_cum.join(vocab_cum, "cp")
+        .select(
+            F.col("cp").alias("docs_seen"),
+            "tokens_seen",
+            F.col("vocab_size").cast("long"),
+        )
+        .orderBy("docs_seen")
+    )

@@ -1487,3 +1487,27 @@ def test_queue7_parity_dlq(spark, con):
         f"SELECT count(*) FROM '{SF_SMALL}/events.parquet' WHERE user_id < 50"
     ).fetchone()[0]
     assert row.committed_rows + row.quarantined_rows == total
+
+
+def test_queue7_parity_tranche32(spark, con):
+    for fn, oracle in [
+        (ext.agg_gini_coefficient, ext.AGG_GINI_COEFFICIENT_ORACLE),
+        (ext.agg_entropy_categorical, ext.AGG_ENTROPY_CATEGORICAL_ORACLE),
+        (txt.text_vocab_growth_heaps, txt.TEXT_VOCAB_GROWTH_HEAPS_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_gini_and_entropy_bounds(spark):
+    """Definition bounds: Gini in [0, 1); entropy in [0, log2(5)] with
+    the uniform bound tight only when all five types appear."""
+    import math
+
+    g = ext.agg_gini_coefficient(spark, SF_SMALL).toPandas()
+    assert ((g.gini >= 0) & (g.gini < 1)).all()
+    e = ext.agg_entropy_categorical(spark, SF_SMALL).toPandas()
+    assert ((e.entropy_bits >= 0) & (e.entropy_bits <= math.log2(5) + 1e-9)).all()
+    assert (e[e.n_types < 5].entropy_bits < math.log2(5)).all()
