@@ -94,9 +94,12 @@ def queue_pairs():
         (ext.win_rolling_regression_slope, ext.WIN_ROLLING_REGRESSION_SLOPE_ORACLE),
         (ext.agg_conversion_lag_percentiles, ext.AGG_CONVERSION_LAG_ORACLE),
         (ext.win_period_over_period, ext.WIN_PERIOD_OVER_PERIOD_ORACLE),
+        (ext.agg_gini_coefficient, ext.AGG_GINI_COEFFICIENT_ORACLE),
+        (ext.agg_entropy_categorical, ext.AGG_ENTROPY_CATEGORICAL_ORACLE),
         (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
         (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
         (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
+        (txt.text_vocab_growth_heaps, txt.TEXT_VOCAB_GROWTH_HEAPS_ORACLE),
         (txt.dedup_incremental_minhash, None),
         (cor.feature_one_hot_encode, cor.FEATURE_ONE_HOT_ORACLE),
         (cor.feature_standard_scale, cor.FEATURE_STANDARD_SCALE_ORACLE),
