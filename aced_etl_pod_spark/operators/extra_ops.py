@@ -2350,3 +2350,137 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_markov_transition_matrix / fn_ab_test_proportions (round-7 queue)
+# ---------------------------------------------------------------------------
+
+AGG_MARKOV_TRANSITION_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur, nxt, CAST(c AS BIGINT) AS n,
+           CAST(round(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS p
+    FROM pairs
+"""
+
+
+def agg_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    sequences: P(next | current) from adjacent-pair counts (lead window
+    ordered by the (ts, event_id) total order, transitions never cross
+    users), row-normalized by a window over the COUNTS table (types^2
+    rows, not events). The behavioral model behind next-action
+    prediction, funnel simulation, and bot detection — and the
+    transition matrix is itself a mergeable partial: per-shard pair
+    counts add, normalization happens at read. One series-key exchange
+    on the raw data; everything after is O(types^2)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    wrow = W.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        F.col("c").cast("long").alias("n"),
+        F.expr(
+            "CAST(round(CAST(c / CAST(sum(c) OVER"
+            " (PARTITION BY cur) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("p"),
+    ).orderBy("cur", "nxt")
+
+
+FN_AB_TEST_PROPORTIONS_ORACLE = """
+    WITH cohorts AS (
+      SELECT user_id % 2 AS cohort,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS converted
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n_users END) AS na,
+             max(CASE WHEN cohort = 0 THEN converted END) AS ca,
+             max(CASE WHEN cohort = 1 THEN n_users END) AS nb,
+             max(CASE WHEN cohort = 1 THEN converted END) AS cb
+      FROM cohorts
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           CAST(round(CAST(ca / CAST(na AS DOUBLE) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS rate_a,
+           CAST(round(CAST(cb / CAST(nb AS DOUBLE) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS rate_b,
+           CAST(round(CAST(
+             (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb))
+             AS DECIMAL(18,9)), 4) AS DOUBLE) AS z,
+           abs(round(CAST(
+             (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb))
+             AS DECIMAL(18,9)), 4)) > 1.96 AS significant_95
+    FROM wide
+"""
+
+
+def fn_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between hash-split cohorts (the A/B readout
+    primitive): per-cohort user and converter counts from ONE
+    conditional-distinct pass, then the pooled-variance z statistic and
+    a 95% significance flag — flagged on the ROUNDED z so the boolean
+    cannot split engines (the win_anomaly_zscore discipline). Cohort
+    assignment is the deterministic user hash, i.e. exactly how real
+    experiment bucketing works; everything after the first aggregation
+    is arithmetic over one row."""
+    e = load(spark, sf_dir, "events")
+    cohorts = e.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("converted"),
+    )
+    wide = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("cohort") == 0, F.col("converted"))).alias("ca"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("cohort") == 1, F.col("converted"))).alias("cb"),
+    )
+    zexpr = (
+        "round(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /"
+        " sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))"
+        " * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))"
+        " * (1.0 / na + 1.0 / nb)) AS DECIMAL(18,9)), 4)"
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.expr(
+            "CAST(round(CAST(ca / CAST(na AS DOUBLE) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("rate_a"),
+        F.expr(
+            "CAST(round(CAST(cb / CAST(nb AS DOUBLE) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("rate_b"),
+        F.expr(f"CAST({zexpr} AS DOUBLE)").alias("z"),
+        F.expr(f"abs({zexpr}) > 1.96").alias("significant_95"),
+    )

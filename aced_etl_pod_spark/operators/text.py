@@ -936,3 +936,73 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("docs_seen")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_rank_frequency (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+TEXT_ZIPF_RANK_FREQUENCY_ORACLE = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS f FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, f,
+             row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq
+    ),
+    logs AS (
+      SELECT tok, f, r, ln(r) AS lx, ln(f) AS ly FROM ranked
+    )
+    SELECT tok, CAST(r AS BIGINT) AS rank, CAST(f AS BIGINT) AS freq,
+           CAST(round(CAST(
+             (SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+                     / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))
+              FROM logs) AS DECIMAL(18,9)), 4) AS DOUBLE) AS zipf_slope
+    FROM logs ORDER BY rank
+"""
+
+
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table + the fitted log-log slope (the
+    corpus-law pair with text_vocab_growth_heaps: Heaps for vocabulary
+    growth, Zipf for frequency decay — the two checks a corpus-synthesis
+    or tokenizer-budget exercise runs first). Token frequencies from one
+    partial agg; ranks from a total-order window over the O(vocab)
+    table; the slope is the closed-form OLS over (ln r, ln f), the same
+    closed form as win_rolling_regression_slope, computed once and
+    repeated per row (O(vocab) output). A natural corpus fits slope ≈ -1;
+    this synthetic word-salad corpus is deliberately flat — the op
+    reports what IS, and the property test asserts the slope is negative
+    and the frequencies monotone."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(_W.orderBy(F.desc("f"), "tok"))
+    ).select("tok", "f", "r", F.log("r").alias("lx"), F.log("f").alias("ly"))
+    slope = ranked.agg(
+        F.expr(
+            "CAST(round(CAST((count(*) * sum(lx * ly) - sum(lx) * sum(ly))"
+            " / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))"
+            " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("zipf_slope")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(slope))
+        .select(
+            "tok",
+            F.col("r").cast("long").alias("rank"),
+            F.col("f").cast("long").alias("freq"),
+            "zipf_slope",
+        )
+        .orderBy("rank")
+    )

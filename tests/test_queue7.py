@@ -1511,3 +1511,26 @@ def test_gini_and_entropy_bounds(spark):
     e = ext.agg_entropy_categorical(spark, SF_SMALL).toPandas()
     assert ((e.entropy_bits >= 0) & (e.entropy_bits <= math.log2(5) + 1e-9)).all()
     assert (e[e.n_types < 5].entropy_bits < math.log2(5)).all()
+
+
+def test_queue7_parity_tranche33(spark, con):
+    for fn, oracle in [
+        (ext.agg_markov_transition_matrix, ext.AGG_MARKOV_TRANSITION_ORACLE),
+        (ext.fn_ab_test_proportions, ext.FN_AB_TEST_PROPORTIONS_ORACLE),
+        (txt.text_zipf_rank_frequency, txt.TEXT_ZIPF_RANK_FREQUENCY_ORACLE),
+    ]:
+        sdf = fn(spark, SF_SMALL).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        errs = compare(sdf, ddf)
+        assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_markov_rows_normalize_and_zipf_monotone(spark):
+    """Markov rows sum to 1 (within rounding); Zipf frequencies are
+    monotone non-increasing in rank and the fitted slope is negative."""
+    m = ext.agg_markov_transition_matrix(spark, SF_SMALL).toPandas()
+    sums = m.groupby("cur").p.sum()
+    assert ((sums - 1.0).abs() < 0.01).all()
+    z = txt.text_zipf_rank_frequency(spark, SF_SMALL).toPandas().sort_values("rank")
+    assert (z.freq.diff().dropna() <= 0).all()
+    assert z.zipf_slope.iloc[0] < 0
