@@ -96,10 +96,13 @@ def queue_pairs():
         (ext.win_period_over_period, ext.WIN_PERIOD_OVER_PERIOD_ORACLE),
         (ext.agg_gini_coefficient, ext.AGG_GINI_COEFFICIENT_ORACLE),
         (ext.agg_entropy_categorical, ext.AGG_ENTROPY_CATEGORICAL_ORACLE),
+        (ext.agg_markov_transition_matrix, ext.AGG_MARKOV_TRANSITION_ORACLE),
+        (ext.fn_ab_test_proportions, ext.FN_AB_TEST_PROPORTIONS_ORACLE),
         (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
         (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
         (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
         (txt.text_vocab_growth_heaps, txt.TEXT_VOCAB_GROWTH_HEAPS_ORACLE),
+        (txt.text_zipf_rank_frequency, txt.TEXT_ZIPF_RANK_FREQUENCY_ORACLE),
         (txt.dedup_incremental_minhash, None),
         (cor.feature_one_hot_encode, cor.FEATURE_ONE_HOT_ORACLE),
         (cor.feature_standard_scale, cor.FEATURE_STANDARD_SCALE_ORACLE),
