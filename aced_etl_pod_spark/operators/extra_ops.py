@@ -2484,3 +2484,139 @@ def fn_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({zexpr} AS DOUBLE)").alias("z"),
         F.expr(f"abs({zexpr}) > 1.96").alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford_digit_test (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+AGG_BENFORD_DIGIT_TEST_ORACLE = """
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT d AS leading_digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(n / CAST(t AS DOUBLE) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS observed_p,
+           CAST(round(CAST(log10(1.0 + 1.0 / d) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS benford_p,
+           CAST(round(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                      / log10(1.0 + 1.0 / d) AS DECIMAL(18,9)), 6) AS DOUBLE)
+             AS chi_contribution
+    FROM counts CROSS JOIN tot
+"""
+
+
+def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of order totals — the classic
+    forensic-accounting screen (fabricated figures flunk the log10(1+1/d)
+    distribution). Leading digit via floor(x / 10^floor(log10 x)) — pure
+    arithmetic both engines — then observed vs Benford proportions and
+    per-digit chi-square contributions, all from one partial agg + a
+    1-row total broadcast. The synthetic uniform-ish prices do NOT
+    follow Benford (observed_p ≈ uniform across high digits) and the op
+    reports that honestly — it is a measurement, not an assertion."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.expr(
+            "CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))"
+            " AS BIGINT)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                "CAST(round(CAST(n / CAST(t AS DOUBLE) AS DECIMAL(18,9)), 4)"
+                " AS DOUBLE)"
+            ).alias("observed_p"),
+            F.expr(
+                "CAST(round(CAST(log10(1.0 + 1.0 / d) AS DECIMAL(18,9)), 4)"
+                " AS DOUBLE)"
+            ).alias("benford_p"),
+            F.expr(
+                "CAST(round(CAST(pow(n / CAST(t AS DOUBLE)"
+                " - log10(1.0 + 1.0 / d), 2) / log10(1.0 + 1.0 / d)"
+                " AS DECIMAL(18,9)), 6) AS DOUBLE)"
+            ).alias("chi_contribution"),
+        )
+        .orderBy("leading_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_cusum_changepoint (round-7 registration queue; rows-only)
+# ---------------------------------------------------------------------------
+
+CUSUM_K, CUSUM_H = 0.5, 5.0  # slack and alarm threshold, in sigma units
+
+WIN_CUSUM_CHANGEPOINT_ORACLE = None  # the clamped recursion
+# S_t = max(0, S_{t-1} + z_t - k) is not expressible as a bounded-frame
+# closed form (the max(0) reset breaks linearity — unlike the EWMA's
+# truncated geometric sum); contract = exact match vs a local reference
+# recursion in tests/test_queue7.py.
+
+
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series (Page's test): the clamped
+    cumulative sum S_t = max(0, S_{t-1} + z_t - k) in both directions,
+    alarming when either side exceeds h — the standard drift detector
+    for metrics pipelines, and the genuinely-recursive window no SQL
+    frame expresses (win_ewma's truncation trick dies on the max(0)
+    reset). Standardization stats come from one distributed pass; the
+    recursion runs per-series in applyInPandas over the (ts, event_id)
+    total order — sequential per key, embarrassingly parallel across
+    keys, O(1) state, exactly the FFD/UDTF discipline. Output: per-user
+    alarm counts and first alarm position; exact-match vs a local
+    reference recursion in tests."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    joined = e.join(F.broadcast(stats), "user_id").filter(F.col("sigma") > 0)
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        hi = lo = 0.0
+        alarms = 0
+        first_alarm = None
+        for i, (v, mu, sigma) in enumerate(
+            zip(pdf["value"], pdf["mu"], pdf["sigma"])
+        ):
+            z = (v - mu) / sigma
+            hi = max(0.0, hi + z - CUSUM_K)
+            lo = max(0.0, lo - z - CUSUM_K)
+            if hi > CUSUM_H or lo > CUSUM_H:
+                alarms += 1
+                if first_alarm is None:
+                    first_alarm = i
+                hi = lo = 0.0  # restart after alarm (standard practice)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_alarms": [alarms],
+                "first_alarm_idx": [-1 if first_alarm is None else first_alarm],
+            }
+        )
+
+    return (
+        joined.groupBy("user_id")
+        .applyInPandas(
+            cusum,
+            "user_id long, n_events long, n_alarms long, first_alarm_idx long",
+        )
+        .orderBy("user_id")
+    )

@@ -1534,3 +1534,70 @@ def test_markov_rows_normalize_and_zipf_monotone(spark):
     z = txt.text_zipf_rank_frequency(spark, SF_SMALL).toPandas().sort_values("rank")
     assert (z.freq.diff().dropna() <= 0).all()
     assert z.zipf_slope.iloc[0] < 0
+
+
+def test_queue7_parity_tranche34(spark, con):
+    sdf = ext.agg_benford_digit_test(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_BENFORD_DIGIT_TEST_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_cusum_matches_reference_recursion(spark):
+    """The distributed CUSUM equals a from-scratch local recursion on
+    the real data (same stats, same clamps, same restart rule), and a
+    synthetic injected drift actually fires an alarm."""
+    import duckdb
+    import pandas as pd
+
+    got = {
+        r.user_id: (r.n_events, r.n_alarms, r.first_alarm_idx)
+        for r in ext.win_cusum_changepoint(spark, SF_SMALL).collect()
+    }
+    raw = duckdb.connect().execute(
+        f"SELECT user_id, ts, event_id, value FROM '{SF_SMALL}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchdf()
+    for uid, grp in raw.groupby("user_id"):
+        mu = grp.value.mean()
+        sigma = grp.value.std(ddof=1)
+        hi = lo = 0.0
+        alarms, first = 0, -1
+        for i, v in enumerate(grp.value):
+            z = (v - mu) / sigma
+            hi = max(0.0, hi + z - ext.CUSUM_K)
+            lo = max(0.0, lo - z - ext.CUSUM_K)
+            if hi > ext.CUSUM_H or lo > ext.CUSUM_H:
+                alarms += 1
+                if first < 0:
+                    first = i
+                hi = lo = 0.0
+        assert got[uid] == (len(grp), alarms, first), uid
+
+    # drift contrast: a mean shift must alarm (with global
+    # standardization BOTH halves sit ~1 sigma off the straddling mean,
+    # so alarms fire early on the low side — correct CUSUM behavior);
+    # the same series WITHOUT the shift must stay silent.
+    import datetime
+
+    import aced_etl_pod_spark.operators.extra_ops as _ext
+    from unittest import mock
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def series(shift):
+        rows = [
+            (1, base + datetime.timedelta(minutes=i), i,
+             10.0 + (i % 7) * 0.1 + (shift if i >= 100 else 0.0))
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: series(5.0)):
+        drifted = _ext.win_cusum_changepoint(spark, SF_SMALL).toPandas()
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: series(0.0)):
+        flat = _ext.win_cusum_changepoint(spark, SF_SMALL).toPandas()
+    assert drifted.n_alarms.iloc[0] >= 1
+    assert flat.n_alarms.iloc[0] == 0
