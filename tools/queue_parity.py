@@ -98,6 +98,8 @@ def queue_pairs():
         (ext.agg_entropy_categorical, ext.AGG_ENTROPY_CATEGORICAL_ORACLE),
         (ext.agg_markov_transition_matrix, ext.AGG_MARKOV_TRANSITION_ORACLE),
         (ext.fn_ab_test_proportions, ext.FN_AB_TEST_PROPORTIONS_ORACLE),
+        (ext.agg_benford_digit_test, ext.AGG_BENFORD_DIGIT_TEST_ORACLE),
+        (ext.win_cusum_changepoint, None),
         (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
         (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
         (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
