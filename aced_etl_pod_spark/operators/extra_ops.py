@@ -2620,3 +2620,113 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# win_survival_kaplan_meier (round-7 registration queue)
+# ---------------------------------------------------------------------------
+
+WIN_SURVIVAL_KM_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fb,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN fb IS NOT NULL AND fb >= fv
+                  THEN CAST(floor(epoch(fb)) - floor(epoch(fv)) AS BIGINT)
+                  ELSE CAST(floor(epoch(last_ts)) - floor(epoch(fv)) AS BIGINT)
+             END AS dur_s,
+             CASE WHEN fb IS NOT NULL AND fb >= fv THEN 1 ELSE 0 END AS converted
+      FROM per_user WHERE fv IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n_total FROM durations),
+    at_t AS (
+      SELECT dur_s, sum(converted) AS d, count(*) AS leaving
+      FROM durations GROUP BY dur_s
+    ),
+    risk AS (
+      SELECT dur_s, d,
+             (SELECT n_total FROM tot)
+               - coalesce(sum(leaving) OVER (ORDER BY dur_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM at_t
+    )
+    SELECT dur_s, CAST(d AS BIGINT) AS d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(round(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+                OVER (ORDER BY dur_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS survival
+    FROM risk WHERE d > 0 AND d < n_at_risk
+"""
+
+
+def win_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimation for time-to-conversion — the
+    censoring-aware answer to "how long until users buy" that a naive
+    average of converted users biases (users who never bought still
+    carry information up to their last observation). Durations collapse
+    to one row per user (converted = event, never-converted = censored
+    at last activity); the risk set n_i at each distinct time comes from
+    a cumulative window over the O(distinct times) table, and the KM
+    product Π(1 - d_i/n_i) is computed as exp(Σ ln(·)) — the cumulative
+    PRODUCT no SQL aggregate offers, recovered through the log domain.
+    Times where d = n_at_risk (S would hit exact 0, ln(0) = -inf) are
+    excluded from the emitted curve, standard practice at the final
+    event time. Whole-second epochs per the house rule."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fb"),
+        F.max("ts").alias("last_ts"),
+    )
+    converted = F.col("fb").isNotNull() & (F.col("fb") >= F.col("fv"))
+    durations = per_user.filter(F.col("fv").isNotNull()).select(
+        F.when(
+            converted,
+            F.unix_timestamp("fb") - F.unix_timestamp("fv"),
+        )
+        .otherwise(F.unix_timestamp("last_ts") - F.unix_timestamp("fv"))
+        .cast("long")
+        .alias("dur_s"),
+        converted.cast("int").alias("converted"),
+    )
+    tot = durations.agg(F.count("*").alias("n_total"))
+    at_t = durations.groupBy("dur_s").agg(
+        F.sum("converted").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = W.orderBy("dur_s").rowsBetween(W.unboundedPreceding, -1)
+    risk = (
+        at_t.crossJoin(F.broadcast(tot))
+        .select(
+            "dur_s",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+            ).alias("n_at_risk"),
+        )
+    )
+    w_cum = W.orderBy("dur_s").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risk.withColumn(
+            "survival",
+            F.expr(
+                "CAST(round(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))"
+                " OVER (ORDER BY dur_s ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                " CURRENT ROW)) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ),
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+        .select(
+            "dur_s",
+            F.col("d").cast("long"),
+            F.col("n_at_risk").cast("long"),
+            "survival",
+        )
+        .orderBy("dur_s")
+    )

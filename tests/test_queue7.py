@@ -1601,3 +1601,52 @@ def test_cusum_matches_reference_recursion(spark):
         flat = _ext.win_cusum_changepoint(spark, SF_SMALL).toPandas()
     assert drifted.n_alarms.iloc[0] >= 1
     assert flat.n_alarms.iloc[0] == 0
+
+
+def test_queue7_parity_km(spark, con):
+    sdf = ext.win_survival_kaplan_meier(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.WIN_SURVIVAL_KM_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_km_matches_reference_estimator(spark):
+    """From-scratch local Kaplan-Meier over the same (duration, event)
+    pairs: survival values match to rounding; the curve is monotone
+    non-increasing and bounded in (0, 1]."""
+    import duckdb
+
+    out = ext.win_survival_kaplan_meier(spark, SF_SMALL).toPandas()
+    raw = duckdb.connect().execute(
+        f"""WITH per_user AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type='view' THEN ts END) AS fv,
+                     min(CASE WHEN event_type='purchase' THEN ts END) AS fb,
+                     max(ts) AS last_ts
+              FROM '{SF_SMALL}/events.parquet' GROUP BY user_id)
+            SELECT CASE WHEN fb IS NOT NULL AND fb >= fv
+                        THEN floor(epoch(fb)) - floor(epoch(fv))
+                        ELSE floor(epoch(last_ts)) - floor(epoch(fv)) END AS dur,
+                   CASE WHEN fb IS NOT NULL AND fb >= fv THEN 1 ELSE 0 END AS ev
+            FROM per_user WHERE fv IS NOT NULL"""
+    ).fetchall()
+    pairs = sorted((int(d), int(e)) for d, e in raw)
+    n = len(pairs)
+    s = 1.0
+    want = {}
+    i = 0
+    while i < n:
+        t = pairs[i][0]
+        d = sum(1 for dd, ee in pairs if dd == t and ee == 1)
+        at_risk = sum(1 for dd, _ in pairs if dd >= t)
+        if 0 < d < at_risk:
+            s *= 1 - d / at_risk
+            want[t] = round(s, 4)
+        elif d > 0:
+            s *= 1 - d / at_risk
+        i += sum(1 for dd, _ in pairs if dd == t)
+    got = {int(r.dur_s): r.survival for r in out.itertuples()}
+    assert got == want
+    vals = [v for _, v in sorted(got.items())]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert all(0 < v <= 1 for v in vals)
