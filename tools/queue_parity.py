@@ -100,6 +100,7 @@ def queue_pairs():
         (ext.fn_ab_test_proportions, ext.FN_AB_TEST_PROPORTIONS_ORACLE),
         (ext.agg_benford_digit_test, ext.AGG_BENFORD_DIGIT_TEST_ORACLE),
         (ext.win_cusum_changepoint, None),
+        (ext.win_survival_kaplan_meier, ext.WIN_SURVIVAL_KM_ORACLE),
         (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
         (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
         (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
