@@ -2730,3 +2730,99 @@ def win_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_s")
     )
+
+# ---------------------------------------------------------------------------
+# stat_ks_two_sample (round-7+ registration queue, tranche 36)
+# ---------------------------------------------------------------------------
+
+STAT_KS_TWO_SAMPLE_ORACLE = """
+    WITH binned AS (
+      SELECT round(value, 2) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY round(value, 2)
+    ), tot AS (
+      SELECT sum(n1) AS big_n1, sum(n2) AS big_n2 FROM binned
+    ), cum AS (
+      SELECT sum(n1) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(n2) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM binned
+    ), dmax AS (
+      SELECT max(abs(c1 * (SELECT big_n2 FROM tot)
+                     - c2 * (SELECT big_n1 FROM tot))) AS d_scaled
+      FROM cum
+    )
+    SELECT CAST(big_n1 AS BIGINT) AS n1,
+           CAST(big_n2 AS BIGINT) AS n2,
+           round(CAST(d_scaled AS DOUBLE) / (big_n1 * big_n2), 6) AS d_stat,
+           round(1.358 * sqrt(CAST(big_n1 + big_n2 AS DOUBLE)
+                              / (big_n1 * big_n2)), 6) AS d_crit,
+           round(CAST(d_scaled AS DOUBLE) / (big_n1 * big_n2), 6)
+             > round(1.358 * sqrt(CAST(big_n1 + big_n2 AS DOUBLE)
+                                  / (big_n1 * big_n2)), 6) AS reject_h0
+    FROM dmax CROSS JOIN tot
+"""
+
+
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the 'view' and
+    'purchase' value distributions — the standard distribution-drift
+    check between two cohorts (or two ingest batches) of a monitored
+    metric. D = max|F1 - F2| over the pooled support, compared to the
+    α=0.05 critical value 1.358·sqrt((n1+n2)/(n1·n2)).
+
+    Scale shape: values are binned to cents FIRST (the binned KS is the
+    scalable form — exact KS needs a global sort of every observation;
+    binning collapses the domain to O(distinct cents) before any sort),
+    so the plan is one conditional partial agg over the scan, one tiny
+    window over the O(bins) table, one global max. Determinism: the ECDF
+    comparison runs on INTEGERS (|c1·N2 - c2·N1|, no division until the
+    final row), so the max is exact on both engines; the last division
+    and sqrt are identical IEEE ops on identical integers."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    binned = e.groupBy(F.round("value", 2).alias("x")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+    )
+    tot = binned.agg(
+        F.sum("n1").alias("big_n1"), F.sum("n2").alias("big_n2")
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = binned.select(
+        F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("big_n2") - F.col("c2") * F.col("big_n1"))
+            ).alias("d_scaled")
+        )
+    )
+    d_stat = F.round(
+        F.col("d_scaled").cast("double") / (F.col("big_n1") * F.col("big_n2")), 6
+    )
+    d_crit = F.round(
+        1.358
+        * F.sqrt(
+            (F.col("big_n1") + F.col("big_n2")).cast("double")
+            / (F.col("big_n1") * F.col("big_n2"))
+        ),
+        6,
+    )
+    return dmax.crossJoin(F.broadcast(tot)).select(
+        F.col("big_n1").cast("long").alias("n1"),
+        F.col("big_n2").cast("long").alias("n2"),
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (d_stat > d_crit).alias("reject_h0"),
+    )

@@ -1109,3 +1109,115 @@ def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "rank", "doc_id", "start", "n_tokens", "cum_tokens", "cos"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_lm_score (round-7+ registration queue, tranche 36)
+# ---------------------------------------------------------------------------
+
+TEXT_NGRAM_LM_SCORE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), uni AS (
+      SELECT unnest(l) AS tok FROM toks
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM uni
+    ), pairs AS (
+      SELECT doc_id, z[1] AS a, z[2] AS b
+      FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+            FROM toks WHERE len(l) >= 2)
+    ), bi_c AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b
+    ), ctx_c AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM pairs GROUP BY a
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round(-log2((bc.c_ab + 0.5) / (cc.c_a + 0.5 * v)), 9)
+                  AS DECIMAL(19,9)) AS nll
+      FROM pairs p
+      JOIN bi_c bc ON bc.a = p.a AND bc.b = p.b
+      JOIN ctx_c cc ON cc.a = p.a
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(CAST(sum(nll) AS DOUBLE) / count(*)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_nll_bits,
+           CAST(round(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*))
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS ppl
+    FROM scored GROUP BY doc_id
+"""
+
+
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — the KenLM-style corpus quality
+    filter (CCNet, Gopher/MassiveText rules): train an add-k-smoothed
+    bigram language model ON the corpus, then score every document's
+    cross-entropy under it; gibberish / boilerplate / wrong-language docs
+    surface as perplexity outliers. This is the canonical "train a cheap
+    LM, filter by ppl" stage between raw crawl and tokenization.
+
+    Spark-first shape: ONE explode builds the (doc_id, a, b) adjacent-
+    pair stream (zip-of-shifted-slices inside the row, as
+    text_bigram_pmi_topk); bigram counts c(a,b) and context counts c(a)
+    are vocab-sized hash aggs (≪ corpus, broadcast-joined back); the
+    per-doc reduce is one groupBy(doc_id). At 100 TB the only full-data
+    passes are the explode and the final doc agg — the model itself is
+    O(observed bigrams) and ships to executors as a broadcast, exactly
+    how a KenLM scorer deploys.
+
+    Determinism: P(b|a) = (c_ab + 0.5)/(c_a + 0.5·V) is pure IEEE
+    arithmetic on integers (bit-identical cross-engine); each -log2 term
+    is rounded to 9dp DECIMAL so the per-doc sum is EXACT decimal
+    addition (order-independent across partitionings and engines); the
+    final avg/2^H go through the house decimal sandwich."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    uni = d.select(F.explode("l").alias("tok"))
+    vocab = uni.agg(F.countDistinct("tok").cast("double").alias("v"))
+    pairs = (
+        d.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, F.size("l") - 1),
+                    F.expr("slice(l, 2, size(l) - 1)"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.0").alias("a"), F.col("z.1").alias("b"))
+    )
+    bi_c = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx_c = pairs.groupBy("a").agg(F.count("*").alias("c_a"))
+    scored = (
+        pairs.join(F.broadcast(bi_c), ["a", "b"])
+        .join(F.broadcast(ctx_c), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(-log2((c_ab + 0.5) / (c_a + 0.5 * v)), 9)"
+                " AS DECIMAL(19,9))"
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bi"), F.sum("nll").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_bi").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(round(CAST(CAST(s AS DOUBLE) / n_bi AS DECIMAL(18,9)),"
+                " 4) AS DOUBLE)"
+            ).alias("avg_nll_bits"),
+            F.expr(
+                "CAST(round(CAST(pow(2.0, CAST(s AS DOUBLE) / n_bi)"
+                " AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1650,3 +1650,81 @@ def test_km_matches_reference_estimator(spark):
     vals = [v for _, v in sorted(got.items())]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
     assert all(0 < v <= 1 for v in vals)
+
+
+# -- tranche 36: bigram-LM perplexity + two-sample KS ----------------------
+
+
+def test_queue7_parity_ngram_lm(spark, con):
+    sdf = llm.text_ngram_lm_score(spark, SF_SMALL).toPandas()
+    ddf = con.execute(llm.TEXT_NGRAM_LM_SCORE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_ngram_lm_matches_reference_model(spark):
+    """From-scratch local add-0.5 bigram LM over the same corpus: per-doc
+    perplexities match the distributed scorer exactly (after the same 9dp
+    per-term rounding), and every ppl is > 1."""
+    import duckdb
+    from decimal import Decimal
+    import math
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    bi, ctx, vocab = {}, {}, set()
+    docs = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        vocab.update(toks)
+        prs = list(zip(toks, toks[1:]))
+        docs[doc_id] = prs
+        for p in prs:
+            bi[p] = bi.get(p, 0) + 1
+            ctx[p[0]] = ctx.get(p[0], 0) + 1
+    v = float(len(vocab))
+    want = {}
+    for doc_id, prs in docs.items():
+        if not prs:
+            continue
+        s = Decimal(0)
+        for a, b in prs:
+            p = (bi[(a, b)] + 0.5) / (ctx[a] + 0.5 * v)
+            s += Decimal(f"{round(-math.log2(p), 9):.9f}")
+        h = float(s) / len(prs)
+        want[doc_id] = round(2.0 ** h, 2)
+    out = llm.text_ngram_lm_score(spark, SF_SMALL).toPandas()
+    got = {int(r.doc_id): r.ppl for r in out.itertuples()}
+    assert got == want
+    assert all(p > 1.0 for p in got.values())
+
+
+def test_queue7_parity_ks(spark, con):
+    sdf = ext.stat_ks_two_sample(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.STAT_KS_TWO_SAMPLE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_ks_detects_shift_and_accepts_identical(spark):
+    """Behavioral contrast on synthetic cohorts: identical distributions
+    give D = 0 (no rejection); a large location shift between the two
+    event types drives D toward 1 and rejects H0."""
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    def cohorts(shift):
+        rows = []
+        for i in range(300):
+            rows.append((float(i % 50), "view"))
+            rows.append((float(i % 50) + shift, "purchase"))
+        return spark.createDataFrame(rows, "value double, event_type string")
+
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: cohorts(0.0)):
+        same = _ext.stat_ks_two_sample(spark, SF_SMALL).toPandas()
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: cohorts(1000.0)):
+        shifted = _ext.stat_ks_two_sample(spark, SF_SMALL).toPandas()
+    assert same.d_stat.iloc[0] == 0.0 and not same.reject_h0.iloc[0]
+    assert shifted.d_stat.iloc[0] == 1.0 and bool(shifted.reject_h0.iloc[0])

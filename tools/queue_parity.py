@@ -132,6 +132,9 @@ def queue_pairs():
         (sim.sim_mmr_diversified_topk, None),
         (sim.sim_ann_lsh_multiprobe_topk, None),
         (sim.multimodal_audio_features, None),
+        # tranche 36
+        (llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_SCORE_ORACLE),
+        (ext.stat_ks_two_sample, ext.STAT_KS_TWO_SAMPLE_ORACLE),
     ]
     return pairs
 
