@@ -2826,3 +2826,204 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_crit.alias("d_crit"),
         (d_stat > d_crit).alias("reject_h0"),
     )
+
+# ---------------------------------------------------------------------------
+# ts_autocorrelation (round-7+ registration queue, tranche 37)
+# ---------------------------------------------------------------------------
+
+TS_AUTOCORRELATION_ORACLE = """
+    WITH series AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM series
+    ), dev AS (
+      SELECT h, (SELECT n FROM tot) * x - (SELECT s FROM tot) AS d
+      FROM series
+    ), denom AS (
+      SELECT sum(d * d) AS den FROM dev
+    ), lags AS (
+      SELECT unnest(range(1, 25)) AS k
+    ), num AS (
+      SELECT l.k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(a.d * b.d) AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.h = a.h + l.k * 3600
+      GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_hours, n_pairs,
+           round(CAST(num AS DOUBLE) / nullif((SELECT den FROM denom), 0), 6)
+             AS acf
+    FROM num
+    ORDER BY lag_hours
+"""
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..24 h — the seasonality/periodicity detector run before picking a
+    seasonal-decompose period or a forecasting model (a daily cycle shows
+    as a peak at lag 24). r_k = Σ dev_t·dev_{t+k} / Σ dev_t², paired on
+    the OBSERVED hourly grid (epoch-hour equi-join, so series gaps drop
+    pairs rather than fabricating zeros).
+
+    Determinism trick: with S = Σx and n = count, the mean-centered
+    deviation (x_t - S/n) is replaced by the INTEGER (n·x_t - S); the n²
+    factor cancels in the ratio, so numerator and denominator are exact
+    BIGINT sums on both engines and the single final division is
+    identical IEEE. (At extreme per-hour counts the BIGINT product bound
+    ~3e9 per deviation applies — swap to DECIMAL(38,0) partials then.)
+
+    Scale shape: ONE partial agg collapses the corpus to O(hours); the
+    24-lag pairing is a broadcast self-join on that tiny table — the
+    iterate-the-small-table rule (docs/SCALE.md §4). A zero-variance
+    series has no defined ACF: nullif keeps that NULL (not NaN) on both
+    engines."""
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h")
+    ).agg(F.count("*").alias("x"))
+    tot = series.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    dev = series.crossJoin(F.broadcast(tot)).select(
+        "h", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lags = spark.range(1, 25).select(F.col("id").alias("k"))
+    a = dev.select(F.col("h").alias("ha"), F.col("d").alias("da"))
+    b = dev.select(F.col("h").alias("hb"), F.col("d").alias("db"))
+    num = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("hb") == F.col("ha") + F.col("k") * 3600)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("da") * F.col("db")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(denom))
+        .select(
+            F.col("k").cast("long").alias("lag_hours"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(
+                F.col("num").cast("double")
+                / F.nullif(F.col("den"), F.lit(0)),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_mann_whitney_u (round-7+ registration queue, tranche 37)
+# ---------------------------------------------------------------------------
+
+STAT_MANN_WHITNEY_U_ORACLE = """
+    WITH binned AS (
+      SELECT round(value, 2) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY round(value, 2)
+    ), ranked AS (
+      SELECT t1, t2, t1 + t2 AS t,
+             coalesce(sum(t1 + t2) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM binned
+    ), agg AS (
+      SELECT sum(t1) AS n1, sum(t2) AS n2,
+             sum(t1 * (2 * cum_before + t + 1)) AS two_r1,
+             sum(t * t * t - t) AS tie_t
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - n1 * n2)
+                 / (2 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                     * ((n1 + n2 + 1)
+                        - CAST(tie_t AS DOUBLE)
+                          / ((n1 + n2) * (n1 + n2 - 1.0))))), 4) AS z,
+           abs(round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - n1 * n2)
+                 / (2 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                     * ((n1 + n2 + 1)
+                        - CAST(tie_t AS DOUBLE)
+                          / ((n1 + n2) * (n1 + n2 - 1.0))))), 4)) > 1.96
+             AS significant
+    FROM agg
+"""
+
+
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the 'view' and 'purchase'
+    value cohorts — the nonparametric A/B significance test that needs no
+    normality assumption (the robust sibling of fn_ab_test_proportions'
+    z-test on rates). Uses the normal approximation with the full tie
+    correction σ² = n1n2/12·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Rank arithmetic stays INTEGER end-to-end: values collapse to cents
+    bins (one conditional partial agg), average ranks are carried doubled
+    (2·rank = 2·cum_before + t + 1, always integral), so 2R1, 2U1 and the
+    tie term are exact BIGINTs on both engines; the z-score is one IEEE
+    expression over those integers, rounded before the significance
+    compare so the boolean cannot split at the threshold. One window over
+    the O(bins) table is the only sort."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    binned = e.groupBy(F.round("value", 2).alias("x")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "t2"
+        ),
+    )
+    w_prev = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    ranked = binned.select(
+        "t1",
+        "t2",
+        (F.col("t1") + F.col("t2")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("t1") + F.col("t2")).over(w_prev), F.lit(0)
+        ).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").alias("n1"),
+        F.sum("t2").alias("n2"),
+        F.sum(
+            F.col("t1") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_t"),
+    )
+    two_u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    n1d = F.col("n1").cast("double")
+    n = F.col("n1") + F.col("n2")
+    sigma2_scaled = (
+        n1d
+        * F.col("n2")
+        / 12
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_t").cast("double")
+            / (n * (n - 1)).cast("double")
+        )
+    )
+    z = F.round((two_u1 - n1d * F.col("n2")) / (2 * F.sqrt(sigma2_scaled)), 4)
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (two_u1 / 2).alias("u1"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

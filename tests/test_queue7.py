@@ -1728,3 +1728,89 @@ def test_ks_detects_shift_and_accepts_identical(spark):
         shifted = _ext.stat_ks_two_sample(spark, SF_SMALL).toPandas()
     assert same.d_stat.iloc[0] == 0.0 and not same.reject_h0.iloc[0]
     assert shifted.d_stat.iloc[0] == 1.0 and bool(shifted.reject_h0.iloc[0])
+
+
+# -- tranche 37: autocorrelation + Mann-Whitney U --------------------------
+
+
+def test_queue7_parity_acf(spark, con):
+    sdf = ext.ts_autocorrelation(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.TS_AUTOCORRELATION_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_acf_detects_daily_cycle(spark):
+    """A synthetic events feed with a strict 24h-periodic intensity:
+    r_24 must be the maximum of all 24 lags and near 1; a flat feed has
+    zero variance (n·x_t - S = 0 exactly) and its ACF is NULL, not
+    NaN."""
+    import datetime
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    def feed(periodic):
+        rows = []
+        base = datetime.datetime(2024, 1, 1)
+        for hour in range(240):
+            x = (5 + 20 * (hour % 24 == 3)) if periodic else 7
+            for i in range(x):
+                rows.append((base + datetime.timedelta(hours=hour, seconds=i),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed(True)):
+        per = _ext.ts_autocorrelation(spark, SF_SMALL).toPandas()
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed(False)):
+        flat = _ext.ts_autocorrelation(spark, SF_SMALL).toPandas()
+    best = per.sort_values("acf", ascending=False).iloc[0]
+    # 10 days of data -> lag-24 keeps 216/240 of the mass, so r_24 ~ 0.9
+    assert best.lag_hours == 24 and best.acf > 0.85
+    assert flat.acf.isna().all()
+
+
+def test_queue7_parity_mwu(spark, con):
+    sdf = ext.stat_mann_whitney_u(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.STAT_MANN_WHITNEY_U_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_mwu_matches_reference_ranksum(spark):
+    """From-scratch tied-rank U and z over the same cents-binned values:
+    exact agreement with the distributed op at sf0.001."""
+    import math
+
+    import duckdb
+
+    raw = duckdb.connect().execute(
+        f"""SELECT round(value, 2) AS x, event_type
+            FROM '{SF_SMALL}/events.parquet'
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall()
+    pooled = sorted(raw)
+    n = len(pooled)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    tie_t = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = j - i
+        tie_t += t * t * t - t
+        ranks[pooled[i][0]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = sum(ranks[x] for x, et in pooled if et == "view")
+    n1 = sum(1 for _, et in pooled if et == "view")
+    n2 = n - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))
+    )
+    z = round((u1 - n1 * n2 / 2.0) / sigma, 4)
+    out = ext.stat_mann_whitney_u(spark, SF_SMALL).toPandas()
+    assert out.n1.iloc[0] == n1 and out.n2.iloc[0] == n2
+    assert out.u1.iloc[0] == u1
+    assert out.z.iloc[0] == z

@@ -135,6 +135,9 @@ def queue_pairs():
         # tranche 36
         (llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_SCORE_ORACLE),
         (ext.stat_ks_two_sample, ext.STAT_KS_TWO_SAMPLE_ORACLE),
+        # tranche 37
+        (ext.ts_autocorrelation, ext.TS_AUTOCORRELATION_ORACLE),
+        (ext.stat_mann_whitney_u, ext.STAT_MANN_WHITNEY_U_ORACLE),
     ]
     return pairs
 
