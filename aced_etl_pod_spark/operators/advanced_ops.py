@@ -720,3 +720,105 @@ def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_link_prediction (round-7+ registration queue, tranche 38)
+# ---------------------------------------------------------------------------
+
+GRAPH_JACCARD_LINK_PREDICTION_ORACLE = """
+    WITH raw AS (
+      SELECT least(o_custkey % 500, o_orderkey % 500) AS u,
+             greatest(o_custkey % 500, o_orderkey % 500) AS v
+      FROM orders
+      WHERE o_custkey % 500 <> o_orderkey % 500
+    ), e AS (
+      SELECT DISTINCT u, v FROM raw
+    ), adj AS (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a
+    ), cand AS (
+      SELECT x.a AS a, y.b AS b, CAST(count(*) AS BIGINT) AS common
+      FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b
+      GROUP BY x.a, y.b
+    ), nonedge AS (
+      SELECT c.a, c.b, c.common FROM cand c
+      LEFT JOIN e ON e.u = c.a AND e.v = c.b
+      WHERE e.u IS NULL
+    ), scored AS (
+      SELECT n.a, n.b, n.common,
+             round(CAST(n.common AS DOUBLE)
+                   / (da.deg + db.deg - n.common), 4) AS jaccard
+      FROM nonedge n
+      JOIN deg da ON da.node = n.a
+      JOIN deg db ON db.node = n.b
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, common, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+"""
+
+
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard — for every NON-adjacent
+    node pair sharing ≥1 neighbor, score |N(a)∩N(b)| / |N(a)∪N(b)| and
+    return the top-20 predicted links (the classic common-neighbors
+    recommender baseline: "people you may know", co-purchase suggestion).
+    Same derived 500-node graph as graph_triangle_count
+    (advanced_ops.py:274) so the family shares a fixture.
+
+    Plan: symmetrize once, count 2-paths with ONE self-join on the
+    shared-neighbor key (the wedge join — identical shape to the
+    triangle count's first hop), degree table as a broadcast, existing
+    edges removed by a null-producing left join. Union size comes from
+    deg_a + deg_b - common, so the score is a pure integer ratio rounded
+    at 4dp — no float until the last projection. At 100 TB the wedge
+    join is bounded by degree skew: cap or sample super-node
+    neighborhoods first (the max_bucket_size rule functions/dedup.py
+    uses), which only drops candidates a recommender would cap anyway."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.least(
+            F.col("o_custkey") % 500, F.col("o_orderkey") % 500
+        ).alias("u"),
+        F.greatest(
+            F.col("o_custkey") % 500, F.col("o_orderkey") % 500
+        ).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    e = raw.distinct()
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    x = adj.select(F.col("a"), F.col("b").alias("w"))
+    y = adj.select(F.col("a").alias("w2"), F.col("b"))
+    cand = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = cand.join(
+        e, (e.u == cand.a) & (e.v == cand.b), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )

@@ -431,3 +431,92 @@ def dq_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "bal_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_count_laplace (round-7+ registration queue, tranche 38)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+_DP_TYPE_CODE = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+    " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END"
+)
+
+DP_NOISY_COUNT_LAPLACE_ORACLE = f"""
+    WITH grp AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             {_DP_TYPE_CODE} AS code,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), keyed AS (
+      SELECT event_type, day, c,
+             ((CAST(floor(epoch(day)) AS BIGINT) + code) * 2654435761)
+               % 4294967296 AS h
+      FROM grp
+    ), noise AS (
+      SELECT event_type, day, c,
+             (h + 0.5) / 4294967296.0 AS u
+      FROM keyed
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(round(CAST(c + (-1.0 / {_DP_EPS})
+                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS noisy_count,
+           {_DP_EPS} AS epsilon
+    FROM noise
+    ORDER BY event_type, day
+"""
+
+
+def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism): daily
+    per-event-type counts published with Laplace(Δf/ε) noise, Δf = 1,
+    ε = 1 — the governed-export counterpart of dq_k_anonymity: where
+    k-anonymity generalizes rows, DP noise protects AGGREGATES against
+    differencing attacks. The release carries only (group, noisy_count,
+    ε); the true count never leaves the plan.
+
+    The noise is SEEDED, not sampled: u = (knuth_hash(group_key)+0.5)/2³²
+    is a deterministic uniform in (0,1) and the inverse-CDF transform
+    -b·sign(u-½)·ln(1-2|u-½|) maps it to a Laplace draw — identical on
+    both engines, re-run-stable, and auditable (the privacy accountant
+    can replay the exact release). A production deployment would swap the
+    public group key for a secret per-release seed; the mechanism,
+    sensitivity and accounting are unchanged. Plan: one partial agg to
+    O(groups), then pure projection — no second shuffle, no RNG state."""
+    e = load(spark, sf_dir, "events")
+    grp = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("c"))
+    keyed = grp.withColumn("code", F.expr(_DP_TYPE_CODE)).withColumn(
+        "h",
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("day").cast("timestamp"))
+                ).cast("long")
+                + F.col("code")
+            )
+            * F.lit(2654435761)
+        )
+        % F.lit(4294967296),
+    )
+    u = (F.col("h") + 0.5) / 4294967296.0
+    lap = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return (
+        keyed.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round((F.col("c") + lap).cast("decimal(18,6)"), 4)
+            .cast("double")
+            .alias("noisy_count"),
+            F.lit(_DP_EPS).alias("epsilon"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1814,3 +1814,110 @@ def test_mwu_matches_reference_ranksum(spark):
     assert out.n1.iloc[0] == n1 and out.n2.iloc[0] == n2
     assert out.u1.iloc[0] == u1
     assert out.z.iloc[0] == z
+
+
+# -- tranche 38: link prediction + DP Laplace release ----------------------
+
+
+def test_queue7_parity_linkpred(spark, con):
+    sdf = adv.graph_jaccard_link_prediction(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.GRAPH_JACCARD_LINK_PREDICTION_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_linkpred_matches_bruteforce_sets(spark):
+    """Python set-algebra reference over the same derived graph: every
+    emitted (a, b) is non-adjacent, its common/jaccard are exactly the
+    set-intersection values, and the emitted top-20 is the true top-20
+    under the (jaccard desc, a, b) total order."""
+    import duckdb
+
+    edges = duckdb.connect().execute(
+        f"""SELECT DISTINCT least(o_custkey % 500, o_orderkey % 500) AS u,
+                   greatest(o_custkey % 500, o_orderkey % 500) AS v
+            FROM '{SF_SMALL}/orders.parquet'
+            WHERE o_custkey % 500 <> o_orderkey % 500"""
+    ).fetchall()
+    nbrs = {}
+    eset = set()
+    for u, v in edges:
+        eset.add((u, v))
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scored = []
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in eset:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common:
+                scored.append(
+                    (round(common / len(nbrs[a] | nbrs[b]), 4), a, b, common)
+                )
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [(a, b, c, j) for j, a, b, c in scored[:20]]
+    out = adv.graph_jaccard_link_prediction(spark, SF_SMALL).toPandas()
+    got = [
+        (int(r.a), int(r.b), int(r.common), r.jaccard)
+        for r in out.itertuples()
+    ]
+    assert got == want
+
+
+def test_queue7_parity_dp_laplace(spark, con):
+    sdf = gov.dp_noisy_count_laplace(spark, SF_SMALL).toPandas()
+    ddf = con.execute(gov.DP_NOISY_COUNT_LAPLACE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_dp_laplace_noise_properties(spark):
+    """The seeded Laplace draws replay exactly (same release twice), the
+    true counts are perturbed but within the ε=1 tail bound |n| ≤ 25
+    (P ≈ e⁻²⁵ per draw), and the release actually adds noise (not all
+    residuals are zero)."""
+    import duckdb
+    import math
+
+    out1 = gov.dp_noisy_count_laplace(spark, SF_SMALL).toPandas()
+    out2 = gov.dp_noisy_count_laplace(spark, SF_SMALL).toPandas()
+    assert out1.equals(out2)
+    truth = dict(
+        (
+            (r[0], str(r[1])),
+            r[2],
+        )
+        for r in duckdb.connect().execute(
+            f"""SELECT event_type,
+                       strftime(CAST(date_trunc('day', ts) AS DATE),
+                                '%Y-%m-%d'),
+                       count(*)
+                FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2"""
+        ).fetchall()
+    )
+    resid = [
+        r.noisy_count - truth[(r.event_type, r.day)] for r in out1.itertuples()
+    ]
+    assert all(abs(x) <= 25 for x in resid)
+    assert any(abs(x) > 1e-6 for x in resid)
+    # inverse-CDF replay: recompute one group's draw from scratch
+    et, day = out1.event_type.iloc[0], out1.day.iloc[0]
+    code = {"click": 1, "error": 2, "purchase": 3, "signup": 4, "view": 5}[et]
+    import datetime
+
+    epoch_day = int(
+        datetime.datetime.strptime(day, "%Y-%m-%d")
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+    )
+    h = ((epoch_day + code) * 2654435761) % 4294967296
+    u = (h + 0.5) / 4294967296.0
+    n = -1.0 * math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+    from decimal import Decimal
+
+    want = float(
+        round(Decimal(f"{truth[(et, day)] + n:.6f}"), 4)
+    )
+    assert abs(out1.noisy_count.iloc[0] - want) < 5e-4

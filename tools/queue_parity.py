@@ -138,6 +138,10 @@ def queue_pairs():
         # tranche 37
         (ext.ts_autocorrelation, ext.TS_AUTOCORRELATION_ORACLE),
         (ext.stat_mann_whitney_u, ext.STAT_MANN_WHITNEY_U_ORACLE),
+        # tranche 38
+        (adv.graph_jaccard_link_prediction,
+         adv.GRAPH_JACCARD_LINK_PREDICTION_ORACLE),
+        (gov.dp_noisy_count_laplace, gov.DP_NOISY_COUNT_LAPLACE_ORACLE),
     ]
     return pairs
 
