@@ -3027,3 +3027,172 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_phonetic_blocked (round-7+ registration queue, tranche 39)
+# ---------------------------------------------------------------------------
+
+
+def _soundex_sql(col: str) -> str:
+    """Portable American-Soundex variant as a single SQL expression that
+    BOTH engines evaluate identically (Spark's built-in ``soundex()`` has
+    no DuckDB twin, and DuckDB's RE2 regexes lack the backreferences the
+    run-collapse step classically uses — so runs are collapsed with
+    nested constant replaces, 3 passes per digit ≥ runs of 8). Variant
+    note: the H/W-separator rule is intentionally omitted; both sides of
+    the differential run this exact text, so parity is by construction."""
+    letters = f"upper(regexp_replace({col}, '[^a-zA-Z]', ''))"
+    tail = (
+        f"translate(substr({letters}, 2), "
+        "'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556')"
+    )
+    collapsed = tail
+    for d in "123456":
+        for _ in range(3):
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return (
+        f"rpad(substr(concat(substr({letters}, 1, 1), "
+        f"replace({collapsed}, '0', '')), 1, 4), 4, '0')"
+    )
+
+
+_FUZZY_DIRTY_SQL = (
+    "CASE WHEN ((p_partkey * 2654435761) % 4294967296) % 3 = 0 "
+    "THEN concat(substr(p_name, 1, "
+    "CAST(((p_partkey * 2654435761) % 4294967296) % length(p_name) "
+    "AS INT)), substr(p_name, CAST(((p_partkey * 2654435761) % 4294967296) "
+    "% length(p_name) AS INT) + 2)) ELSE p_name END"
+)
+
+JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE = f"""
+    WITH catalog AS (
+      SELECT DISTINCT p_name AS entity FROM part
+    ), mentions AS (
+      SELECT p_partkey, {_FUZZY_DIRTY_SQL} AS mention FROM part
+    ), blocked AS (
+      SELECT m.p_partkey, m.mention, c.entity,
+             CAST(levenshtein(m.mention, c.entity) AS BIGINT) AS lev
+      FROM mentions m
+      JOIN catalog c
+        ON {_soundex_sql('m.mention')} = {_soundex_sql('c.entity')}
+       AND levenshtein(m.mention, c.entity) <= 1
+    ), best_lev AS (
+      SELECT p_partkey, mention, min(lev) AS lev
+      FROM blocked GROUP BY p_partkey, mention
+    ), best AS (
+      SELECT b.p_partkey, b.mention, bl.lev, min(b.entity) AS entity
+      FROM blocked b
+      JOIN best_lev bl
+        ON bl.p_partkey = b.p_partkey AND b.lev = bl.lev
+      GROUP BY b.p_partkey, b.mention, bl.lev
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, mention, entity, lev
+    FROM best
+    ORDER BY p_partkey
+"""
+
+
+def join_fuzzy_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution as a BLOCKED fuzzy join: dirty mentions (part
+    names with a deterministic hash-seeded character deletion on 1/3 of
+    rows) are matched to the clean entity catalog on phonetic block key
+    equality + edit distance ≤ 1, then resolved to the single best
+    candidate by (min lev, min name) — the canonical mention→entity
+    linkage every MDM / customer-360 pipeline runs.
+
+    Scale shape: the phonetic code turns the quadratic mention×catalog
+    comparison into an EQUI-join on the block key (shuffle-partitionable
+    both sides; levenshtein runs only inside blocks), and the best-match
+    cut is a partial-aggregating min(struct(lev, entity)) argmin — no
+    window, no per-key sort (the join_geo_nearest_broadcast rule). At
+    test scale the catalog is broadcast; with a huge catalog the same
+    plan shuffles on the block key. Blocking recall is quantified (not
+    assumed) in the gate test vs the unblocked brute force."""
+    p = load(spark, sf_dir, "part")
+    catalog = p.select(F.col("p_name").alias("entity")).distinct()
+    mentions = p.select(
+        "p_partkey", F.expr(_FUZZY_DIRTY_SQL).alias("mention")
+    )
+    m = mentions.withColumn("bk", F.expr(_soundex_sql("mention")))
+    c = catalog.withColumn("bk", F.expr(_soundex_sql("entity")))
+    blocked = (
+        m.join(F.broadcast(c), "bk")
+        .withColumn("lev", F.levenshtein("mention", "entity").cast("long"))
+        .filter(F.col("lev") <= 1)
+    )
+    return (
+        blocked.groupBy("p_partkey", "mention")
+        .agg(
+            F.min("lev").alias("lev"),
+            F.min_by(
+                "entity", F.struct(F.col("lev"), F.col("entity"))
+            ).alias("entity"),
+        )
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "mention",
+            "entity",
+            "lev",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_event_path_topk (round-7+ registration queue, tranche 39)
+# ---------------------------------------------------------------------------
+
+AGG_EVENT_PATH_TOPK_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT e1, e2, e3, n,
+             row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+      FROM paths
+    )
+    SELECT concat(e1, '>', e2, '>', e3) AS path, n,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 15
+    ORDER BY rk
+"""
+
+
+def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user journeys ("path analysis"): consecutive
+    event-type trigrams on each user's (ts, event_id) total order,
+    counted corpus-wide — the product-analytics view that answers "what
+    do users actually do next" one level deeper than
+    agg_markov_transition_matrix's pair counts.
+
+    Plan: ONE per-user window (a single shuffle on user_id — the same
+    exchange every sessionize/funnel op in this family shares) emits the
+    shifted pair of leads; path counting is then an ordinary partial
+    agg on the O(types³)-bounded key space, and the top-k cut is a
+    total-order row_number over that tiny counts table."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy("e1", "e2", "e3").agg(F.count("*").alias("n"))
+    wr = W.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 15)
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("rk")
+    )

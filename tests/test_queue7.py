@@ -1921,3 +1921,73 @@ def test_dp_laplace_noise_properties(spark):
         round(Decimal(f"{truth[(et, day)] + n:.6f}"), 4)
     )
     assert abs(out1.noisy_count.iloc[0] - want) < 5e-4
+
+
+# -- tranche 39: phonetic-blocked fuzzy join + event paths -----------------
+
+
+def test_queue7_parity_fuzzy_join(spark, con):
+    sdf = ext.join_fuzzy_phonetic_blocked(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_fuzzy_join_blocking_recall_quantified(spark):
+    """Blocking is a recall trade, not an assumption: compare the blocked
+    result to the UNBLOCKED brute-force lev<=1 linkage. Every blocked
+    match must appear in the brute force (no false pairs), clean
+    (unperturbed) mentions must all self-match exactly (lev=0), and the
+    measured recall must stay >= 85% — the honest number for
+    single-char-deletion noise under phonetic blocking."""
+    import duckdb
+
+    blocked = ext.join_fuzzy_phonetic_blocked(spark, SF_SMALL).toPandas()
+    brute = duckdb.connect().execute(
+        f"""WITH part AS (SELECT * FROM '{SF_SMALL}/part.parquet'),
+            catalog AS (SELECT DISTINCT p_name AS entity FROM part),
+            mentions AS (
+              SELECT p_partkey, {ext._FUZZY_DIRTY_SQL} AS mention FROM part)
+            SELECT m.p_partkey, min(c.entity) AS entity
+            FROM mentions m JOIN catalog c
+              ON levenshtein(m.mention, c.entity) <= 1
+            GROUP BY m.p_partkey"""
+    ).fetchall()
+    brute_keys = {k for k, _ in brute}
+    got_keys = set(blocked.p_partkey)
+    assert got_keys <= brute_keys
+    assert len(got_keys) / len(brute_keys) >= 0.85
+    clean = blocked[blocked.lev == 0]
+    assert (clean.mention == clean.entity).all()
+
+
+def test_queue7_parity_event_paths(spark, con):
+    sdf = ext.agg_event_path_topk(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_EVENT_PATH_TOPK_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_event_paths_match_reference_counter(spark):
+    """Pure-Python trigram counter over each user's (ts, event_id) order
+    reproduces the top-15 paths exactly (count desc, path asc order)."""
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, event_type FROM '{SF_SMALL}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    by_user = {}
+    for uid, et in rows:
+        by_user.setdefault(uid, []).append(et)
+    c = Counter()
+    for seq in by_user.values():
+        for i in range(len(seq) - 2):
+            c[(seq[i], seq[i + 1], seq[i + 2])] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    want = [(">".join(k), n, i + 1) for i, (k, n) in enumerate(ranked)]
+    out = ext.agg_event_path_topk(spark, SF_SMALL).toPandas()
+    got = [(r.path, int(r.n), int(r.rk)) for r in out.itertuples()]
+    assert got == want

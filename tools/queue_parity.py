@@ -142,6 +142,10 @@ def queue_pairs():
         (adv.graph_jaccard_link_prediction,
          adv.GRAPH_JACCARD_LINK_PREDICTION_ORACLE),
         (gov.dp_noisy_count_laplace, gov.DP_NOISY_COUNT_LAPLACE_ORACLE),
+        # tranche 39
+        (ext.join_fuzzy_phonetic_blocked,
+         ext.JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE),
+        (ext.agg_event_path_topk, ext.AGG_EVENT_PATH_TOPK_ORACLE),
     ]
     return pairs
 
