@@ -3196,3 +3196,189 @@ def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+# ---------------------------------------------------------------------------
+# stat_t_test_welch (round-7+ registration queue, tranche 40)
+# ---------------------------------------------------------------------------
+
+STAT_T_TEST_WELCH_ORACLE = """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), moments AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        sum(CASE WHEN event_type = 'view' THEN x END) AS s1,
+        sum(CASE WHEN event_type = 'purchase' THEN x END) AS s2,
+        sum(CASE WHEN event_type = 'view' THEN x * x END) AS q1,
+        sum(CASE WHEN event_type = 'purchase' THEN x * x END) AS q2
+      FROM cents
+    ), vars_ AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+               AS v1,
+             (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)
+               AS v2
+      FROM moments
+    )
+    SELECT n1, n2,
+           round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df,
+           abs(round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4)) > 1.96
+             AS significant
+    FROM vars_
+"""
+
+
+def stat_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the cohort MEANS — the third
+    leg of the A/B toolkit (fn_ab_test_proportions tests rates,
+    stat_mann_whitney_u tests stochastic dominance, this tests means
+    without the pooled-variance assumption), with the Welch-Satterthwaite
+    degrees of freedom.
+
+    Exactness: values are collapsed to DECIMAL(18,2) cents, so Σx and
+    Σx² are EXACT decimal partials (order-independent across partitions
+    and engines); mean/variance/t/df are then one IEEE expression over
+    those exact sums. The whole test is ONE conditional-aggregate scan —
+    no shuffle beyond the final 1-row reduce, the cheapest possible
+    plan at any scale. Significance compares the ROUNDED t (normal
+    approximation; df is reported for exact-t lookups downstream)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    x = F.round("value", 2).cast("decimal(18,2)")
+    isv = F.col("event_type") == "view"
+    m = e.select(F.col("event_type"), x.alias("x")).agg(
+        F.sum(F.when(isv, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~isv, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(isv, F.col("x"))).alias("s1"),
+        F.sum(F.when(~isv, F.col("x"))).alias("s2"),
+        F.sum(F.when(isv, F.col("x") * F.col("x"))).alias("q1"),
+        F.sum(F.when(~isv, F.col("x") * F.col("x"))).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    t = F.round((m1 - m2) / F.sqrt(se2), 4)
+    df = F.round(
+        se2
+        * se2
+        / (
+            (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+            + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+        ),
+        2,
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(m1, 4).alias("mean1"),
+        F.round(m2, 4).alias("mean2"),
+        t.alias("t"),
+        df.alias("df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_snaive_backtest (round-7+ registration queue, tranche 40)
+# ---------------------------------------------------------------------------
+
+TS_FORECAST_SNAIVE_ORACLE = """
+    WITH series AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), joined AS (
+      SELECT cur.h, cur.y,
+             snv.y AS yhat_snaive,
+             nv.y AS yhat_naive
+      FROM series cur
+      JOIN series snv ON snv.h = cur.h - 86400
+      JOIN series nv ON nv.h = cur.h - 3600
+    ), err AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             sum(abs(y - yhat_snaive)) AS ae_s,
+             sum((y - yhat_snaive) * (y - yhat_snaive)) AS se_s,
+             sum(abs(y - yhat_naive)) AS ae_n
+      FROM joined
+    )
+    SELECT n_eval,
+           round(CAST(ae_s AS DOUBLE) / n_eval, 4) AS mae_snaive,
+           round(sqrt(CAST(se_s AS DOUBLE) / n_eval), 4) AS rmse_snaive,
+           round(CAST(ae_n AS DOUBLE) / n_eval, 4) AS mae_naive,
+           round(CAST(ae_s AS DOUBLE) / nullif(CAST(ae_n AS DOUBLE), 0), 4)
+             AS mase
+    FROM err
+"""
+
+
+def ts_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation backbone: backtest the SEASONAL-NAIVE
+    forecaster (ŷ_t = y_{t-24h}) on the hourly count series against the
+    plain naive (ŷ_t = y_{t-1h}) benchmark, reporting MAE, RMSE and
+    MASE = MAE_snaive / MAE_naive — Hyndman's scale-free skill score
+    (< 1 means the seasonal model beats the one-step benchmark; any
+    real forecaster added later gets judged by exactly this harness).
+
+    Evaluation pairs come from epoch-hour equi-joins on the OBSERVED
+    grid (no fabricated zeros for missing hours). All error sums are
+    exact BIGINT arithmetic on counts; only the final per-row divisions
+    and sqrt touch IEEE, so both engines agree bit-for-bit before the
+    4dp round. Plan: one partial agg to O(hours), two broadcast
+    self-joins, one 1-row reduce."""
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h")
+    ).agg(F.count("*").alias("y"))
+    cur = series
+    snv = series.select(
+        (F.col("h") + 86400).alias("h"), F.col("y").alias("yhat_snaive")
+    )
+    nv = series.select(
+        (F.col("h") + 3600).alias("h"), F.col("y").alias("yhat_naive")
+    )
+    joined = cur.join(F.broadcast(snv), "h").join(F.broadcast(nv), "h")
+    err = joined.agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("yhat_snaive"))).alias("ae_s"),
+        F.sum(
+            (F.col("y") - F.col("yhat_snaive"))
+            * (F.col("y") - F.col("yhat_snaive"))
+        ).alias("se_s"),
+        F.sum(F.abs(F.col("y") - F.col("yhat_naive"))).alias("ae_n"),
+    )
+    return err.select(
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.round(F.col("ae_s").cast("double") / F.col("n_eval"), 4).alias(
+            "mae_snaive"
+        ),
+        F.round(
+            F.sqrt(F.col("se_s").cast("double") / F.col("n_eval")), 4
+        ).alias("rmse_snaive"),
+        F.round(F.col("ae_n").cast("double") / F.col("n_eval"), 4).alias(
+            "mae_naive"
+        ),
+        F.round(
+            F.col("ae_s").cast("double")
+            / F.nullif(F.col("ae_n").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("mase"),
+    )

@@ -1991,3 +1991,82 @@ def test_event_paths_match_reference_counter(spark):
     out = ext.agg_event_path_topk(spark, SF_SMALL).toPandas()
     got = [(r.path, int(r.n), int(r.rk)) for r in out.itertuples()]
     assert got == want
+
+
+# -- tranche 40: Welch t-test + seasonal-naive backtest --------------------
+
+
+def test_queue7_parity_welch(spark, con):
+    sdf = ext.stat_t_test_welch(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.STAT_T_TEST_WELCH_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_welch_matches_reference_formula(spark):
+    """Textbook Welch t and Welch-Satterthwaite df computed locally over
+    the same cents-rounded values agree exactly after rounding."""
+    import duckdb
+
+    vals = duckdb.connect().execute(
+        f"""SELECT event_type, round(value, 2) FROM
+            '{SF_SMALL}/events.parquet'
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall()
+    g1 = [v for et, v in vals if et == "view"]
+    g2 = [v for et, v in vals if et == "purchase"]
+
+    def mv(g):
+        n = len(g)
+        m = sum(g) / n
+        v = sum((x - m) ** 2 for x in g) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = mv(g1)
+    n2, m2, v2 = mv(g2)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / se2 ** 0.5
+    df = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    out = ext.stat_t_test_welch(spark, SF_SMALL).toPandas()
+    assert out.n1.iloc[0] == n1 and out.n2.iloc[0] == n2
+    assert abs(out.t.iloc[0] - round(t, 4)) < 2e-4
+    assert abs(out.df.iloc[0] - round(df, 2)) < 2e-2
+
+
+def test_queue7_parity_snaive(spark, con):
+    sdf = ext.ts_forecast_snaive_backtest(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.TS_FORECAST_SNAIVE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_snaive_backtest_is_exact_on_synthetic(spark):
+    """A perfectly 24h-periodic series makes the seasonal-naive forecast
+    exact (MAE = RMSE = 0, MASE = 0); a white-noise-free trending series
+    makes the one-step naive strictly better (MASE > 1)."""
+    import datetime
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    def feed(kind):
+        rows = []
+        base = datetime.datetime(2024, 1, 1)
+        for hour in range(120):
+            if kind == "periodic":
+                x = 3 + 2 * (hour % 24 == 0)
+            else:  # linear ramp: y_t = 1 + hour -> snaive err 24, naive err 1
+                x = 1 + hour
+            for i in range(int(x)):
+                rows.append((base + datetime.timedelta(hours=hour, seconds=i),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed("periodic")):
+        per = _ext.ts_forecast_snaive_backtest(spark, SF_SMALL).toPandas()
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed("ramp")):
+        ramp = _ext.ts_forecast_snaive_backtest(spark, SF_SMALL).toPandas()
+    assert per.mae_snaive.iloc[0] == 0.0 and per.mase.iloc[0] == 0.0
+    assert per.rmse_snaive.iloc[0] == 0.0
+    assert ramp.mase.iloc[0] == 24.0  # err 24 vs err 1, exactly

@@ -146,6 +146,9 @@ def queue_pairs():
         (ext.join_fuzzy_phonetic_blocked,
          ext.JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE),
         (ext.agg_event_path_topk, ext.AGG_EVENT_PATH_TOPK_ORACLE),
+        # tranche 40
+        (ext.stat_t_test_welch, ext.STAT_T_TEST_WELCH_ORACLE),
+        (ext.ts_forecast_snaive_backtest, ext.TS_FORECAST_SNAIVE_ORACLE),
     ]
     return pairs
 
