@@ -3382,3 +3382,212 @@ def ts_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase"),
     )
+
+# ---------------------------------------------------------------------------
+# ts_holt_winters (round-7+ registration queue, tranche 41)
+# ---------------------------------------------------------------------------
+
+# Additive Holt-Winters smoothing parameters (fixed, documented — parameter
+# search would just re-run this op per candidate):
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.2, 0.1, 0.3, 24
+
+TS_HOLT_WINTERS_ORACLE = None  # rows-only by design: recursive smoother —
+# level/trend/seasonal each feed back into the next step, which no SQL
+# window or HOF fold expresses portably; contract = exact match vs a local
+# reference recursion + periodic-series accuracy property in tests.
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per
+    event-type hourly series: level + trend + 24h seasonality, the
+    classic operational forecaster one step up from
+    ts_forecast_snaive_backtest's benchmark (and judged by its MASE
+    harness). Missing hours are true zero-count hours, so each series is
+    reindexed onto the dense min..max hourly grid with y=0 BEFORE
+    smoothing — the recursion must see every step.
+
+    The triple recursion is the honest Python-kernel case (the CUSUM/FFD
+    discipline): the distributed side collapses the corpus to O(hours)
+    rows per series with ONE partial agg, and applyInPandas runs the
+    O(1)-state recursion per series — sequential per key, parallel
+    across keys. Init: first-period mean level, two-period slope trend,
+    first-period detrended seasonals. Output per series: in-sample
+    one-step MAE and the next 3 forecasts."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h"),
+    ).agg(F.count("*").alias("y"))
+
+    m = HW_PERIOD
+
+    def holt_winters(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        lo, hi = int(pdf["h"].min()), int(pdf["h"].max())
+        grid = np.arange(lo, hi + 3600, 3600)
+        y = (
+            pdf.set_index("h")["y"].reindex(grid, fill_value=0).to_numpy(float)
+        )
+        n = len(y)
+        if n < 2 * m:
+            return pd.DataFrame(
+                {
+                    "event_type": [pdf["event_type"].iloc[0]],
+                    "n_obs": [n],
+                    "mae_insample": [None],
+                    "fc_1": [None],
+                    "fc_2": [None],
+                    "fc_3": [None],
+                }
+            )
+        level = float(y[:m].mean())
+        trend = float((y[m:2 * m].mean() - y[:m].mean()) / m)
+        seas = [float(v - level) for v in y[:m]]
+        abs_err = 0.0
+        for t in range(m, n):
+            s_prev = seas[t % m]
+            yhat = level + trend + s_prev
+            abs_err += abs(y[t] - yhat)
+            new_level = HW_ALPHA * (y[t] - s_prev) + (1 - HW_ALPHA) * (
+                level + trend
+            )
+            trend = HW_BETA * (new_level - level) + (1 - HW_BETA) * trend
+            seas[t % m] = HW_GAMMA * (y[t] - new_level) + (1 - HW_GAMMA) * s_prev
+            level = new_level
+        fc = [
+            round(level + (k + 1) * trend + seas[(n + k) % m], 4)
+            for k in range(3)
+        ]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_obs": [n],
+                "mae_insample": [round(abs_err / (n - m), 4)],
+                "fc_1": [fc[0]],
+                "fc_2": [fc[1]],
+                "fc_3": [fc[2]],
+            }
+        )
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(
+            holt_winters,
+            "event_type string, n_obs long, mae_insample double,"
+            " fc_1 double, fc_2 double, fc_3 double",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_residual_anomaly (round-7+ registration queue, tranche 41)
+# ---------------------------------------------------------------------------
+
+TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT h, total,
+             CASE WHEN count(*) OVER w = 25
+                  THEN CAST(round(CAST(avg(total) OVER w AS DECIMAL(18,9)), 2)
+                       AS DOUBLE) END AS trend
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+      SELECT hour(h) AS hod,
+             CAST(round(CAST(avg(total - trend) AS DECIMAL(18,9)), 4) AS DOUBLE)
+               AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    ),
+    resid AS (
+      SELECT tr.h, tr.total,
+             CAST(round(CAST(tr.total - tr.trend - seas.seasonal
+                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS residual
+      FROM tr JOIN seas ON hour(tr.h) = seas.hod
+      WHERE tr.trend IS NOT NULL
+    ),
+    stats AS (
+      SELECT CAST(round(CAST(quantile_cont(residual, 0.5) AS DECIMAL(18,9)),
+                        4) AS DOUBLE) AS med
+      FROM resid
+    ),
+    mad AS (
+      SELECT med,
+             CAST(round(CAST(quantile_cont(abs(residual - med), 0.5)
+                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS mad
+      FROM resid CROSS JOIN stats GROUP BY med
+    ),
+    scored AS (
+      SELECT r.h, r.total, r.residual,
+             CAST(round(CAST(abs(r.residual - m.med) AS DECIMAL(18,9)), 4)
+                  AS DOUBLE) AS score,
+             3 * 1.4826 * m.mad AS fence
+      FROM resid r CROSS JOIN mad m
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, total, residual, score
+    FROM scored
+    WHERE score > fence
+    ORDER BY score DESC, hour
+    LIMIT 10
+"""
+
+
+def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition the plain
+    z-score ops can't do: decompose the hourly series (same
+    trend/seasonal algebra as ts_seasonal_decompose, extra_ops.py:1985),
+    then fence the RESIDUALS with the robust median ± 3·1.4826·MAD rule
+    (win_outlier_mad's fence) and return the top-10 anomalous hours. An
+    hour that is normal for 3 AM but anomalous for 3 PM is exactly what
+    the residual channel isolates and the raw-value channel misses.
+
+    Plan: the corpus collapses to O(hours) in one partial agg; every
+    later stage (centered MA, O(24) seasonal broadcast, two exact
+    medians, the fence) runs on that tiny series — collapse-then-analyze
+    as the house rule. Medians use exact percentile on both engines
+    (the residual table is bounded by calendar hours, never corpus
+    size)."""
+    dec = ts_seasonal_decompose(spark, sf_dir)
+    resid = dec.filter(F.col("residual").isNotNull()).select(
+        "hour", "total", "residual"
+    )
+    med = resid.agg(
+        F.expr(
+            "CAST(round(CAST(percentile(residual, 0.5) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("med")
+    )
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("med").alias("med"),
+            F.expr(
+                "CAST(round(CAST(percentile(abs(residual - med), 0.5)"
+                " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("mad"),
+        )
+    )
+    scored = resid.crossJoin(F.broadcast(mad)).select(
+        "hour",
+        "total",
+        "residual",
+        F.expr(
+            "CAST(round(CAST(abs(residual - med) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("score"),
+        (3 * 1.4826 * F.col("mad")).alias("fence"),
+    )
+    return (
+        scored.filter(F.col("score") > F.col("fence"))
+        .select("hour", "total", "residual", "score")
+        .orderBy(F.desc("score"), "hour")
+        .limit(10)
+    )

@@ -2070,3 +2070,123 @@ def test_snaive_backtest_is_exact_on_synthetic(spark):
     assert per.mae_snaive.iloc[0] == 0.0 and per.mase.iloc[0] == 0.0
     assert per.rmse_snaive.iloc[0] == 0.0
     assert ramp.mase.iloc[0] == 24.0  # err 24 vs err 1, exactly
+
+
+# -- tranche 41: Holt-Winters + seasonal-residual anomaly ------------------
+
+
+def test_holt_winters_matches_reference_recursion(spark):
+    """From-scratch local additive Holt-Winters over the same dense
+    per-type hourly grids: n_obs, in-sample MAE and all three forecasts
+    match exactly (same float recursion, same init)."""
+    import duckdb
+
+    from aced_etl_pod_spark.operators.extra_ops import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type,
+                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT),
+                   count(*)
+            FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    by_type = {}
+    for et, h, c in rows:
+        by_type.setdefault(et, {})[h] = c
+    m = HW_PERIOD
+    want = {}
+    for et, d in by_type.items():
+        lo, hi = min(d), max(d)
+        y = [float(d.get(h, 0)) for h in range(lo, hi + 3600, 3600)]
+        n = len(y)
+        level = sum(y[:m]) / m
+        trend = (sum(y[m:2 * m]) / m - sum(y[:m]) / m) / m
+        seas = [v - level for v in y[:m]]
+        abs_err = 0.0
+        for t in range(m, n):
+            s_prev = seas[t % m]
+            abs_err += abs(y[t] - (level + trend + s_prev))
+            nl = HW_ALPHA * (y[t] - s_prev) + (1 - HW_ALPHA) * (level + trend)
+            trend = HW_BETA * (nl - level) + (1 - HW_BETA) * trend
+            seas[t % m] = HW_GAMMA * (y[t] - nl) + (1 - HW_GAMMA) * s_prev
+            level = nl
+        want[et] = (
+            n,
+            round(abs_err / (n - m), 4),
+            tuple(
+                round(level + (k + 1) * trend + seas[(n + k) % m], 4)
+                for k in range(3)
+            ),
+        )
+    out = ext.ts_holt_winters(spark, SF_SMALL).toPandas()
+    got = {
+        r.event_type: (int(r.n_obs), r.mae_insample, (r.fc_1, r.fc_2, r.fc_3))
+        for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_holt_winters_nails_periodic_series(spark):
+    """On a noise-free 24h-periodic feed the smoother converges onto the
+    cycle: late-sample MAE is small and the 3 forecasts continue the
+    pattern (each within 1.0 of the true periodic value)."""
+    import datetime
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for hour in range(24 * 10):
+        x = 3 + 4 * (hour % 24 == 5)
+        for i in range(x):
+            rows.append(
+                ("view", base + datetime.timedelta(hours=hour, seconds=i))
+            )
+    feed = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed):
+        out = _ext.ts_holt_winters(spark, SF_SMALL).toPandas()
+    assert out.n_obs.iloc[0] == 240
+    assert out.mae_insample.iloc[0] < 0.6
+    # hours 240, 241, 242 -> hod 0, 1, 2 -> true value 3
+    for k in ("fc_1", "fc_2", "fc_3"):
+        assert abs(out[k].iloc[0] - 3.0) < 1.0
+
+
+def test_queue7_parity_seasonal_anomaly(spark, con):
+    sdf = ext.ts_seasonal_residual_anomaly(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_seasonal_anomaly_finds_injected_spike(spark):
+    """Inject a huge single-hour spike into an otherwise regular periodic
+    feed: that hour must surface as the top anomaly."""
+    import datetime
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for hour in range(24 * 8):
+        n = 5 + (hour % 24 == 12) * 3
+        if hour == 100:
+            n += 60  # the anomaly
+        for i in range(n):
+            rows.append(
+                (base + datetime.timedelta(hours=hour, seconds=i), 1.0)
+            )
+    feed = spark.createDataFrame(rows, "ts timestamp, value double")
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed):
+        out = _ext.ts_seasonal_residual_anomaly(spark, SF_SMALL).toPandas()
+    assert len(out) >= 1
+    spike_hour = (base + datetime.timedelta(hours=100)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    assert out.hour.iloc[0] == spike_hour

@@ -149,6 +149,10 @@ def queue_pairs():
         # tranche 40
         (ext.stat_t_test_welch, ext.STAT_T_TEST_WELCH_ORACLE),
         (ext.ts_forecast_snaive_backtest, ext.TS_FORECAST_SNAIVE_ORACLE),
+        # tranche 41
+        (ext.ts_holt_winters, None),
+        (ext.ts_seasonal_residual_anomaly,
+         ext.TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE),
     ]
     return pairs
 
