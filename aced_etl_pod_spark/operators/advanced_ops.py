@@ -568,14 +568,17 @@ HIERARCHY_UNROLL_PATHS_ORACLE = """
 
 
 def hierarchy_unroll_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive hierarchy traversal (the WITH RECURSIVE gap in Spark
-    SQL): every node's full root path over a parent-child EDGE TABLE —
-    org charts, bills of material, category trees. The fixture forest is
-    a ternary tree on customer keys (parent(k) = (k-1) div 3, root 0),
-    carried as DATA so the op exercises real joins, not key arithmetic.
+    """Recursive hierarchy traversal: every node's full root path over a
+    parent-child EDGE TABLE — org charts, bills of material, category
+    trees. The fixture forest is a ternary tree on customer keys
+    (parent(k) = (k-1) div 3, root 0), carried as DATA so the op
+    exercises real joins, not key arithmetic.
 
-    Spark has no recursive CTE, so the unroll is the loop-of-joins
-    pattern: each round, rows whose current ancestor is not yet the root
+    Spark 4 gained a native recursive CTE — sql_recursive_cte_native
+    runs the SAME task through it and the gate pins both to the same
+    answer. This op keeps the explicit loop-of-joins unroll — the
+    fallback for pre-4.0 engines and the form that allows per-round
+    instrumentation/caching control — as the pattern: each round, rows whose current ancestor is not yet the root
     extend one level via a broadcast join onto the edge table and prepend
     the parent to the path; settled rows pass through untouched.
     Convergence is bounded by tree depth (9 at sf0.1; 12 rounds fixed) —
@@ -821,4 +824,114 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql_recursive_cte_native (round-7+ registration queue, tranche 42)
+# ---------------------------------------------------------------------------
+
+SQL_RECURSIVE_CTE_NATIVE_ORACLE = HIERARCHY_UNROLL_PATHS_ORACLE
+
+_RECURSIVE_CTE_SPARK = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS anc,
+             CAST(c_custkey AS STRING) AS path
+      FROM rec_customer
+      UNION ALL
+      SELECT a.node, e.parent,
+             CAST(e.parent AS STRING) || '/' || a.path
+      FROM anc a
+      JOIN (SELECT c_custkey AS child, (c_custkey - 1) div 3 AS parent
+            FROM rec_customer WHERE c_custkey > 0) e
+        ON a.anc = e.child
+    )
+    SELECT node,
+           CAST(anc AS BIGINT) AS root,
+           CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+             AS depth,
+           '/' || path AS path
+    FROM anc WHERE anc = 0 ORDER BY node
+"""
+
+
+def sql_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE ``WITH RECURSIVE`` (SPARK-24497, new in 4.0) on
+    the same ternary-tree root-path task hierarchy_unroll_paths solves by
+    hand: anchor = every node, recursive step climbs one ancestor level
+    and prepends it to the path, fixpoint at the root. The differential
+    is engine-native recursion on BOTH sides — Spark's recursive CTE
+    executor vs DuckDB's — over identical data, so the two ops together
+    pin the unrolled loop-of-joins AND the native executor to the same
+    answer.
+
+    At scale the native form delegates per-round caching/convergence to
+    the engine (no hand-managed cache() per round, no fixed round
+    budget); the hand-unrolled sibling remains the fallback pattern for
+    engines/versions without recursion and for per-round instrumentation.
+    The recursive step JOINS the recursive relation to the edge
+    derivation — the representative shape (org charts join real edge
+    tables) — and terminates when no ancestor has an edge row, exactly
+    as the oracle does."""
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("rec_customer")
+    return spark.sql(_RECURSIVE_CTE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# scan_json_variant (round-7+ registration queue, tranche 42)
+# ---------------------------------------------------------------------------
+
+SCAN_JSON_VARIANT_ORACLE = """
+    WITH extracted AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(round(CAST(CAST(sum(k) AS DOUBLE) / count(*)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_k,
+           CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM extracted
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the
+    JSON props column is parsed ONCE into the binary variant encoding
+    (``parse_json``) and fields are then extracted with typed
+    ``variant_get`` paths — the modern replacement for per-access
+    ``get_json_object`` string re-parsing (fn_json,
+    operators/functions.py:237): one parse, many cheap typed reads,
+    shreddable at the scan at 100 TB (the open-format variant shredding
+    design). DuckDB's native JSON extraction is the oracle — two
+    engines, two binary JSON representations, same typed answer.
+
+    Plan: parse + extract are pure projections (no shuffle); the
+    rollup is one partial agg on O(types) keys."""
+    e = load(spark, sf_dir, "events")
+    ext = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return (
+        ext.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.expr(
+                "CAST(round(CAST(CAST(sum(k) AS DOUBLE) / count(*)"
+                " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("avg_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select("event_type", F.col("n").cast("long"), "sum_k", "avg_k", "n_high")
+        .orderBy("event_type")
     )

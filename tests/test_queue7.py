@@ -2190,3 +2190,54 @@ def test_seasonal_anomaly_finds_injected_spike(spark):
         "%Y-%m-%d %H:%M:%S"
     )
     assert out.hour.iloc[0] == spike_hour
+
+
+# -- tranche 42: native recursive CTE + VARIANT ----------------------------
+
+
+def test_queue7_parity_recursive_native(spark, con):
+    sdf = adv.sql_recursive_cte_native(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.SQL_RECURSIVE_CTE_NATIVE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_recursive_native_equals_unrolled(spark):
+    """Spark's native WITH RECURSIVE executor and the hand-unrolled
+    loop-of-joins produce byte-identical root paths — the two recursion
+    strategies pin each other."""
+    native = (
+        adv.sql_recursive_cte_native(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    unrolled = (
+        adv.hierarchy_unroll_paths(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert native[["node", "root", "depth", "path"]].equals(
+        unrolled[["node", "root", "depth", "path"]]
+    )
+
+
+def test_queue7_parity_variant(spark, con):
+    sdf = adv.scan_json_variant(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.SCAN_JSON_VARIANT_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_variant_typed_access_semantics(spark):
+    """variant_get contract the op relies on: typed extraction, NULL on
+    a missing path, and numeric widening — checked directly."""
+    row = spark.sql(
+        """SELECT variant_get(parse_json('{"k": 7}'), '$.k', 'long') AS k,
+                  variant_get(parse_json('{"k": 7}'), '$.missing', 'long')
+                    AS miss,
+                  variant_get(parse_json('{"k": 7}'), '$.k', 'double') AS kd
+        """
+    ).collect()[0]
+    assert row.k == 7 and row.miss is None and row.kd == 7.0

@@ -153,6 +153,9 @@ def queue_pairs():
         (ext.ts_holt_winters, None),
         (ext.ts_seasonal_residual_anomaly,
          ext.TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE),
+        # tranche 42
+        (adv.sql_recursive_cte_native, adv.SQL_RECURSIVE_CTE_NATIVE_ORACLE),
+        (adv.scan_json_variant, adv.SCAN_JSON_VARIANT_ORACLE),
     ]
     return pairs
 
