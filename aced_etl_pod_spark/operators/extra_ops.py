@@ -3591,3 +3591,250 @@ def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "hour")
         .limit(10)
     )
+
+# ---------------------------------------------------------------------------
+# stat_bootstrap_poisson_ci (round-7+ registration queue, tranche 43)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+# Inverse CDF of Poisson(1) as literal thresholds (P(X<=k), 9dp): the CASE
+# ladder is identical text on both engines, so every weight draw matches.
+_BOOT_W_SQL = (
+    "CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1"
+    " WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3"
+    " WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5 ELSE 6 END"
+)
+
+STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), reps AS (
+      SELECT b.b, base.event_id, base.x,
+             ((base.event_id * {_BOOT_B + 14} + b.b + 1) * 2654435761)
+               % 4294967296 AS h
+      FROM base CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ), weighted AS (
+      SELECT b, x, {_BOOT_W_SQL.replace("u", "((h + 0.5) / 4294967296.0)")} AS w
+      FROM reps
+    ), means AS (
+      SELECT b,
+             CAST(round(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w)
+                  AS DECIMAL(18,9)), 6) AS DOUBLE) AS mean_b
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    ), point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)
+                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS mean_point
+      FROM base
+    )
+    SELECT point.n, CAST({_BOOT_B} AS BIGINT) AS b_replicas,
+           point.mean_point,
+           CAST(round(CAST(quantile_cont(mean_b, 0.025) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS ci_lo,
+           CAST(round(CAST(quantile_cont(mean_b, 0.975) AS DECIMAL(18,9)), 4)
+                AS DOUBLE) AS ci_hi
+    FROM means CROSS JOIN point
+    GROUP BY point.n, point.mean_point
+"""
+
+
+def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the purchase-value mean
+    — THE distributed resampling trick: instead of drawing n rows with
+    replacement (which needs global coordination), each row enters each
+    of B replicas with an independent Poisson(1) weight, which converges
+    to the multinomial bootstrap and needs only row-local randomness.
+    Every weight is SEEDED from a knuth-hash of (event_id, replica)
+    through a literal Poisson(1) inverse-CDF ladder, so both engines
+    draw the same resamples and the whole CI is replayable (the same
+    auditability argument as dp_noisy_count_laplace).
+
+    Plan: filter → ×B explode (the only blowup, bounded by B=50) → one
+    partial agg keyed by replica (weights are integers, values decimal
+    cents, so replica sums are EXACT) → exact percentile over the O(B)
+    replica-mean table. No global sort, no driver-side resampling."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = e.select(
+        "event_id", F.round("value", 2).cast("decimal(18,2)").alias("x")
+    )
+    reps = base.crossJoin(
+        F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
+    ).withColumn(
+        "h",
+        (
+            (F.col("event_id") * (_BOOT_B + 14) + F.col("b") + 1)
+            * F.lit(2654435761)
+        )
+        % F.lit(4294967296),
+    )
+    weighted = reps.select(
+        "b",
+        "x",
+        F.expr(
+            _BOOT_W_SQL.replace("u", "((h + 0.5) / 4294967296.0)")
+        ).alias("w"),
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("sw"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+        .select(
+            F.expr(
+                "CAST(round(CAST(CAST(sw AS DOUBLE) / tw AS DECIMAL(18,9)),"
+                " 6) AS DOUBLE)"
+            ).alias("mean_b")
+        )
+    )
+    point = base.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)"
+            " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+        ).alias("mean_point"),
+    )
+    ci = means.agg(
+        F.expr(
+            "CAST(round(CAST(percentile(mean_b, 0.025) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("ci_lo"),
+        F.expr(
+            "CAST(round(CAST(percentile(mean_b, 0.975) AS DECIMAL(18,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(_BOOT_B).cast("long").alias("b_replicas"),
+        "mean_point",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation (round-7+ registration queue, tranche 43)
+# ---------------------------------------------------------------------------
+
+TS_CROSS_CORRELATION_ORACLE = """
+    WITH xs AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), ys AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), xstat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+             sum(((SELECT count(*) FROM xs) * v - (SELECT sum(v) FROM xs))
+                 * ((SELECT count(*) FROM xs) * v - (SELECT sum(v) FROM xs)))
+               AS den
+      FROM xs
+    ), ystat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+             sum(((SELECT count(*) FROM ys) * v - (SELECT sum(v) FROM ys))
+                 * ((SELECT count(*) FROM ys) * v - (SELECT sum(v) FROM ys)))
+               AS den
+      FROM ys
+    ), lags AS (
+      SELECT unnest(range(-12, 13)) AS k
+    ), num AS (
+      SELECT l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum((xstat.n * x.v - xstat.s) * (ystat.n * y.v - ystat.s)) AS num
+      FROM lags l
+      CROSS JOIN xstat CROSS JOIN ystat
+      JOIN xs x ON TRUE
+      JOIN ys y ON y.h = x.h + l.k * 3600
+      GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_hours, n_pairs,
+           round(CAST(num AS DOUBLE)
+                 / nullif(sqrt(CAST((SELECT den FROM xstat) AS DOUBLE)
+                               * (SELECT den FROM ystat)), 0), 6) AS ccf
+    FROM num
+    ORDER BY lag_hours
+"""
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly 'view' and 'purchase' count
+    series at lags -12..+12 h — the lead/lag detector ("do views lead
+    purchases, and by how much?") behind attribution windows and
+    transfer-function models; a peak at positive k means views lead
+    purchases by k hours. Same integer-deviation trick as
+    ts_autocorrelation (per-series n·v − S, the normalizers cancel), so
+    numerator and both denominator sums are exact BIGINTs; pairs come
+    from epoch-hour equi-joins on the observed grid.
+
+    Plan: two partial aggs collapse the corpus to two O(hours) series;
+    the 25-lag pairing is a broadcast join between those tiny tables —
+    iterate-the-small-table again."""
+    e = load(spark, sf_dir, "events")
+
+    def series(et: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == et)
+            .groupBy(
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                ).alias("h")
+            )
+            .agg(F.count("*").alias("v"))
+        )
+
+    xs, ys = series("view"), series("purchase")
+
+    def stat(s: DataFrame) -> DataFrame:
+        tot = s.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        return (
+            s.crossJoin(F.broadcast(tot))
+            .select(
+                "n",
+                "s",
+                ((F.col("n") * F.col("v") - F.col("s"))
+                 * (F.col("n") * F.col("v") - F.col("s"))).alias("d2"),
+            )
+            .groupBy("n", "s")
+            .agg(F.sum("d2").alias("den"))
+        )
+
+    xstat = stat(xs).select(
+        F.col("n").alias("xn"), F.col("s").alias("xs_"), F.col("den").alias("xden")
+    )
+    ystat = stat(ys).select(
+        F.col("n").alias("yn"), F.col("s").alias("ys_"), F.col("den").alias("yden")
+    )
+    lags = spark.range(-12, 13).select(F.col("id").alias("k"))
+    a = xs.select(F.col("h").alias("ha"), F.col("v").alias("va"))
+    b = ys.select(F.col("h").alias("hb"), F.col("v").alias("vb"))
+    num = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("hb") == F.col("ha") + F.col("k") * 3600)
+        .crossJoin(F.broadcast(xstat))
+        .crossJoin(F.broadcast(ystat))
+        .groupBy("k", "xden", "yden")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                (F.col("xn") * F.col("va") - F.col("xs_"))
+                * (F.col("yn") * F.col("vb") - F.col("ys_"))
+            ).alias("num"),
+        )
+    )
+    return num.select(
+        F.col("k").cast("long").alias("lag_hours"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("num").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("xden").cast("double") * F.col("yden")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("ccf"),
+    ).orderBy("lag_hours")

@@ -156,6 +156,9 @@ def queue_pairs():
         # tranche 42
         (adv.sql_recursive_cte_native, adv.SQL_RECURSIVE_CTE_NATIVE_ORACLE),
         (adv.scan_json_variant, adv.SCAN_JSON_VARIANT_ORACLE),
+        # tranche 43
+        (ext.stat_bootstrap_poisson_ci, ext.STAT_BOOTSTRAP_POISSON_CI_ORACLE),
+        (ext.ts_cross_correlation, ext.TS_CROSS_CORRELATION_ORACLE),
     ]
     return pairs
 
