@@ -275,3 +275,107 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM udtf_events_src)
              PARTITION BY user_id ORDER BY (ts, event_id))"""
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# udf_scalar_arrow (round-7+ registration queue, tranche 44)
+# ---------------------------------------------------------------------------
+
+UDF_SCALAR_ARROW_ORACLE = """
+    SELECT o_orderkey,
+           upper(string_split(o_orderpriority, '-')[2]) AS prio_word,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+    FROM orders
+"""
+
+
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``,
+    SPARK-40307): same row-wise authoring model as udf_scalar_python but
+    the engine ships batches over Arrow instead of pickled rows —
+    closing most of the gap to pandas UDFs while keeping per-row code.
+    Completes the Python-execution ladder the module documents: row
+    pickle UDF < THIS < pandas UDF < map_in_arrow < pure Catalyst.
+    Same-task parity with the built-in-function oracle proves the
+    serialization change never touches semantics."""
+
+    @F.udf(T.StringType(), useArrow=True)
+    def prio_word(p: str) -> str:
+        return p.split("-")[1].upper()
+
+    @F.udf(T.LongType(), useArrow=True)
+    def prio_len(p: str) -> int:
+        return len(p)
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        prio_word("o_orderpriority").alias("prio_word"),
+        prio_len("o_orderpriority").alias("prio_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_python_datasource (round-7+ registration queue, tranche 44)
+# ---------------------------------------------------------------------------
+
+SCAN_PYTHON_DATASOURCE_ORACLE = """
+    WITH r AS (
+      SELECT unnest(range(10000)) AS rid
+    ), hashed AS (
+      SELECT rid, (rid * 2654435761) % 4294967296 AS h FROM r
+    ), rows_ AS (
+      SELECT CAST(rid // 2500 AS INT) AS shard,
+             CAST(round(-10 + (h % 6000) / 100.0, 2) AS DECIMAL(10,2))
+               AS temp,
+             CASE WHEN h % 97 = 0 THEN 'fault' ELSE 'ok' END AS status
+      FROM hashed
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN status = 'fault' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fault,
+           CAST(round(CAST(CAST(sum(temp) AS DOUBLE) / count(*)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_temp
+    FROM rows_
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Python DataSource API (SPARK-44076) exercised end to
+    end: a pure-Python custom source (sources/pysource.py) with REAL
+    partition planning — ``partitions()`` returns 4 InputPartitions and
+    each becomes one Spark task, so the scan parallelizes exactly like a
+    file source. This is the extension point an engine user reaches for
+    when the data lives behind an API no built-in reader speaks.
+
+    The source is a deterministic hash-derived sensor feed, so the
+    DuckDB oracle regenerates the identical content from the same
+    formula — the differential proves the custom reader's rows, typing,
+    and partitioning all arrive intact. Plan: the custom scan then ONE
+    partial agg; per-shard results also pin that every partition was
+    actually read (n = rows-per-shard each)."""
+    from aced_etl_pod_spark.sources.pysource import SensorSynthDataSource
+
+    try:
+        spark.dataSource.register(SensorSynthDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = spark.read.format("sensor_synth").load()
+    return (
+        raw.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "fault", 1).otherwise(0))
+            .cast("long")
+            .alias("n_fault"),
+            F.expr(
+                "CAST(round(CAST(CAST(sum(CAST(temp_c AS DECIMAL(10,2)))"
+                " AS DOUBLE) / count(*) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("avg_temp"),
+        )
+        .select("shard", F.col("n").cast("long"), "n_fault", "avg_temp")
+        .orderBy("shard")
+    )

@@ -1,0 +1,49 @@
+"""Spark 4 Python DataSource API (SPARK-44076): a from-scratch custom
+batch source implemented in pure Python — the extension point that lets
+an engine user plug arbitrary systems (REST feeds, proprietary stores,
+synthetic generators) into ``spark.read.format(...)`` with REAL partition
+planning (each InputPartition becomes one Spark task).
+
+This module ships a deterministic synthetic "sensor" source: every row
+derives from the knuth hash of its id, so the content is a pure function
+of the partition plan — readable in parallel, re-run-stable, and exactly
+reproducible by the DuckDB oracle (operators/udfs.py:scan_python_datasource).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SENSOR_ROWS = 10_000
+SENSOR_SHARDS = 4
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+class SensorSynthDataSource(DataSource):
+    """``spark.read.format("sensor_synth")`` — registered per-session via
+    ``spark.dataSource.register(SensorSynthDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_synth"
+
+    def schema(self) -> str:
+        return "reading_id bigint, shard int, temp_c double, status string"
+
+    def reader(self, schema):  # noqa: ANN001 - API signature
+        return SensorSynthReader()
+
+
+class SensorSynthReader(DataSourceReader):
+    def partitions(self):
+        return [InputPartition(i) for i in range(SENSOR_SHARDS)]
+
+    def read(self, partition):
+        shard = partition.value
+        per = SENSOR_ROWS // SENSOR_SHARDS
+        for rid in range(shard * per, (shard + 1) * per):
+            h = (rid * _KNUTH) % _MOD
+            temp = round(-10 + (h % 6000) / 100.0, 2)
+            status = "fault" if h % 97 == 0 else "ok"
+            yield (rid, shard, temp, status)

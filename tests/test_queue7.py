@@ -2349,3 +2349,46 @@ def test_ccf_detects_lead_lag(spark):
         out = _ext.ts_cross_correlation(spark, SF_SMALL).toPandas()
     best = out.sort_values("ccf", ascending=False).iloc[0]
     assert best.lag_hours == 3 and best.ccf > 0.8
+
+
+# -- tranche 44: Arrow UDF + Python DataSource API -------------------------
+
+
+def test_queue7_parity_arrow_udf(spark, con):
+    from aced_etl_pod_spark.operators import udfs
+
+    sdf = udfs.udf_scalar_arrow(spark, SF_SMALL).toPandas()
+    ddf = con.execute(udfs.UDF_SCALAR_ARROW_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_queue7_parity_python_datasource(spark, con):
+    from aced_etl_pod_spark.operators import udfs
+
+    sdf = udfs.scan_python_datasource(spark, SF_SMALL).toPandas()
+    ddf = con.execute(udfs.SCAN_PYTHON_DATASOURCE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom source's partition plan is REAL: the raw scan has
+    exactly SENSOR_SHARDS input partitions (one task each) and every
+    shard contributes its exact row quota."""
+    from aced_etl_pod_spark.operators import udfs
+    from aced_etl_pod_spark.sources.pysource import (
+        SENSOR_ROWS,
+        SENSOR_SHARDS,
+        SensorSynthDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SensorSynthDataSource)
+    except Exception:
+        pass
+    raw = spark.read.format("sensor_synth").load()
+    assert raw.rdd.getNumPartitions() == SENSOR_SHARDS
+    out = udfs.scan_python_datasource(spark, SF_SMALL).toPandas()
+    assert len(out) == SENSOR_SHARDS
+    assert (out.n == SENSOR_ROWS // SENSOR_SHARDS).all()

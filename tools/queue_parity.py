@@ -159,6 +159,9 @@ def queue_pairs():
         # tranche 43
         (ext.stat_bootstrap_poisson_ci, ext.STAT_BOOTSTRAP_POISSON_CI_ORACLE),
         (ext.ts_cross_correlation, ext.TS_CROSS_CORRELATION_ORACLE),
+        # tranche 44
+        (udfs.udf_scalar_arrow, udfs.UDF_SCALAR_ARROW_ORACLE),
+        (udfs.scan_python_datasource, udfs.SCAN_PYTHON_DATASOURCE_ORACLE),
     ]
     return pairs
 
