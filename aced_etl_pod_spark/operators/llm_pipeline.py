@@ -1221,3 +1221,143 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# seq_sft_chat_render (round-7+ registration queue, tranche 45)
+# ---------------------------------------------------------------------------
+
+SEQ_SFT_CHAT_RENDER_ORACLE = """
+    WITH turns AS (
+      SELECT user_id, event_type AS content,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), first6 AS (
+      SELECT user_id, content, rn,
+             CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      FROM turns WHERE rn <= 6
+    ), pieces AS (
+      SELECT user_id, rn, role, content,
+             CASE WHEN role = 'user'
+                  THEN '[u]' || content || '[/u]'
+                  ELSE '[a]' || content || '[/a]' END AS piece
+      FROM first6
+    ), offs AS (
+      SELECT user_id, rn, role, content, piece,
+             3 + coalesce(sum(length(piece)) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS piece_start
+      FROM pieces
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           '<s>' || string_agg(piece, '' ORDER BY rn) AS rendered,
+           CAST(3 + sum(length(piece)) AS BIGINT) AS total_len,
+           coalesce(string_agg(
+             CASE WHEN role = 'assistant'
+                  THEN CAST(piece_start + 3 AS VARCHAR) || '-'
+                       || CAST(piece_start + 3 + length(content) AS VARCHAR)
+             END, ';' ORDER BY rn), '') AS mask_spans
+    FROM offs
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def seq_sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering — the supervised-fine-tuning data-prep
+    stage between curated conversations and tokenized shards: each
+    user's first 6 events (ordered by ts, event_id) become alternating
+    user/assistant turns, rendered into one template string with role
+    delimiters, PLUS the assistant-content byte spans ("s-e;s-e") that
+    downstream loss masking needs (train only on assistant tokens — the
+    standard SFT recipe). Span offsets are pure integer arithmetic over
+    a cumulative-length window, so the mask provably indexes the exact
+    assistant substrings (asserted by slicing in the gate test).
+
+    Plan: ONE per-user window (shared user_id exchange), then the
+    render is a sorted string agg and the spans a conditional agg over
+    the same window pass — no second shuffle. At 100 TB conversations
+    arrive pre-grouped; the same template/mask algebra applies per
+    conversation shard."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("content"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 6)
+        .withColumn(
+            "role",
+            F.when(F.col("rn") % 2 == 1, "user").otherwise("assistant"),
+        )
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("role") == "user",
+                F.concat(F.lit("[u]"), F.col("content"), F.lit("[/u]")),
+            ).otherwise(
+                F.concat(F.lit("[a]"), F.col("content"), F.lit("[/a]"))
+            ),
+        )
+    )
+    wlen = W.partitionBy("user_id").orderBy("rn").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = turns.withColumn(
+        "piece_start",
+        F.lit(3) + F.coalesce(F.sum(F.length("piece")).over(wlen), F.lit(0)),
+    ).withColumn(
+        "span",
+        F.when(
+            F.col("role") == "assistant",
+            F.concat_ws(
+                "-",
+                (F.col("piece_start") + 3).cast("string"),
+                (F.col("piece_start") + 3 + F.length("content")).cast(
+                    "string"
+                ),
+            ),
+        ),
+    )
+    return (
+        offs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.concat(
+                F.lit("<s>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", "piece"))
+                        ),
+                        lambda x: x["piece"],
+                    ),
+                    "",
+                ),
+            ).alias("rendered"),
+            (F.lit(3) + F.sum(F.length("piece"))).cast("long").alias(
+                "total_len"
+            ),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(F.struct("rn", "span"))
+                            ),
+                            lambda x: x["span"].isNotNull(),
+                        ),
+                        lambda x: x["span"],
+                    ),
+                    ";",
+                ),
+                F.lit(""),
+            ).alias("mask_spans"),
+        )
+        .orderBy("user_id")
+    )

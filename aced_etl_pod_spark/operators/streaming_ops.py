@@ -639,3 +639,59 @@ def stream_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "committed_batches long, quarantined_batches long,"
         " committed_rows long, quarantined_rows long",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_python_datasource (round-7+ registration queue, tranche 45)
+# ---------------------------------------------------------------------------
+
+STREAM_PYTHON_DATASOURCE_ORACLE = """
+    WITH r AS (
+      SELECT unnest(range(5000)) AS rid
+    ), rows_ AS (
+      SELECT rid % 8 AS grp,
+             CAST(round(((rid * 2654435761) % 4294967296 % 10000) / 100.0, 2)
+                  AS DECIMAL(10,2)) AS amt
+      FROM r
+    )
+    SELECT CAST(grp AS INT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amt) AS DOUBLE) AS total
+    FROM rows_
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of Spark 4's Python DataSource API
+    (SimpleDataSourceStreamReader, SPARK-45511): a custom tick source
+    whose offsets advance 500 rows per micro-batch until 5000, then
+    idle — so ``processAllAvailable`` drains exactly 10 batches and the
+    grouped totals must account for every row exactly once. Offset
+    bookkeeping (initialOffset/read/readBetweenOffsets/commit) is the
+    exactly-once contract: rows lost at a batch boundary or replayed
+    across one would break the count/total parity with the DuckDB
+    regeneration of the same deterministic feed.
+
+    Complete-mode grouped aggregation over the stream → memory sink —
+    the same drain harness every stream_* op uses (streaming/replay.py).
+    The batch sibling scan_python_datasource covers partition planning;
+    together they exercise both halves of the custom-source API."""
+    from aced_etl_pod_spark.sources.pysource import TickerSynthDataSource
+
+    try:
+        spark.dataSource.register(TickerSynthDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = spark.readStream.format("ticker_synth").load()
+    agg = raw.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("amt").cast("decimal(10,2)")).alias("total_dec"),
+    )
+    out = run_to_memory(agg, "t_pyds", "complete")
+    return out.select(
+        F.col("grp").cast("int").alias("grp"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_dec").cast("double").alias("total"),
+    ).orderBy("grp")

@@ -12,7 +12,12 @@ reproducible by the DuckDB oracle (operators/udfs.py:scan_python_datasource).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SENSOR_ROWS = 10_000
 SENSOR_SHARDS = 4
@@ -47,3 +52,52 @@ class SensorSynthReader(DataSourceReader):
             temp = round(-10 + (h % 6000) / 100.0, 2)
             status = "fault" if h % 97 == 0 else "ok"
             yield (rid, shard, temp, status)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the API: SimpleDataSourceStreamReader (SPARK-45511)
+# ---------------------------------------------------------------------------
+
+TICKER_ROWS = 5_000
+TICKER_BATCH = 500
+
+
+def _ticker_row(rid: int):
+    h = (rid * _KNUTH) % _MOD
+    return (rid, int(rid % 8), round((h % 10000) / 100.0, 2))
+
+
+class TickerSynthDataSource(DataSource):
+    """``spark.readStream.format("ticker_synth")`` — a deterministic
+    bounded tick feed: offsets advance by TICKER_BATCH rows per
+    micro-batch until TICKER_ROWS, then the stream idles (empty batches,
+    offset unchanged), so ``processAllAvailable`` drains it exactly."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ticker_synth"
+
+    def schema(self) -> str:
+        return "rid bigint, grp int, amt double"
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001 - API signature
+        return TickerSynthStreamReader()
+
+
+class TickerSynthStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"rid": 0}
+
+    def read(self, start: dict):
+        s = int(start["rid"])
+        e = min(s + TICKER_BATCH, TICKER_ROWS)
+        return iter([_ticker_row(r) for r in range(s, e)]), {"rid": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Deterministic regeneration makes micro-batch replay exact.
+        return iter(
+            [_ticker_row(r) for r in range(int(start["rid"]), int(end["rid"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -2392,3 +2392,46 @@ def test_python_datasource_partition_planning(spark):
     out = udfs.scan_python_datasource(spark, SF_SMALL).toPandas()
     assert len(out) == SENSOR_SHARDS
     assert (out.n == SENSOR_ROWS // SENSOR_SHARDS).all()
+
+
+# -- tranche 45: streaming Python DataSource + SFT chat render -------------
+
+
+def test_queue7_parity_stream_pyds(spark, con):
+    from aced_etl_pod_spark.operators import streaming_ops as so
+
+    sdf = so.stream_python_datasource(spark, SF_SMALL).toPandas()
+    ddf = con.execute(so.STREAM_PYTHON_DATASOURCE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+    # exactly-once accounting: every generated row in exactly one group
+    assert sdf.n.sum() == 5000
+
+
+def test_queue7_parity_sft_render(spark, con):
+    sdf = llm.seq_sft_chat_render(spark, SF_SMALL).toPandas()
+    ddf = con.execute(llm.SEQ_SFT_CHAT_RENDER_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_sft_mask_spans_index_assistant_content(spark):
+    """The loss-mask contract: slicing every span out of the rendered
+    string yields exactly the assistant contents, in turn order, and
+    never overlaps a [u] region; user turns are the odd positions."""
+    out = llm.seq_sft_chat_render(spark, SF_SMALL).toPandas()
+    checked = 0
+    for r in out.itertuples():
+        assert r.rendered.startswith("<s>")
+        assert len(r.rendered) == r.total_len
+        if not r.mask_spans:
+            continue
+        for span in r.mask_spans.split(";"):
+            s, e = map(int, span.split("-"))
+            frag = r.rendered[s:e]
+            # the span content is wrapped by [a]...[/a] in the render
+            assert r.rendered[s - 3:s] == "[a]"
+            assert r.rendered[e:e + 4] == "[/a]"
+            assert "[u]" not in frag and "[a]" not in frag
+            checked += 1
+    assert checked > 20

@@ -162,6 +162,9 @@ def queue_pairs():
         # tranche 44
         (udfs.udf_scalar_arrow, udfs.UDF_SCALAR_ARROW_ORACLE),
         (udfs.scan_python_datasource, udfs.SCAN_PYTHON_DATASOURCE_ORACLE),
+        # tranche 45
+        (so.stream_python_datasource, so.STREAM_PYTHON_DATASOURCE_ORACLE),
+        (llm.seq_sft_chat_render, llm.SEQ_SFT_CHAT_RENDER_ORACLE),
     ]
     return pairs
 
