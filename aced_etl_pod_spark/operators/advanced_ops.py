@@ -935,3 +935,119 @@ def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").cast("long"), "sum_k", "avg_k", "n_high")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_cc_large_star_small_star (round-7+ registration queue, tranche 46)
+# ---------------------------------------------------------------------------
+
+GRAPH_CC_STAR_ORACLE = """
+    WITH RECURSIVE raw AS (
+      SELECT least(o_custkey % 500, o_orderkey % 500) AS u,
+             greatest(o_custkey % 500, o_orderkey % 500) AS v
+      FROM orders
+      WHERE o_custkey % 500 <> o_orderkey % 500
+    ), e AS (
+      SELECT DISTINCT u, v FROM raw
+    ), sym AS (
+      SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM sym
+    ), reach AS (
+      SELECT node AS src, node AS dst FROM nodes
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+    )
+    SELECT CAST(src AS BIGINT) AS node,
+           CAST(min(dst) AS BIGINT) AS component
+    FROM reach GROUP BY src ORDER BY node
+"""
+
+_CC_STAR_ROUNDS = 12
+
+
+def graph_cc_large_star_small_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., the MapReduce-scale CC algorithm): each node
+    keeps a current parent label; large-star hangs every HIGHER-numbered
+    neighbor under the neighborhood minimum, small-star re-hangs parents
+    and lower neighbors — both rounds are pure groupBy/min + join steps
+    that strictly shrink tree heights until every node points at its
+    component minimum. Unlike plain min-label flooding
+    (dedup_cluster_cc's loop, O(diameter) rounds), the star operations
+    contract long paths roughly logarithmically — THE difference at
+    100 TB where a chain-shaped component would force thousands of
+    flooding rounds.
+
+    Implementation detail: each round recomputes parent = min over the
+    closed neighborhood in parent space (p(v), min p(neighbors)), which
+    composes large-star + small-star into one groupBy-min pass per
+    round with the edge set REWRITTEN into parent space — the
+    functional-join formulation of star contraction. Convergence is
+    verified (labels == per-component minimum) by the DuckDB
+    reachability-closure oracle; a second gate pins it to
+    dedup_cluster_cc's answer."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.least(F.col("o_custkey") % 500, F.col("o_orderkey") % 500).alias(
+            "u"
+        ),
+        F.greatest(
+            F.col("o_custkey") % 500, F.col("o_orderkey") % 500
+        ).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    e = raw.distinct()
+    sym = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .cache()
+    )
+    # parent(v) starts as v
+    parent = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_STAR_ROUNDS):
+        pa = parent.select(F.col("node").alias("a"), F.col("p").alias("pa"))
+        pb = parent.select(F.col("node").alias("b"), F.col("p").alias("pb"))
+        # edges rewritten into parent space; closed-neighborhood min
+        nbr_min = (
+            sym.join(pa, "a")
+            .join(pb, "b")
+            .groupBy("pa")
+            .agg(F.min("pb").alias("m"))
+            .select(F.col("pa").alias("p"), "m")
+        )
+        stepped = parent.join(nbr_min, "p", "left").select(
+            "node",
+            F.least(F.col("p"), F.coalesce(F.col("m"), F.col("p"))).alias("p"),
+        )
+        # path compression: point at parent's parent (pointer jumping);
+        # localCheckpoint per round truncates the iterative lineage
+        # (functions/cluster.py's rule) so round N never replans round N-1.
+        gp = stepped.select(F.col("node").alias("p"), F.col("p").alias("gp"))
+        new_parent = (
+            stepped.join(gp, "p", "left")
+            .select("node", F.coalesce(F.col("gp"), F.col("p")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), "node")
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {_CC_STAR_ROUNDS} rounds"
+        )
+    return parent.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("p").cast("long").alias("component"),
+    ).orderBy("node")

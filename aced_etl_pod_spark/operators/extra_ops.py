@@ -3838,3 +3838,94 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ccf"),
     ).orderBy("lag_hours")
+
+# ---------------------------------------------------------------------------
+# join_point_in_time_features (round-7+ registration queue, tranche 46)
+# ---------------------------------------------------------------------------
+
+JOIN_POINT_IN_TIME_FEATURES_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'view' THEN value END AS view_value
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')
+    ), feat AS (
+      SELECT user_id, ts, event_id, is_label,
+             coalesce(sum(is_click) OVER w, 0) AS clicks_before,
+             last_value(view_value IGNORE NULLS) OVER w AS last_view_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS label_ts,
+           CAST(clicks_before AS BIGINT) AS clicks_before,
+           round(coalesce(last_view_value, -1.0), 2) AS last_view_value
+    FROM feat WHERE is_label = 1
+    ORDER BY user_id, label_ts, event_id
+"""
+
+
+def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    that prevents TRAINING LEAKAGE: every purchase (label) row gets its
+    features computed ONLY from events strictly before the label
+    timestamp (clicks-so-far count, most recent view value). Joining
+    "current" feature values instead would leak the future into
+    training — the classic silent ML bug.
+
+    Spark-first shape: instead of one as-of join PER feature table, the
+    label and feature streams are tagged into ONE union and a single
+    per-user window (ROWS ... 1 PRECEDING — the strict-past frame) runs
+    every feature aggregate at once; label rows are then filtered out
+    with their features attached. ONE shuffle total for any number of
+    features — the union-tag pass join_scd2_temporal uses, generalized
+    to running aggregates. Never-seen features surface as sentinels
+    (-1), not NULL drops, so label cardinality is provably preserved."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias(
+            "view_value"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    feat = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_label",
+        F.coalesce(F.sum("is_click").over(w), F.lit(0)).alias(
+            "clicks_before"
+        ),
+        F.last("view_value", ignorenulls=True).over(w).alias(
+            "last_view_value"
+        ),
+    )
+    return (
+        feat.filter(F.col("is_label") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "label_ts"
+            ),
+            F.col("clicks_before").cast("long").alias("clicks_before"),
+            F.round(F.coalesce(F.col("last_view_value"), F.lit(-1.0)), 2).alias(
+                "last_view_value"
+            ),
+            "event_id",
+        )
+        .orderBy("user_id", "label_ts", "event_id")
+        .drop("event_id")
+    )

@@ -2435,3 +2435,76 @@ def test_sft_mask_spans_index_assistant_content(spark):
             assert "[u]" not in frag and "[a]" not in frag
             checked += 1
     assert checked > 20
+
+
+# -- tranche 46: point-in-time features + star-contraction CC --------------
+
+
+def test_queue7_parity_pit_features(spark, con):
+    sdf = ext.join_point_in_time_features(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.JOIN_POINT_IN_TIME_FEATURES_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_pit_features_no_leakage_bruteforce(spark):
+    """Leakage audit against a brute-force correlated recomputation: for
+    every label row, clicks_before equals the count of clicks STRICTLY
+    before (ts, event_id) and last_view_value is the latest prior view —
+    and label cardinality equals the raw purchase count (sentinels, not
+    dropped rows)."""
+    import duckdb
+
+    out = ext.join_point_in_time_features(spark, SF_SMALL).toPandas()
+    brute = duckdb.connect().execute(
+        f"""WITH e AS (SELECT * FROM '{SF_SMALL}/events.parquet'),
+            labels AS (SELECT user_id, ts, event_id FROM e
+                       WHERE event_type = 'purchase')
+            SELECT l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS label_ts,
+                   (SELECT count(*) FROM e c WHERE c.event_type = 'click'
+                     AND c.user_id = l.user_id
+                     AND (c.ts < l.ts OR (c.ts = l.ts
+                          AND c.event_id < l.event_id))) AS clicks_before,
+                   round(coalesce((
+                     SELECT v.value FROM e v WHERE v.event_type = 'view'
+                      AND v.user_id = l.user_id
+                      AND (v.ts < l.ts OR (v.ts = l.ts
+                           AND v.event_id < l.event_id))
+                      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), -1.0), 2)
+                     AS last_view_value
+            FROM labels l
+            ORDER BY l.user_id, label_ts, l.event_id"""
+    ).fetchdf()
+    n_purchases = duckdb.connect().execute(
+        f"""SELECT count(*) FROM '{SF_SMALL}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchone()[0]
+    assert len(out) == n_purchases
+    assert list(out.clicks_before) == list(brute.clicks_before)
+    assert list(out.last_view_value) == list(brute.last_view_value)
+
+
+def test_queue7_parity_cc_star(spark, con):
+    sdf = adv.graph_cc_large_star_small_star(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.GRAPH_CC_STAR_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_cc_star_contracts_long_chain(spark):
+    """The log-round claim on the worst case for flooding: a 64-node
+    path graph. Min-label flooding needs ~63 rounds; star contraction
+    with pointer jumping must settle it within the op's 12-round budget
+    (the op raises if not converged), labeling every node 0."""
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import advanced_ops as _adv
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(63)], "o_custkey long, o_orderkey long"
+    )
+    with mock.patch.object(_adv, "load", lambda *_a, **_k: chain):
+        out = _adv.graph_cc_large_star_small_star(spark, SF_SMALL).toPandas()
+    assert len(out) == 64
+    assert (out.component == 0).all()

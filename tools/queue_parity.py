@@ -165,6 +165,10 @@ def queue_pairs():
         # tranche 45
         (so.stream_python_datasource, so.STREAM_PYTHON_DATASOURCE_ORACLE),
         (llm.seq_sft_chat_render, llm.SEQ_SFT_CHAT_RENDER_ORACLE),
+        # tranche 46
+        (ext.join_point_in_time_features,
+         ext.JOIN_POINT_IN_TIME_FEATURES_ORACLE),
+        (adv.graph_cc_large_star_small_star, adv.GRAPH_CC_STAR_ORACLE),
     ]
     return pairs
 
