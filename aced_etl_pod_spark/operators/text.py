@@ -12,6 +12,7 @@ tests/test_dedup.py (SURVEY §7.3.5).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs
@@ -1005,4 +1006,182 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope",
         )
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup_c4 (round-7+ registration queue, tranche 47)
+# ---------------------------------------------------------------------------
+
+TEXT_LINE_DEDUP_C4_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), spans AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(l[(i.i * 8 + 1):least((i.i + 1) * 8, len(l))],
+                             ' ') AS line
+      FROM toks,
+           (SELECT unnest(range(0, 64)) AS i) i
+      WHERE i.i * 8 < len(l)
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+               AS occ
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, pos, line FROM ranked WHERE occ = 1
+    ), stats AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) - count(k.line) AS BIGINT) AS n_dropped,
+             coalesce(string_agg(k.line, ' ' ORDER BY s.pos), '')
+               AS kept_text
+      FROM spans s
+      LEFT JOIN kept k ON k.doc_id = s.doc_id AND k.pos = s.pos
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_lines, n_dropped, kept_text
+    FROM stats ORDER BY doc_id
+"""
+
+
+def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global LINE deduplication — the web-corpus step
+    that strips boilerplate (nav bars, cookie banners, license headers)
+    repeated across pages: every document is segmented into lines (the
+    fixture's word-soup texts use non-overlapping 8-word spans as the
+    line unit), any line occurring more than once in the WHOLE corpus
+    keeps only its first occurrence (min (doc_id, pos) — C4's
+    keep-one-of-any-repeated-span rule), and documents are reassembled
+    from their surviving lines in order.
+
+    Scale shape: one explode to the (doc_id, pos, line) table, ONE
+    shuffle keyed by line for the global first-occurrence window (at
+    100 TB, hash the line to a 16-byte digest first so only digests
+    shuffle — dedup_exact_hash's rule; the digest swap changes no
+    semantics), then one groupBy(doc_id) to reassemble. Documents whose
+    every line is boilerplate come back EMPTY, not missing — cardinality
+    is preserved for the downstream mixture accounting."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    spans = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("l") - 1) / 8).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("l"),
+                            i * 8 + 1,
+                            F.least(
+                                F.lit(8), F.size("l") - i * 8
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+    )
+    w = W.partitionBy("line").orderBy("doc_id", "pos")
+    ranked = spans.withColumn("occ", F.row_number().over(w))
+    kept = ranked.filter(F.col("occ") == 1).select(
+        "doc_id", "pos", F.col("line").alias("kline")
+    )
+    stats = (
+        spans.join(kept, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.count("*") - F.count("kline")).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "kline"))
+                            ),
+                            lambda x: x["kline"].isNotNull(),
+                        ),
+                        lambda x: x["kline"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )
+    return stats.select(
+        "doc_id", "n_lines", "n_dropped", "kept_text"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# fn_unicode_normalize_nfc (round-7+ registration queue, tranche 47)
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is ASCII, where NFC is the identity — so the op first
+# DERIVES a decomposed-form column (every 'e' becomes 'e' + U+0301 combining
+# acute, same replace on both engines) and then normalizes THAT, making the
+# differential compare two independent Unicode implementations doing real
+# composition work (Python unicodedata vs DuckDB's utf8proc).
+FN_UNICODE_NFC_ORACLE = """
+    WITH derived AS (
+      SELECT doc_id,
+             replace(substr(text, 1, 40), 'e', 'e' || chr(769)) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_cp,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp,
+           length(raw) <> length(nfc_normalize(raw)) AS composed,
+           substr(nfc_normalize(raw), 1, 20) AS nfc_prefix
+    FROM derived
+    ORDER BY doc_id
+"""
+
+
+def fn_unicode_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the text-cleanup stage every
+    multilingual corpus needs before hashing/dedup (decomposed "e +
+    combining accent" and precomposed "é" are different byte strings but
+    the SAME text; unnormalized corpora silently split duplicate groups
+    and vocabulary entries). Spark has no built-in normalizer, so this
+    is an honest Arrow-optimized Python UDF over ``unicodedata`` —
+    batch-shipped, stateless, the right tool for a per-row library call.
+
+    The differential pits two INDEPENDENT implementations of the Unicode
+    standard against each other (CPython's unicodedata vs DuckDB's
+    utf8proc) on derived decomposed text — they must agree codepoint for
+    codepoint. Codepoint counts before/after prove real composition
+    happened (raw_cp > nfc_cp wherever an 'e' existed)."""
+    import unicodedata
+
+    @F.udf("string", useArrow=True)
+    def nfc(s: str) -> str:
+        return unicodedata.normalize("NFC", s)
+
+    d = load(spark, sf_dir, "documents")
+    derived = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 40), "e", "e\u0301"
+        ).alias("raw"),
+    )
+    return (
+        derived.select(
+            "doc_id",
+            F.length("raw").cast("long").alias("raw_cp"),
+            F.length(nfc(F.col("raw"))).cast("long").alias("nfc_cp"),
+            (F.length("raw") != F.length(nfc(F.col("raw")))).alias(
+                "composed"
+            ),
+            F.substring(nfc(F.col("raw")), 1, 20).alias("nfc_prefix"),
+        )
+        .orderBy("doc_id")
     )

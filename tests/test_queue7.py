@@ -2508,3 +2508,62 @@ def test_cc_star_contracts_long_chain(spark):
         out = _adv.graph_cc_large_star_small_star(spark, SF_SMALL).toPandas()
     assert len(out) == 64
     assert (out.component == 0).all()
+
+
+# -- tranche 47: C4 line dedup + NFC normalization -------------------------
+
+
+def test_queue7_parity_line_dedup(spark, con):
+    sdf = txt.text_line_dedup_c4(spark, SF_SMALL).toPandas()
+    ddf = con.execute(txt.TEXT_LINE_DEDUP_C4_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    """An injected corpus with a known repeated boilerplate line: the
+    first document keeps it, every later occurrence is dropped, unique
+    lines all survive, and a document that is pure boilerplate comes
+    back empty but present."""
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import text as _txt
+
+    boiler = " ".join(["cookie"] * 8)
+    uniq = lambda i: " ".join(f"w{i}x{j}" for j in range(8))  # noqa: E731
+    docs = [
+        (0, boiler + " " + uniq(0)),
+        (1, uniq(1) + " " + boiler),
+        (2, boiler),
+    ]
+    feed = spark.createDataFrame(docs, "doc_id long, text string")
+    with mock.patch.object(_txt, "load", lambda *_a, **_k: feed):
+        out = _txt.text_line_dedup_c4(spark, SF_SMALL).toPandas()
+    by_id = {int(r.doc_id): r for r in out.itertuples()}
+    assert by_id[0].kept_text == boiler + " " + uniq(0)
+    assert by_id[0].n_dropped == 0
+    assert by_id[1].kept_text == uniq(1)
+    assert by_id[1].n_dropped == 1
+    assert by_id[2].kept_text == "" and by_id[2].n_dropped == 1
+    assert len(out) == 3  # cardinality preserved
+
+
+def test_queue7_parity_nfc(spark, con):
+    sdf = txt.fn_unicode_normalize_nfc(spark, SF_SMALL).toPandas()
+    ddf = con.execute(txt.FN_UNICODE_NFC_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_nfc_actually_composes(spark):
+    """Every derived row containing an 'e' must compose (raw_cp >
+    nfc_cp), and the composed prefix round-trips through Python's
+    unicodedata as already-NFC."""
+    import unicodedata
+
+    out = txt.fn_unicode_normalize_nfc(spark, SF_SMALL).toPandas()
+    comp = out[out.composed]
+    assert len(comp) > 100
+    assert (comp.raw_cp > comp.nfc_cp).all()
+    for p in comp.nfc_prefix.head(50):
+        assert unicodedata.is_normalized("NFC", p)

@@ -169,6 +169,9 @@ def queue_pairs():
         (ext.join_point_in_time_features,
          ext.JOIN_POINT_IN_TIME_FEATURES_ORACLE),
         (adv.graph_cc_large_star_small_star, adv.GRAPH_CC_STAR_ORACLE),
+        # tranche 47
+        (txt.text_line_dedup_c4, txt.TEXT_LINE_DEDUP_C4_ORACLE),
+        (txt.fn_unicode_normalize_nfc, txt.FN_UNICODE_NFC_ORACLE),
     ]
     return pairs
 
