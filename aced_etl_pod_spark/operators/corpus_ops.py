@@ -2768,3 +2768,216 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_mixture_rebalance (round-7+ registration queue, tranche 48)
+# ---------------------------------------------------------------------------
+
+# Target language mixture for the rebalanced corpus (sums to 1):
+_MIX_TARGET_SQL = (
+    "CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.20 WHEN 'de' THEN 0.15"
+    " WHEN 'fr' THEN 0.15 ELSE 0.10 END"
+)
+
+PIPELINE_MIXTURE_REBALANCE_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c,
+             {_MIX_TARGET_SQL} AS t
+      FROM documents GROUP BY lang
+    ), m AS (
+      SELECT min(c / t) AS m_eff FROM counts
+    ), rates AS (
+      SELECT lang, c, t,
+             CAST(floor(t * (SELECT m_eff FROM m) / c * 10000) AS BIGINT)
+               AS keep_bp
+      FROM counts
+    ), kept AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS kept
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 10000
+              < r.keep_bp
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.c AS n_before,
+           CAST(r.t AS DOUBLE) AS target_share, r.keep_bp,
+           coalesce(k.kept, 0) AS n_kept,
+           round(CAST(coalesce(k.kept, 0) AS DOUBLE)
+                 / (SELECT sum(kept) FROM kept), 4) AS realized_share
+    FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+    ORDER BY r.lang
+"""
+
+
+def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing to TARGET language proportions — the
+    data-mixing step every pre-training run specifies ("40% en, 20% zh,
+    …"): from the observed per-language counts, solve for the largest
+    effective corpus M = min(c_l / t_l) that the targets allow without
+    upsampling, convert to per-language keep rates t_l·M / c_l (the
+    binding language keeps 100%), and apply them as deterministic
+    knuth-hash bucket filters — sample_importance_weighted's mechanism
+    driven by a mixture SOLVER instead of fixed quality tiers.
+
+    Rates are floored to basis points so both engines filter on the
+    same integer threshold. The audit row per language reports before/
+    target/kept/realized-share; realized tracks target to within
+    quantization (asserted in the gate test). Plan: one O(langs) counts
+    agg, the solver is O(langs) arithmetic, and the apply is a pure
+    pushdown-able hash filter — zero extra shuffles at any corpus
+    size."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("c")).withColumn(
+        "t", F.expr(_MIX_TARGET_SQL)
+    )
+    m = counts.agg(F.min(F.col("c") / F.col("t")).alias("m_eff"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "c",
+        "t",
+        F.floor(F.col("t") * F.col("m_eff") / F.col("c") * 10000)
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    bucket = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        % F.lit(4294967296)
+    ) % 10000
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_bp"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+    )
+    tot_kept = kept.agg(F.sum("kept").alias("tk"))
+    return (
+        rates.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(tot_kept))
+        .select(
+            "lang",
+            F.col("c").alias("n_before"),
+            F.col("t").cast("double").alias("target_share"),
+            "keep_bp",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("kept"), F.lit(0)).cast("double")
+                / F.col("tk"),
+                4,
+            ).alias("realized_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_moments_mergeable_chan (round-7+ registration queue, tranche 48)
+# ---------------------------------------------------------------------------
+
+AGG_MOMENTS_MERGEABLE_CHAN_ORACLE = """
+    WITH cents AS (
+      SELECT user_id % 8 AS shard,
+             CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      FROM events
+    ), means AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)
+                  AS DECIMAL(28,9)), 6) AS DOUBLE) AS mean
+      FROM cents GROUP BY shard
+    ), partials AS (
+      SELECT c.shard, m.n, m.mean,
+             CAST(sum(CAST(round(CAST((c.x - m.mean) * (c.x - m.mean)
+                  AS DECIMAL(28,9)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS m2
+      FROM cents c JOIN means m ON m.shard = c.shard
+      GROUP BY c.shard, m.n, m.mean
+    ), folded AS (
+      -- DuckDB's list_reduce evaluates result-struct fields SEQUENTIALLY
+      -- against a mutating accumulator (later fields see earlier updated
+      -- ones), so fields are ordered m2 -> mean -> n: each expression
+      -- reads only fields that have not been overwritten yet.
+      SELECT list_reduce(
+               list_prepend(
+                 {'m2': CAST(0.0 AS DOUBLE), 'mean': CAST(0.0 AS DOUBLE),
+                  'n': CAST(0 AS BIGINT)},
+                 list({'m2': m2, 'mean': mean, 'n': n} ORDER BY shard)),
+               (acc, s) -> {
+                 'm2': acc.m2 + s.m2 + (s.mean - acc.mean)
+                         * (s.mean - acc.mean) * acc.n * s.n
+                         / (acc.n + s.n),
+                 'mean': acc.mean + (s.mean - acc.mean) * s.n
+                           / (acc.n + s.n),
+                 'n': acc.n + s.n}
+             ) AS st
+      FROM partials
+    )
+    SELECT CAST(st.n AS BIGINT) AS n,
+           CAST(round(CAST(st.mean AS DECIMAL(28,9)), 4) AS DOUBLE) AS mean,
+           CAST(round(CAST(st.m2 / (st.n - 1) AS DECIMAL(28,9)), 4)
+                AS DOUBLE) AS var_samp
+    FROM folded
+"""
+
+
+def agg_moments_mergeable_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable second-moment partials (Chan et al. parallel variance)
+    — the exact-moments member of the persisted-partial suite (HLL for
+    distincts, CMS for frequencies, histograms for quantiles, THIS for
+    mean/variance): each shard keeps (n, mean, M2); partials compose
+    with Chan's update mean' = mean_A + δ·n_B/n_AB, M2' = M2_A + M2_B +
+    δ²·n_A·n_B/n_AB — so per-day/per-shard stats persist and global
+    stats come from folding O(shards) rows, never rescanning data. The
+    naive Σx² − (Σx)²/n alternative cancels catastrophically on offset
+    data (proven in the gate test); Chan's form is how you keep exact
+    variance mergeable AND stable.
+
+    Cross-engine determinism: float folds are order-sensitive, so the
+    fold runs over the SORTED shard-partial list with an explicit
+    higher-order reduce on BOTH engines (Spark F.aggregate / DuckDB
+    list_reduce) — same order, same IEEE ops, identical result. Shard
+    M2s are decimal-rounded per term so the within-shard sums are
+    order-independent too."""
+    e = load(spark, sf_dir, "events")
+    cents = e.select(
+        (F.col("user_id") % 8).alias("shard"),
+        F.round("value", 2).cast("decimal(18,2)").alias("x"),
+    )
+    means = cents.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)"
+            " AS DECIMAL(28,9)), 6) AS DOUBLE)"
+        ).alias("mean"),
+    )
+    partials = (
+        cents.join(F.broadcast(means), "shard")
+        .groupBy("shard", "n", "mean")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(CAST((x - mean) * (x - mean)"
+                " AS DECIMAL(28,9)), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("m2")
+        )
+    )
+    folded = partials.agg(
+        F.expr(
+            "aggregate("
+            "  array_sort(collect_list(struct(shard, n, mean, m2))),"
+            "  named_struct('n', CAST(0 AS BIGINT), 'mean', CAST(0.0 AS"
+            " DOUBLE), 'm2', CAST(0.0 AS DOUBLE)),"
+            "  (acc, s) -> named_struct("
+            "    'n', acc.n + s.n,"
+            "    'mean', acc.mean + (s.mean - acc.mean) * s.n / (acc.n + s.n),"
+            "    'm2', acc.m2 + s.m2 + (s.mean - acc.mean) * (s.mean -"
+            " acc.mean) * acc.n * s.n / (acc.n + s.n))"
+            ") AS st"
+        )
+    )
+    return folded.select(
+        F.expr("st.n").cast("long").alias("n"),
+        F.expr(
+            "CAST(round(CAST(st.mean AS DECIMAL(28,9)), 4) AS DOUBLE)"
+        ).alias("mean"),
+        F.expr(
+            "CAST(round(CAST(st.m2 / (st.n - 1) AS DECIMAL(28,9)), 4)"
+            " AS DOUBLE)"
+        ).alias("var_samp"),
+    )

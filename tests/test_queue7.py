@@ -9,6 +9,7 @@ import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
 from aced_etl_pod_spark.operators import advanced_ops as adv
+from aced_etl_pod_spark.operators import corpus_ops as cor
 from aced_etl_pod_spark.operators import extra_ops as ext
 from aced_etl_pod_spark.operators import geo_ops as geo
 from aced_etl_pod_spark.operators import governance_ops as gov
@@ -2567,3 +2568,75 @@ def test_nfc_actually_composes(spark):
     assert (comp.raw_cp > comp.nfc_cp).all()
     for p in comp.nfc_prefix.head(50):
         assert unicodedata.is_normalized("NFC", p)
+
+
+# -- tranche 48: mixture rebalance + mergeable moments ---------------------
+
+
+def test_queue7_parity_mixture(spark, con):
+    sdf = cor.pipeline_mixture_rebalance(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.PIPELINE_MIXTURE_REBALANCE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_mixture_solver_properties(spark):
+    """The solver's contract: the binding language keeps 100% (keep_bp =
+    10000), nobody is upsampled (keep_bp <= 10000), and the realized
+    mixture tracks the target within hash-quantization tolerance at
+    sf0.01 (larger n than the sf0.001 gate run)."""
+    out = cor.pipeline_mixture_rebalance(
+        spark, SF_SMALL.replace("0.001", "0.01")
+    ).toPandas()
+    assert (out.keep_bp <= 10000).all()
+    assert (out.keep_bp == 10000).any()
+    assert (out.n_kept <= out.n_before).all()
+    for r in out.itertuples():
+        assert abs(r.realized_share - float(r.target_share)) < 0.06, r
+    assert abs(out.realized_share.sum() - 1.0) < 1e-6
+
+
+def test_queue7_parity_chan_moments(spark, con):
+    sdf = cor.agg_moments_mergeable_chan(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.AGG_MOMENTS_MERGEABLE_CHAN_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_chan_merge_equals_recompute_and_beats_naive(spark):
+    """(a) The folded shard partials reproduce the direct two-pass
+    variance of the same cents-rounded data to the output rounding.
+    (b) The reason Chan's form exists: on offset data (x + 4e9) the
+    naive sum(x^2) - (sum x)^2/n float path loses most of its digits to
+    cancellation, while the op (merged per-shard centered sums) stays at
+    the true value."""
+    from unittest import mock
+
+    import duckdb
+    import numpy as np
+
+    from aced_etl_pod_spark.operators import corpus_ops as _cor
+
+    vals = duckdb.connect().execute(
+        f"SELECT round(value, 2), user_id FROM '{SF_SMALL}/events.parquet'"
+    ).fetchall()
+    x = np.array([v for v, _ in vals])
+    direct_var = x.var(ddof=1)
+    out = _cor.agg_moments_mergeable_chan(spark, SF_SMALL).toPandas()
+    assert out.n.iloc[0] == len(x)
+    assert abs(out["mean"].iloc[0] - x.mean()) < 1e-3
+    assert abs(out.var_samp.iloc[0] - direct_var) < 1e-2
+
+    offset = 4e9
+    feed = spark.createDataFrame(
+        [(int(u), float(v) + offset) for v, u in vals],
+        "user_id long, value double",
+    )
+    with mock.patch.object(_cor, "load", lambda *_a, **_k: feed):
+        shifted = _cor.agg_moments_mergeable_chan(spark, SF_SMALL).toPandas()
+    xs = x + offset
+    # variance is shift-invariant; the op must still be near direct_var
+    assert abs(shifted.var_samp.iloc[0] - direct_var) / direct_var < 0.01
+    # the naive float path on the same shifted data collapses
+    naive = (np.sum(xs * xs) - np.sum(xs) ** 2 / len(xs)) / (len(xs) - 1)
+    assert abs(naive - direct_var) / direct_var > 0.05

@@ -172,6 +172,11 @@ def queue_pairs():
         # tranche 47
         (txt.text_line_dedup_c4, txt.TEXT_LINE_DEDUP_C4_ORACLE),
         (txt.fn_unicode_normalize_nfc, txt.FN_UNICODE_NFC_ORACLE),
+        # tranche 48
+        (cor.pipeline_mixture_rebalance,
+         cor.PIPELINE_MIXTURE_REBALANCE_ORACLE),
+        (cor.agg_moments_mergeable_chan,
+         cor.AGG_MOMENTS_MERGEABLE_CHAN_ORACLE),
     ]
     return pairs
 
