@@ -695,3 +695,97 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("total_dec").cast("double").alias("total"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# stream_checkpoint_restart (round-7+ registration queue, tranche 49)
+# ---------------------------------------------------------------------------
+
+STREAM_CHECKPOINT_RESTART_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A RESTART — the streaming guarantee the
+    drain-to-completion ops never exercise: a grouped aggregation runs
+    over the first half of the feed, the query STOPS (simulating a
+    deploy/crash), two more batches arrive, and a NEW query resumes from
+    the SAME checkpoint. The checkpoint's offset log + state store must
+    make the final totals identical to one batch pass: re-reading the
+    first half would double-count, skipping the tail would undercount —
+    both break the oracle hash. The no-reprocessing half of the claim is
+    pinned separately in the gate test via recentProgress input-row
+    accounting (restarted query reads ONLY the new batches).
+
+    This is the operational pattern every production stream lives by:
+    checkpoint-compatible upgrades, not reruns. Same bounded plan as
+    stream_tumbling_window (complete-mode hash agg, O(types) state)."""
+    import os
+    import shutil
+
+    staged = materialize_batches(
+        spark,
+        sf_dir,
+        "ckpt_restart_stage",
+        splits=[
+            F.col("event_id") % 4 == i for i in range(4)
+        ],
+    )
+    live = scratch_dir("stream/ckpt_restart_live")
+    ckpt = scratch_dir("stream/ckpt_restart_ckpt")
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(live, exist_ok=True)
+
+    def arm(batch_ids):
+        for i in batch_ids:
+            name = f"batch_{i:03d}.parquet"
+            shutil.copy2(os.path.join(staged, name), os.path.join(live, name))
+
+    def run_phase(qname):
+        agg = (
+            read_stream(spark, live)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2)"
+                    " AS DOUBLE)"
+                ).alias("total"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = sum(
+                p["numInputRows"] for p in (q.recentProgress or [])
+            )
+        finally:
+            q.stop()
+        return rows
+
+    arm([0, 1])
+    phase1_rows = run_phase("t_ckpt_phase1")
+    arm([2, 3])
+    phase2_rows = run_phase("t_ckpt_phase2")
+    # stash progress accounting for the gate test (module-level, test-only)
+    stream_checkpoint_restart.last_progress = {
+        "phase1_rows": phase1_rows,
+        "phase2_rows": phase2_rows,
+    }
+    return spark.sql(
+        "SELECT event_type, n, total FROM t_ckpt_phase2 ORDER BY event_type"
+    )

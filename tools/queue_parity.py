@@ -177,6 +177,8 @@ def queue_pairs():
          cor.PIPELINE_MIXTURE_REBALANCE_ORACLE),
         (cor.agg_moments_mergeable_chan,
          cor.AGG_MOMENTS_MERGEABLE_CHAN_ORACLE),
+        # tranche 49
+        (so.stream_checkpoint_restart, so.STREAM_CHECKPOINT_RESTART_ORACLE),
     ]
     return pairs
 
