@@ -1361,3 +1361,111 @@ def seq_sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# seq_dpo_preference_pairs (round-7+ registration queue, tranche 50)
+# ---------------------------------------------------------------------------
+
+SEQ_DPO_PREFERENCE_PAIRS_ORACLE = """
+    WITH responses AS (
+      SELECT user_id, event_id, ts,
+             round(value, 2) AS score,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS content
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), ranked AS (
+      SELECT user_id, score, content,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, ts, event_id) AS rk_top,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score ASC, ts, event_id) AS rk_bot,
+             count(*) OVER (PARTITION BY user_id) AS n_resp
+      FROM responses
+    ), pairs AS (
+      SELECT c.user_id,
+             c.content AS chosen, r.content AS rejected,
+             c.score AS chosen_score, r.score AS rejected_score,
+             round(c.score - r.score, 2) AS margin,
+             c.n_resp
+      FROM ranked c
+      JOIN ranked r ON r.user_id = c.user_id AND r.rk_bot = 1
+      WHERE c.rk_top = 1 AND c.n_resp >= 2 AND c.content <> r.content
+    )
+    SELECT user_id, chosen, rejected, chosen_score, rejected_score,
+           margin, CAST(n_resp AS BIGINT) AS n_resp
+    FROM pairs
+    WHERE margin > 0
+    ORDER BY user_id
+"""
+
+
+def seq_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF post-training — the
+    data-prep stage after seq_sft_chat_render: per prompt (here: per
+    user), the highest-scored response becomes `chosen` and the
+    lowest-scored `rejected`, with the score margin kept for
+    margin-weighted losses and pairs with zero margin dropped (no
+    learning signal). Deterministic total order (score, ts, event_id)
+    breaks ties identically on both engines.
+
+    Plan: ONE per-user window pass produces both extremes (two
+    row_numbers over the same exchange — Catalyst shares the sort), a
+    self-join on the O(users) rank-1 rows assembles the pair. At corpus
+    scale this is the standard reward-model-scores → DPO-dataset
+    transform: one shuffle on the prompt key, output O(prompts)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    responses = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).alias("score"),
+        F.concat_ws("#", "event_type", F.col("event_id").cast("string")).alias(
+            "content"
+        ),
+    )
+    w_top = W.partitionBy("user_id").orderBy(
+        F.desc("score"), "ts", "event_id"
+    )
+    w_bot = W.partitionBy("user_id").orderBy(
+        F.asc("score"), "ts", "event_id"
+    )
+    ranked = responses.select(
+        "user_id",
+        "score",
+        "content",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n_resp"),
+    )
+    c = ranked.filter((F.col("rk_top") == 1) & (F.col("n_resp") >= 2)).select(
+        "user_id",
+        F.col("content").alias("chosen"),
+        F.col("score").alias("chosen_score"),
+        "n_resp",
+    )
+    r = ranked.filter(F.col("rk_bot") == 1).select(
+        "user_id",
+        F.col("content").alias("rejected"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        c.join(r, "user_id")
+        .filter(F.col("chosen") != F.col("rejected"))
+        .withColumn(
+            "margin",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 2),
+        )
+        .filter(F.col("margin") > 0)
+        .select(
+            "user_id",
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+            F.col("n_resp").cast("long").alias("n_resp"),
+        )
+        .orderBy("user_id")
+    )

@@ -2659,3 +2659,38 @@ def test_queue7_parity_ckpt_restart(spark, con):
     total = prog["phase1_rows"] + prog["phase2_rows"]
     assert prog["phase1_rows"] == prog["phase2_rows"] == total // 2
     assert total == 1000  # sf0.001 events
+
+
+# -- tranche 50: DPO preference pairs --------------------------------------
+
+
+def test_queue7_parity_dpo_pairs(spark, con):
+    sdf = llm.seq_dpo_preference_pairs(spark, SF_SMALL).toPandas()
+    ddf = con.execute(llm.SEQ_DPO_PREFERENCE_PAIRS_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_dpo_pairs_contract(spark):
+    """Pair-construction invariants: chosen strictly outscores rejected
+    (margin > 0 and equals the rounded score gap), chosen != rejected,
+    at most one pair per prompt, and every emitted prompt really has >=2
+    responses in the source."""
+    import duckdb
+
+    out = llm.seq_dpo_preference_pairs(spark, SF_SMALL).toPandas()
+    assert out.user_id.is_unique
+    assert (out.margin > 0).all()
+    assert (out.chosen != out.rejected).all()
+    assert (
+        (out.chosen_score - out.rejected_score).round(2) == out.margin
+    ).all()
+    counts = dict(
+        duckdb.connect().execute(
+            f"""SELECT user_id, count(*) FROM '{SF_SMALL}/events.parquet'
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY user_id"""
+        ).fetchall()
+    )
+    assert all(counts[u] >= 2 for u in out.user_id)
+    assert (out.n_resp >= 2).all()

@@ -179,6 +179,8 @@ def queue_pairs():
          cor.AGG_MOMENTS_MERGEABLE_CHAN_ORACLE),
         # tranche 49
         (so.stream_checkpoint_restart, so.STREAM_CHECKPOINT_RESTART_ORACLE),
+        # tranche 50
+        (llm.seq_dpo_preference_pairs, llm.SEQ_DPO_PREFERENCE_PAIRS_ORACLE),
     ]
     return pairs
 
