@@ -144,3 +144,56 @@ def decode_ppm_stream(data: bytes, max_frames: int = 10000) -> tuple[list[np.nda
         except ValueError as exc:
             return frames, str(exc)
     return frames, None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash, DCT-based) — tranche 51
+# ---------------------------------------------------------------------------
+
+_DCT_N = 32
+_DCT_K = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis as an explicit matrix — matrix-multiply
+    DCT keeps the arithmetic order fixed (deterministic across NumPy
+    builds; no FFT plan variance)."""
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0, :] *= 1.0 / np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT_M = _dct_matrix(_DCT_N)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (H, W, 3) uint8 image: luma →
+    bilinear 32×32 → 2D DCT-II → top-left 8×8 block minus the DC term →
+    threshold at the block median. Robust to resizing and small
+    brightness shifts (median thresholding cancels uniform offsets);
+    distinct content flips distant bits."""
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    small = resize_bilinear(
+        np.repeat(luma[:, :, None], 3, axis=2).astype(np.uint8),
+        _DCT_N,
+        _DCT_N,
+    )[:, :, 0].astype(np.float64)
+    coeffs = _DCT_M @ small @ _DCT_M.T
+    block = coeffs[:_DCT_K, :_DCT_K].copy().reshape(-1)
+    vals = block[1:]  # drop the DC coefficient
+    med = float(np.median(vals))
+    bits = 0
+    for j, v in enumerate(vals):
+        if v > med:
+            bits |= 1 << j
+    return bits
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

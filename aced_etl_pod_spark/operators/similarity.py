@@ -536,3 +536,116 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_multiprobe_topk(emb, k=3)
+
+
+DEDUP_IMAGE_PHASH_ORACLE = None  # rows-only: no DuckDB view over a blob
+# dir; contract = grouping/robustness/determinism tests in
+# tests/test_queue7.py plus an exact from-scratch reference hash.
+
+_PHASH_BANDS = 8
+_PHASH_HAM_T = 4
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE dedup by DCT perceptual hash — the visual
+    sibling of dedup_minhash_lsh and a core multimodal-training-data op
+    (re-encoded/resized/brightness-shifted copies of the same picture
+    must collapse to one exemplar before training). REAL codec path:
+    binaryFile scan → PPM decode (functions/imagecodec.py) → luma →
+    bilinear 32×32 → matrix-multiply DCT-II (fixed arithmetic order, no
+    FFT plan variance) → 8×8 low-frequency block thresholded at its
+    median → 64-bit hash. Uniform brightness shifts cancel in the
+    median threshold; resizes preserve the low-frequency block.
+
+    Grouping is Hamming-tolerant, the production shape: the 64-bit hash
+    splits into 8 byte-bands; pairs sharing ANY band become candidates
+    (pigeonhole: hamming ≤ 7 ⇒ at least one identical band — lossless
+    for the ≤ 4 verify threshold), the verify is a JVM
+    bit_count(xor) ≤ 4, and verified pairs merge through the join-based
+    connected components (functions/cluster.py) into duplicate groups.
+    Only 8-byte keys and band slices ever shuffle. Per-record decode
+    quarantine as multimodal_resize; grouping/robustness/determinism +
+    a from-scratch reference hash are the gate."""
+    import pandas as pd
+
+    from aced_etl_pod_spark.functions.cluster import connected_components
+    from aced_etl_pod_spark.functions.imagecodec import decode_ppm, phash64
+    from aced_etl_pod_spark.sources.binary import (
+        generate_phash_fixture,
+        read_binary,
+    )
+
+    src = generate_phash_fixture()
+    blobs = read_binary(spark, src, glob="*.ppm").select("path", "content")
+
+    def hash_batch(it):
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    img = decode_ppm(bytes(content))
+                    rows.append((path, phash64(img), None))
+                except Exception as exc:  # noqa: BLE001 - quarantine
+                    rows.append((path, None, str(exc)[:80]))
+            yield pd.DataFrame(
+                rows, columns=["path", "phash", "decode_error"]
+            )
+
+    hashed = blobs.mapInPandas(
+        hash_batch, "path string, phash long, decode_error string"
+    ).withColumn(
+        "blob_id",
+        F.regexp_extract("path", r"img_(\d+)_", 1).cast("long"),
+    )
+    ok = hashed.filter(F.col("phash").isNotNull()).select("blob_id", "phash")
+    bands = ok.select(
+        "blob_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PHASH_BANDS - 1}),"
+                f" b -> named_struct('b', b,"
+                f" 'v', (phash div CAST(pow(2, b * 8) AS BIGINT)) % 256))"
+            )
+        ).alias("band"),
+    ).select("blob_id", "phash", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    left = bands.select(
+        F.col("blob_id").alias("id_a"), F.col("phash").alias("ha"), "b", "v"
+    )
+    right = bands.select(
+        F.col("blob_id").alias("id_b"), F.col("phash").alias("hb"), "b", "v"
+    )
+    pairs = (
+        left.join(right, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .filter(
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            )
+            <= _PHASH_HAM_T
+        )
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("group_size"))
+    labeled = comps.join(sizes, "component").select(
+        F.col("node").alias("blob_id"), "component", "group_size"
+    )
+    return (
+        hashed.join(F.broadcast(labeled), "blob_id", "left")
+        .select(
+            "blob_id",
+            F.format_string("%016x", F.col("phash")).alias("phash_hex"),
+            F.coalesce(
+                F.col("component"), F.col("blob_id")
+            ).cast("long").alias("group_id"),
+            F.coalesce("group_size", F.lit(1)).cast("long").alias(
+                "group_size"
+            ),
+            (F.coalesce("group_size", F.lit(1)) > 1).alias("is_dup"),
+            "decode_error",
+        )
+        .orderBy("blob_id")
+    )

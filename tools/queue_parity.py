@@ -181,6 +181,10 @@ def queue_pairs():
         (so.stream_checkpoint_restart, so.STREAM_CHECKPOINT_RESTART_ORACLE),
         # tranche 50
         (llm.seq_dpo_preference_pairs, llm.SEQ_DPO_PREFERENCE_PAIRS_ORACLE),
+        # tranche 51
+        (txt.dedup_ppjoin_prefix_filter,
+         txt.DEDUP_PPJOIN_PREFIX_FILTER_ORACLE),
+        (sim.dedup_image_phash, None),
     ]
     return pairs
 
