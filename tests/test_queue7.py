@@ -2777,3 +2777,59 @@ def test_phash_matches_reference_and_is_stable(spark):
     }
     for bid, h in got.items():
         assert h == want[bid]
+
+
+# -- tranche 52: parameterized SQL + fused pretrain pipeline ---------------
+
+
+def test_queue7_parity_sql_param(spark, con):
+    sdf = cor.sql_parameterized_query(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.SQL_PARAMETERIZED_QUERY_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_sql_param_binding_is_injection_safe(spark):
+    """A hostile parameter value stays ONE typed literal: the classic
+    quote-breakout payload matches zero rows instead of rewriting the
+    predicate, and a numeric marker rejects structural injection
+    outright."""
+    from aced_etl_pod_spark.tables import load
+
+    load(spark, SF_SMALL, "documents").createOrReplaceTempView(
+        "param_documents"
+    )
+    out = spark.sql(
+        "SELECT count(*) AS n FROM param_documents WHERE lang = :lang",
+        args={"lang": "en' OR '1'='1"},
+    ).collect()
+    assert out[0].n == 0
+
+
+def test_queue7_parity_pretrain_e2e(spark, con):
+    sdf = cor.pipeline_pretrain_corpus_e2e(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.PIPELINE_PRETRAIN_E2E_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_pretrain_e2e_is_one_fused_plan(spark):
+    """The capstone claim: all four stages fuse into ONE Catalyst plan
+    with a bounded number of shuffle exchanges (lang counts, line
+    window, doc reassembly, manifest agg) — no intermediate
+    materialization, no shuffle explosion from composition."""
+    df = cor.pipeline_pretrain_corpus_e2e(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count real data shuffles; SinglePartition exchanges carry O(langs)
+    # solver rows and the 1-row m_eff — not data-volume shuffles
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 6, f"{shuffles} shuffles\n{plan[:2000]}"
+    out = df.toPandas()
+    # conservation: manifest never claims more docs than the mixture kept
+    mix = cor.pipeline_mixture_rebalance(spark, SF_SMALL).toPandas()
+    kept_by_lang = dict(zip(mix.lang, mix.n_kept))
+    for r in out.itertuples():
+        assert r.docs_kept <= kept_by_lang[r.lang]
+        assert r.tokens_kept > 0 and r.avg_distinct_ratio <= 1.0

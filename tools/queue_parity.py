@@ -185,6 +185,9 @@ def queue_pairs():
         (txt.dedup_ppjoin_prefix_filter,
          txt.DEDUP_PPJOIN_PREFIX_FILTER_ORACLE),
         (sim.dedup_image_phash, None),
+        # tranche 52
+        (cor.sql_parameterized_query, cor.SQL_PARAMETERIZED_QUERY_ORACLE),
+        (cor.pipeline_pretrain_corpus_e2e, cor.PIPELINE_PRETRAIN_E2E_ORACLE),
     ]
     return pairs
 
