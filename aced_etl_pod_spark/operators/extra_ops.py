@@ -3929,3 +3929,150 @@ def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "label_ts", "event_id")
         .drop("event_id")
     )
+
+# ---------------------------------------------------------------------------
+# agg_ohlc_bars (round-7+ registration queue, tranche 53)
+# ---------------------------------------------------------------------------
+
+AGG_OHLC_BARS_ORACLE = """
+    WITH ordered AS (
+      SELECT date_trunc('hour', ts) AS bar, value,
+             printf('%020d%012d', CAST(epoch_us(ts) AS BIGINT), event_id)
+               AS ord
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           round(min_by(value, ord), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max_by(value, ord), 2) AS close
+    FROM ordered
+    GROUP BY bar
+    ORDER BY bar_start
+"""
+
+
+def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling — the telemetry/market-data staple:
+    per hourly bar, the first (open) and last (close) value on the
+    (ts, event_id) total order plus the high/low extremes. open/close
+    are partial-aggregating argmin/argmax over a composite order key
+    (min_by/max_by on a (ts, event_id) struct — the
+    join_geo_nearest_broadcast rule: never a per-bar sort window when an
+    argmin does), so the whole op is ONE hash aggregation with map-side
+    combine — the cheapest possible shape for billions of ticks."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # composite order as a zero-padded sortable string: min_by/max_by on
+    # both engines take scalar keys only (DuckDB 1.0 rejects ROW keys)
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+        )
+        .select(
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_cross_table_reconciliation (round-7+ registration queue, tranche 53)
+# ---------------------------------------------------------------------------
+
+DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey AS okey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                  AS DECIMAL(18,6)), 2) AS DOUBLE) AS lines_total
+      FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+      SELECT o_orderkey AS okey,
+             round(o_totalprice, 2) AS order_total
+      FROM orders
+    ), joined AS (
+      SELECT coalesce(o.okey, li.okey) AS okey,
+             o.order_total, li.n_lines, li.lines_total,
+             CASE WHEN o.okey IS NULL THEN 'orphan_lines'
+                  WHEN li.okey IS NULL THEN 'order_without_lines'
+                  WHEN abs(o.order_total - li.lines_total) > 0.01
+                    THEN 'amount_mismatch'
+                  ELSE 'reconciled' END AS status
+      FROM o FULL OUTER JOIN li ON li.okey = o.okey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(coalesce(order_total, lines_total))
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS amount
+    FROM joined
+    GROUP BY status
+    ORDER BY status
+"""
+
+
+def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the warehouse audit every finance /
+    billing pipeline runs before publishing: roll lineitem up to order
+    grain and FULL-OUTER join against the orders header, classifying
+    every key as reconciled / amount_mismatch / order_without_lines /
+    orphan_lines, with the money totals per class. (The synthetic
+    fixture's headers aren't derived from its lines, so mismatches are
+    EXPECTED here — the op's value is the classification algebra, which
+    the oracle pins exactly.)
+
+    Plan: one partial agg collapses the big side to order grain FIRST
+    (the collapse-then-join rule — never join raw line rows to headers),
+    then one co-partitioned full-outer join on the shared key and an
+    O(classes) rollup. Both shuffles key on okey; at scale, bucketing
+    both tables by order key makes the join exchange-free."""
+    li = load(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("okey")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))"
+            " AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("lines_total"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 2).alias("order_total"),
+    )
+    joined = o.join(li, "okey", "full_outer").select(
+        F.when(F.col("order_total").isNull(), "orphan_lines")
+        .when(F.col("lines_total").isNull(), "order_without_lines")
+        .when(
+            F.abs(F.col("order_total") - F.col("lines_total")) > 0.01,
+            "amount_mismatch",
+        )
+        .otherwise("reconciled")
+        .alias("status"),
+        F.coalesce("order_total", "lines_total").alias("amount"),
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(round(CAST(sum(amount) AS DECIMAL(18,6)), 2)"
+                " AS DOUBLE)"
+            ).alias("amount"),
+        )
+        .orderBy("status")
+    )

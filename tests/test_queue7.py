@@ -2833,3 +2833,66 @@ def test_pretrain_e2e_is_one_fused_plan(spark):
     for r in out.itertuples():
         assert r.docs_kept <= kept_by_lang[r.lang]
         assert r.tokens_kept > 0 and r.avg_distinct_ratio <= 1.0
+
+
+# -- tranche 53: OHLC bars + cross-table reconciliation --------------------
+
+
+def test_queue7_parity_ohlc(spark, con):
+    sdf = ext.agg_ohlc_bars(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_OHLC_BARS_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_ohlc_matches_reference_and_invariants(spark):
+    """Pure-Python OHLC over the same (ts, event_id)-ordered ticks:
+    open/close are the true first/last, and low <= open/close <= high
+    per bar."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                   value, ts, event_id
+            FROM '{SF_SMALL}/events.parquet'
+            WHERE event_type = 'purchase'
+            ORDER BY ts, event_id"""
+    ).fetchall()
+    want = {}
+    for bar, v, _, _ in rows:
+        if bar not in want:
+            want[bar] = [v, v, v, v]  # open, high, low, close
+        b = want[bar]
+        b[1] = max(b[1], v)
+        b[2] = min(b[2], v)
+        b[3] = v
+    out = ext.agg_ohlc_bars(spark, SF_SMALL).toPandas()
+    for r in out.itertuples():
+        o, h, lo, c = want[r.bar_start]
+        assert (r.open, r.high, r.low, r.close) == (
+            round(o, 2), round(h, 2), round(lo, 2), round(c, 2)
+        )
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+def test_queue7_parity_reconciliation(spark, con):
+    sdf = ext.dq_cross_table_reconciliation(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.DQ_CROSS_TABLE_RECONCILIATION_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_reconciliation_classes_are_exhaustive(spark):
+    """Every order key lands in exactly one class: class counts sum to
+    the full-outer key universe (orders ∪ lineitem order keys)."""
+    import duckdb
+
+    out = ext.dq_cross_table_reconciliation(spark, SF_SMALL).toPandas()
+    uni = duckdb.connect().execute(
+        f"""SELECT count(*) FROM (
+              SELECT o_orderkey AS k FROM '{SF_SMALL}/orders.parquet'
+              UNION
+              SELECT l_orderkey FROM '{SF_SMALL}/lineitem.parquet')"""
+    ).fetchone()[0]
+    assert out.n.sum() == uni

@@ -188,6 +188,10 @@ def queue_pairs():
         # tranche 52
         (cor.sql_parameterized_query, cor.SQL_PARAMETERIZED_QUERY_ORACLE),
         (cor.pipeline_pretrain_corpus_e2e, cor.PIPELINE_PRETRAIN_E2E_ORACLE),
+        # tranche 53
+        (ext.agg_ohlc_bars, ext.AGG_OHLC_BARS_ORACLE),
+        (ext.dq_cross_table_reconciliation,
+         ext.DQ_CROSS_TABLE_RECONCILIATION_ORACLE),
     ]
     return pairs
 
