@@ -4076,3 +4076,107 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("status")
     )
+
+# ---------------------------------------------------------------------------
+# agg_rfm_segmentation (round-7+ registration queue, tranche 54)
+# ---------------------------------------------------------------------------
+
+AGG_RFM_SEGMENTATION_ORACLE = """
+    WITH anchor AS (
+      SELECT max(ts) AS now FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+      SELECT user_id,
+             CAST(floor(epoch((SELECT now FROM anchor))) -
+                  floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, recency_s, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_s DESC, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m
+      FROM per_user
+    )
+    SELECT user_id, recency_s, frequency, monetary,
+           CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+           CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                WHEN r <= 2 AND f >= 4 THEN 'at_risk_loyal'
+                WHEN r >= 4 AND f <= 2 THEN 'new_promising'
+                WHEN r <= 2 AND f <= 2 AND m <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored
+    ORDER BY user_id
+"""
+
+
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical CRM analysis: per user,
+    Recency (seconds since last purchase, anchored at the corpus max
+    timestamp so the op is replayable), Frequency (purchase count) and
+    Monetary (decimal-exact spend), each quintile-scored with ntile(5)
+    on a DETERMINISTIC total order (metric + user_id tie-break — without
+    the tie-break, ntile's boundary rows are engine-dependent), then
+    mapped to the marketing segments (champion / at-risk-loyal /
+    new-promising / hibernating / core).
+
+    Plan: the corpus collapses to O(users) in one partial agg; the three
+    quintile windows share that tiny table (global windows over O(users)
+    rows — at true scale swap ntile for approx-percentile boundary
+    broadcast, the feature_quantile_bucketize trade documented there).
+    Whole-second recency per the house epoch rule."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = e.agg(F.max("ts").alias("now"))
+    per_user = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.unix_timestamp(F.first("now")))
+                - F.floor(F.unix_timestamp(F.max("ts")))
+            )
+            .cast("long")
+            .alias("recency_s"),
+            F.count("*").cast("long").alias("frequency"),
+            F.expr(
+                "CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2)"
+                " AS DOUBLE)"
+            ).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("recency_s"), "user_id"))
+    f = F.ntile(5).over(W.orderBy(F.asc("frequency"), "user_id"))
+    m = F.ntile(5).over(W.orderBy(F.asc("monetary"), "user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("long")
+        .alias("rfm_code"),
+        F.when(
+            (F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4),
+            "champion",
+        )
+        .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk_loyal")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "new_promising")
+        .when(
+            (F.col("r") <= 2) & (F.col("f") <= 2) & (F.col("m") <= 2),
+            "hibernating",
+        )
+        .otherwise("core")
+        .alias("segment"),
+    ).orderBy("user_id")

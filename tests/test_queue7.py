@@ -2896,3 +2896,72 @@ def test_reconciliation_classes_are_exhaustive(spark):
               SELECT l_orderkey FROM '{SF_SMALL}/lineitem.parquet')"""
     ).fetchone()[0]
     assert out.n.sum() == uni
+
+
+# -- tranche 54: modularity score + RFM segmentation -----------------------
+
+
+def test_queue7_parity_modularity(spark, con):
+    sdf = adv.graph_modularity_score(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.GRAPH_MODULARITY_SCORE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_modularity_matches_reference_and_bounds(spark):
+    """From-scratch Newman Q over the same edges and partitions agrees
+    exactly; Q stays in [-1, 1]."""
+    import duckdb
+
+    edges = duckdb.connect().execute(
+        f"""SELECT DISTINCT least(o_custkey % 500, o_orderkey % 500),
+                   greatest(o_custkey % 500, o_orderkey % 500)
+            FROM '{SF_SMALL}/orders.parquet'
+            WHERE o_custkey % 500 <> o_orderkey % 500"""
+    ).fetchall()
+    m = len(edges)
+
+    def q_of(cfn):
+        e_c, d_c = {}, {}
+        for u, v in edges:
+            cu, cv = cfn(u), cfn(v)
+            d_c[cu] = d_c.get(cu, 0) + 1
+            d_c[cv] = d_c.get(cv, 0) + 1
+            if cu == cv:
+                e_c[cu] = e_c.get(cu, 0) + 1
+        return round(
+            sum(
+                e_c.get(c, 0) / m - (d / (2 * m)) ** 2
+                for c, d in d_c.items()
+            ),
+            6,
+        )
+
+    out = adv.graph_modularity_score(spark, SF_SMALL).toPandas()
+    got = dict(zip(out.partition_name, out.q))
+    assert got["hash_blocks"] == q_of(lambda n: n // 125)
+    assert got["parity"] == q_of(lambda n: n % 2)
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_queue7_parity_rfm(spark, con):
+    sdf = ext.agg_rfm_segmentation(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_RFM_SEGMENTATION_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_rfm_quintiles_are_balanced_and_consistent(spark):
+    """ntile(5) contract: quintile sizes differ by at most 1 per
+    dimension; champions outscore hibernators on every raw metric
+    (lower recency, higher frequency and spend on average)."""
+    out = ext.agg_rfm_segmentation(spark, SF_SMALL).toPandas()
+    for col in ("r", "f", "m"):
+        sizes = out[col].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+    champ = out[out.segment == "champion"]
+    hib = out[out.segment == "hibernating"]
+    if len(champ) and len(hib):
+        assert champ.recency_s.mean() < hib.recency_s.mean()
+        assert champ.frequency.mean() > hib.frequency.mean()
+        assert champ.monetary.mean() > hib.monetary.mean()

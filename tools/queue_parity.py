@@ -192,6 +192,9 @@ def queue_pairs():
         (ext.agg_ohlc_bars, ext.AGG_OHLC_BARS_ORACLE),
         (ext.dq_cross_table_reconciliation,
          ext.DQ_CROSS_TABLE_RECONCILIATION_ORACLE),
+        # tranche 54
+        (adv.graph_modularity_score, adv.GRAPH_MODULARITY_SCORE_ORACLE),
+        (ext.agg_rfm_segmentation, ext.AGG_RFM_SEGMENTATION_ORACLE),
     ]
     return pairs
 
