@@ -2965,3 +2965,56 @@ def test_rfm_quintiles_are_balanced_and_consistent(spark):
         assert champ.recency_s.mean() < hib.recency_s.mean()
         assert champ.frequency.mean() > hib.frequency.mean()
         assert champ.monetary.mean() > hib.monetary.mean()
+
+
+def test_round5d_ops_tolerate_empty_tables(spark, empty_sf):
+    """Empty-partition robustness for the round-5d tranche (36-54) ops
+    that read sf tables: every one returns a DataFrame (possibly a
+    single all-NULL stats row) rather than raising. Fixture-backed ops
+    (phash, the Python DataSources) are independent of the sf dir and
+    covered by their own gates."""
+    from aced_etl_pod_spark.operators import governance_ops as gov2
+    from aced_etl_pod_spark.operators import llm_pipeline as llm2
+    from aced_etl_pod_spark.operators import streaming_ops as so2  # noqa: F401
+
+    ops = [
+        llm2.text_ngram_lm_score,
+        ext.stat_ks_two_sample,
+        ext.ts_autocorrelation,
+        ext.stat_mann_whitney_u,
+        adv.graph_jaccard_link_prediction,
+        gov2.dp_noisy_count_laplace,
+        ext.join_fuzzy_phonetic_blocked,
+        ext.agg_event_path_topk,
+        ext.stat_t_test_welch,
+        ext.ts_forecast_snaive_backtest,
+        ext.ts_holt_winters,
+        ext.ts_seasonal_residual_anomaly,
+        adv.sql_recursive_cte_native,
+        adv.scan_json_variant,
+        ext.stat_bootstrap_poisson_ci,
+        ext.ts_cross_correlation,
+        llm2.seq_sft_chat_render,
+        ext.join_point_in_time_features,
+        adv.graph_cc_large_star_small_star,
+        txt.text_line_dedup_c4,
+        txt.fn_unicode_normalize_nfc,
+        cor.pipeline_mixture_rebalance,
+        cor.agg_moments_mergeable_chan,
+        llm2.seq_dpo_preference_pairs,
+        txt.dedup_ppjoin_prefix_filter,
+        cor.sql_parameterized_query,
+        cor.pipeline_pretrain_corpus_e2e,
+        ext.agg_ohlc_bars,
+        ext.dq_cross_table_reconciliation,
+        adv.graph_modularity_score,
+        ext.agg_rfm_segmentation,
+    ]
+    failures = []
+    for fn in ops:
+        try:
+            n = fn(spark, empty_sf).count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001 - we want the full census
+            failures.append((fn.__name__, str(exc)[:120]))
+    assert not failures, failures
