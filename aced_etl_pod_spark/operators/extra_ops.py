@@ -4180,3 +4180,159 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("core")
         .alias("segment"),
     ).orderBy("user_id")
+
+# ---------------------------------------------------------------------------
+# agg_abc_pareto_analysis (round-7+ registration queue, tranche 55)
+# ---------------------------------------------------------------------------
+
+AGG_ABC_PARETO_ORACLE = """
+    WITH rev AS (
+      SELECT p.p_partkey,
+             CAST(round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                  AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_partkey
+    ), tot AS (
+      SELECT CAST(round(CAST(sum(revenue) AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS t
+      FROM rev
+    ), ranked AS (
+      SELECT p_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM rev
+    )
+    SELECT p_partkey, revenue,
+           round(cum_rev / (SELECT t FROM tot), 4) AS cum_share,
+           CASE WHEN round(cum_rev / (SELECT t FROM tot), 4) <= 0.8
+                  THEN 'A'
+                WHEN round(cum_rev / (SELECT t FROM tot), 4) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY revenue DESC, p_partkey
+"""
+
+
+def agg_abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — the 80/20 inventory-and-revenue
+    analysis every merchandising team runs: parts ranked by revenue,
+    cumulative share computed over the descending order, class A up to
+    80% of revenue, B to 95%, C the tail. The class boundary compares
+    the ROUNDED share on both engines so no part can straddle a class
+    on a last-ulp difference.
+
+    Plan: the big join collapses to O(parts) revenue rows first (one
+    partial agg over the fact table), so the ranking window runs on the
+    dimension-sized table — at catalog scale, a two-phase top-k
+    (per-salt winners then global) replaces the single sort, exactly the
+    sample_reservoir_per_group escape hatch."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.expr(
+                "CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))"
+                " AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(
+        F.expr(
+            "CAST(round(CAST(sum(revenue) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("t")
+    )
+    w = W.orderBy(F.desc("revenue"), "p_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    share = F.round(F.sum("revenue").over(w) / F.col("t"), 4)
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "p_partkey",
+            "revenue",
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_power_sample_size (round-7+ registration queue, tranche 55)
+# ---------------------------------------------------------------------------
+
+STAT_POWER_SAMPLE_SIZE_ORACLE = """
+    WITH base AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN event_type IN ('view', 'purchase')
+                        THEN 1 ELSE 0 END) AS p0
+      FROM events
+    ), grid AS (
+      SELECT unnest([0.01, 0.02, 0.05]) AS mde
+    )
+    SELECT round(p0, 6) AS baseline_rate, mde,
+           CAST(ceil(
+             power(1.959964 * sqrt(2 * p0 * (1 - p0))
+                   + 0.841621 * sqrt(p0 * (1 - p0)
+                       + (p0 + mde) * (1 - p0 - mde)), 2)
+             / (mde * mde)) AS BIGINT) AS n_per_arm
+    FROM base CROSS JOIN grid
+    ORDER BY mde
+"""
+
+
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design sample-size calculator — the planning half of
+    the A/B toolkit (fn_ab_test_proportions tests AFTER the fact; this
+    says how long to run): for the measured baseline conversion rate
+    p₀ = purchases / (views + purchases) and a grid of minimum
+    detectable effects, the classic two-proportion formula
+    n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀ + p₁q₁))² / Δ² at α = 0.05,
+    power = 0.80 (z constants inlined to 6dp so both engines compute
+    the identical closed form).
+
+    Plan: ONE conditional-agg scan measures p₀; the grid is a 3-row
+    broadcast; everything after is 1-row arithmetic — the op exists to
+    make experiment sizing a governed, replayable query instead of a
+    notebook constant."""
+    e = load(spark, sf_dir, "events")
+    base = e.agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            / F.sum(
+                F.when(
+                    F.col("event_type").isin("view", "purchase"), 1
+                ).otherwise(0)
+            )
+        ).alias("p0")
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], "mde double"
+    )
+    p0, mde = F.col("p0"), F.col("mde")
+    n = F.ceil(
+        F.pow(
+            F.lit(1.959964) * F.sqrt(2 * p0 * (1 - p0))
+            + F.lit(0.841621)
+            * F.sqrt(p0 * (1 - p0) + (p0 + mde) * (1 - p0 - mde)),
+            2,
+        )
+        / (mde * mde)
+    ).cast("long")
+    return (
+        base.crossJoin(F.broadcast(grid))
+        .select(
+            F.round(p0, 6).alias("baseline_rate"),
+            "mde",
+            n.alias("n_per_arm"),
+        )
+        .orderBy("mde")
+    )

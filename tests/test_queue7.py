@@ -3018,3 +3018,59 @@ def test_round5d_ops_tolerate_empty_tables(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001 - we want the full census
             failures.append((fn.__name__, str(exc)[:120]))
     assert not failures, failures
+
+
+# -- tranche 55: ABC/Pareto + experiment sizing ----------------------------
+
+
+def test_queue7_parity_abc(spark, con):
+    sdf = ext.agg_abc_pareto_analysis(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_ABC_PARETO_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_abc_pareto_invariants(spark):
+    """Classification contract: cumulative share is monotone to 1.0,
+    classes partition the catalog in A->B->C order down the revenue
+    ranking, and class A carries <= 80% + one item's worth of revenue."""
+    out = ext.agg_abc_pareto_analysis(spark, SF_SMALL).toPandas()
+    shares = out.cum_share.tolist()
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    classes = "".join(out.abc_class)
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+    a_share = out[out.abc_class == "A"].cum_share.max()
+    assert a_share <= 0.8 + 1e-9
+
+
+def test_queue7_parity_power(spark, con):
+    sdf = ext.stat_power_sample_size(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.STAT_POWER_SAMPLE_SIZE_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_power_formula_matches_reference(spark):
+    """Textbook two-proportion sizing computed locally for the same p0
+    grid agrees exactly, and n shrinks as the detectable effect grows."""
+    import math
+
+    out = ext.stat_power_sample_size(spark, SF_SMALL).toPandas()
+    p0 = out.baseline_rate.iloc[0]
+    for r in out.itertuples():
+        p1 = p0 + r.mde
+        want = math.ceil(
+            (
+                1.959964 * math.sqrt(2 * p0 * (1 - p0))
+                + 0.841621
+                * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+            )
+            ** 2
+            / (r.mde**2)
+        )
+        assert r.n_per_arm == want
+    ns = out.sort_values("mde").n_per_arm.tolist()
+    assert ns == sorted(ns, reverse=True)

@@ -195,6 +195,9 @@ def queue_pairs():
         # tranche 54
         (adv.graph_modularity_score, adv.GRAPH_MODULARITY_SCORE_ORACLE),
         (ext.agg_rfm_segmentation, ext.AGG_RFM_SEGMENTATION_ORACLE),
+        # tranche 55
+        (ext.agg_abc_pareto_analysis, ext.AGG_ABC_PARETO_ORACLE),
+        (ext.stat_power_sample_size, ext.STAT_POWER_SAMPLE_SIZE_ORACLE),
     ]
     return pairs
 
