@@ -3206,3 +3206,166 @@ def pipeline_pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_target_encoding_loo (round-7+ registration queue, tranche 56)
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 10.0
+
+FEATURE_TARGET_ENCODING_LOO_ORACLE = f"""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ), prior AS (
+      SELECT CAST(sum(y) AS DOUBLE) / count(*) AS p FROM base
+    ), cat AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(y) AS BIGINT) AS sum_c
+      FROM base GROUP BY c_nationkey
+    )
+    SELECT b.c_custkey, b.c_nationkey, CAST(b.y AS BIGINT) AS y,
+           round((c.sum_c - b.y + {_TE_SMOOTH} * (SELECT p FROM prior))
+                 / (c.n_c - 1 + {_TE_SMOOTH}), 6) AS te
+    FROM base b JOIN cat c ON c.c_nationkey = b.c_nationkey
+    ORDER BY b.c_custkey
+"""
+
+
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding — the high-cardinality-categorical
+    feature-prep staple: each row's category is replaced by the
+    smoothed LEAVE-ONE-OUT target mean (Σ_c y − y_own + m·prior) /
+    (n_c − 1 + m), so a row never sees its own label (the
+    join_point_in_time_features principle applied to the feature-value
+    axis instead of the time axis — naive mean encoding leaks the label
+    and inflates validation scores). Fixture: nation → P(acctbal > 0)
+    over customers; the algebra is cardinality-independent.
+
+    Plan: one partial agg to O(categories) + a 1-row prior, broadcast
+    back — the encode is then a pure projection; integer sums keep the
+    LOO arithmetic exact until one IEEE division. The gate recomputes
+    rows from scratch to prove the own-label exclusion."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") > 0).cast("int").alias("y"),
+    )
+    prior = base.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("p")
+    )
+    cat = base.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_c"), F.sum("y").alias("sum_c")
+    )
+    return (
+        base.join(F.broadcast(cat), "c_nationkey")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("y").cast("long").alias("y"),
+            F.round(
+                (
+                    F.col("sum_c")
+                    - F.col("y")
+                    + F.lit(_TE_SMOOTH) * F.col("p")
+                )
+                / (F.col("n_c") - 1 + F.lit(_TE_SMOOTH)),
+                6,
+            ).alias("te"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature_woe_information_value (round-7+ registration queue, tranche 56)
+# ---------------------------------------------------------------------------
+
+FEATURE_WOE_IV_ORACLE = """
+    WITH base AS (
+      SELECT c_nationkey,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ), tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS g,
+             CAST(count(*) - sum(y) AS BIGINT) AS b
+      FROM base
+    ), cat AS (
+      SELECT c_nationkey,
+             CAST(sum(y) AS BIGINT) AS g_c,
+             CAST(count(*) - sum(y) AS BIGINT) AS b_c
+      FROM base GROUP BY c_nationkey
+    ), woe AS (
+      SELECT c_nationkey, g_c, b_c,
+             round(ln(((g_c + 0.5) / (SELECT g FROM tot))
+                      / ((b_c + 0.5) / (SELECT b FROM tot))), 6) + 0.0
+               AS woe,
+             round((CAST(g_c AS DOUBLE) / (SELECT g FROM tot)
+                    - CAST(b_c AS DOUBLE) / (SELECT b FROM tot))
+                   * ln(((g_c + 0.5) / (SELECT g FROM tot))
+                        / ((b_c + 0.5) / (SELECT b FROM tot))), 6) + 0.0
+               AS iv_contrib
+      FROM cat
+    )
+    SELECT c_nationkey, g_c, b_c, woe, iv_contrib
+    FROM woe
+    ORDER BY c_nationkey
+"""
+
+
+def feature_woe_information_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-of-evidence + information value — credit-scoring's
+    standard supervised categorical screen (sibling of
+    feature_target_encoding_loo: TE produces the model FEATURE, WoE/IV
+    ranks which categoricals are worth encoding at all):
+    WoE_c = ln(goodshare_c / badshare_c) with the 0.5 Laplace correction
+    so empty cells stay finite, IV = Σ (g%−b%)·WoE — the classic
+    <0.02 useless / >0.3 strong rule reads directly off the sum.
+
+    Plan: two conditional partial aggs (O(categories) + 1 row),
+    closed-form arithmetic after; integer counts until the ln."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_nationkey", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    tot = base.agg(
+        F.sum("y").alias("g"),
+        (F.count("*") - F.sum("y")).alias("b"),
+    )
+    cat = base.groupBy("c_nationkey").agg(
+        F.sum("y").alias("g_c"),
+        (F.count("*") - F.sum("y")).alias("b_c"),
+    )
+    woe_expr = F.log(
+        ((F.col("g_c") + 0.5) / F.col("g"))
+        / ((F.col("b_c") + 0.5) / F.col("b"))
+    )
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            F.col("g_c").cast("long").alias("g_c"),
+            F.col("b_c").cast("long").alias("b_c"),
+            # + 0.0 normalizes IEEE negative zero (a -0.0 survived the
+            # round at sf0.1 and split the hash against DuckDB's 0.0)
+            (F.round(woe_expr, 6) + 0.0).alias("woe"),
+            (
+                F.round(
+                    (
+                        F.col("g_c").cast("double") / F.col("g")
+                        - F.col("b_c").cast("double") / F.col("b")
+                    )
+                    * woe_expr,
+                    6,
+                )
+                + 0.0
+            ).alias("iv_contrib"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -3074,3 +3074,66 @@ def test_power_formula_matches_reference(spark):
         assert r.n_per_arm == want
     ns = out.sort_values("mde").n_per_arm.tolist()
     assert ns == sorted(ns, reverse=True)
+
+
+# -- tranche 56: supervised categorical feature prep -----------------------
+
+
+def test_queue7_parity_target_encoding(spark, con):
+    sdf = cor.feature_target_encoding_loo(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.FEATURE_TARGET_ENCODING_LOO_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_target_encoding_excludes_own_label(spark):
+    """The leakage-safety contract recomputed from scratch: every row's
+    encoding equals the smoothed mean over the OTHER rows of its
+    category; flipping one row's label must not change that row's own
+    encoding denominator semantics (checked by direct recomputation)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END
+            FROM '{SF_SMALL}/customer.parquet'"""
+    ).fetchall()
+    by_cat = {}
+    for _, nat, y in rows:
+        s, n = by_cat.get(nat, (0, 0))
+        by_cat[nat] = (s + y, n + 1)
+    prior = sum(y for _, _, y in rows) / len(rows)
+    m = cor._TE_SMOOTH
+    want = {
+        ck: round(
+            (by_cat[nat][0] - y + m * prior) / (by_cat[nat][1] - 1 + m), 6
+        )
+        for ck, nat, y in rows
+    }
+    out = cor.feature_target_encoding_loo(spark, SF_SMALL).toPandas()
+    got = dict(zip(out.c_custkey, out.te))
+    assert got == want
+
+
+def test_queue7_parity_woe_iv(spark, con):
+    sdf = cor.feature_woe_information_value(spark, SF_SMALL).toPandas()
+    ddf = con.execute(cor.FEATURE_WOE_IV_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_woe_iv_reference_properties(spark):
+    """WoE sign tracks good-vs-bad share dominance per category, and
+    total IV is non-negative (each contribution (g%-b%)*ln(g%~/b%~) has
+    matching signs up to the Laplace correction)."""
+    out = cor.feature_woe_information_value(spark, SF_SMALL).toPandas()
+    g_tot, b_tot = out.g_c.sum(), out.b_c.sum()
+    for r in out.itertuples():
+        # exact sign law on the Laplace-corrected shares
+        gs, bs = (r.g_c + 0.5) / g_tot, (r.b_c + 0.5) / b_tot
+        if round(gs, 9) > round(bs, 9):
+            assert r.woe >= 0
+        elif round(bs, 9) > round(gs, 9):
+            assert r.woe <= 0
+    assert out.iv_contrib.sum() >= -0.01  # Laplace correction can leave
+    # tiny negative contributions on near-balanced small cells

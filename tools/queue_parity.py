@@ -198,6 +198,10 @@ def queue_pairs():
         # tranche 55
         (ext.agg_abc_pareto_analysis, ext.AGG_ABC_PARETO_ORACLE),
         (ext.stat_power_sample_size, ext.STAT_POWER_SAMPLE_SIZE_ORACLE),
+        # tranche 56
+        (cor.feature_target_encoding_loo,
+         cor.FEATURE_TARGET_ENCODING_LOO_ORACLE),
+        (cor.feature_woe_information_value, cor.FEATURE_WOE_IV_ORACLE),
     ]
     return pairs
 
