@@ -1157,3 +1157,97 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("q"))
         .orderBy("partition_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity (round-7+ registration queue, tranche 57)
+# ---------------------------------------------------------------------------
+
+GRAPH_ASSORTATIVITY_ORACLE = """
+    WITH raw AS (
+      SELECT least(o_custkey % 500, o_orderkey % 500) AS u,
+             greatest(o_custkey % 500, o_orderkey % 500) AS v
+      FROM orders
+      WHERE o_custkey % 500 <> o_orderkey % 500
+    ), e AS (
+      SELECT DISTINCT u, v FROM raw
+    ), adj AS (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x + y) AS BIGINT) AS sxpy,
+             CAST(sum(x * x + y * y) AS BIGINT) AS sx2py2
+      FROM ends
+    )
+    SELECT m,
+           round((CAST(sxy AS DOUBLE) / m
+                  - (CAST(sxpy AS DOUBLE) / (2 * m))
+                    * (CAST(sxpy AS DOUBLE) / (2 * m)))
+                 / nullif(CAST(sx2py2 AS DOUBLE) / (2 * m)
+                          - (CAST(sxpy AS DOUBLE) / (2 * m))
+                            * (CAST(sxpy AS DOUBLE) / (2 * m)), 0)
+                 , 6) + 0.0 AS assortativity
+    FROM sums
+"""
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    degrees across edge endpoints — positive means hubs link to hubs
+    (social networks), negative means hubs link to leaves (the internet,
+    and most recommender bipartite projections); it decides whether
+    super-node mitigation (the dedup bucket caps) will bite. Formula on
+    symmetrized edge-end pairs: r = [Σxy/m − (Σ(x+y)/2m)²] /
+    [Σ(x²+y²)/2m − (Σ(x+y)/2m)²].
+
+    Every sum is an exact BIGINT over integer degrees (same discipline
+    as ts_autocorrelation's deviation trick — no float until the final
+    closed form); degenerate regular graphs (zero variance) yield NULL
+    via nullif, and +0.0 normalizes negative zero. Plan: degree table =
+    one agg, endpoint join against the O(nodes) broadcast, one 1-row
+    reduce."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.least(F.col("o_custkey") % 500, F.col("o_orderkey") % 500).alias("u"),
+        F.greatest(
+            F.col("o_custkey") % 500, F.col("o_orderkey") % 500
+        ).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    e = raw.distinct()
+    adj = e.select(F.col("u").alias("a")).unionAll(
+        e.select(F.col("v").alias("a"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    ends = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    sums = ends.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") + F.col("y")).alias("sxpy"),
+        F.sum(
+            F.col("x") * F.col("x") + F.col("y") * F.col("y")
+        ).alias("sx2py2"),
+    )
+    mean_half = F.col("sxpy").cast("double") / (2 * F.col("m"))
+    r = (
+        F.round(
+            (F.col("sxy").cast("double") / F.col("m") - mean_half * mean_half)
+            / F.nullif(
+                F.col("sx2py2").cast("double") / (2 * F.col("m"))
+                - mean_half * mean_half,
+                F.lit(0.0),
+            ),
+            6,
+        )
+        + 0.0
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("m"), r.alias("assortativity")
+    )

@@ -1295,3 +1295,116 @@ def dedup_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing_fingerprints (round-7+ registration queue, tranche 57)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4  # gram size (tokens)
+_WINNOW_W = 4  # winnowing window (grams)
+
+DEDUP_WINNOWING_FINGERPRINTS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT doc_id, i.i AS pos,
+             md5(array_to_string(l[i.i:i.i + {_WINNOW_K} - 1], ' ')) AS h
+      FROM toks, (SELECT unnest(range(1, 200)) AS i) i
+      WHERE i.i + {_WINNOW_K} - 1 <= len(l)
+    ), winmin AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 0 PRECEDING AND {_WINNOW_W - 1} FOLLOWING) AS wm,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 0 PRECEDING AND {_WINNOW_W - 1} FOLLOWING) AS wn
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, wm AS fp
+      FROM winmin WHERE wn = {_WINNOW_W}
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.n_shared, za.n_fp AS n_fp_a,
+           round(CAST(s.n_shared AS DOUBLE) / za.n_fp, 4) AS containment
+    FROM shared s JOIN sizes za ON za.doc_id = s.id_a
+    WHERE s.n_shared >= 3
+    ORDER BY containment DESC, s.id_a, s.id_b
+    LIMIT 20
+"""
+
+
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    MOSS plagiarism-detection algorithm): hash every k-token shingle,
+    then keep only each sliding window's MINIMUM hash. The selection is
+    content-synchronized ("local"), so two documents sharing any run of
+    ≥ w+k−1 tokens are GUARANTEED to share a fingerprint — the
+    deterministic-recall sparse tier between exact substring spans
+    (stride-1, dense) and MinHash (probabilistic): ~1/w of the grams
+    survive, cutting index size w-fold with a provable detection floor.
+
+    Portability: the gram hash is md5 hex, whose LEXICOGRAPHIC order is
+    the same total order on both engines — the window min needs only an
+    order, never arithmetic. Plan: one per-doc window (doc-partitioned
+    exchange) selects fingerprints; the cross-doc join is an equi-join
+    on the sparse fingerprint table; containment = shared/|FP_a| is an
+    exact integer ratio. The guarantee is pinned in the gate by planting
+    a copied run and asserting detection."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {_WINNOW_K} + 1),"
+                f" i -> md5(array_join(slice(l, i, {_WINNOW_K}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    ).filter(F.size("l") >= _WINNOW_K)
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    winmin = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("wm"),
+        F.count("*").over(w).alias("wn"),
+    )
+    fps = (
+        winmin.filter(F.col("wn") == _WINNOW_W)
+        .select("doc_id", F.col("wm").alias("fp"))
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    return (
+        shared.join(F.broadcast(za), "id_a")
+        .filter(F.col("n_shared") >= 3)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_fp_a"), 4
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "id_a", "id_b")
+        .limit(20)
+    )

@@ -202,6 +202,10 @@ def queue_pairs():
         (cor.feature_target_encoding_loo,
          cor.FEATURE_TARGET_ENCODING_LOO_ORACLE),
         (cor.feature_woe_information_value, cor.FEATURE_WOE_IV_ORACLE),
+        # tranche 57
+        (txt.dedup_winnowing_fingerprints,
+         txt.DEDUP_WINNOWING_FINGERPRINTS_ORACLE),
+        (adv.graph_assortativity, adv.GRAPH_ASSORTATIVITY_ORACLE),
     ]
     return pairs
 
