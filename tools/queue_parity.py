@@ -206,6 +206,9 @@ def queue_pairs():
         (txt.dedup_winnowing_fingerprints,
          txt.DEDUP_WINNOWING_FINGERPRINTS_ORACLE),
         (adv.graph_assortativity, adv.GRAPH_ASSORTATIVITY_ORACLE),
+        # tranche 58
+        (ext.stat_fdr_benjamini_hochberg, ext.STAT_FDR_BH_ORACLE),
+        (ext.win_vwap_bars, ext.WIN_VWAP_BARS_ORACLE),
     ]
     return pairs
 
