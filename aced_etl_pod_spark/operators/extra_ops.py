@@ -4537,3 +4537,210 @@ def win_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar_start")
     )
+
+# ---------------------------------------------------------------------------
+# agg_causal_diff_in_diff (round-7+ registration queue, tranche 59)
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT_TS = "2024-01-16 00:00:00"
+
+AGG_CAUSAL_DIFF_IN_DIFF_ORACLE = f"""
+    WITH tagged AS (
+      SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296
+                       % 100 < 50 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)
+                  AS DECIMAL(18,9)), 6) AS DOUBLE) AS mean
+      FROM tagged GROUP BY grp, period
+    ), wide AS (
+      SELECT
+        max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean END) AS tp,
+        max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean END) AS tq,
+        max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean END) AS cp,
+        max(CASE WHEN grp = 'control' AND period = 'post' THEN mean END) AS cq
+      FROM cells
+    )
+    SELECT c.grp, c.period, c.n, c.mean,
+           round((w.tq - w.tp) - (w.cq - w.cp), 6) AS did_estimate
+    FROM cells c CROSS JOIN wide w
+    ORDER BY c.grp, c.period
+"""
+
+
+def agg_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator when
+    randomization isn't available: with a hash-assigned treatment cohort
+    and a calendar split, the effect is (T_post − T_pre) −
+    (C_post − C_pre), which cancels both the group-level baseline gap
+    and the common time trend (the parallel-trends assumption is the
+    price). On this synthetic feed the true effect is ~0 — the honest
+    placebo read, exactly what a pre-launch A/A DiD should show.
+
+    The 2×2 cell means come from ONE conditional partial agg over exact
+    cents sums; the estimate is closed-form arithmetic on the four
+    cells. Assignment is the house knuth bucket, so the cohort is
+    replayable and the oracle regenerates it."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    grp = F.when(
+        (
+            (F.col("user_id") % F.lit(2147483648))
+            * F.lit(2654435761)
+            % F.lit(4294967296)
+        )
+        % 100
+        < 50,
+        "treat",
+    ).otherwise("control")
+    period = F.when(
+        F.col("ts") < F.lit(_DID_SPLIT_TS).cast("timestamp"), "pre"
+    ).otherwise("post")
+    tagged = e.select(
+        grp.alias("grp"),
+        period.alias("period"),
+        F.round("value", 2).cast("decimal(18,2)").alias("x"),
+    )
+    cells = tagged.groupBy("grp", "period").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)"
+            " AS DECIMAL(18,9)), 6) AS DOUBLE)"
+        ).alias("mean"),
+    )
+    wide = cells.agg(
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "pre"),
+                F.col("mean"),
+            )
+        ).alias("tp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "post"),
+                F.col("mean"),
+            )
+        ).alias("tq"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("mean"),
+            )
+        ).alias("cp"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                F.col("mean"),
+            )
+        ).alias("cq"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select(
+            "grp",
+            "period",
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            F.round(
+                (F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6
+            ).alias("did_estimate"),
+        )
+        .orderBy("grp", "period")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_cuped_variance_reduction (round-7+ registration queue, tranche 59)
+# ---------------------------------------------------------------------------
+
+AGG_CUPED_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
+                  THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT_TS}'
+                  THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+      HAVING x IS NOT NULL AND y IS NOT NULL
+    ), moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM per_user
+    )
+    SELECT n,
+           round((sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0), 6)
+             AS theta,
+           round((syy - sy * sy / n) / (n - 1), 4) AS var_y,
+           round(((syy - sy * sy / n)
+                  - power(sxy - sx * sy / n, 2)
+                    / nullif(sxx - sx * sx / n, 0)) / (n - 1), 4)
+             AS var_y_cuped,
+           round(1 - ((syy - sy * sy / n)
+                      - power(sxy - sx * sy / n, 2)
+                        / nullif(sxx - sx * sx / n, 0))
+                     / nullif(syy - sy * sy / n, 0), 4) AS var_reduction
+    FROM moments
+"""
+
+
+def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard variance-reduction trick that shortens A/B tests:
+    adjust each user's experiment-period metric by θ·(pre-period
+    covariate − its mean) with θ = cov(X,Y)/var(X); the adjusted
+    variance drops by exactly the squared correlation, var(Y′) =
+    var(Y)(1 − ρ²) — reported here as the realized reduction a platform
+    would bank as faster experiments. Pairs with stat_power_sample_size:
+    the reduction feeds directly into the n-per-arm formula.
+
+    Plan: ONE per-user conditional agg builds the (pre X, post Y)
+    panel, one reduce collects the five moment sums (cents-decimal →
+    exact), θ and the variances are closed-form; degenerate zero-
+    variance covariates yield NULL via nullif."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    split = F.lit(_DID_SPLIT_TS).cast("timestamp")
+    cents = F.round("value", 2).cast("decimal(18,2)")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= split, cents))
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    resid = cyy - cxy * cxy / F.nullif(cxx, F.lit(0.0))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(cxy / F.nullif(cxx, F.lit(0.0)), 6).alias("theta"),
+        F.round(cyy / (F.col("n") - 1), 4).alias("var_y"),
+        F.round(resid / (F.col("n") - 1), 4).alias("var_y_cuped"),
+        F.round(1 - resid / F.nullif(cyy, F.lit(0.0)), 4).alias(
+            "var_reduction"
+        ),
+    )

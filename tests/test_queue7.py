@@ -3330,3 +3330,84 @@ def test_vwap_weighting_semantics(spark):
         if v:
             assert abs(r.vwap - pv / v) < 5e-4
         assert abs(r.twap - ps / n) < 5e-4
+
+
+# -- tranche 59: DiD + CUPED (causal/experimentation closers) --------------
+
+
+def test_queue7_parity_did(spark, con):
+    sdf = ext.agg_causal_diff_in_diff(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_CAUSAL_DIFF_IN_DIFF_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_did_recovers_injected_effect(spark):
+    """A synthetic lift of +5.0 applied ONLY to the treatment cohort in
+    the post period must come back as did_estimate ~ +5 (baseline group
+    gaps and common time trends cancel by construction)."""
+    import datetime
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import extra_ops as _ext
+
+    def bucket(uid):
+        return ((uid % 2147483648) * 2654435761) % 4294967296 % 100
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for uid in range(200):
+        treat = bucket(uid) < 50
+        for d in range(30):
+            ts = base + datetime.timedelta(days=d, seconds=uid)
+            post = d >= 15
+            v = 10.0 + (3.0 if treat else 0.0) + (2.0 if post else 0.0)
+            if treat and post:
+                v += 5.0  # the true effect
+            rows.append((uid, "purchase", ts, v))
+    feed = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    with mock.patch.object(_ext, "load", lambda *_a, **_k: feed):
+        out = _ext.agg_causal_diff_in_diff(spark, SF_SMALL).toPandas()
+    assert abs(out.did_estimate.iloc[0] - 5.0) < 1e-6
+    # and the naive post-period treat-control gap is contaminated (8.0)
+    cells = {(r.grp, r.period): r.mean for r in out.itertuples()}
+    naive = cells[("treat", "post")] - cells[("control", "post")]
+    assert abs(naive - 8.0) < 1e-6
+
+
+def test_queue7_parity_cuped(spark, con):
+    sdf = ext.agg_cuped_variance_reduction(spark, SF_SMALL).toPandas()
+    ddf = con.execute(ext.AGG_CUPED_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_cuped_matches_numpy_and_reduction_law(spark):
+    """theta and the adjusted variance recomputed with numpy agree, and
+    the realized reduction equals the squared pre/post correlation —
+    CUPED's defining identity var(Y') = var(Y)(1 - rho^2)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN round(value, 2) END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN round(value, 2) END) AS y
+            FROM '{SF_SMALL}/events.parquet'
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+            HAVING x IS NOT NULL AND y IS NOT NULL"""
+    ).fetchall()
+    x = np.array([r[1] for r in rows], dtype=float)
+    y = np.array([r[2] for r in rows], dtype=float)
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    adj = y - theta * (x - x.mean())
+    out = ext.agg_cuped_variance_reduction(spark, SF_SMALL).toPandas()
+    assert abs(out.theta.iloc[0] - theta) < 1e-4
+    assert abs(out.var_y_cuped.iloc[0] - np.var(adj, ddof=1)) < 0.05
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(out.var_reduction.iloc[0] - rho2) < 1e-3

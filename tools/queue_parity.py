@@ -209,6 +209,9 @@ def queue_pairs():
         # tranche 58
         (ext.stat_fdr_benjamini_hochberg, ext.STAT_FDR_BH_ORACLE),
         (ext.win_vwap_bars, ext.WIN_VWAP_BARS_ORACLE),
+        # tranche 59
+        (ext.agg_causal_diff_in_diff, ext.AGG_CAUSAL_DIFF_IN_DIFF_ORACLE),
+        (ext.agg_cuped_variance_reduction, ext.AGG_CUPED_ORACLE),
     ]
     return pairs
 
