@@ -3009,6 +3009,16 @@ def test_round5d_ops_tolerate_empty_tables(spark, empty_sf):
         ext.dq_cross_table_reconciliation,
         adv.graph_modularity_score,
         ext.agg_rfm_segmentation,
+        ext.agg_abc_pareto_analysis,
+        ext.stat_power_sample_size,
+        cor.feature_target_encoding_loo,
+        cor.feature_woe_information_value,
+        txt.dedup_winnowing_fingerprints,
+        adv.graph_assortativity,
+        ext.stat_fdr_benjamini_hochberg,
+        ext.win_vwap_bars,
+        ext.agg_causal_diff_in_diff,
+        ext.agg_cuped_variance_reduction,
     ]
     failures = []
     for fn in ops:
