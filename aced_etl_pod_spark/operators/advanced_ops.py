@@ -1251,3 +1251,108 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("m").cast("long").alias("m"), r.alias("assortativity")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_membership (round-7+ registration queue, tranche 60)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    """The k-core peel unrolled: each round recomputes degrees over the
+    surviving subgraph and drops nodes with degree < k. Generated
+    programmatically so both engines share the exact semantics; 12
+    rounds is far past the fixture's fixpoint (convergence is asserted
+    by the op itself raising otherwise)."""
+    head = """
+    WITH raw AS (
+      SELECT least(o_custkey % 500, o_orderkey % 500) AS u,
+             greatest(o_custkey % 500, o_orderkey % 500) AS v
+      FROM orders
+      WHERE o_custkey % 500 <> o_orderkey % 500
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM raw
+    ), n0 AS MATERIALIZED (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    )"""
+    rounds = []
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    , d{i} AS MATERIALIZED (
+      SELECT a.node, count(*) AS d
+      FROM (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e) a
+      JOIN {prev} pa ON pa.node = a.node
+      JOIN {prev} pb ON pb.node = a.nbr
+      GROUP BY a.node
+    ), n{i} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE d >= {_KCORE_K}
+    )""")
+        prev = f"n{i}"
+    tail = f"""
+    SELECT CAST(node AS BIGINT) AS node
+    FROM {prev}
+    ORDER BY node"""
+    return head + "".join(rounds) + tail
+
+
+GRAPH_KCORE_MEMBERSHIP_ORACLE = _kcore_oracle()
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k = 3): the maximal subgraph where every node
+    keeps ≥ k neighbors INSIDE the subgraph — the standard graph
+    pre-filter (spam/bot rings, dense-community seeds, feature for
+    influence models) that degree alone cannot compute, because removing
+    a leaf can demote its neighbors (the peeling cascade). Iterative
+    peel: recompute degrees over survivors, drop < k, repeat to
+    fixpoint; per-round localCheckpoint + convergence check (raises on
+    budget exhaustion), the dedup_cluster_cc discipline.
+
+    The ORACLE is the same peel UNROLLED into generated CTE rounds —
+    deterministic by construction, so the differential checks the whole
+    cascade, not just the final degrees. At scale each round is one
+    degree agg + two semi-joins on the shrinking node set; rounds are
+    bounded by the peel depth (≤ diameter, usually tiny)."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.least(F.col("o_custkey") % 500, F.col("o_orderkey") % 500).alias("u"),
+        F.greatest(
+            F.col("o_custkey") % 500, F.col("o_orderkey") % 500
+        ).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    e = raw.distinct().cache()
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).cache()
+    nodes = adj.select("node").distinct().localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        na = nodes.select(F.col("node"))
+        nb = nodes.select(F.col("node").alias("nbr"))
+        deg = (
+            adj.join(na, "node")
+            .join(nb, "nbr")
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        new_nodes = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        before = nodes.count()
+        after = new_nodes.count()
+        nodes = new_nodes
+        if after == before:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {_KCORE_ROUNDS} rounds"
+        )
+    return nodes.select(F.col("node").cast("long").alias("node")).orderBy(
+        "node"
+    )

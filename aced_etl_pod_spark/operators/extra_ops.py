@@ -4744,3 +4744,77 @@ def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# ts_kalman_filter_1d (round-7+ registration queue, tranche 60)
+# ---------------------------------------------------------------------------
+
+KALMAN_Q, KALMAN_R = 1.0, 4.0
+
+TS_KALMAN_FILTER_1D_ORACLE = None  # rows-only by design: the Kalman
+# gain feeds back into the covariance each step — the same genuinely
+# recursive class as CUSUM/Holt-Winters; contract = exact local-recursion
+# reference + the Riccati fixed-point property in tests/test_queue7.py.
+
+
+def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (constant-level model, Q = process noise 1,
+    R = observation noise 4) over each event type's dense hourly count
+    series — the optimal online smoother under Gaussian noise, and the
+    state-estimation primitive behind every tracking/denoising stack.
+    Per step: predict P⁻ = P + Q; gain K = P⁻/(P⁻ + R); update
+    x += K(z − x), P = (1 − K)P⁻. The covariance recursion is a Riccati
+    iteration whose fixed point P* = (−Q + √(Q² + 4QR))/2 the filter
+    must converge to regardless of data — asserted in the gate, the
+    strongest kind of invariant (data-independent).
+
+    Distributed shape: collapse to O(hours) per series (one partial
+    agg), then the O(1)-state recursion per series in applyInPandas —
+    sequential per key, parallel across keys (the CUSUM/Holt-Winters
+    discipline). Emits final state, converged covariance/gain and the
+    innovation MAE (the filter's residual signal)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h"),
+    ).agg(F.count("*").alias("y"))
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        lo, hi = int(pdf["h"].min()), int(pdf["h"].max())
+        grid = np.arange(lo, hi + 3600, 3600)
+        z = pdf.set_index("h")["y"].reindex(grid, fill_value=0).to_numpy(float)
+        x, p = float(z[0]), 1.0
+        abs_innov = 0.0
+        k = 0.0
+        for obs in z[1:]:
+            p_pred = p + KALMAN_Q
+            k = p_pred / (p_pred + KALMAN_R)
+            innov = obs - x
+            abs_innov += abs(innov)
+            x = x + k * innov
+            p = (1 - k) * p_pred
+        n = len(z)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_obs": [n],
+                "x_final": [round(x, 6)],
+                "p_final": [round(p, 6)],
+                "gain_final": [round(k, 6)],
+                "innovation_mae": [round(abs_innov / max(n - 1, 1), 4)],
+            }
+        )
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(
+            kalman,
+            "event_type string, n_obs long, x_final double,"
+            " p_final double, gain_final double, innovation_mae double",
+        )
+        .orderBy("event_type")
+    )

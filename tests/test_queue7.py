@@ -3421,3 +3421,116 @@ def test_cuped_matches_numpy_and_reduction_law(spark):
     assert abs(out.var_y_cuped.iloc[0] - np.var(adj, ddof=1)) < 0.05
     rho2 = np.corrcoef(x, y)[0, 1] ** 2
     assert abs(out.var_reduction.iloc[0] - rho2) < 1e-3
+
+
+# -- tranche 60: k-core + Kalman filter ------------------------------------
+
+
+def test_queue7_parity_kcore(spark, con):
+    sdf = adv.graph_kcore_membership(spark, SF_SMALL).toPandas()
+    ddf = con.execute(adv.GRAPH_KCORE_MEMBERSHIP_ORACLE).fetchdf()
+    errs = compare(sdf, ddf)
+    assert not errs, errs[:5]
+
+
+def test_kcore_cascade_semantics(spark):
+    """The defining cascade: a chain hung off a triangle has every chain
+    node peeled even though the first chain node initially touches the
+    core (degree alone would keep nodes the cascade removes); the
+    triangle+hub clique survives as the whole 3-core."""
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import advanced_ops as _adv
+
+    # K4 clique on 0-3 (every node degree 3) + chain 3-10-11-12
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 10), (10, 11), (11, 12)]
+    feed = spark.createDataFrame(
+        edges, "o_custkey long, o_orderkey long"
+    )
+    with mock.patch.object(_adv, "load", lambda *_a, **_k: feed):
+        out = _adv.graph_kcore_membership(spark, SF_SMALL).toPandas()
+    assert sorted(out.node) == [0, 1, 2, 3]
+
+
+def test_kcore_members_match_reference_peel(spark):
+    """From-scratch Python peel over the same derived graph returns the
+    identical member set, and every member's WITHIN-CORE degree is >= k
+    (the defining property, checked directly)."""
+    import duckdb
+
+    edges = duckdb.connect().execute(
+        f"""SELECT DISTINCT least(o_custkey % 500, o_orderkey % 500),
+                   greatest(o_custkey % 500, o_orderkey % 500)
+            FROM '{SF_SMALL}/orders.parquet'
+            WHERE o_custkey % 500 <> o_orderkey % 500"""
+    ).fetchall()
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    alive = set(nbrs)
+    changed = True
+    while changed:
+        drop = {n for n in alive if len(nbrs[n] & alive) < 3}
+        changed = bool(drop)
+        alive -= drop
+    out = adv.graph_kcore_membership(spark, SF_SMALL).toPandas()
+    assert set(out.node) == alive
+    for n in alive:
+        assert len(nbrs[n] & alive) >= 3
+
+
+def test_kalman_matches_reference_and_riccati(spark):
+    """Exact local-recursion reference match per series, and the
+    DATA-INDEPENDENT invariant: the covariance converges to the Riccati
+    fixed point P* = (-Q + sqrt(Q^2 + 4QR))/2 with gain P*' / (P*' + R)."""
+    import math
+
+    import duckdb
+
+    from aced_etl_pod_spark.operators.extra_ops import KALMAN_Q, KALMAN_R
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type,
+                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT),
+                   count(*)
+            FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    by_type = {}
+    for et, h, c in rows:
+        by_type.setdefault(et, {})[h] = c
+    want = {}
+    for et, d in by_type.items():
+        lo, hi = min(d), max(d)
+        z = [float(d.get(h, 0)) for h in range(lo, hi + 3600, 3600)]
+        x, p = z[0], 1.0
+        ae = 0.0
+        k = 0.0
+        for obs in z[1:]:
+            pp = p + KALMAN_Q
+            k = pp / (pp + KALMAN_R)
+            ae += abs(obs - x)
+            x += k * (obs - x)
+            p = (1 - k) * pp
+        want[et] = (
+            len(z),
+            round(x, 6),
+            round(p, 6),
+            round(k, 6),
+            round(ae / (len(z) - 1), 4),
+        )
+    out = ext.ts_kalman_filter_1d(spark, SF_SMALL).toPandas()
+    got = {
+        r.event_type: (
+            int(r.n_obs), r.x_final, r.p_final, r.gain_final,
+            r.innovation_mae,
+        )
+        for r in out.itertuples()
+    }
+    assert got == want
+    p_star = (-KALMAN_Q + math.sqrt(KALMAN_Q**2 + 4 * KALMAN_Q * KALMAN_R)) / 2
+    p_pred = p_star + KALMAN_Q
+    for _, (_, _, p_fin, k_fin, _) in got.items():
+        assert abs(p_fin - p_star) < 1e-5
+        assert abs(k_fin - p_pred / (p_pred + KALMAN_R)) < 1e-5

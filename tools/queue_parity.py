@@ -212,6 +212,9 @@ def queue_pairs():
         # tranche 59
         (ext.agg_causal_diff_in_diff, ext.AGG_CAUSAL_DIFF_IN_DIFF_ORACLE),
         (ext.agg_cuped_variance_reduction, ext.AGG_CUPED_ORACLE),
+        # tranche 60
+        (adv.graph_kcore_membership, adv.GRAPH_KCORE_MEMBERSHIP_ORACLE),
+        (ext.ts_kalman_filter_1d, None),
     ]
     return pairs
 
