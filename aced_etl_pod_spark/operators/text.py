@@ -498,6 +498,11 @@ DEDUP_NGRAM_CONTAINMENT_ORACLE = f"""
 """
 
 
+@op(
+    "dedup_ngram_containment",
+    oracle=DEDUP_NGRAM_CONTAINMENT_ORACLE,
+    tags=("text", "dedup", "extra"),
+)
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup detection: 3-gram shingle containment
     |A∩B| / |A| — catches a document embedded inside a larger one (quoted
@@ -1021,7 +1026,10 @@ TEXT_LINE_DEDUP_C4_ORACLE = """
              array_to_string(l[(i.i * 8 + 1):least((i.i + 1) * 8, len(l))],
                              ' ') AS line
       FROM toks,
-           (SELECT unnest(range(0, 64)) AS i) i
+           -- span-index bound derived from the longest document (ADVICE
+           -- r5: a fixed cap silently truncated docs past it)
+           (SELECT unnest(range(0,
+                   (SELECT (MAX(len(l)) + 7) // 8 FROM toks))) AS i) i
       WHERE i.i * 8 < len(l)
     ), ranked AS (
       SELECT doc_id, pos, line,
@@ -1310,7 +1318,11 @@ DEDUP_WINNOWING_FINGERPRINTS_ORACLE = f"""
     ), grams AS (
       SELECT doc_id, i.i AS pos,
              md5(array_to_string(l[i.i:i.i + {_WINNOW_K} - 1], ' ')) AS h
-      FROM toks, (SELECT unnest(range(1, 200)) AS i) i
+      FROM toks,
+           -- gram-start bound derived from the longest document (ADVICE
+           -- r5: a fixed cap silently truncated docs past it)
+           (SELECT unnest(range(1,
+                   (SELECT MAX(len(l)) + 1 FROM toks))) AS i) i
       WHERE i.i + {_WINNOW_K} - 1 <= len(l)
     ), winmin AS (
       SELECT doc_id, pos,
@@ -1359,15 +1371,25 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("l")
     )
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(l) - {_WINNOW_K} + 1),"
-                f" i -> md5(array_join(slice(l, i, {_WINNOW_K}), ' ')))"
-            )
-        ).alias("pos", "h"),
-    ).filter(F.size("l") >= _WINNOW_K)
+    # Filter BEFORE building grams: for sub-k-token docs the sequence
+    # bound (size-k+1) goes non-positive (sequence(1,0) is DESCENDING in
+    # Spark, and slice would then raise), and evaluating it must not
+    # depend on Catalyst pushing the filter below the Generate (ADVICE
+    # r5: correctness shouldn't hang on an optimizer rule). The
+    # greatest(..., 1) keeps the expression itself crash-free under
+    # speculative evaluation; rows it would mis-gram are already gone.
+    grams = (
+        d.filter(F.size("l") >= _WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(l) - {_WINNOW_K} + 1, 1)),"
+                    f" i -> md5(array_join(slice(l, i, {_WINNOW_K}), ' ')))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
     w = (
         W.partitionBy("doc_id")
         .orderBy("pos")

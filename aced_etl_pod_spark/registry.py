@@ -36,74 +36,88 @@ _REGISTRY: dict[str, Op] = {}
 
 # Driver-visibility rotation. The external correctness harness verifies the
 # FIRST 50 registry entries in iteration order. Round 1 verified the
-# relational core; rounds 2-4 rotated through UDF/text/dedup/similarity/
-# scale/streaming families (CORRECTNESS_r02-r04). Round-5 window = the 25
-# round-4 additions that have never had a driver row (SURVEY §10 rotation
-# TODO) + embedding_quantize_int8 (the single red r04 row, re-checked after
-# the to_json output fix) + graph_pagerank (upgraded from no_oracle to a
-# DuckDB iterative-CTE oracle this round) + the 22 brand-new round-5 ops
-# (txn-log ACID family, runtime bloom filter, product quantization, URL
-# dedup, count-min sketch, change feed, compaction, IVF-PQ),
-# with no backfill left — the round-5 additions fill the
-# window exactly. Ops not listed keep canonical order after the block.
-# Rotate per round until every operator has a recent row.
+# relational core; rounds 2-5 rotated through UDF/text/dedup/similarity/
+# scale/streaming/txnlog/PQ families (CORRECTNESS_r02-r05; r05 was a perfect
+# 46-pass/4-rows-only run). Round-6 window (VERDICT r5 items 1/2/5/7 + SURVEY
+# §11 rotation TODO) = the 4 re-checks/upgrades (win_gap_islands made
+# non-vacuous; multimodal_feature_embed_topk upgraded to a partial oracle;
+# the two txnlog read ops rebuilt from a real sf-dir lineitem slice) + the 22
+# round-5b queue ops registered this round (incremental view maintenance,
+# cascading rollups, EWMA, SemDeDup, TWAP, covariance/PCA-whiten partials,
+# histogram quantiles, importance sampling, txnlog write path: z-order /
+# equality deletes / bloom index / MERGE batch+streaming, label propagation,
+# ngram containment, SCD2 point-in-time join, hostile-CSV round-trip) + 24 of
+# the 29 stale-r01 relational-core ops in SURVEY §11 item-2 order.
+#
+# Rotation plan for the remaining queue (kept current; the freshness gate in
+# tests/test_parity.py enforces window membership for anything unverified):
+#   r07 window: remaining stale-r01 core (agg_grouping_sets agg_rollup
+#     agg_cube agg_having agg_collect_list_sorted win_row_number_topk
+#     win_rank_dense win_lag_lead win_running_sum win_sliding_avg
+#     win_ntile_pct sort_multi_key limit_topk_global set_union ≈14 slots) +
+#     queue tranches 8-17 in tranche order (geo_ops/governance_ops modules
+#     join _MODULES then; seq_pack_bins_ffd, text_bpe_train_merges,
+#     tokenizer_apply_bpe register with oracle=None) ≈36 slots.
+#   r08 window: tranches 18-35 (~36 queue ops incl. multiprobe LSH, txnlog
+#     branches/result cache/overwrite, HLL portable family, stat suite
+#     start) + r02-era extras backfill to 50.
+#   r09 window: tranches 36-60 (the 5d additions: stats/TS/LLM-prep/Spark-4
+#     surfaces/graph/governance) — drains the queue; any ops still short
+#     land r10.
 _DRIVER_PRIORITY = (
-    # -- never driver-checked (round-4 additions) --
-    "sink_orc_roundtrip",
-    "text_chunk_sliding_tokens",
-    "embedding_random_projection",
-    "feature_quantile_bucketize",
-    "agg_hll_union_shards",
-    "join_asof_forward",
-    "scan_parquet_schema_merge",
-    "pipeline_corpus_curation",
-    "win_distinct_sliding",
-    "scan_csv_permissive_corrupt",
-    "stream_corpus_curation",
-    "sql_shared_ansi",
-    "set_ops_all_multiset",
-    "multimodal_feature_embed_topk",
-    "agg_string_concat",
-    "win_median_rolling",
-    "fn_datetime_interval",
-    "join_lateral_topk_per_key",
-    "join_null_safe_eq",
-    "agg_heavy_hitters_sketch",
-    "udtf_python_lateral",
-    "scan_ndjson_gzip",
-    "win_time_range_sum",
-    "agg_bitmap_exact_distinct",
-    "join_dynamic_partition_pruning",
-    "fn_try_arithmetic",
-    # -- new this round: ACID txn-log table format + runtime filters --
-    "scan_txnlog_snapshot",
-    "txnlog_time_travel",
-    "txnlog_file_skipping",
-    "stream_txnlog_exactly_once",
-    "join_runtime_bloom_filter",
-    # -- new this round: product quantization (ANN compression + ADC) --
-    "embedding_pq_codes",
-    "sim_ann_pq_adc_topk",
-    # -- new this round: URL dedup + count-min sketch --
-    "dedup_url_canonical",
-    "agg_count_min_sketch",
-    "txnlog_change_feed",
-    "sim_ann_ivf_pq_topk",
-    "txnlog_compact",
-    "txnlog_checkpoint_vacuum",
-    "agg_kmv_theta_distinct",
-    "dq_expectation_checks",
-    "txnlog_schema_evolution",
-    "text_bigram_pmi_topk",
+    # -- re-checks / upgrades (VERDICT r5 items 2, 5, 7) --
     "win_gap_islands",
-    "fn_url_parse",
-    "udf_map_in_arrow",
-    "agg_funnel_steps",
-    "win_retention_cohorts",
-    # -- red r04 row, re-check after the scalar-output fix --
-    "embedding_quantize_int8",
-    # -- upgraded no_oracle -> full oracle this round --
-    "graph_pagerank",
+    "multimodal_feature_embed_topk",
+    "scan_txnlog_snapshot",
+    "txnlog_change_feed",
+    # -- round-5b queue, registered this round (SURVEY §11 item 1) --
+    "mv_incremental_refresh",
+    "agg_cascading_rollup",
+    "win_ewma",
+    "dedup_semantic_cluster",
+    "win_time_weighted_avg",
+    "embedding_covariance_topk",
+    "sample_importance_weighted",
+    "mv_incremental_join_view",
+    "agg_histogram_quantile_merge",
+    "embedding_pca_whiten",
+    "win_anomaly_zscore",
+    "stream_sliding_topk",
+    "join_asof_nearest",
+    "sink_csv_roundtrip",
+    "txnlog_zorder_cluster",
+    "txnlog_equality_deletes",
+    "txnlog_bloom_index_lookup",
+    "txnlog_merge_upsert",
+    "stream_txnlog_merge_upsert",
+    "graph_label_propagation",
+    "dedup_ngram_containment",
+    "join_scd2_temporal",
+    # -- stale-r01 relational core refresh (SURVEY §11 item 2) --
+    "flatten_struct",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_cast",
+    "join_inner_hash",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_broadcast",
+    "join_theta_range",
+    "join_cross",
+    "join_multiway_star",
+    "join_asof_event",
+    "agg_count_filtered",
+    "agg_group_sums",
+    "agg_distinct_count",
+    "agg_min_max_first",
 )
 
 # Operator-family modules; importing them runs the @op decorators.
@@ -126,6 +140,7 @@ _MODULES = (
     "aced_etl_pod_spark.operators.llm_pipeline",
     "aced_etl_pod_spark.operators.corpus_ops",
     "aced_etl_pod_spark.operators.table_format",
+    "aced_etl_pod_spark.operators.incremental_ops",
 )
 
 

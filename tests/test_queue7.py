@@ -2648,14 +2648,14 @@ def test_chan_merge_equals_recompute_and_beats_naive(spark):
 def test_queue7_parity_ckpt_restart(spark, con):
     from aced_etl_pod_spark.operators import streaming_ops as so
 
-    sdf = so.stream_checkpoint_restart(spark, SF_SMALL).toPandas()
+    df, prog = so._ckpt_restart_phases(spark, SF_SMALL)
+    sdf = df.toPandas()
     ddf = con.execute(so.STREAM_CHECKPOINT_RESTART_ORACLE).fetchdf()
     errs = compare(sdf, ddf)
     assert not errs, errs[:5]
     # the restarted query resumed from the checkpoint: it processed ONLY
     # the two new batches (half the feed), not a reprocess of the first
     # half — exactly-once across the restart, not just within a run.
-    prog = so.stream_checkpoint_restart.last_progress
     total = prog["phase1_rows"] + prog["phase2_rows"]
     assert prog["phase1_rows"] == prog["phase2_rows"] == total // 2
     assert total == 1000  # sf0.001 events

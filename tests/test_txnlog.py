@@ -114,6 +114,33 @@ def test_manifest_file_skipping_prunes(spark):
     assert kept < total  # the narrow range must prune at least one file
 
 
+def test_lineitem_snapshot_prunes_and_matches(spark):
+    """scan_txnlog_snapshot's sf-scaled lineitem table (round 6): the
+    bottom-eighth key-range read must prune most of the 8 range files at
+    the manifest level, and the pruned read must equal the brute-force
+    filter over the full snapshot."""
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.operators.table_format import (
+        _lineitem_key_cap,
+        build_lineitem_txn_table,
+        lineitem_pruned_file_counts,
+    )
+
+    total, kept = lineitem_pruned_file_counts(spark, SF_SMALL)
+    assert total == 8  # v2 wrote 8 range-partitioned files
+    assert kept <= total // 2  # bottom eighth must prune most files
+
+    table = build_lineitem_txn_table(spark, SF_SMALL)
+    hi = _lineitem_key_cap(spark, SF_SMALL)
+    pruned = (
+        txn_read(spark, table, prune=("l_orderkey", 0, hi))
+        .filter(F.col("l_orderkey") <= hi)
+    )
+    full = txn_read(spark, table).filter(F.col("l_orderkey") <= hi)
+    assert pruned.count() == full.count() > 0
+
+
 def test_file_skipping_result_matches_unpruned(spark):
     """Stats pruning is a superset guarantee: pruned + re-filtered result
     equals the brute-force filter over the full snapshot."""
