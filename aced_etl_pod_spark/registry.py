@@ -120,6 +120,93 @@ _DRIVER_PRIORITY = (
     "agg_min_max_first",
 )
 
+# Machine-enforced rotation plan for the remaining verification queue
+# (VERDICT r5 item 6). Keys are external CORRECTNESS round numbers; values
+# are the op IDs whose external row is DUE that round. The freshness gate
+# (tests/test_parity.py::test_rotation_plan_enforced) fails if:
+#   * a plan round has arrived (latest CORRECTNESS_r{N} == round-1) and the
+#     session's _DRIVER_PRIORITY doesn't contain every planned op, or
+#   * a plan round has passed and any planned op still has no external row.
+# Round 7 = the 14 remaining r01-core windows/sorts/sets + queue tranches
+# 8-17 in tranche order (requires registering operators.geo_ops and
+# operators.governance_ops into _MODULES, and seq_pack_bins_ffd /
+# text_bpe_train_merges / tokenizer_apply_bpe / multimodal_audio_features /
+# sim_mmr_diversified_topk / pipeline_rag_context_pack /
+# sim_ann_lsh_multiprobe_topk / ts_holt_winters / win_cusum_changepoint /
+# dedup_incremental_minhash / dedup_image_phash with oracle=None —
+# rows-only by design with exact local-reference gates). Rounds 8-9 drain
+# the rest of tranches 18-60; the r09 window backfills its remaining ~20
+# slots with whatever registered ops then have the OLDEST external rows
+# (r02-era extras first) — backfill is chosen at rotation time, so only
+# the queue ops are pinned here.
+_ROTATION_PLAN = {
+    7: (
+        # stale-r01 relational core, final slice
+        "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_having",
+        "agg_collect_list_sorted", "win_row_number_topk", "win_rank_dense",
+        "win_lag_lead", "win_running_sum", "win_sliding_avg", "win_ntile_pct",
+        "sort_multi_key", "limit_topk_global", "set_union",
+        # queue tranches 8-17
+        "join_geo_gridded_radius", "agg_geo_grid_density", "dq_k_anonymity",
+        "fn_pseudonymize_consistent", "fn_ip_cidr_classify", "graph_bfs_khop",
+        "win_event_sequence_regex", "ts_interpolate_linear",
+        "text_readability_score", "seq_pack_bins_ffd", "text_bpe_train_merges",
+        "sample_reservoir_per_group", "join_geo_point_in_polygon",
+        "join_interval_overlap", "text_search_boolean", "hierarchy_unroll_paths",
+        "agg_sample_estimate_ci", "dedup_exact_substring_spans",
+        "agg_weighted_percentile", "win_drawdown_runmax",
+        "join_geo_nearest_broadcast", "tokenizer_apply_bpe",
+        "stat_chi_square_independence", "agg_frequent_pairs_market_basket",
+        "feature_one_hot_encode", "feature_standard_scale",
+        "multimodal_audio_features", "stream_anomaly_window_zscore",
+        "dq_freshness_slo", "dq_schema_contract", "sim_mmr_diversified_topk",
+        "win_period_over_period", "pipeline_rag_context_pack",
+        "sim_ann_lsh_multiprobe_topk", "win_percent_rank_cume",
+        "scan_date_dim_generate",
+    ),
+    8: (
+        "fn_surrogate_key_md5", "txnlog_overwrite_partition",
+        "win_streak_longest_current", "agg_attribution_last_touch",
+        "txnlog_branch_merge", "plan_result_cache", "scan_fixed_width",
+        "ts_seasonal_decompose", "win_outlier_mad", "scan_multiline_json",
+        "scan_file_provenance", "udtf_table_argument", "agg_hll_portable",
+        "graph_shortest_path_weighted", "agg_kmv_set_intersection",
+        "agg_conversion_lag_percentiles", "win_rolling_regression_slope",
+        "agg_hll_sliding_distinct", "dedup_incremental_minhash",
+        "dq_k_anonymity_generalize", "txnlog_cdc_replay_reconstruct",
+        "txnlog_check_constraints", "stream_checked_ingest_dlq",
+        "agg_gini_coefficient", "agg_entropy_categorical",
+        "text_vocab_growth_heaps", "agg_markov_transition_matrix",
+        "fn_ab_test_proportions", "text_zipf_rank_frequency",
+        "agg_benford_digit_test", "win_cusum_changepoint",
+        "win_survival_kaplan_meier", "text_ngram_lm_score",
+        "stat_ks_two_sample", "ts_autocorrelation", "stat_mann_whitney_u",
+        "graph_jaccard_link_prediction", "dp_noisy_count_laplace",
+        "join_fuzzy_phonetic_blocked", "agg_event_path_topk",
+        "stat_t_test_welch", "ts_forecast_snaive_backtest", "ts_holt_winters",
+        "ts_seasonal_residual_anomaly", "sql_recursive_cte_native",
+        "scan_json_variant", "stat_bootstrap_poisson_ci",
+        "ts_cross_correlation", "udf_scalar_arrow", "scan_python_datasource",
+    ),
+    9: (
+        "stream_python_datasource", "seq_sft_chat_render",
+        "join_point_in_time_features", "graph_cc_large_star_small_star",
+        "text_line_dedup_c4", "fn_unicode_normalize_nfc",
+        "pipeline_mixture_rebalance", "agg_moments_mergeable_chan",
+        "stream_checkpoint_restart", "seq_dpo_preference_pairs",
+        "dedup_ppjoin_prefix_filter", "dedup_image_phash",
+        "sql_parameterized_query", "pipeline_pretrain_corpus_e2e",
+        "agg_ohlc_bars", "dq_cross_table_reconciliation",
+        "graph_modularity_score", "agg_rfm_segmentation",
+        "agg_abc_pareto_analysis", "stat_power_sample_size",
+        "feature_target_encoding_loo", "feature_woe_information_value",
+        "dedup_winnowing_fingerprints", "graph_assortativity",
+        "stat_fdr_benjamini_hochberg", "win_vwap_bars",
+        "agg_causal_diff_in_diff", "agg_cuped_variance_reduction",
+        "graph_kcore_membership", "ts_kalman_filter_1d",
+    ),
+}
+
 # Operator-family modules; importing them runs the @op decorators.
 _MODULES = (
     "aced_etl_pod_spark.operators.scans",

@@ -21,6 +21,9 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("tests", shuffle_partitions=8)
     yield s
+    # Explicit stop so the JVM exits promptly and a detached pytest run
+    # can't drop the trailing summary line (VERDICT r5 minor item 4).
+    s.stop()
 
 
 def _envelope(rid, name, obj, relations=None):

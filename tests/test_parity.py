@@ -102,6 +102,69 @@ def test_census_fully_externally_verified_or_queued():
     )
 
 
+def test_rotation_plan_enforced():
+    """VERDICT r5 item 6: the r07-r09 verification-queue rotation is
+    machine-enforced, not aspirational. For each planned round R:
+      * R in the future  → every planned ID must exist as a def in some
+        operator module (typo guard — most are not yet registered);
+      * R == next round  → every planned op must sit in _DRIVER_PRIORITY
+        (the session must rotate the window to the plan);
+      * R in the past    → every planned op must have an external
+        CORRECTNESS row (the plan was actually executed).
+    Rounds are disjoint and ≤50 (the driver window size)."""
+    import glob
+    import importlib
+    import json
+    import os
+    import re
+
+    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY, _MODULES, _ROTATION_PLAN
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds_seen = [
+        int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    latest = max(rounds_seen) if rounds_seen else 0
+    verified: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            verified |= set(json.load(fh))
+
+    all_ids: set[str] = set()
+    for r, ids in _ROTATION_PLAN.items():
+        assert len(ids) <= 50, f"plan round {r} exceeds the 50-slot window"
+        overlap = all_ids & set(ids)
+        assert not overlap, f"op(s) planned twice: {sorted(overlap)}"
+        all_ids |= set(ids)
+
+    # typo guard: every planned ID must be a def in some operator module
+    defs: set[str] = set()
+    mods = set(_MODULES) | {
+        "aced_etl_pod_spark.operators.geo_ops",
+        "aced_etl_pod_spark.operators.governance_ops",
+    }
+    for m in mods:
+        mod = importlib.import_module(m)
+        defs |= {n for n in dir(mod) if callable(getattr(mod, n, None))}
+    unknown = sorted(all_ids - defs)
+    assert not unknown, f"planned ops with no matching def: {unknown}"
+
+    for r, ids in sorted(_ROTATION_PLAN.items()):
+        if r <= latest:
+            missed = sorted(set(ids) - verified)
+            assert not missed, (
+                f"round {r} has passed but these planned ops have no "
+                f"external CORRECTNESS row: {missed}"
+            )
+        elif r == latest + 1:
+            unqueued = sorted(set(ids) - set(_DRIVER_PRIORITY))
+            assert not unqueued, (
+                f"round {r} is next — rotate _DRIVER_PRIORITY to the plan; "
+                f"missing: {unqueued}"
+            )
+
+
 def test_round6_queue_parity(spark, con):
     """Ops finished in round 5 but deferred from registration (the r05
     window is full with VERDICT-mandated re-checks): verify them against
