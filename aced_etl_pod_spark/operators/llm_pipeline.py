@@ -357,16 +357,22 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB)."""
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("toks"))
-    tok = base.select("doc_id", F.explode("toks").alias("term"))
+    tok = base.select("doc_id", F.explode_outer("toks").alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     top_tok = (
         tok.groupBy("doc_id", "term")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_cnt"))
     )
+    # explode_OUTER + isNotNull: a plain explode lets Catalyst infer
+    # size(ngrams_expr(...)) > 0 and re-evaluate the whole bigram
+    # construction inside the scan filter (docs/SCALE.md §11); 1-token
+    # docs emit no bigram either way (they surface via the LEFT join).
     big = base.select(
-        "doc_id", F.explode(ngrams_expr("toks", 2)).alias("gram")
-    )
+        "doc_id", F.explode_outer(ngrams_expr("toks", 2)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     top_big = (
         big.groupBy("doc_id", "gram")
         .agg(F.count("*").alias("c"))

@@ -193,7 +193,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    post = t.select("doc_id", "lang", F.explode("toks").alias("tok"))
+    # explode_OUTER + isNotNull: a plain explode lets Catalyst infer
+    # size(toks) > 0 and re-evaluate array_distinct(split(...)) inside
+    # the scan filter (docs/SCALE.md §11); empty docs have no tokens to
+    # emit either way, so the row set is identical.
+    post = t.select(
+        "doc_id", "lang", F.explode_outer("toks").alias("tok")
+    ).filter(F.col("tok").isNotNull())
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
         post.join(F.broadcast(dfreq), "tok")
