@@ -487,6 +487,7 @@ def _bfs_oracle(hops: int) -> str:
 GRAPH_BFS_KHOP_ORACLE = _bfs_oracle(BFS_HOPS)
 
 
+@op("graph_bfs_khop", oracle=GRAPH_BFS_KHOP_ORACLE, tags=('graph', 'extra'))
 def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop BFS reachability with exact minimum hop distance over the
     symmetrized customer<->supplier purchase graph, from the seed set
@@ -572,6 +573,7 @@ HIERARCHY_UNROLL_PATHS_ORACLE = """
 """
 
 
+@op("hierarchy_unroll_paths", oracle=HIERARCHY_UNROLL_PATHS_ORACLE, tags=('graph', 'extra'))
 def hierarchy_unroll_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive hierarchy traversal: every node's full root path over a
     parent-child EDGE TABLE — org charts, bills of material, category
@@ -681,6 +683,7 @@ def _spw_oracle(rounds: int) -> str:
 GRAPH_SHORTEST_PATH_WEIGHTED_ORACLE = _spw_oracle(_SPW_ROUNDS)
 
 
+@op("graph_shortest_path_weighted", oracle=GRAPH_SHORTEST_PATH_WEIGHTED_ORACLE, tags=('graph', 'extra'))
 def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source-set shortest paths by synchronous
     Bellman-Ford relaxation (6 fixed rounds — paths of <= 6 edges; like
@@ -769,6 +772,7 @@ GRAPH_JACCARD_LINK_PREDICTION_ORACLE = """
 """
 
 
+@op("graph_jaccard_link_prediction", oracle=GRAPH_JACCARD_LINK_PREDICTION_ORACLE, tags=('graph', 'extra'))
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by neighborhood Jaccard — for every NON-adjacent
     node pair sharing ≥1 neighbor, score |N(a)∩N(b)| / |N(a)∪N(b)| and
@@ -860,6 +864,7 @@ _RECURSIVE_CTE_SPARK = """
 """
 
 
+@op("sql_recursive_cte_native", oracle=SQL_RECURSIVE_CTE_NATIVE_ORACLE, tags=('sql', 'extra'))
 def sql_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's NATIVE ``WITH RECURSIVE`` (SPARK-24497, new in 4.0) on
     the same ternary-tree root-path task hierarchy_unroll_paths solves by
@@ -906,6 +911,7 @@ SCAN_JSON_VARIANT_ORACLE = """
 """
 
 
+@op("scan_json_variant", oracle=SCAN_JSON_VARIANT_ORACLE, tags=('scan', 'extra'))
 def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion through Spark 4's VARIANT type: the
     JSON props column is parsed ONCE into the binary variant encoding
@@ -971,6 +977,7 @@ GRAPH_CC_STAR_ORACLE = """
 _CC_STAR_ROUNDS = 12
 
 
+@op("graph_cc_large_star_small_star", oracle=GRAPH_CC_STAR_ORACLE, tags=('graph', 'extra'))
 def graph_cc_large_star_small_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., the MapReduce-scale CC algorithm): each node
@@ -1101,6 +1108,7 @@ GRAPH_MODULARITY_SCORE_ORACLE = """
 """
 
 
+@op("graph_modularity_score", oracle=GRAPH_MODULARITY_SCORE_ORACLE, tags=('graph', 'extra'))
 def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] as a SCORING
     operator over candidate community assignments — the objective every
@@ -1202,6 +1210,7 @@ GRAPH_ASSORTATIVITY_ORACLE = """
 """
 
 
+@op("graph_assortativity", oracle=GRAPH_ASSORTATIVITY_ORACLE, tags=('graph', 'extra'))
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman's r): the Pearson correlation of
     degrees across edge endpoints — positive means hubs link to hubs
@@ -1308,6 +1317,7 @@ def _kcore_oracle() -> str:
 GRAPH_KCORE_MEMBERSHIP_ORACLE = _kcore_oracle()
 
 
+@op("graph_kcore_membership", oracle=GRAPH_KCORE_MEMBERSHIP_ORACLE, tags=('graph', 'extra'))
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership (k = 3): the maximal subgraph where every node
     keeps ≥ k neighbors INSIDE the subgraph — the standard graph

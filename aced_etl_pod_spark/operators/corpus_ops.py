@@ -2235,6 +2235,7 @@ FEATURE_ONE_HOT_ORACLE = (
 )
 
 
+@op("feature_one_hot_encode", oracle=FEATURE_ONE_HOT_ORACLE, tags=('features', 'extra'))
 def feature_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-hot encoding of the market segment against a FIXED category
     list (the production contract: the category vocabulary is a pinned
@@ -2266,6 +2267,7 @@ FEATURE_STANDARD_SCALE_ORACLE = """
 """
 
 
+@op("feature_standard_scale", oracle=FEATURE_STANDARD_SCALE_ORACLE, tags=('features', 'extra'))
 def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization: group means/stddevs from one
     partial-agg pass, broadcast back onto the rows (O(groups) join side),
@@ -2341,6 +2343,21 @@ SCAN_FIXED_WIDTH_ORACLE = """
 """
 
 
+# Static registry oracle: the fixture is a deterministic function of the
+# orders view (o_orderkey % 11 subset, %.2f-rendered price), so a correct
+# write+parse round-trip must recover exactly this projection — the same
+# recompute-from-source pattern as the sink round-trips. The FACTORY
+# oracle above (re-parsing the physical file in DuckDB) stays as the
+# stronger file-level check in tests/test_queue7.py + tools/queue_parity.
+SCAN_FIXED_WIDTH_STATIC_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+@op("scan_fixed_width", oracle=SCAN_FIXED_WIDTH_STATIC_ORACLE,
+    tags=("scan", "extra"))
 def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width (mainframe/COBOL-style) file ingestion: no delimiters,
     fields live at byte offsets declared by a layout, parsed with
@@ -2410,6 +2427,17 @@ SCAN_MULTILINE_JSON_ORACLE = """
 """
 
 
+# Static registry oracle — recompute the fixture's defining projection
+# from the orders view (see SCAN_FIXED_WIDTH_STATIC_ORACLE note).
+SCAN_MULTILINE_JSON_STATIC_ORACLE = """
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@op("scan_multiline_json", oracle=SCAN_MULTILINE_JSON_STATIC_ORACLE,
+    tags=("scan", "extra"))
 def scan_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-line JSON scan: one pretty-printed ARRAY document (the REST
     export / config-dump format) rather than NDJSON records. Spark needs
@@ -2473,6 +2501,24 @@ SCAN_FILE_PROVENANCE_ORACLE = """
 """
 
 
+# Static registry oracle: per-status rows/totals recompute from the
+# orders view; n_files = 1 is a REAL plan property being asserted — the
+# fixture writes after repartition("o_orderstatus"), so every status
+# lives in exactly one task and partitionBy emits exactly one file per
+# status directory. The FACTORY oracle (filename=true re-attribution of
+# the physical fixture) stays as the file-level check in the local gates.
+SCAN_FILE_PROVENANCE_STATIC_ORACLE = """
+    SELECT o_orderstatus AS partition_value,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM orders GROUP BY 1
+"""
+
+
+@op("scan_file_provenance", oracle=SCAN_FILE_PROVENANCE_STATIC_ORACLE,
+    tags=("scan", "extra"))
 def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level file provenance: every row reports WHICH physical file
     produced it (Spark's input_file_name() / DuckDB's filename=true),
@@ -2533,6 +2579,7 @@ AGG_HLL_PORTABLE_ORACLE = f"""
 """
 
 
+@op("agg_hll_portable", oracle=AGG_HLL_PORTABLE_ORACLE, tags=('agg', 'extra'))
 def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog built from first principles with PORTABLE arithmetic,
     so even the sketch REGISTERS cross-engine hash-check (the same
@@ -2636,6 +2683,7 @@ AGG_KMV_SET_INTERSECTION_SQL = f"""
 AGG_KMV_SET_INTERSECTION_ORACLE = AGG_KMV_SET_INTERSECTION_SQL
 
 
+@op("agg_kmv_set_intersection", oracle=AGG_KMV_SET_INTERSECTION_ORACLE, tags=('agg', 'extra'))
 def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-style set-operation estimation on KMV sketches: the clicked
     and purchased user sets are sketched as their k=16 minimum portable
@@ -2704,6 +2752,7 @@ AGG_HLL_SLIDING_DISTINCT_ORACLE = f"""
 """
 
 
+@op("agg_hll_sliding_distinct", oracle=AGG_HLL_SLIDING_DISTINCT_ORACLE, tags=('agg', 'extra'))
 def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users from MERGEABLE sketch partials: one
     pass builds per-(day, bucket) HLL registers (the persisted partial),
@@ -2812,6 +2861,7 @@ PIPELINE_MIXTURE_REBALANCE_ORACLE = f"""
 """
 
 
+@op("pipeline_mixture_rebalance", oracle=PIPELINE_MIXTURE_REBALANCE_ORACLE, tags=('llm', 'extra'))
 def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture rebalancing to TARGET language proportions — the
     data-mixing step every pre-training run specifies ("40% en, 20% zh,
@@ -2920,6 +2970,7 @@ AGG_MOMENTS_MERGEABLE_CHAN_ORACLE = """
 """
 
 
+@op("agg_moments_mergeable_chan", oracle=AGG_MOMENTS_MERGEABLE_CHAN_ORACLE, tags=('agg', 'extra'))
 def agg_moments_mergeable_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable second-moment partials (Chan et al. parallel variance)
     — the exact-moments member of the persisted-partial suite (HLL for
@@ -3005,6 +3056,7 @@ SQL_PARAMETERIZED_QUERY_ORACLE = f"""
 """
 
 
+@op("sql_parameterized_query", oracle=SQL_PARAMETERIZED_QUERY_ORACLE, tags=('sql', 'extra'))
 def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's parameterized SQL (named-marker binding,
     ``spark.sql(text, args={...})``) — the injection-safe way user input
@@ -3102,6 +3154,7 @@ PIPELINE_PRETRAIN_E2E_ORACLE = f"""
 """
 
 
+@op("pipeline_pretrain_corpus_e2e", oracle=PIPELINE_PRETRAIN_E2E_ORACLE, tags=('llm', 'extra'))
 def pipeline_pretrain_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-training corpus pipeline END TO END in ONE fused plan —
     the capstone composition of this family: (1) mixture gate to target
@@ -3241,6 +3294,7 @@ FEATURE_TARGET_ENCODING_LOO_ORACLE = f"""
 """
 
 
+@op("feature_target_encoding_loo", oracle=FEATURE_TARGET_ENCODING_LOO_ORACLE, tags=('features', 'extra'))
 def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe target encoding — the high-cardinality-categorical
     feature-prep staple: each row's category is replaced by the
@@ -3324,6 +3378,7 @@ FEATURE_WOE_IV_ORACLE = """
 """
 
 
+@op("feature_woe_information_value", oracle=FEATURE_WOE_IV_ORACLE, tags=('features', 'extra'))
 def feature_woe_information_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -1152,6 +1153,7 @@ WIN_EVENT_SEQUENCE_REGEX_ORACLE = f"""
 """
 
 
+@op("win_event_sequence_regex", oracle=WIN_EVENT_SEQUENCE_REGEX_ORACLE, tags=('window', 'extra'))
 def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite: per-user event journeys flattened to a
     character string (one char per event, ordered by (ts, event_id) — the
@@ -1237,6 +1239,7 @@ TS_INTERPOLATE_LINEAR_ORACLE = """
 """
 
 
+@op("ts_interpolate_linear", oracle=TS_INTERPOLATE_LINEAR_ORACLE, tags=('timeseries', 'extra'))
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of time-series gaps (the sibling of
     ts_resample_gap_fill's forward fill): per-user hourly grid, and each
@@ -1337,6 +1340,7 @@ JOIN_INTERVAL_OVERLAP_ORACLE = f"""
 """
 
 
+@op("join_interval_overlap", oracle=JOIN_INTERVAL_OVERLAP_ORACLE, tags=('join', 'extra'))
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (temporal sibling of the geo grid join):
     which user activity spans overlap which promo windows. The naive form
@@ -1423,6 +1427,7 @@ AGG_WEIGHTED_PERCENTILE_ORACLE = """
 """
 
 
+@op("agg_weighted_percentile", oracle=AGG_WEIGHTED_PERCENTILE_ORACLE, tags=('agg', 'extra'))
 def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted percentiles (p50/p90 of extended price, weighted by
     quantity) — the engine-gap aggregate neither Spark nor most SQL
@@ -1490,6 +1495,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
 """
 
 
+@op("win_drawdown_runmax", oracle=WIN_DRAWDOWN_RUNMAX_ORACLE, tags=('window', 'extra'))
 def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-peak drawdown per series (the finance/SLO-burn window):
     running max over the (ts, event_id)-ordered series, per-row drawdown
@@ -1552,6 +1558,7 @@ STAT_CHI_SQUARE_ORACLE = """
 """
 
 
+@op("stat_chi_square_independence", oracle=STAT_CHI_SQUARE_ORACLE, tags=('stat', 'extra'))
 def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence as a contingency-table plan:
     observed cell counts (one partial agg), row/column/grand margins as
@@ -1616,6 +1623,7 @@ AGG_FREQUENT_PAIRS_ORACLE = f"""
 """
 
 
+@op("agg_frequent_pairs_market_basket", oracle=AGG_FREQUENT_PAIRS_ORACLE, tags=('agg', 'extra'))
 def agg_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top co-purchased part pairs.
     Within-order self-join on the DISTINCT (order, part) item set with
@@ -1665,6 +1673,7 @@ WIN_PERIOD_OVER_PERIOD_ORACLE = """
 """
 
 
+@op("win_period_over_period", oracle=WIN_PERIOD_OVER_PERIOD_ORACLE, tags=('window', 'extra'))
 def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year growth per order priority —
     the reporting-layer staple. Revenue collapses to the (group, month)
@@ -1715,6 +1724,7 @@ WIN_PERCENT_RANK_CUME_ORACLE = """
 """
 
 
+@op("win_percent_rank_cume", oracle=WIN_PERCENT_RANK_CUME_ORACLE, tags=('window', 'extra'))
 def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist over a total-ordered frame (the
     distribution-position windows win_ntile_pct doesn't cover). The
@@ -1750,6 +1760,7 @@ SCAN_DATE_DIM_GENERATE_ORACLE = """
 """
 
 
+@op("scan_date_dim_generate", oracle=SCAN_DATE_DIM_GENERATE_ORACLE, tags=('scan', 'extra'))
 def scan_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated calendar dimension (the warehouse date-dim builder): a
     dense day series covering the orders date range with surrogate key
@@ -1792,6 +1803,7 @@ FN_SURROGATE_KEY_MD5_ORACLE = """
 """
 
 
+@op("fn_surrogate_key_md5", oracle=FN_SURROGATE_KEY_MD5_ORACLE, tags=('fn', 'extra'))
 def fn_surrogate_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic surrogate-key minting: md5 over a delimited
     concatenation of the natural-key columns — the portable, engine-
@@ -1846,6 +1858,7 @@ WIN_STREAK_LONGEST_CURRENT_ORACLE = """
 """
 
 
+@op("win_streak_longest_current", oracle=WIN_STREAK_LONGEST_CURRENT_ORACLE, tags=('window', 'extra'))
 def win_streak_longest_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-day activity streaks per user (the engagement-metrics
     staple): the gaps-and-islands constant (date minus dense row index is
@@ -1908,6 +1921,7 @@ AGG_ATTRIBUTION_LAST_TOUCH_ORACLE = """
 """
 
 
+@op("agg_attribution_last_touch", oracle=AGG_ATTRIBUTION_LAST_TOUCH_ORACLE, tags=('agg', 'extra'))
 def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase credits the most
     recent view/click/signup touch in the preceding 2 hours (ties on the
@@ -1983,6 +1997,7 @@ TS_SEASONAL_DECOMPOSE_ORACLE = """
 """
 
 
+@op("ts_seasonal_decompose", oracle=TS_SEASONAL_DECOMPOSE_ORACLE, tags=('timeseries', 'extra'))
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition (trend + daily
     seasonality + residual) of the hourly event series: trend = centered
@@ -2072,6 +2087,7 @@ WIN_OUTLIER_MAD_ORACLE = """
 """
 
 
+@op("win_outlier_mad", oracle=WIN_OUTLIER_MAD_ORACLE, tags=('window', 'extra'))
 def win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counting by median absolute deviation — the
     breakdown-resistant sibling of the z-score ops (one wild value
@@ -2141,6 +2157,7 @@ AGG_CONVERSION_LAG_ORACLE = """
 """
 
 
+@op("agg_conversion_lag_percentiles", oracle=AGG_CONVERSION_LAG_ORACLE, tags=('agg', 'extra'))
 def agg_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: per user, the lag between first view
     and first purchase (users who purchased before ever viewing are
@@ -2206,6 +2223,7 @@ WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
 """
 
 
+@op("win_rolling_regression_slope", oracle=WIN_ROLLING_REGRESSION_SLOPE_ORACLE, tags=('window', 'extra'))
 def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling OLS trend: the least-squares slope of value vs time over
     each trailing 10-event window, from the closed-form
@@ -2272,6 +2290,7 @@ AGG_GINI_COEFFICIENT_ORACLE = """
 """
 
 
+@op("agg_gini_coefficient", oracle=AGG_GINI_COEFFICIENT_ORACLE, tags=('agg', 'extra'))
 def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration coefficient of (shifted non-negative) account
     balances per nation — the inequality/concentration metric a revenue
@@ -2327,6 +2346,7 @@ AGG_ENTROPY_CATEGORICAL_ORACLE = """
 """
 
 
+@op("agg_entropy_categorical", oracle=AGG_ENTROPY_CATEGORICAL_ORACLE, tags=('agg', 'extra'))
 def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each user's event-type distribution (bits) —
     the behavioral-diversity signal (bots pin near 0, uniform browsers
@@ -2375,6 +2395,7 @@ AGG_MARKOV_TRANSITION_ORACLE = """
 """
 
 
+@op("agg_markov_transition_matrix", oracle=AGG_MARKOV_TRANSITION_ORACLE, tags=('agg', 'extra'))
 def agg_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimates over per-user event
     sequences: P(next | current) from adjacent-pair counts (lead window
@@ -2441,6 +2462,7 @@ FN_AB_TEST_PROPORTIONS_ORACLE = """
 """
 
 
+@op("fn_ab_test_proportions", oracle=FN_AB_TEST_PROPORTIONS_ORACLE, tags=('fn', 'extra'))
 def fn_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test between hash-split cohorts (the A/B readout
     primitive): per-cohort user and converter counts from ONE
@@ -2514,6 +2536,7 @@ AGG_BENFORD_DIGIT_TEST_ORACLE = """
 """
 
 
+@op("agg_benford_digit_test", oracle=AGG_BENFORD_DIGIT_TEST_ORACLE, tags=('agg', 'extra'))
 def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law leading-digit audit of order totals — the classic
     forensic-accounting screen (fabricated figures flunk the log10(1+1/d)
@@ -2561,13 +2584,61 @@ def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSUM_K, CUSUM_H = 0.5, 5.0  # slack and alarm threshold, in sigma units
 
-WIN_CUSUM_CHANGEPOINT_ORACLE = None  # the clamped recursion
-# S_t = max(0, S_{t-1} + z_t - k) is not expressible as a bounded-frame
-# closed form (the max(0) reset breaks linearity — unlike the EWMA's
-# truncated geometric sum); contract = exact match vs a local reference
-# recursion in tests/test_queue7.py.
+# The clamped recursion S_t = max(0, S_{t-1} + z_t - k) is not expressible
+# as a bounded-frame closed form (the max(0) reset breaks linearity — unlike
+# the EWMA's truncated geometric sum), but it IS expressible as a recursive
+# CTE: DuckDB replays the identical per-user recursion step-for-step. The
+# cross-engine contract requires bit-identical z inputs, so mu/sigma go
+# through the 9dp decimal sandwich and z through the 6dp sandwich on BOTH
+# engines (util.money / money_sql) — after that every +, max(0, ·) and
+# comparison is the same IEEE op in the same order on both sides, so even
+# the alarm BOOLEANS hash-match. Depth = max events/user (≈100 at any sf —
+# the per-key series is bounded by the grid collapse, not corpus size).
+WIN_CUSUM_CHANGEPOINT_ORACLE = f"""
+    WITH RECURSIVE
+    st AS (
+      SELECT user_id,
+             {money_sql('avg(value)', 9, 12)} AS mu,
+             {money_sql('stddev_samp(value)', 9, 12)} AS sigma
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT e.user_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS i,
+             {money_sql('(e.value - st.mu) / st.sigma', 6, 9)} AS z
+      FROM events e JOIN st USING (user_id) WHERE st.sigma > 0
+    ),
+    n AS (SELECT user_id, max(i) AS n_events FROM z GROUP BY 1),
+    rec AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS hi,
+             CAST(0.0 AS DOUBLE) AS lo, CAST(0 AS BIGINT) AS alarms,
+             CAST(-1 AS BIGINT) AS first_alarm
+      FROM n
+      UNION ALL
+      SELECT t.user_id, t.i,
+             CASE WHEN t.alarm THEN 0.0 ELSE t.nh END,
+             CASE WHEN t.alarm THEN 0.0 ELSE t.nl END,
+             t.alarms + CASE WHEN t.alarm THEN 1 ELSE 0 END,
+             CASE WHEN t.alarm AND t.first_alarm = -1 THEN t.i - 1
+                  ELSE t.first_alarm END
+      FROM (
+        SELECT r.user_id, z.i, r.alarms, r.first_alarm,
+               greatest(0.0, r.hi + z.z - {CUSUM_K}) AS nh,
+               greatest(0.0, r.lo - z.z - {CUSUM_K}) AS nl,
+               (greatest(0.0, r.hi + z.z - {CUSUM_K}) > {CUSUM_H}
+                OR greatest(0.0, r.lo - z.z - {CUSUM_K}) > {CUSUM_H}) AS alarm
+        FROM rec r JOIN z ON z.user_id = r.user_id AND z.i = r.i + 1
+      ) t
+    )
+    SELECT r.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+           r.alarms AS n_alarms, r.first_alarm AS first_alarm_idx
+    FROM rec r JOIN n ON n.user_id = r.user_id AND r.i = n.n_events
+"""
 
 
+@op("win_cusum_changepoint", oracle=WIN_CUSUM_CHANGEPOINT_ORACLE,
+    tags=('window', 'extra'))
 def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per series (Page's test): the clamped
     cumulative sum S_t = max(0, S_{t-1} + z_t - k) in both directions,
@@ -2579,24 +2650,31 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order — sequential per key, embarrassingly parallel across
     keys, O(1) state, exactly the FFD/UDTF discipline. Output: per-user
     alarm counts and first alarm position; exact-match vs a local
-    reference recursion in tests."""
+    reference recursion in tests AND vs the recursive-CTE DuckDB oracle
+    (full hash-match — see WIN_CUSUM_CHANGEPOINT_ORACLE's contract)."""
     import pandas as pd
 
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     stats = e.groupBy("user_id").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        money(F.avg("value"), 9, 12).alias("mu"),
+        money(F.stddev_samp("value"), 9, 12).alias("sigma"),
     )
-    joined = e.join(F.broadcast(stats), "user_id").filter(F.col("sigma") > 0)
+    joined = (
+        e.join(F.broadcast(stats), "user_id")
+        .filter(F.col("sigma") > 0)
+        # 6dp decimal sandwich so the recursion input is bit-identical on
+        # both engines — see WIN_CUSUM_CHANGEPOINT_ORACLE.
+        .withColumn(
+            "z", money((F.col("value") - F.col("mu")) / F.col("sigma"), 6, 9)
+        )
+    )
 
     def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         hi = lo = 0.0
         alarms = 0
         first_alarm = None
-        for i, (v, mu, sigma) in enumerate(
-            zip(pdf["value"], pdf["mu"], pdf["sigma"])
-        ):
-            z = (v - mu) / sigma
+        for i, z in enumerate(pdf["z"]):
             hi = max(0.0, hi + z - CUSUM_K)
             lo = max(0.0, lo - z - CUSUM_K)
             if hi > CUSUM_H or lo > CUSUM_H:
@@ -2666,6 +2744,7 @@ WIN_SURVIVAL_KM_ORACLE = """
 """
 
 
+@op("win_survival_kaplan_meier", oracle=WIN_SURVIVAL_KM_ORACLE, tags=('window', 'extra'))
 def win_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimation for time-to-conversion — the
     censoring-aware answer to "how long until users buy" that a naive
@@ -2770,6 +2849,7 @@ STAT_KS_TWO_SAMPLE_ORACLE = """
 """
 
 
+@op("stat_ks_two_sample", oracle=STAT_KS_TWO_SAMPLE_ORACLE, tags=('stat', 'extra'))
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test between the 'view' and
     'purchase' value distributions — the standard distribution-drift
@@ -2864,6 +2944,7 @@ TS_AUTOCORRELATION_ORACLE = """
 """
 
 
+@op("ts_autocorrelation", oracle=TS_AUTOCORRELATION_ORACLE, tags=('timeseries', 'extra'))
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the hourly event-count series at lags
     1..24 h — the seasonality/periodicity detector run before picking a
@@ -2965,6 +3046,7 @@ STAT_MANN_WHITNEY_U_ORACLE = """
 """
 
 
+@op("stat_mann_whitney_u", oracle=STAT_MANN_WHITNEY_U_ORACLE, tags=('stat', 'extra'))
 def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test between the 'view' and 'purchase'
     value cohorts — the nonparametric A/B significance test that needs no
@@ -3093,6 +3175,7 @@ JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE = f"""
 """
 
 
+@op("join_fuzzy_phonetic_blocked", oracle=JOIN_FUZZY_PHONETIC_BLOCKED_ORACLE, tags=('join', 'extra'))
 def join_fuzzy_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution as a BLOCKED fuzzy join: dirty mentions (part
     names with a deterministic hash-seeded character deletion on 1/3 of
@@ -3166,6 +3249,7 @@ AGG_EVENT_PATH_TOPK_ORACLE = """
 """
 
 
+@op("agg_event_path_topk", oracle=AGG_EVENT_PATH_TOPK_ORACLE, tags=('agg', 'extra'))
 def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 three-step user journeys ("path analysis"): consecutive
     event-type trigrams on each user's (ts, event_id) total order,
@@ -3239,6 +3323,7 @@ STAT_T_TEST_WELCH_ORACLE = """
 """
 
 
+@op("stat_t_test_welch", oracle=STAT_T_TEST_WELCH_ORACLE, tags=('stat', 'extra'))
 def stat_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test on the cohort MEANS — the third
     leg of the A/B toolkit (fn_ab_test_proportions tests rates,
@@ -3331,6 +3416,7 @@ TS_FORECAST_SNAIVE_ORACLE = """
 """
 
 
+@op("ts_forecast_snaive_backtest", oracle=TS_FORECAST_SNAIVE_ORACLE, tags=('timeseries', 'extra'))
 def ts_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-evaluation backbone: backtest the SEASONAL-NAIVE
     forecaster (ŷ_t = y_{t-24h}) on the hourly count series against the
@@ -3392,12 +3478,101 @@ def ts_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # search would just re-run this op per candidate):
 HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.2, 0.1, 0.3, 24
 
-TS_HOLT_WINTERS_ORACLE = None  # rows-only by design: recursive smoother —
-# level/trend/seasonal each feed back into the next step, which no SQL
-# window or HOF fold expresses portably; contract = exact match vs a local
-# reference recursion + periodic-series accuracy property in tests.
+# Level/trend/seasonal each feed back into the next step — no SQL window
+# or HOF fold expresses that, but a recursive CTE with a LIST-typed
+# seasonal state replays the triple recursion exactly (the 24-slot vector
+# updates via an indexed-lambda list_transform). All inputs are INTEGER
+# hourly counts, the smoothing constants are the same double literals, and
+# every expression is written in the Python kernel's evaluation order, so
+# the recursion is bit-identical cross-engine with no rounding sandwich.
+# Depth = grid hours (~720 at any sf — O(hours) after the collapse).
+TS_HOLT_WINTERS_ORACLE = f"""
+    WITH RECURSIVE
+    hours AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hours GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h,
+             unnest(generate_series(0, (hi - lo) // 3600, 1)) AS i
+      FROM bounds
+    ),
+    gz AS (
+      SELECT g.event_type, g.i, coalesce(CAST(hh.y AS DOUBLE), 0.0) AS z
+      FROM grid g LEFT JOIN hours hh
+        ON hh.event_type = g.event_type AND hh.h = g.h
+    ),
+    n AS (SELECT event_type, count(*) AS n_obs FROM gz GROUP BY 1),
+    ys AS (
+      SELECT event_type, list(z ORDER BY i) AS ys
+      FROM gz WHERE i < 2 * {HW_PERIOD} GROUP BY 1
+    ),
+    init AS (
+      SELECT y.event_type,
+             list_sum(ys[1:{HW_PERIOD}]) / {HW_PERIOD} AS level0,
+             (list_sum(ys[{HW_PERIOD} + 1:2 * {HW_PERIOD}]) / {HW_PERIOD}
+              - list_sum(ys[1:{HW_PERIOD}]) / {HW_PERIOD}) / {HW_PERIOD}
+               AS trend0,
+             list_transform(
+               ys[1:{HW_PERIOD}],
+               v -> v - list_sum(ys[1:{HW_PERIOD}]) / {HW_PERIOD}
+             ) AS seas0
+      FROM ys y JOIN n USING (event_type) WHERE n.n_obs >= 2 * {HW_PERIOD}
+    ),
+    rec AS (
+      SELECT event_type, CAST({HW_PERIOD} - 1 AS BIGINT) AS t,
+             CAST(level0 AS DOUBLE) AS level, CAST(trend0 AS DOUBLE) AS trend,
+             seas0 AS seas, CAST(0.0 AS DOUBLE) AS abs_err
+      FROM init
+      UNION ALL
+      SELECT u.event_type, u.t,
+             u.new_level,
+             {HW_BETA} * (u.new_level - u.level) + (1 - {HW_BETA}) * u.trend,
+             list_transform(u.seas, (x, j) -> CASE WHEN j = u.idx
+                 THEN {HW_GAMMA} * (u.z - u.new_level)
+                      + (1 - {HW_GAMMA}) * u.s_prev
+                 ELSE x END),
+             u.abs_err + abs(u.z - (u.level + u.trend + u.s_prev))
+      FROM (
+        SELECT r.event_type, g.i AS t, r.level, r.trend, r.seas, r.abs_err,
+               g.z,
+               (g.i % {HW_PERIOD}) + 1 AS idx,
+               r.seas[CAST((g.i % {HW_PERIOD}) + 1 AS INTEGER)] AS s_prev,
+               {HW_ALPHA} * (g.z
+                 - r.seas[CAST((g.i % {HW_PERIOD}) + 1 AS INTEGER)])
+                 + (1 - {HW_ALPHA}) * (r.level + r.trend) AS new_level
+        FROM rec r JOIN gz g ON g.event_type = r.event_type AND g.i = r.t + 1
+      ) u
+    ),
+    fin AS (
+      SELECT r.event_type, n.n_obs, r.level, r.trend, r.seas, r.abs_err
+      FROM rec r JOIN n USING (event_type) WHERE r.t = n.n_obs - 1
+    )
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+           round(abs_err / (n_obs - {HW_PERIOD}), 4) AS mae_insample,
+           round(level + 1 * trend
+                 + seas[CAST((n_obs % {HW_PERIOD}) + 1 AS INTEGER)], 4)
+             AS fc_1,
+           round(level + 2 * trend
+                 + seas[CAST(((n_obs + 1) % {HW_PERIOD}) + 1 AS INTEGER)], 4)
+             AS fc_2,
+           round(level + 3 * trend
+                 + seas[CAST(((n_obs + 2) % {HW_PERIOD}) + 1 AS INTEGER)], 4)
+             AS fc_3
+    FROM fin
+    UNION ALL
+    SELECT n.event_type, CAST(n.n_obs AS BIGINT), NULL, NULL, NULL, NULL
+    FROM n WHERE n.n_obs < 2 * {HW_PERIOD}
+"""
 
 
+@op("ts_holt_winters", oracle=TS_HOLT_WINTERS_ORACLE,
+    tags=('timeseries', 'extra'))
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing) per
     event-type hourly series: level + trend + 24h seasonality, the
@@ -3541,6 +3716,7 @@ TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
 """
 
 
+@op("ts_seasonal_residual_anomaly", oracle=TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE, tags=('timeseries', 'extra'))
 def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly detection — the composition the plain
     z-score ops can't do: decompose the hourly series (same
@@ -3645,6 +3821,7 @@ STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
 """
 
 
+@op("stat_bootstrap_poisson_ci", oracle=STAT_BOOTSTRAP_POISSON_CI_ORACLE, tags=('stat', 'extra'))
 def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the purchase-value mean
     — THE distributed resampling trick: instead of drawing n rows with
@@ -3768,6 +3945,7 @@ TS_CROSS_CORRELATION_ORACLE = """
 """
 
 
+@op("ts_cross_correlation", oracle=TS_CROSS_CORRELATION_ORACLE, tags=('timeseries', 'extra'))
 def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation between the hourly 'view' and 'purchase' count
     series at lags -12..+12 h — the lead/lag detector ("do views lead
@@ -3875,6 +4053,7 @@ JOIN_POINT_IN_TIME_FEATURES_ORACLE = """
 """
 
 
+@op("join_point_in_time_features", oracle=JOIN_POINT_IN_TIME_FEATURES_ORACLE, tags=('join', 'extra'))
 def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct feature join — the feature-store primitive
     that prevents TRAINING LEAKAGE: every purchase (label) row gets its
@@ -3961,6 +4140,7 @@ AGG_OHLC_BARS_ORACLE = """
 """
 
 
+@op("agg_ohlc_bars", oracle=AGG_OHLC_BARS_ORACLE, tags=('agg', 'extra'))
 def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick resampling — the telemetry/market-data staple:
     per hourly bar, the first (open) and last (close) value on the
@@ -4034,6 +4214,7 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
 """
 
 
+@op("dq_cross_table_reconciliation", oracle=DQ_CROSS_TABLE_RECONCILIATION_ORACLE, tags=('governance', 'extra'))
 def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation — the warehouse audit every finance /
     billing pipeline runs before publishing: roll lineitem up to order
@@ -4122,6 +4303,7 @@ AGG_RFM_SEGMENTATION_ORACLE = """
 """
 
 
+@op("agg_rfm_segmentation", oracle=AGG_RFM_SEGMENTATION_ORACLE, tags=('agg', 'extra'))
 def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the canonical CRM analysis: per user,
     Recency (seconds since last purchase, anchored at the corpus max
@@ -4222,6 +4404,7 @@ AGG_ABC_PARETO_ORACLE = """
 """
 
 
+@op("agg_abc_pareto_analysis", oracle=AGG_ABC_PARETO_ORACLE, tags=('agg', 'extra'))
 def agg_abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification — the 80/20 inventory-and-revenue
     analysis every merchandising team runs: parts ranked by revenue,
@@ -4296,6 +4479,7 @@ STAT_POWER_SAMPLE_SIZE_ORACLE = """
 """
 
 
+@op("stat_power_sample_size", oracle=STAT_POWER_SAMPLE_SIZE_ORACLE, tags=('stat', 'extra'))
 def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-design sample-size calculator — the planning half of
     the A/B toolkit (fn_ab_test_proportions tests AFTER the fact; this
@@ -4405,6 +4589,7 @@ STAT_FDR_BH_ORACLE = f"""
 """
 
 
+@op("stat_fdr_benjamini_hochberg", oracle=STAT_FDR_BH_ORACLE, tags=('stat', 'extra'))
 def stat_fdr_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control — the multiple-testing correction
     the experimentation suite needs once it runs MANY tests at once
@@ -4501,6 +4686,7 @@ WIN_VWAP_BARS_ORACLE = """
 """
 
 
+@op("win_vwap_bars", oracle=WIN_VWAP_BARS_ORACLE, tags=('window', 'extra'))
 def win_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-weighted vs time-weighted average price per hourly bar —
     the execution-quality benchmark pair (VWAP is what brokers are
@@ -4580,6 +4766,7 @@ AGG_CAUSAL_DIFF_IN_DIFF_ORACLE = f"""
 """
 
 
+@op("agg_causal_diff_in_diff", oracle=AGG_CAUSAL_DIFF_IN_DIFF_ORACLE, tags=('agg', 'extra'))
 def agg_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences — the workhorse causal estimator when
     randomization isn't available: with a hash-assigned treatment cohort
@@ -4700,6 +4887,7 @@ AGG_CUPED_ORACLE = f"""
 """
 
 
+@op("agg_cuped_variance_reduction", oracle=AGG_CUPED_ORACLE, tags=('agg', 'extra'))
 def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
     industry-standard variance-reduction trick that shortens A/B tests:
@@ -4759,12 +4947,65 @@ def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KALMAN_Q, KALMAN_R = 1.0, 4.0
 
-TS_KALMAN_FILTER_1D_ORACLE = None  # rows-only by design: the Kalman
-# gain feeds back into the covariance each step — the same genuinely
-# recursive class as CUSUM/Holt-Winters; contract = exact local-recursion
-# reference + the Riccati fixed-point property in tests/test_queue7.py.
+# The gain-feeds-covariance recursion has no closed form, but a recursive
+# CTE replays it exactly: the hourly counts are INTEGERS, so every input
+# double is exact and the step arithmetic (written in the identical order
+# as the Python kernel) is bit-identical on both engines — full hash-match
+# with NO rounding sandwich needed. Depth = grid hours (~720 at any sf:
+# the series collapses to O(hours) before the recursion on both sides).
+TS_KALMAN_FILTER_1D_ORACLE = f"""
+    WITH RECURSIVE
+    hours AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hours GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h,
+             unnest(generate_series(0, (hi - lo) // 3600, 1)) AS i
+      FROM bounds
+    ),
+    gz AS (
+      SELECT g.event_type, g.i, coalesce(CAST(hh.y AS DOUBLE), 0.0) AS z
+      FROM grid g LEFT JOIN hours hh
+        ON hh.event_type = g.event_type AND hh.h = g.h
+    ),
+    n AS (SELECT event_type, count(*) AS n_obs FROM gz GROUP BY 1),
+    rec AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS i, z AS x,
+             CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k,
+             CAST(0.0 AS DOUBLE) AS abs_innov
+      FROM gz WHERE i = 0
+      UNION ALL
+      SELECT t.event_type, t.i,
+             t.x + t.k2 * t.innov,
+             (1 - t.k2) * t.p_pred,
+             t.k2,
+             t.abs_innov + abs(t.innov)
+      FROM (
+        SELECT r.event_type, g.i, r.x, r.abs_innov,
+               r.p + {KALMAN_Q} AS p_pred,
+               (r.p + {KALMAN_Q}) / (r.p + {KALMAN_Q} + {KALMAN_R}) AS k2,
+               g.z - r.x AS innov
+        FROM rec r JOIN gz g ON g.event_type = r.event_type AND g.i = r.i + 1
+      ) t
+    )
+    SELECT r.event_type,
+           CAST(n.n_obs AS BIGINT) AS n_obs,
+           round(r.x, 6) AS x_final,
+           round(r.p, 6) AS p_final,
+           round(r.k, 6) AS gain_final,
+           round(r.abs_innov / greatest(n.n_obs - 1, 1), 4) AS innovation_mae
+    FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.n_obs - 1
+"""
 
 
+@op("ts_kalman_filter_1d", oracle=TS_KALMAN_FILTER_1D_ORACLE,
+    tags=('timeseries', 'extra'))
 def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Kalman filter (constant-level model, Q = process noise 1,
     R = observation noise 4) over each event type's dense hourly count

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
 # Portable coordinate derivation (identical on both engines; all-integer
@@ -100,6 +101,7 @@ JOIN_GEO_GRIDDED_RADIUS_ORACLE = f"""
 """
 
 
+@op("join_geo_gridded_radius", oracle=JOIN_GEO_GRIDDED_RADIUS_ORACLE, tags=('geo', 'extra'))
 def join_geo_gridded_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All (customer, supplier) point pairs within 300 km, via grid-cell
     blocking: suppliers explode to their 3x3 neighbor cells, customers keep
@@ -185,6 +187,7 @@ AGG_GEO_GRID_DENSITY_ORACLE = f"""
 """
 
 
+@op("agg_geo_grid_density", oracle=AGG_GEO_GRID_DENSITY_ORACLE, tags=('geo', 'extra'))
 def agg_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-tile density rollup: events hashed to deterministic points, one
     map-side-combining groupBy on integer (cell_lat, cell_lon) emitting
@@ -283,6 +286,7 @@ JOIN_GEO_POINT_IN_POLYGON_ORACLE = f"""
 """
 
 
+@op("join_geo_point_in_polygon", oracle=JOIN_GEO_POINT_IN_POLYGON_ORACLE, tags=('geo', 'extra'))
 def join_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast polygon table: candidate
     (point, polygon) pairs come from a bounding-box theta join (the prune
@@ -366,6 +370,7 @@ JOIN_GEO_NEAREST_BROADCAST_ORACLE = f"""
 """
 
 
+@op("join_geo_nearest_broadcast", oracle=JOIN_GEO_NEAREST_BROADCAST_ORACLE, tags=('geo', 'extra'))
 def join_geo_nearest_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor geo join for a SMALL reference set: each customer's
     closest supplier, via a broadcast of the supplier points and a

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
 _K = 5
@@ -51,6 +52,7 @@ DQ_K_ANONYMITY_ORACLE = f"""
 """
 
 
+@op("dq_k_anonymity", oracle=DQ_K_ANONYMITY_ORACLE, tags=('governance', 'extra'))
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equivalence-class census over the quasi-identifier tuple
     (segment, nation, balance bucket): class size + the k>=5 flag. The
@@ -97,6 +99,7 @@ FN_PSEUDONYMIZE_CONSISTENT_ORACLE = f"""
 """
 
 
+@op("fn_pseudonymize_consistent", oracle=FN_PSEUDONYMIZE_CONSISTENT_ORACLE, tags=('governance', 'extra'))
 def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subject tokenization that preserves join coherence:
     customers get an opaque `uNNN` token from the portable hash, orders
@@ -166,6 +169,7 @@ FN_IP_CIDR_CLASSIFY_ORACLE = f"""
 """
 
 
+@op("fn_ip_cidr_classify", oracle=FN_IP_CIDR_CLASSIFY_ORACLE, tags=('governance', 'extra'))
 def fn_ip_cidr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-prefix CIDR classification of (synthetic, hash-derived)
     event IPv4 addresses against a 7-row policy table. The policy rows
@@ -243,6 +247,7 @@ DQ_FRESHNESS_SLO_ORACLE = """
 """
 
 
+@op("dq_freshness_slo", oracle=DQ_FRESHNESS_SLO_ORACLE, tags=('governance', 'extra'))
 def dq_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-freshness SLO audit per source: last arrival, expected cadence
     (mean inter-arrival gap from a lag window), current lag vs the
@@ -323,6 +328,7 @@ DQ_SCHEMA_CONTRACT_ORACLE = f"""
 """
 
 
+@op("dq_schema_contract", oracle=DQ_SCHEMA_CONTRACT_ORACLE, tags=('governance', 'extra'))
 def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON schema-contract audit over a semi-structured column: every
     row is classified into exactly one violation class (unparseable /
@@ -387,6 +393,7 @@ DQ_K_ANONYMITY_GENERALIZE_ORACLE = f"""
 """
 
 
+@op("dq_k_anonymity_generalize", oracle=DQ_K_ANONYMITY_GENERALIZE_ORACLE, tags=('governance', 'extra'))
 def dq_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remediation half of the k-anonymity story (dq_k_anonymity
     detects; this generalizes): balance buckets widen along a fixed
@@ -469,6 +476,7 @@ DP_NOISY_COUNT_LAPLACE_ORACLE = f"""
 """
 
 
+@op("dp_noisy_count_laplace", oracle=DP_NOISY_COUNT_LAPLACE_ORACLE, tags=('governance', 'extra'))
 def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-differentially-private count release (Laplace mechanism): daily
     per-event-type counts published with Laplace(Δf/ε) noise, Δf = 1,

@@ -768,20 +768,65 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# seq_pack_bins_ffd (round-7 registration queue; rows-only by design)
+# seq_pack_bins_ffd (round-7 registration queue; full recursive-CTE oracle)
 # ---------------------------------------------------------------------------
 
 FFD_CAPACITY = 128
 _FFD_SHARDS = 8
 
-# No SQL oracle: first-fit-decreasing is an inherently sequential greedy
-# (bin choice depends on every earlier placement), so the contract is the
-# rows-only check plus the packing invariants in tests/test_queue7.py:
-# capacity respected, every doc placed exactly once, bin count within the
-# FFD guarantee of the lower bound, and partition-layout independence.
-SEQ_PACK_BINS_FFD_ORACLE = None
+# First-fit-decreasing is an inherently sequential greedy (bin choice
+# depends on every earlier placement) — no window/HOF closed form — but a
+# recursive CTE with a LIST-typed bin-fill state replays the exact greedy:
+# per shard, walk the (ntok desc, doc_id) order, first fit via
+# list_position over a fits-boolean list_transform (nullif: DuckDB returns
+# 0, not NULL, for no-match), open a bin via list_append. All-integer
+# arithmetic → full cross-engine hash-match. Depth = docs/shard; the local
+# packing invariants in tests/test_queue7.py (capacity, exactly-once,
+# FFD bound, layout independence) remain the stronger structural gate.
+SEQ_PACK_BINS_FFD_ORACLE = f"""
+    WITH RECURSIVE
+    docs AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 % {_FFD_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    seq AS (
+      SELECT shard, doc_id, ntok,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY ntok DESC, doc_id) AS i
+      FROM docs
+    ),
+    rec AS (
+      SELECT shard, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS ntok, CAST(NULL AS BIGINT) AS bin_id,
+             []::BIGINT[] AS fills
+      FROM (SELECT DISTINCT shard FROM seq)
+      UNION ALL
+      SELECT t.shard, t.i, t.doc_id, t.ntok,
+             CASE WHEN t.pos IS NULL THEN len(t.fills)
+                  ELSE t.pos - 1 END,
+             CASE WHEN t.pos IS NULL THEN list_append(t.fills, t.ntok)
+                  ELSE list_transform(t.fills, (f, j) ->
+                         CASE WHEN j = t.pos THEN f + t.ntok ELSE f END)
+             END
+      FROM (
+        SELECT r.shard, s.i, s.doc_id, s.ntok, r.fills,
+               nullif(list_position(
+                 list_transform(r.fills,
+                                f -> f + s.ntok <= {FFD_CAPACITY}), true
+               ), 0) AS pos
+        FROM rec r JOIN seq s ON s.shard = r.shard AND s.i = r.i + 1
+      ) t
+    )
+    SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, doc_id, ntok,
+           ntok > {FFD_CAPACITY} AS oversize
+    FROM rec WHERE doc_id IS NOT NULL
+"""
 
 
+@op("seq_pack_bins_ffd", oracle=SEQ_PACK_BINS_FFD_ORACLE,
+    tags=('llm', 'extra'))
 def seq_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-constrained sequence packing by first-fit-decreasing,
     sharded: documents hash into _FFD_SHARDS independent shards (portable
@@ -852,6 +897,7 @@ BPE_MERGES = 8
 TEXT_BPE_TRAIN_MERGES_ORACLE = None
 
 
+@op("text_bpe_train_merges", oracle=None, tags=('text', 'extra'))
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed byte-pair-encoding merge training (the Sennrich BPE
     recipe, re-shaped for a cluster): build the word-frequency vocabulary
@@ -940,6 +986,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKENIZER_APPLY_BPE_ORACLE = None
 
 
+@op("tokenizer_apply_bpe", oracle=None, tags=('llm', 'extra'))
 def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table to the corpus — the serving half
     of the tokenizer pair (text_bpe_train_merges trains it). Every word
@@ -1009,6 +1056,7 @@ def _rag_tok_hash(tok: str) -> int:
     return h
 
 
+@op("pipeline_rag_context_pack", oracle=None, tags=('llm', 'extra'))
 def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG serving path fused into ONE plan — the retrieval twin of
     pipeline_corpus_curation's ingest pipeline:
@@ -1156,6 +1204,7 @@ TEXT_NGRAM_LM_SCORE_ORACLE = """
 """
 
 
+@op("text_ngram_lm_score", oracle=TEXT_NGRAM_LM_SCORE_ORACLE, tags=('text', 'extra'))
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring — the KenLM-style corpus quality
     filter (CCNet, Gopher/MassiveText rules): train an add-k-smoothed
@@ -1272,6 +1321,7 @@ SEQ_SFT_CHAT_RENDER_ORACLE = """
 """
 
 
+@op("seq_sft_chat_render", oracle=SEQ_SFT_CHAT_RENDER_ORACLE, tags=('llm', 'extra'))
 def seq_sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-template rendering — the supervised-fine-tuning data-prep
     stage between curated conversations and tokenized shards: each
@@ -1405,6 +1455,7 @@ SEQ_DPO_PREFERENCE_PAIRS_ORACLE = """
 """
 
 
+@op("seq_dpo_preference_pairs", oracle=SEQ_DPO_PREFERENCE_PAIRS_ORACLE, tags=('llm', 'extra'))
 def seq_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction for DPO/RLHF post-training — the
     data-prep stage after seq_sft_chat_render: per prompt (here: per

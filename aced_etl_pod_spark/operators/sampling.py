@@ -165,6 +165,7 @@ SAMPLE_RESERVOIR_PER_GROUP_ORACLE = f"""
 """
 
 
+@op("sample_reservoir_per_group", oracle=SAMPLE_RESERVOIR_PER_GROUP_ORACLE, tags=('sampling', 'extra'))
 def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-per-group sampling, reservoir-style but deterministic: rows
     rank by the portable Knuth hash of their id (a reproducible stand-in
@@ -231,6 +232,7 @@ AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
 """
 
 
+@op("agg_sample_estimate_ci", oracle=AGG_SAMPLE_ESTIMATE_CI_ORACLE, tags=('agg', 'extra'))
 def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate query processing by deterministic sampling: a 10%
     Knuth-bucket sample estimates each group's sum (Horvitz-Thompson

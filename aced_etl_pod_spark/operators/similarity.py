@@ -174,20 +174,48 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, k=3, target_bucket=64)
 
 
-@op("multimodal_binary_meta", tags=("multimodal",))
+# Full oracle by fixture regeneration from first principles (the
+# feature_embed_topk trick): blob i IS sha256('blob-i') × 4, so DuckDB
+# rebuilds every byte from its own sha256() hex and re-derives length,
+# digest, byte stats and feature0 without touching the blob dir. The
+# content digest is taken over the lowercase-hex rendering of the bytes
+# (not the raw BLOB) because DuckDB 1.0's sha256() only accepts VARCHAR —
+# still content-addressed, now cross-engine recomputable.
+MULTIMODAL_BINARY_META_ORACLE = """
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS blob_id),
+    h AS (SELECT blob_id, sha256('blob-' || blob_id) AS hex FROM ids),
+    b AS (SELECT blob_id, hex,
+            list_transform(generate_series(0, 31),
+              j -> CAST('0x' || substr(hex, 2*j + 1, 2) AS INTEGER)) AS bytes
+          FROM h)
+    SELECT blob_id,
+           CAST(128 AS BIGINT) AS length,
+           sha256(repeat(hex, 4)) AS digest,
+           CAST(128 AS BIGINT) AS n_bytes,
+           round(CAST(list_sum(bytes) * 4 AS DOUBLE) / 128, 4) AS byte_mean,
+           CAST(bytes[1] AS DOUBLE) / 255.0 AS feature0
+    FROM b
+"""
+
+
+@op("multimodal_binary_meta", oracle=MULTIMODAL_BINARY_META_ORACLE,
+    tags=("multimodal",))
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary/file column + typed metadata + stubbed decode (north star
     multimodal plumbing; blob channel anchor fhir_import_export.py:148-180,
     :344-352). Generates a deterministic blob fixture, scans it as
     ``binaryFile`` rows, extracts path metadata JVM-side, then runs the
-    Arrow-batched decode stub (mapInPandas). Rows-checked: no DuckDB view
-    exists for the blob dir, but every value is deterministic."""
+    Arrow-batched decode stub (mapInPandas). Full oracle since round 6:
+    the DuckDB side regenerates the fixture bytes from its own sha256()
+    (see MULTIMODAL_BINARY_META_ORACLE) — the blob dir itself never needs
+    a view. The digest is hex-domain (sha256 of the lowercase hex of the
+    content) so both engines can compute it."""
     src = generate_blob_fixture(n=64)
     blobs = read_binary(spark, src)
     meta = blobs.select(
         F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1).cast("long").alias("blob_id"),
         "length",
-        F.sha2("content", 256).alias("digest"),
+        F.sha2(F.lower(F.hex("content")), 256).alias("digest"),
         "path",
         "content",
     )
@@ -437,6 +465,7 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_AUDIO_FEATURES_ORACLE = None  # no DuckDB view over a blob dir
 
 
+@op("multimodal_audio_features", oracle=None, tags=('similarity', 'extra'))
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: the fixture is genuine RIFF/WAVE PCM-16 files
     and the mapInPandas stage runs a spec-correct chunk walker
@@ -489,6 +518,7 @@ _MMR_POOL = 20
 SIM_MMR_DIVERSIFIED_TOPK_ORACLE = None
 
 
+@op("sim_mmr_diversified_topk", oracle=None, tags=('similarity', 'extra'))
 def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein) — the
     diversified-retrieval stage a RAG serving path runs after ANN
@@ -562,6 +592,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE = None  # approximate by design
 
 
+@op("sim_ann_lsh_multiprobe_topk", oracle=None, tags=('similarity', 'extra'))
 def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe sign-LSH k-NN — the refinement the round-4 review asked
     for on top of the scale-parameterized LSH: Hamming-1 neighbor buckets
@@ -585,6 +616,7 @@ _PHASH_BANDS = 8
 _PHASH_HAM_T = 4
 
 
+@op("dedup_image_phash", oracle=None, tags=('text', 'dedup', 'extra'))
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE dedup by DCT perceptual hash — the visual
     sibling of dedup_minhash_lsh and a core multimodal-training-data op

@@ -493,6 +493,7 @@ STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
 """
 
 
+@op("stream_anomaly_window_zscore", oracle=STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE, tags=('stream', 'extra'))
 def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anomaly detection with the maintain-then-score split
     (the streaming twin win_anomaly_zscore's docstring promises): the
@@ -576,6 +577,7 @@ STREAM_CHECKED_INGEST_DLQ_ORACLE = """
 """
 
 
+@op("stream_checked_ingest_dlq", oracle=STREAM_CHECKED_INGEST_DLQ_ORACLE, tags=('stream', 'extra'))
 def stream_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checked streaming ingest with a dead-letter queue: each
     micro-batch goes through the write-time constraint gate
@@ -664,6 +666,7 @@ STREAM_PYTHON_DATASOURCE_ORACLE = """
 """
 
 
+@op("stream_python_datasource", oracle=STREAM_PYTHON_DATASOURCE_ORACLE, tags=('stream', 'extra'))
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING half of Spark 4's Python DataSource API
     (SimpleDataSourceStreamReader, SPARK-45511): a custom tick source
@@ -713,6 +716,7 @@ STREAM_CHECKPOINT_RESTART_ORACLE = """
 """
 
 
+@op("stream_checkpoint_restart", oracle=STREAM_CHECKPOINT_RESTART_ORACLE, tags=('stream', 'extra'))
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ACROSS A RESTART — see _ckpt_restart_phases for the
     mechanics; this registry entry returns the post-restart totals. The

@@ -1025,6 +1025,7 @@ TXNLOG_OVERWRITE_PARTITION_ORACLE = (
 )
 
 
+@op("txnlog_overwrite_partition", oracle=TXNLOG_OVERWRITE_PARTITION_ORACLE, tags=('scan', 'acid', 'extra'))
 def txnlog_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OVERWRITE PARTITION on the transaction log — the third leg
     of the write path (append / merge_upsert / partition overwrite): a
@@ -1082,6 +1083,7 @@ TXNLOG_BRANCH_MERGE_ORACLE = (
 )
 
 
+@op("txnlog_branch_merge", oracle=TXNLOG_BRANCH_MERGE_ORACLE, tags=('scan', 'acid', 'extra'))
 def txnlog_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branch-based isolated writes (the Nessie/Iceberg-refs workflow on
     the txn log): an ETL job branches the 3-commit orders table at v2
@@ -1161,6 +1163,7 @@ def _cached_snapshot_agg(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+@op("plan_result_cache", oracle=PLAN_RESULT_CACHE_ORACLE, tags=('scan', 'acid', 'extra'))
 def plan_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-result caching with version-keyed invalidation: the same
     aggregate is served twice from the v2 snapshot (second call = cache
@@ -1202,6 +1205,7 @@ TXNLOG_CDC_REPLAY_ORACLE = (
 )
 
 
+@op("txnlog_cdc_replay_reconstruct", oracle=TXNLOG_CDC_REPLAY_ORACLE, tags=('scan', 'acid', 'extra'))
 def txnlog_cdc_replay_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed completeness, proven by reconstruction: starting from
     an EMPTY state, the per-version change feeds (inserts = v ∖ v-1,
@@ -1251,6 +1255,7 @@ TXNLOG_CHECK_CONSTRAINTS_ORACLE = (
 )
 
 
+@op("txnlog_check_constraints", oracle=TXNLOG_CHECK_CONSTRAINTS_ORACLE, tags=('scan', 'acid', 'extra'))
 def txnlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time CHECK constraints on the transaction log (the Delta
     CONSTRAINT feature): the table declares `positive_price`

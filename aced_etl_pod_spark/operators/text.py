@@ -604,6 +604,7 @@ TEXT_READABILITY_SCORE_ORACLE = """
 """
 
 
+@op("text_readability_score", oracle=TEXT_READABILITY_SCORE_ORACLE, tags=('text', 'extra'))
 def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document with a deterministic syllable
     heuristic: syllables = vowel-group runs, words = letter runs,
@@ -660,6 +661,7 @@ TEXT_SEARCH_BOOLEAN_ORACLE = """
 """
 
 
+@op("text_search_boolean", oracle=TEXT_SEARCH_BOOLEAN_ORACLE, tags=('text', 'extra'))
 def text_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean + phrase full-text retrieval over an inverted index — the
     search primitive next to text_bm25_score's ranking. The query is
@@ -748,6 +750,7 @@ DEDUP_EXACT_SUBSTRING_SPANS_ORACLE = f"""
 """
 
 
+@op("dedup_exact_substring_spans", oracle=DEDUP_EXACT_SUBSTRING_SPANS_ORACLE, tags=('text', 'dedup', 'extra'))
 def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring detection (the 'deduplicating training
     data' signal): every 50-character window of every document, stride 1;
@@ -806,6 +809,7 @@ DEDUP_INCREMENTAL_MINHASH_ORACLE = None  # approximate family; equality vs
 # full recompute is asserted in tests/test_queue7.py instead.
 
 
+@op("dedup_incremental_minhash", oracle=None, tags=('text', 'dedup', 'extra'))
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: dedupe a NEW batch (10% of docs)
     against the existing corpus via a PERSISTED minhash band index — the
@@ -919,6 +923,7 @@ TEXT_VOCAB_GROWTH_HEAPS_ORACLE = """
 """
 
 
+@op("text_vocab_growth_heaps", oracle=TEXT_VOCAB_GROWTH_HEAPS_ORACLE, tags=('text', 'extra'))
 def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary growth curve (the Heaps'-law measurement every
     tokenizer-budget and dedup-planning exercise starts from): at every
@@ -988,6 +993,7 @@ TEXT_ZIPF_RANK_FREQUENCY_ORACLE = """
 """
 
 
+@op("text_zipf_rank_frequency", oracle=TEXT_ZIPF_RANK_FREQUENCY_ORACLE, tags=('text', 'extra'))
 def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency table + the fitted log-log slope (the
     corpus-law pair with text_vocab_growth_heaps: Heaps for vocabulary
@@ -1069,6 +1075,7 @@ TEXT_LINE_DEDUP_C4_ORACLE = """
 """
 
 
+@op("text_line_dedup_c4", oracle=TEXT_LINE_DEDUP_C4_ORACLE, tags=('text', 'extra'))
 def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-global LINE deduplication — the web-corpus step
     that strips boilerplate (nav bars, cookie banners, license headers)
@@ -1170,6 +1177,7 @@ FN_UNICODE_NFC_ORACLE = """
 """
 
 
+@op("fn_unicode_normalize_nfc", oracle=FN_UNICODE_NFC_ORACLE, tags=('fn', 'extra'))
 def fn_unicode_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization — the text-cleanup stage every
     multilingual corpus needs before hashing/dedup (decomposed "e +
@@ -1239,6 +1247,7 @@ DEDUP_PPJOIN_PREFIX_FILTER_ORACLE = f"""
 """
 
 
+@op("dedup_ppjoin_prefix_filter", oracle=DEDUP_PPJOIN_PREFIX_FILTER_ORACLE, tags=('text', 'dedup', 'extra'))
 def dedup_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard ≥ 0.6) via PPJoin-style
     prefix filtering — the deterministic tier above dedup_minhash_lsh:
@@ -1367,6 +1376,7 @@ DEDUP_WINNOWING_FINGERPRINTS_ORACLE = f"""
 """
 
 
+@op("dedup_winnowing_fingerprints", oracle=DEDUP_WINNOWING_FINGERPRINTS_ORACLE, tags=('text', 'dedup', 'extra'))
 def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
     MOSS plagiarism-detection algorithm): hash every k-token shingle,

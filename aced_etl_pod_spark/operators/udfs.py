@@ -233,6 +233,7 @@ UDTF_TABLE_ARGUMENT_ORACLE = """
 """
 
 
+@op("udtf_table_argument", oracle=UDTF_TABLE_ARGUMENT_ORACLE, tags=('udf', 'extra'))
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark 3.5+/4 polymorphic table function surface: a Python UDTF
     invoked with a TABLE(...) argument, PARTITION BY user_id ORDER BY
@@ -289,6 +290,7 @@ UDF_SCALAR_ARROW_ORACLE = """
 """
 
 
+@op("udf_scalar_arrow", oracle=UDF_SCALAR_ARROW_ORACLE, tags=('udf', 'extra'))
 def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``,
     SPARK-40307): same row-wise authoring model as udf_scalar_python but
@@ -343,6 +345,7 @@ SCAN_PYTHON_DATASOURCE_ORACLE = """
 """
 
 
+@op("scan_python_datasource", oracle=SCAN_PYTHON_DATASOURCE_ORACLE, tags=('scan', 'extra'))
 def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's Python DataSource API (SPARK-44076) exercised end to
     end: a pure-Python custom source (sources/pysource.py) with REAL

@@ -49,21 +49,22 @@ _REGISTRY: dict[str, Op] = {}
 # ngram containment, SCD2 point-in-time join, hostile-CSV round-trip) + 24 of
 # the 29 stale-r01 relational-core ops in SURVEY §11 item-2 order.
 #
-# Rotation plan for the remaining queue (kept current; the freshness gate in
-# tests/test_parity.py enforces window membership for anything unverified):
+# Rotation plan for the remaining EXTERNAL verification (kept current; the
+# freshness gate in tests/test_parity.py enforces it). As of round 6 every
+# finished queue op is ALREADY REGISTERED (tools/register_queue.py — the
+# whole census is in the registry, local-parity-gated at sf0.001/0.01);
+# what rotates now is only which 50 get their external CORRECTNESS row:
 #   r07 window: remaining stale-r01 core (agg_grouping_sets agg_rollup
 #     agg_cube agg_having agg_collect_list_sorted win_row_number_topk
 #     win_rank_dense win_lag_lead win_running_sum win_sliding_avg
-#     win_ntile_pct sort_multi_key limit_topk_global set_union ≈14 slots) +
-#     queue tranches 8-17 in tranche order (geo_ops/governance_ops modules
-#     join _MODULES then; seq_pack_bins_ffd, text_bpe_train_merges,
-#     tokenizer_apply_bpe register with oracle=None) ≈36 slots.
-#   r08 window: tranches 18-35 (~36 queue ops incl. multiprobe LSH, txnlog
-#     branches/result cache/overwrite, HLL portable family, stat suite
-#     start) + r02-era extras backfill to 50.
-#   r09 window: tranches 36-60 (the 5d additions: stats/TS/LLM-prep/Spark-4
-#     surfaces/graph/governance) — drains the queue; any ops still short
-#     land r10.
+#     win_ntile_pct sort_multi_key limit_topk_global set_union = 14 slots) +
+#     queue tranches 8-17 in tranche order = 36 slots (_ROTATION_PLAN[7]).
+#   r08 window: tranches 18-35 (multiprobe LSH, txnlog branches/result
+#     cache/overwrite, HLL portable family, stat suite start)
+#     (_ROTATION_PLAN[8]).
+#   r09 window: tranches 36-60 (stats/TS/LLM-prep/Spark-4 surfaces/graph/
+#     governance, _ROTATION_PLAN[9]) + oldest-external-row backfill to 50;
+#     any ops still short land r10.
 _DRIVER_PRIORITY = (
     # -- re-checks / upgrades (VERDICT r5 items 2, 5, 7) --
     "win_gap_islands",
@@ -128,17 +129,18 @@ _DRIVER_PRIORITY = (
 #     session's _DRIVER_PRIORITY doesn't contain every planned op, or
 #   * a plan round has passed and any planned op still has no external row.
 # Round 7 = the 14 remaining r01-core windows/sorts/sets + queue tranches
-# 8-17 in tranche order (requires registering operators.geo_ops and
-# operators.governance_ops into _MODULES, and seq_pack_bins_ffd /
-# text_bpe_train_merges / tokenizer_apply_bpe / multimodal_audio_features /
-# sim_mmr_diversified_topk / pipeline_rag_context_pack /
-# sim_ann_lsh_multiprobe_topk / ts_holt_winters / win_cusum_changepoint /
-# dedup_incremental_minhash / dedup_image_phash with oracle=None —
-# rows-only by design with exact local-reference gates). Rounds 8-9 drain
-# the rest of tranches 18-60; the r09 window backfills its remaining ~20
-# slots with whatever registered ops then have the OLDEST external rows
-# (r02-era extras first) — backfill is chosen at rotation time, so only
-# the queue ops are pinned here.
+# 8-17 in tranche order. All planned ops are already registered (round-6
+# early registration; text_bpe_train_merges / tokenizer_apply_bpe /
+# multimodal_audio_features / sim_mmr_diversified_topk /
+# pipeline_rag_context_pack / sim_ann_lsh_multiprobe_topk /
+# dedup_incremental_minhash / dedup_image_phash carry oracle=None —
+# rows-only by design with exact local-reference gates; the formerly
+# rows-only recurrence ops seq_pack_bins_ffd / win_cusum_changepoint /
+# ts_holt_winters / ts_kalman_filter_1d gained full recursive-CTE oracles
+# in round 6). Rounds 8-9 drain tranches 18-60; the r09 window backfills
+# its remaining ~20 slots with whatever registered ops then have the
+# OLDEST external rows (r02-era extras first) — backfill is chosen at
+# rotation time, so only the queue ops are pinned here.
 _ROTATION_PLAN = {
     7: (
         # stale-r01 relational core, final slice
@@ -228,6 +230,8 @@ _MODULES = (
     "aced_etl_pod_spark.operators.corpus_ops",
     "aced_etl_pod_spark.operators.table_format",
     "aced_etl_pod_spark.operators.incremental_ops",
+    "aced_etl_pod_spark.operators.geo_ops",
+    "aced_etl_pod_spark.operators.governance_ops",
 )
 
 

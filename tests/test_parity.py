@@ -79,15 +79,19 @@ def test_operators_md_fresh():
 
 def test_census_fully_externally_verified_or_queued():
     """Freshness guard (VERDICT r4 item 9): every registered operator must
-    either already have an external CORRECTNESS_r*.json row or sit in the
+    either already have an external CORRECTNESS_r*.json row, sit in the
     current driver window (_DRIVER_PRIORITY's first 50 — the slice the next
-    external run will check). New ops therefore cannot accumulate
-    unverified: adding one without queueing it fails this test."""
+    external run will check), or be pinned to a specific FUTURE round in
+    _ROTATION_PLAN (whose execution test_rotation_plan_enforced enforces:
+    the plan's window must be rotated to when its round arrives, and its
+    ops must have external rows once it passes). New ops therefore cannot
+    accumulate unverified: adding one without windowing or pinning it
+    fails this test."""
     import glob
     import json
     import os
 
-    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY
+    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY, _ROTATION_PLAN
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
@@ -95,10 +99,11 @@ def test_census_fully_externally_verified_or_queued():
         with open(f) as fh:
             seen |= set(json.load(fh))
     queued = set(_DRIVER_PRIORITY[:50])
-    missing = sorted(set(registry()) - seen - queued)
+    planned = {o for ids in _ROTATION_PLAN.values() for o in ids}
+    missing = sorted(set(registry()) - seen - queued - planned)
     assert not missing, (
-        f"{len(missing)} ops have no external correctness row and are not in "
-        f"the driver window — queue them in _DRIVER_PRIORITY: {missing}"
+        f"{len(missing)} ops have no external correctness row and are in "
+        f"neither the driver window nor _ROTATION_PLAN — queue them: {missing}"
     )
 
 

@@ -1547,25 +1547,37 @@ def test_queue7_parity_tranche34(spark, con):
 def test_cusum_matches_reference_recursion(spark):
     """The distributed CUSUM equals a from-scratch local recursion on
     the real data (same stats, same clamps, same restart rule), and a
-    synthetic injected drift actually fires an alarm."""
+    synthetic injected drift actually fires an alarm. The reference
+    applies the op's published cross-engine replay contract: mu/sigma
+    through the 9dp decimal sandwich, z through the 6dp sandwich
+    (util.money_sql — the same contract WIN_CUSUM_CHANGEPOINT_ORACLE
+    replays as a recursive CTE)."""
     import duckdb
     import pandas as pd
+
+    from aced_etl_pod_spark.operators.util import money_sql
 
     got = {
         r.user_id: (r.n_events, r.n_alarms, r.first_alarm_idx)
         for r in ext.win_cusum_changepoint(spark, SF_SMALL).collect()
     }
     raw = duckdb.connect().execute(
-        f"SELECT user_id, ts, event_id, value FROM '{SF_SMALL}/events.parquet'"
-        " ORDER BY user_id, ts, event_id"
+        f"""WITH st AS (
+              SELECT user_id,
+                     {money_sql('avg(value)', 9, 12)} AS mu,
+                     {money_sql('stddev_samp(value)', 9, 12)} AS sigma
+              FROM '{SF_SMALL}/events.parquet' GROUP BY 1
+            )
+            SELECT e.user_id,
+                   {money_sql('(e.value - st.mu) / st.sigma', 6, 9)} AS z
+            FROM '{SF_SMALL}/events.parquet' e JOIN st USING (user_id)
+            WHERE st.sigma > 0
+            ORDER BY e.user_id, e.ts, e.event_id"""
     ).fetchdf()
     for uid, grp in raw.groupby("user_id"):
-        mu = grp.value.mean()
-        sigma = grp.value.std(ddof=1)
         hi = lo = 0.0
         alarms, first = 0, -1
-        for i, v in enumerate(grp.value):
-            z = (v - mu) / sigma
+        for i, z in enumerate(grp.z):
             hi = max(0.0, hi + z - ext.CUSUM_K)
             lo = max(0.0, lo - z - ext.CUSUM_K)
             if hi > ext.CUSUM_H or lo > ext.CUSUM_H:

@@ -1,4 +1,5 @@
-"""Consolidated differential check for the UNREGISTERED queue operators
+"""Consolidated differential check for the queue operators (ALL registered
+as of round 6 — this tool remains the file-level/factory-oracle sweep)
 (tranches 8-31 in test_queue7.py + the round-5b queue in
 test_incremental.py): run every queue op against its oracle at a given
 scale factor in one session.
@@ -99,7 +100,7 @@ def queue_pairs():
         (ext.agg_markov_transition_matrix, ext.AGG_MARKOV_TRANSITION_ORACLE),
         (ext.fn_ab_test_proportions, ext.FN_AB_TEST_PROPORTIONS_ORACLE),
         (ext.agg_benford_digit_test, ext.AGG_BENFORD_DIGIT_TEST_ORACLE),
-        (ext.win_cusum_changepoint, None),
+        (ext.win_cusum_changepoint, ext.WIN_CUSUM_CHANGEPOINT_ORACLE),
         (ext.win_survival_kaplan_meier, ext.WIN_SURVIVAL_KM_ORACLE),
         (txt.text_readability_score, txt.TEXT_READABILITY_SCORE_ORACLE),
         (txt.text_search_boolean, txt.TEXT_SEARCH_BOOLEAN_ORACLE),
@@ -125,7 +126,7 @@ def queue_pairs():
         (udfs.udtf_table_argument, udfs.UDTF_TABLE_ARGUMENT_ORACLE),
         (so.stream_anomaly_window_zscore, so.STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE),
         (so.stream_checked_ingest_dlq, so.STREAM_CHECKED_INGEST_DLQ_ORACLE),
-        (llm.seq_pack_bins_ffd, None),
+        (llm.seq_pack_bins_ffd, llm.SEQ_PACK_BINS_FFD_ORACLE),
         (llm.text_bpe_train_merges, None),
         (llm.tokenizer_apply_bpe, None),
         (llm.pipeline_rag_context_pack, None),
@@ -150,7 +151,7 @@ def queue_pairs():
         (ext.stat_t_test_welch, ext.STAT_T_TEST_WELCH_ORACLE),
         (ext.ts_forecast_snaive_backtest, ext.TS_FORECAST_SNAIVE_ORACLE),
         # tranche 41
-        (ext.ts_holt_winters, None),
+        (ext.ts_holt_winters, ext.TS_HOLT_WINTERS_ORACLE),
         (ext.ts_seasonal_residual_anomaly,
          ext.TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE),
         # tranche 42
@@ -214,7 +215,7 @@ def queue_pairs():
         (ext.agg_cuped_variance_reduction, ext.AGG_CUPED_ORACLE),
         # tranche 60
         (adv.graph_kcore_membership, adv.GRAPH_KCORE_MEMBERSHIP_ORACLE),
-        (ext.ts_kalman_filter_1d, None),
+        (ext.ts_kalman_filter_1d, ext.TS_KALMAN_FILTER_1D_ORACLE),
     ]
     return pairs
 
