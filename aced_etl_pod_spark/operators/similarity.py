@@ -4,8 +4,11 @@ embedding near-dup from the north star).
 
 The cosine kernel (functions/similarity.py) is a sequential double fold —
 bit-identical to DuckDB's ``list_dot_product``, so exact ops hash-check.
-The sign-LSH ANN variant is approximate → rows-checked, with recall vs the
-brute-force baseline asserted in tests/test_similarity.py.
+The sign-LSH ANN variants are approximate in the recall sense but
+DETERMINISTIC in construction (sha256-derived planes, portable folds), so
+since round 6 even they carry full hash oracles that replay the index
+build bit-for-bit; recall vs the brute-force baseline stays asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -33,6 +36,58 @@ DUCK_COS = (
     "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
     " sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
 )
+
+# Little-endian uint64 from the first 8 bytes of a sha256 hex string — the
+# DuckDB mirror of struct.unpack('<Q', sha256(...).digest()[:8]) used by
+# functions/similarity.random_hyperplanes. Division by 2^64 is an exact
+# power-of-two scaling, so round(u)/2^64 == round(u/2^64) and the plane
+# components are bit-identical to the Python-derived literals.
+DUCK_LE64 = ("CAST('0x' || substr({h}, 15, 2) || substr({h}, 13, 2)"
+             " || substr({h}, 11, 2) || substr({h}, 9, 2)"
+             " || substr({h}, 7, 2) || substr({h}, 5, 2)"
+             " || substr({h}, 3, 2) || substr({h}, 1, 2) AS UBIGINT)")
+
+
+def _duck_lsh_buckets(target_bucket: int) -> str:
+    """Shared oracle CTE block: rebuild the sign-LSH buckets in DuckDB from
+    first principles — plane count from the corpus size (lsh_planes_for),
+    plane components from DuckDB's own sha256() via DUCK_LE64, bucket bits
+    from the same double-widened dot fold Spark codegens. Because every
+    arithmetic step is replayed bit-for-bit, the 'approximate' index is
+    deterministically reproducible: the oracle hash-checks the exact
+    bucketing, not a recall proxy."""
+    return f"""
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    np AS (
+      SELECT greatest(4, least(24,
+               CAST(ceil(log2(greatest(n / {target_bucket}.0, 2.0)))
+                    AS INTEGER))) AS planes
+      FROM nn
+    ),
+    dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+    planes AS (
+      SELECT p,
+             list_transform(generate_series(0, (SELECT dim FROM dims) - 1),
+               d ->
+               (CAST({DUCK_LE64.format(h="sha256('42:' || p || ':' || d)")}
+                     AS DOUBLE)
+                  / 18446744073709551616.0) * 2.0 - 1.0
+             ) AS vec
+      FROM (SELECT unnest(generate_series(0, (SELECT planes FROM np) - 1))
+                 AS p)
+    ),
+    b AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            pl.vec) >= 0
+                      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    be AS (SELECT b.vec_id, b.bucket, e.embedding
+           FROM b JOIN embeddings e USING (vec_id)),
+    bn AS (SELECT bucket, count(*) AS cnt FROM be GROUP BY 1)
+    """
 
 
 @op(
@@ -159,7 +214,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_ann_lsh_topk", tags=("similarity", "approx", "extra"))
+# Full oracle since round 6: sign-LSH is pseudo-random, not random — the
+# planes derive from sha256 and the bucket bits from the portable double
+# fold, so DuckDB replays the ENTIRE index build (planes → buckets →
+# mega-bucket cap → in-bucket exact re-rank) bit-for-bit. The recall
+# tests in tests/test_similarity.py remain the semantic gate; this hash
+# gate pins the implementation.
+SIM_ANN_LSH_TOPK_ORACLE = f"""
+    WITH
+    {_duck_lsh_buckets(64)},
+    keep AS (SELECT be.* FROM be JOIN bn USING (bucket)
+             WHERE bn.cnt <= {16 * 64}),
+    pairs AS (
+      SELECT x.vec_id, y.vec_id AS nbr_id,
+             {DUCK_COS.format(a='x.embedding', b='y.embedding')} AS cos
+      FROM keep x JOIN keep y USING (bucket)
+      WHERE x.vec_id != y.vec_id
+    ),
+    rk AS (
+      SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rk
+      FROM pairs
+    )
+    SELECT vec_id, nbr_id, round(cos, 6) AS cos_sim FROM rk WHERE rk <= 3
+"""
+
+
+@op("sim_ann_lsh_topk", oracle=SIM_ANN_LSH_TOPK_ORACLE,
+    tags=("similarity", "approx", "extra"))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via sign-LSH bucketing (the 100 TB scale path), now
     scale-parameterized: plane count derived from the corpus size so
@@ -168,8 +251,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×target are dropped before the self-join — the same degenerate-key
     cap as minhash_band_candidates. Candidates = same-bucket vectors;
     exact cosine re-rank inside buckets; top-3 per query vector.
-    Rows-checked (approximate); recall vs brute force and the bucket-width
-    bound at synthetic 100× n asserted in tests/test_similarity.py."""
+    Full hash oracle (SIM_ANN_LSH_TOPK_ORACLE replays the index build);
+    recall vs brute force and the bucket-width bound at synthetic 100× n
+    asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, k=3, target_bucket=64)
 
@@ -459,13 +543,84 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal_audio_features (round-7 registration queue; rows-only)
+# multimodal_audio_features (round-7 registration queue; FULL oracle since
+# round 6 by fixture regeneration)
 # ---------------------------------------------------------------------------
 
-MULTIMODAL_AUDIO_FEATURES_ORACLE = None  # no DuckDB view over a blob dir
+# The WAV fixture is pure integer arithmetic (triangle waves of known
+# period/amplitude per clip), so DuckDB rebuilds every SAMPLE from first
+# principles, re-derives the features with exact integer math, and even
+# re-derives the echo digest by constructing the canonical RIFF/WAVE byte
+# stream AS LOWERCASE HEX (44-byte header from printf'%08x'/'%04x'
+# little-endian reassembly + per-sample two's-complement LE int16) and
+# sha256-ing that hex — the digest is hex-domain on both engines because
+# DuckDB's sha256() accepts only VARCHAR. The truncated clip 23 must
+# surface as the exact quarantine row (RIFF size check fires first).
+MULTIMODAL_AUDIO_FEATURES_ORACLE = """
+    WITH params AS (
+      SELECT clip_id, 200 + 40*clip_id AS n, 80 + 4*clip_id AS p,
+             (80 + 4*clip_id) // 2 AS h, 1000 + 500*clip_id AS a
+      FROM (SELECT unnest(generate_series(0, 22)) AS clip_id)
+    ),
+    s AS (
+      SELECT clip_id, n, t,
+             (abs((t % p) - h) * 2 * a) // h - a AS v
+      FROM (SELECT clip_id, n, p, h, a,
+                   unnest(generate_series(0, n - 1)) AS t
+            FROM params)
+    ),
+    sl AS (
+      SELECT clip_id, n, t, v,
+             lag(v) OVER (PARTITION BY clip_id ORDER BY t) AS pv,
+             substr(printf('%04x', (v + 65536) % 65536), 3, 2)
+               || substr(printf('%04x', (v + 65536) % 65536), 1, 2) AS le
+      FROM s
+    ),
+    agg AS (
+      SELECT clip_id, any_value(n) AS n,
+             string_agg(le, '' ORDER BY t) AS data_hex,
+             CAST(sum(v * v) AS DOUBLE) AS ss,
+             max(abs(v)) AS peak,
+             sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) != (v >= 0))
+                      THEN 1 ELSE 0 END) AS zc
+      FROM sl GROUP BY clip_id
+    ),
+    hdr AS (
+      SELECT clip_id, n, data_hex, ss, peak, zc,
+             '52494646'
+             || substr(printf('%08x', 36 + 2*n), 7, 2)
+               || substr(printf('%08x', 36 + 2*n), 5, 2)
+               || substr(printf('%08x', 36 + 2*n), 3, 2)
+               || substr(printf('%08x', 36 + 2*n), 1, 2)
+             || '57415645' || '666d7420'
+             || '10000000' || '0100' || '0100'
+             || '401f0000' || '803e0000' || '0200' || '1000'
+             || '64617461'
+             || substr(printf('%08x', 2*n), 7, 2)
+               || substr(printf('%08x', 2*n), 5, 2)
+               || substr(printf('%08x', 2*n), 3, 2)
+               || substr(printf('%08x', 2*n), 1, 2)
+             AS header_hex
+      FROM agg
+    )
+    SELECT clip_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(n * 1000.0 / 8000, 3) AS duration_ms,
+           round(sqrt(ss / n), 4) AS rms,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           sha256(header_hex || data_hex) AS echo_digest,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM hdr
+    UNION ALL
+    SELECT 23, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           'RIFF size exceeds blob (truncated file)'
+"""
 
 
-@op("multimodal_audio_features", oracle=None, tags=('similarity', 'extra'))
+@op("multimodal_audio_features", oracle=MULTIMODAL_AUDIO_FEATURES_ORACLE,
+    tags=('similarity', 'extra'))
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: the fixture is genuine RIFF/WAVE PCM-16 files
     and the mapInPandas stage runs a spec-correct chunk walker
@@ -511,14 +666,72 @@ MMR_LAMBDA = 0.7
 MMR_K = 5
 _MMR_POOL = 20
 
-# Rows-only: each greedy round's argmax embeds the previously selected
-# VECTORS into the next round's expression, so the computation is not one
-# static SQL string. Exactness is pinned by the local reference MMR in
-# tests/test_queue7.py.
-SIM_MMR_DIVERSIFIED_TOPK_ORACLE = None
+# Each greedy round's argmax embeds the previously selected vectors into
+# the next round's expression — not a static SQL string as a flat query,
+# but a recursive CTE carrying (selected positions, pool ids, pool rels,
+# pairwise sim matrix) as LIST state replays the greedy exactly: the
+# pairwise sims are the same double-widened fold as the Spark kernel
+# (list_dot_product over CAST DOUBLE[], cf. DUCK_COS), the argmax is
+# list_position of list_max (first hit = lowest-vec_id tie-break because
+# the pool lists are ordered by vec_id), and (1 - 0.7) reproduces the
+# exact double the Python expression embeds. Full hash-match since r6.
+SIM_MMR_DIVERSIFIED_TOPK_ORACLE = f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sc AS (
+      SELECT vec_id, embedding,
+             {DUCK_COS.format(a="embedding", b="q_emb")} AS rel
+      FROM embeddings CROSS JOIN q WHERE vec_id != 0
+    ),
+    pool AS (
+      SELECT vec_id, embedding, rel,
+             row_number() OVER (ORDER BY vec_id) AS pos
+      FROM (SELECT * FROM sc ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL})
+    ),
+    pairs AS (
+      SELECT a.pos AS pa, b.pos AS pb,
+             {DUCK_COS.format(a="a.embedding", b="b.embedding")} AS sim
+      FROM pool a CROSS JOIN pool b
+    ),
+    mat AS (SELECT pa, list(sim ORDER BY pb) AS sims FROM pairs GROUP BY pa),
+    state AS (
+      SELECT CAST(0 AS BIGINT) AS k, []::BIGINT[] AS sel,
+             CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS relevance,
+             CAST(NULL AS DOUBLE) AS mmr_score,
+             (SELECT list(vec_id ORDER BY pos) FROM pool) AS ids,
+             (SELECT list(rel ORDER BY pos) FROM pool) AS rels,
+             (SELECT list(sims ORDER BY pa) FROM mat) AS m
+      UNION ALL
+      SELECT s.k + 1, list_append(s.sel, s.best),
+             s.ids[CAST(s.best AS INTEGER)],
+             round(s.rels[CAST(s.best AS INTEGER)], 6),
+             round(s.scores[CAST(s.best AS INTEGER)], 6),
+             s.ids, s.rels, s.m
+      FROM (
+        SELECT s2.*, list_position(s2.scores, list_max(s2.scores)) AS best
+        FROM (
+          SELECT st.*,
+                 list_transform(generate_series(1, len(st.ids)), c ->
+                   CASE WHEN list_contains(st.sel, CAST(c AS BIGINT)) THEN NULL
+                        ELSE {MMR_LAMBDA} * st.rels[CAST(c AS INTEGER)]
+                             - (1 - {MMR_LAMBDA}) * (CASE WHEN len(st.sel) = 0
+                                  THEN CAST(0.0 AS DOUBLE)
+                                  ELSE list_max(list_transform(st.sel, j ->
+                                         st.m[CAST(c AS INTEGER)]
+                                             [CAST(j AS INTEGER)]))
+                                  END)
+                   END) AS scores
+          FROM state st WHERE st.k < {MMR_K}
+        ) s2
+      ) s
+    )
+    SELECT CAST(k AS INTEGER) AS rank, vec_id, relevance, mmr_score
+    FROM state WHERE k >= 1
+"""
 
 
-@op("sim_mmr_diversified_topk", oracle=None, tags=('similarity', 'extra'))
+@op("sim_mmr_diversified_topk", oracle=SIM_MMR_DIVERSIFIED_TOPK_ORACLE,
+    tags=('similarity', 'extra'))
 def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein) — the
     diversified-retrieval stage a RAG serving path runs after ANN
@@ -543,14 +756,17 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cos_to_lit(vec):
-        lit = "array(" + ", ".join(f"CAST({float(x)} AS FLOAT)" for x in vec) + ")"
+        # Same double-widened sequential fold as the house DOT kernel
+        # (functions/similarity.py) — bit-identical to DuckDB's
+        # list_dot_product over CAST(... AS DOUBLE[]), which is what lets
+        # SIM_MMR_DIVERSIFIED_TOPK_ORACLE replay the greedy exactly.
+        from aced_etl_pod_spark.functions.similarity import DOT
+
+        lit = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
         return (
-            f"aggregate(zip_with(embedding, {lit}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            f" / (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v * v))"
-            f" * sqrt(aggregate({lit}, CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v * v)))"
+            f"{DOT.format(a='embedding', b=lit)}"
+            f" / (sqrt({DOT.format(a='embedding', b='embedding')})"
+            f" * sqrt({DOT.format(a=lit, b=lit)}))"
         )
 
     selected: list = []
@@ -589,10 +805,40 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann_lsh_multiprobe_topk (round-7 registration queue; rows-only)
 # ---------------------------------------------------------------------------
 
-SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE = None  # approximate by design
+# Full oracle since round 6 — same bit-exact replay as SIM_ANN_LSH_TOPK_
+# ORACLE, narrower target bucket (16) plus the Hamming-1 probe explode
+# (list_prepend + xor mirror Spark's F.array(bucket, bucket ^ 1<<i)).
+SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE = f"""
+    WITH
+    {_duck_lsh_buckets(16)},
+    base AS (SELECT be.vec_id AS nbr_id, be.bucket, be.embedding AS emb_b
+             FROM be JOIN bn USING (bucket) WHERE bn.cnt <= {16 * 16}),
+    probe AS (
+      SELECT vec_id, embedding AS emb_a,
+             unnest(list_prepend(bucket,
+               list_transform(
+                 generate_series(0, (SELECT planes FROM np) - 1),
+                 i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
+      FROM be
+    ),
+    pairs AS (
+      SELECT p.vec_id, b2.nbr_id,
+             {DUCK_COS.format(a='p.emb_a', b='b2.emb_b')} AS cos
+      FROM probe p JOIN base b2 USING (bucket)
+      WHERE p.vec_id != b2.nbr_id
+    ),
+    rk AS (
+      SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rk
+      FROM pairs
+    )
+    SELECT vec_id, nbr_id, round(cos, 6) AS cos_sim FROM rk WHERE rk <= 3
+"""
 
 
-@op("sim_ann_lsh_multiprobe_topk", oracle=None, tags=('similarity', 'extra'))
+@op("sim_ann_lsh_multiprobe_topk", oracle=SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE,
+    tags=('similarity', 'extra'))
 def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe sign-LSH k-NN — the refinement the round-4 review asked
     for on top of the scale-parameterized LSH: Hamming-1 neighbor buckets
@@ -600,8 +846,8 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall no longer depends on every separating hyperplane being lucky,
     and bucket width can shrink (target ~16 vs ~64) for the same recall —
     smaller in-bucket re-ranks, probe side grows only (1 + planes)x.
-    Rows-checked (approximate); recall vs brute force, and
-    recall >= single-probe LSH, asserted in tests."""
+    Full hash oracle (probe explode replayed in SQL); recall vs brute
+    force, and recall >= single-probe LSH, asserted in tests."""
     from aced_etl_pod_spark.functions.similarity import ann_lsh_multiprobe_topk
 
     emb = load(spark, sf_dir, "embeddings")

@@ -384,7 +384,13 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
                 try:
                     sr, samples = decode_wav(bytes(content))
                     feats = clip_features(samples, sr)
-                    digest = hashlib.sha256(encode_wav(samples, sr)).hexdigest()
+                    # hex-domain digest (sha256 of the lowercase hex of the
+                    # canonical re-encode): same round-trip guarantee, and
+                    # recomputable by the DuckDB oracle, whose sha256()
+                    # accepts only VARCHAR (cf. multimodal_binary_meta).
+                    digest = hashlib.sha256(
+                        encode_wav(samples, sr).hex().encode()
+                    ).hexdigest()
                     rows.append(
                         {
                             "path": path,

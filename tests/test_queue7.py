@@ -632,7 +632,9 @@ def test_audio_decode_matches_local_reference(spark):
         assert row.n_samples == feats["n_samples"]
         assert row.rms == feats["rms"] and row.peak == feats["peak"]
         assert row.zero_crossings == feats["zero_crossings"]
-        assert row.echo_digest == hashlib.sha256(encode_wav(samples, sr)).hexdigest()
+        assert row.echo_digest == hashlib.sha256(
+            encode_wav(samples, sr).hex().encode()
+        ).hexdigest()
         ok += 1
     assert ok == 23 and bad == 1
     # codec round-trip is byte-exact on a clean clip

@@ -130,9 +130,9 @@ def queue_pairs():
         (llm.text_bpe_train_merges, None),
         (llm.tokenizer_apply_bpe, None),
         (llm.pipeline_rag_context_pack, None),
-        (sim.sim_mmr_diversified_topk, None),
-        (sim.sim_ann_lsh_multiprobe_topk, None),
-        (sim.multimodal_audio_features, None),
+        (sim.sim_mmr_diversified_topk, sim.SIM_MMR_DIVERSIFIED_TOPK_ORACLE),
+        (sim.sim_ann_lsh_multiprobe_topk, sim.SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE),
+        (sim.multimodal_audio_features, sim.MULTIMODAL_AUDIO_FEATURES_ORACLE),
         # tranche 36
         (llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_SCORE_ORACLE),
         (ext.stat_ks_two_sample, ext.STAT_KS_TWO_SAMPLE_ORACLE),
