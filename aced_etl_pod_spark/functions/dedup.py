@@ -36,9 +36,24 @@ def minhash_signature(num_hashes: int = 32) -> F.Column:
 def _shingled_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int, num_hashes: int
 ) -> DataFrame:
+    # Guard on the CHEAP token count, BEFORE the shingle projection, instead
+    # of filtering size(shingles) > 0 after it: Catalyst's projection
+    # collapse would otherwise substitute the whole normalize+split+
+    # transform+array_distinct chain into the scan filter and re-evaluate
+    # it per row (docs/SCALE.md §11; flagged by tools/plan_audit.py on
+    # dedup_incremental_minhash). Equivalent row set: ngrams_expr yields a
+    # non-empty gram array exactly when the normalized token count >= n.
+    from aced_etl_pod_spark.functions.text import NORMALIZE_SQL
+
+    tok_n = F.size(
+        F.split(F.expr(NORMALIZE_SQL.format(col=text_col)), " ")
+    )
     return (
-        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-        .filter(F.size("shingles") > 0)
+        with_shingles(
+            df.select(id_col, text_col).filter(tok_n >= shingle_n),
+            text_col,
+            shingle_n,
+        )
         .withColumn("sig", minhash_signature(num_hashes))
     )
 

@@ -1046,9 +1046,6 @@ _RAG_POOL, _RAG_BUDGET = 20, 128
 # the whole pipeline is pinned by an end-to-end local reference
 # implementation in tests/test_queue7.py (exact chunk set, hash
 # embeddings, ranking, and budget cut).
-PIPELINE_RAG_CONTEXT_PACK_ORACLE = None
-
-
 def _rag_tok_hash(tok: str) -> int:
     h = 0
     for ch in tok:
@@ -1056,7 +1053,109 @@ def _rag_tok_hash(tok: str) -> int:
     return h
 
 
-@op("pipeline_rag_context_pack", oracle=None, tags=('llm', 'extra'))
+# DuckDB mirror of the Catalyst per-token polynomial-hash fold.
+_DUCK_RAG_TOKHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    " (h, c) -> (h * 31 + c) % 2147483647)"
+)
+
+# Full oracle since round 6: nothing in this pipeline is actually
+# iterative — the 'greedy pack' is rank + running-sum + filter — so the
+# whole fused plan (chunk -> feature-hash embed -> recall -> pack)
+# replays as one static DuckDB query. The query embedding is recomputed
+# IN SQL from the constant query string with the same polynomial hash
+# (list_reduce fold), signed-bucket sums, and L2 normalize; all vector
+# components are exact integers before normalization, and the cosine is
+# the house double fold == list_dot_product, so every score is
+# bit-identical.
+PIPELINE_RAG_CONTEXT_PACK_ORACLE = f"""
+    WITH
+    dims AS (SELECT unnest(generate_series(0, {_RAG_DIM} - 1)) AS d),
+    docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '')
+               AS words
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, start,
+             words[start + 1 : start + {_RAG_CHUNK}] AS toks
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(0, len(words) - 1, {_RAG_STRIDE}))
+                     AS start
+            FROM docs)
+    ),
+    chunkf AS (
+      SELECT doc_id, start, toks, len(toks) AS n_tokens
+      FROM chunks WHERE len(toks) >= {_RAG_MIN}
+    ),
+    toh AS (
+      SELECT doc_id, start, n_tokens,
+             {_DUCK_RAG_TOKHASH.format(t='t')} AS h
+      FROM (SELECT doc_id, start, n_tokens, unnest(toks) AS t FROM chunkf)
+    ),
+    buckets AS (
+      SELECT doc_id, start, h % {_RAG_DIM} AS idx,
+             sum(((h // 16) % 2) * 2 - 1) AS s
+      FROM toh GROUP BY 1, 2, 3
+    ),
+    keys AS (SELECT DISTINCT doc_id, start, n_tokens FROM chunkf),
+    cells AS (
+      SELECT k.doc_id, k.start, k.n_tokens, dims.d,
+             CAST(coalesce(b.s, 0) AS DOUBLE) AS v
+      FROM keys k CROSS JOIN dims
+      LEFT JOIN buckets b
+        ON b.doc_id = k.doc_id AND b.start = k.start AND b.idx = dims.d
+    ),
+    vecs AS (
+      SELECT doc_id, start, n_tokens, list(v ORDER BY d) AS raw
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    emb AS (
+      SELECT doc_id, start, n_tokens,
+             list_transform(raw, v -> v / norm) AS emb
+      FROM (SELECT *, sqrt(list_dot_product(raw, raw)) AS norm FROM vecs)
+      WHERE norm > 0
+    ),
+    qh AS (
+      SELECT {_DUCK_RAG_TOKHASH.format(t='t')} AS h
+      FROM (SELECT unnest(string_split('{RAG_QUERY}', ' ')) AS t)
+    ),
+    qb AS (SELECT h % {_RAG_DIM} AS idx, sum(((h // 16) % 2) * 2 - 1) AS s
+           FROM qh GROUP BY 1),
+    qv AS (
+      SELECT list(CAST(coalesce(qb.s, 0) AS DOUBLE) ORDER BY dims.d) AS qraw
+      FROM dims LEFT JOIN qb ON qb.idx = dims.d
+    ),
+    qe AS (
+      SELECT list_transform(qraw,
+               v -> v / sqrt(list_dot_product(qraw, qraw))) AS qemb
+      FROM qv
+    ),
+    scored AS (
+      SELECT e.doc_id, e.start, e.n_tokens,
+             round(list_dot_product(e.emb, (SELECT qemb FROM qe)), 6) AS cos
+      FROM emb e
+    ),
+    pool AS (SELECT * FROM scored
+             ORDER BY cos DESC, doc_id, start LIMIT {_RAG_POOL}),
+    packed AS (
+      SELECT CAST(row_number() OVER w AS INTEGER) AS rank,
+             doc_id, CAST(start AS INTEGER) AS start,
+             CAST(n_tokens AS INTEGER) AS n_tokens,
+             sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             cos
+      FROM pool
+      WINDOW w AS (ORDER BY cos DESC, doc_id, start)
+    )
+    SELECT rank, doc_id, start, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens, cos
+    FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+"""
+
+
+@op("pipeline_rag_context_pack", oracle=PIPELINE_RAG_CONTEXT_PACK_ORACLE,
+    tags=('llm', 'extra'))
 def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG serving path fused into ONE plan — the retrieval twin of
     pipeline_corpus_curation's ingest pipeline:
@@ -1077,8 +1176,9 @@ def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-norm chunks (signed buckets can cancel) are dropped by the same
     guard the reference applies. At 100 TB stages 1-2 are the corpus
     pipeline (one shuffle), stage 3 swaps in the ANN/PQ recall path, and
-    stage 4 is O(pool). Rows-only by design; exact end-to-end reference
-    match in tests."""
+    stage 4 is O(pool). Full static-SQL oracle since round 6 (nothing
+    here is iterative — see PIPELINE_RAG_CONTEXT_PACK_ORACLE); exact
+    end-to-end reference match in tests."""
     d = load(spark, sf_dir, "documents")
     chunks = (
         d.select(

@@ -1270,7 +1270,13 @@ def dedup_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.expr(_PPJ_SAMPLE)).select(
         "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("s")
     )
-    toks = d.select("doc_id", F.explode("s").alias("tok"), F.size("s").alias("n"))
+    # explode_OUTER + isNotNull: a plain explode lets Catalyst infer
+    # size(s) > 0 and collapse the whole sort+distinct+split chain into
+    # the scan filter (docs/SCALE.md §11; flagged by tools/plan_audit.py).
+    # split() never yields an empty array, so the row set is identical.
+    toks = d.select(
+        "doc_id", F.explode_outer("s").alias("tok"), F.size("s").alias("n")
+    ).filter(F.col("tok").isNotNull())
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     w = W.partitionBy("doc_id").orderBy("c", "tok")
     # prefix length = n - ceil(tau*n) + 1

@@ -37,6 +37,16 @@ EXPENSIVE = (
     "arrays_zip(",
 )
 INFO_ONLY = ("split(",)
+# The sanctioned cheap-guard shape (docs/SCALE.md §11): a token-count
+# bound `size(split(<normalize>(text))) >= n` placed BEFORE an expensive
+# gram projection. It re-runs at most the tokenizer in the scan filter
+# (never the gram/distinct/signature chain) — that bound is the point of
+# the pattern, so expensive markers nested INSIDE the guard's tokenizer
+# (normalize = lower/trim/regexp_replace under size(split()) report as
+# info, not a flag. The plan's DataFilters string is truncated by Spark,
+# so the check is positional: a marker only flags when it appears before
+# the guard opens (i.e. outside it).
+GUARD = "size(split("
 # Streaming ops execute queries at build time — skip in a plan-only audit.
 SKIP_PREFIX = ("stream_",)
 
@@ -56,7 +66,12 @@ def main() -> int:
             errs.append((op_id, f"{type(ex).__name__}: {ex}"))
             continue
         for scan in re.findall(r"DataFilters: \[(.*?)\], Format", plan, re.S):
-            hit = next((m for m in EXPENSIVE if m in scan), None)
+            g = scan.find(GUARD)
+            hit = next(
+                (m for m in EXPENSIVE
+                 if m in scan and (g < 0 or scan.find(m) < g)),
+                None,
+            )
             if hit:
                 flagged.append((op_id, hit))
             elif any(m in scan for m in INFO_ONLY):

@@ -129,7 +129,7 @@ def queue_pairs():
         (llm.seq_pack_bins_ffd, llm.SEQ_PACK_BINS_FFD_ORACLE),
         (llm.text_bpe_train_merges, None),
         (llm.tokenizer_apply_bpe, None),
-        (llm.pipeline_rag_context_pack, None),
+        (llm.pipeline_rag_context_pack, llm.PIPELINE_RAG_CONTEXT_PACK_ORACLE),
         (sim.sim_mmr_diversified_topk, sim.SIM_MMR_DIVERSIFIED_TOPK_ORACLE),
         (sim.sim_ann_lsh_multiprobe_topk, sim.SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE),
         (sim.multimodal_audio_features, sim.MULTIMODAL_AUDIO_FEATURES_ORACLE),
