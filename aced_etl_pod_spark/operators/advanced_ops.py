@@ -10,7 +10,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aced_etl_pod_spark.functions.cluster import connected_components
-from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs
+from aced_etl_pod_spark.functions.dedup import (
+    duck_minhash_pairs_cte,
+    minhash_candidate_pairs,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.streaming.replay import (
     materialize_batches,
@@ -21,11 +24,37 @@ from aced_etl_pod_spark.streaming.replay import (
 from aced_etl_pod_spark.tables import load
 
 
-@op("dedup_cluster_cc", tags=("dedup", "approx", "extra"))
+# Full oracle since round 6: the minhash pairs replay in SQL
+# (functions/dedup.py::duck_minhash_pairs_cte), and min-label-propagation
+# CC converges to the component's min node id — which a recursive-CTE
+# transitive closure computes directly (min reachable id per node). The
+# iterative Spark algorithm and the set-semantics recursion meet at the
+# same fixpoint, so the oracle is exact, not a proxy.
+DEDUP_CLUSTER_CC_ORACLE = f"""
+    WITH RECURSIVE {duck_minhash_pairs_cte()},
+    cc_edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+                 UNION SELECT id_b, id_a FROM mh_pairs),
+    cc_reach AS (
+      SELECT u AS node, u AS r FROM cc_edges
+      UNION
+      SELECT cc_reach.node, e.v FROM cc_reach JOIN cc_edges e ON e.u = cc_reach.r
+    ),
+    cc_comp AS (SELECT node, min(r) AS component FROM cc_reach GROUP BY 1),
+    cc_sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cc_comp GROUP BY 1)
+    SELECT cc_comp.node AS doc_id, cc_comp.component, cc_sz.cluster_size
+    FROM cc_comp JOIN cc_sz USING (component)
+"""
+
+
+@op("dedup_cluster_cc", oracle=DEDUP_CLUSTER_CC_ORACLE,
+    tags=("dedup", "approx", "extra"))
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH candidate pairs → join-based connected
-    components → cluster id + size per clustered doc (rows-checked; exact
-    cluster semantics proven on a known graph in tests/test_cluster.py)."""
+    components → cluster id + size per clustered doc. Full hash oracle
+    since round 6 (DEDUP_CLUSTER_CC_ORACLE replays the pairs and closes
+    them transitively); exact cluster semantics additionally proven on a
+    known graph in tests/test_cluster.py."""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(d, "doc_id", "text", threshold=0.5)
     comps = connected_components(pairs)

@@ -889,15 +889,73 @@ def seq_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 8
 
-# No SQL oracle: each round's rewrite depends on the argmax VALUE of the
-# previous round, so the computation cannot be expressed as one static
-# SQL string. Contract = rows-only + tests/test_queue7.py's exact-match
-# against a from-scratch local BPE trainer (same tie-break), which is
-# stronger than a hash check on any single engine.
-TEXT_BPE_TRAIN_MERGES_ORACLE = None
+# Full oracle since round 6: the iterative argmax IS expressible as one
+# static SQL string — a recursive CTE whose working table carries the
+# whole vocabulary (word symbol-LIST + count) per round, computes the
+# round's pair counts and argmax (same cnt-DESC, then lexicographic
+# tie-break) as nested CTEs INSIDE the recursive term, rewrites every
+# word with the same leftmost-non-overlapping fold (list_reduce over
+# single-element lists so the LIST accumulator type-checks), and emits
+# the winning pair as a marker row ('m') that accumulates into the final
+# result. The recursion replays all BPE_MERGES rounds bit-for-bit — the
+# same replay family as the Kalman/Holt-Winters/FFD oracles, extended to
+# a whole-TABLE state per iteration. tests/test_queue7.py's exact-match
+# against a from-scratch local trainer remains the semantic gate.
+_DUCK_BPE_CTES = f"""
+    bpe_w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w != '' GROUP BY w
+    ),
+    bpe_v0 AS (
+      SELECT list_append(list_filter(string_split(w, ''), c -> c != ''),
+                         '_') AS syms, n
+      FROM bpe_w0
+    ),
+    bpe AS (
+      SELECT 0 AS it, 'v' AS kind, syms, n,
+             CAST(NULL AS BIGINT) AS cnt,
+             CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
+      FROM bpe_v0
+      UNION ALL
+      SELECT * FROM (
+        WITH cur AS (SELECT it, syms, n FROM bpe
+                     WHERE kind = 'v' AND it < {BPE_MERGES}),
+        pc AS (
+          SELECT p.a AS a, p.b AS b, sum(n) AS cnt
+          FROM (SELECT unnest(list_transform(syms[1:len(syms)-1],
+                         (x, i) -> {{'a': x, 'b': syms[i + 1]}})) AS p, n
+                FROM cur)
+          GROUP BY 1, 2
+        ),
+        win AS (SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT cur.it + 1 AS it, 'v' AS kind,
+               list_reduce(list_transform(cur.syms, s -> [s]),
+                 (acc, x) -> CASE WHEN len(acc) > 0
+                                  AND acc[len(acc)] = win.a AND x[1] = win.b
+                             THEN acc[1:len(acc)-1] || [win.a || win.b]
+                             ELSE acc || x END) AS syms,
+               cur.n, CAST(NULL AS BIGINT) AS cnt,
+               CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
+        FROM cur, win
+        UNION ALL
+        SELECT (SELECT min(it) FROM cur) + 1, 'm', NULL, NULL,
+               win.cnt, win.a, win.b
+        FROM win
+      )
+    )"""
+
+TEXT_BPE_TRAIN_MERGES_ORACLE = f"""
+    WITH RECURSIVE
+    {_DUCK_BPE_CTES}
+    SELECT CAST(it AS INTEGER) AS merge_rank, a AS left, b AS right,
+           a || b AS merged, cnt AS pair_count
+    FROM bpe WHERE kind = 'm'
+"""
 
 
-@op("text_bpe_train_merges", oracle=None, tags=('text', 'extra'))
+@op("text_bpe_train_merges", oracle=TEXT_BPE_TRAIN_MERGES_ORACLE,
+    tags=('text', 'extra'))
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed byte-pair-encoding merge training (the Sennrich BPE
     recipe, re-shaped for a cluster): build the word-frequency vocabulary
@@ -980,13 +1038,55 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenizer_apply_bpe (round-7 registration queue; rows-only by design)
 # ---------------------------------------------------------------------------
 
-# Rows-only for the same reason as the trainer: the merge table is the
-# result of an iterative argmax. The semantics are pinned by the
-# reference-tokenizer exact-match test in tests/test_queue7.py.
-TOKENIZER_APPLY_BPE_ORACLE = None
+# Full oracle since round 6, same recursion family as the trainer: the
+# merge table comes from _DUCK_BPE_CTES, then a SECOND recursion applies
+# the merges in rank order — over the DISTINCT word set only (tokenizing
+# a word is occurrence-independent), joined back per document for the
+# counts. The reference-tokenizer exact-match test in
+# tests/test_queue7.py remains the semantic gate.
+TOKENIZER_APPLY_BPE_ORACLE = f"""
+    WITH RECURSIVE
+    {_DUCK_BPE_CTES},
+    bpe_merges AS (SELECT it AS r, a, b FROM bpe WHERE kind = 'm'),
+    aw AS (
+      SELECT DISTINCT w
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x != '')) AS w
+            FROM documents)
+    ),
+    app AS (
+      SELECT 0 AS r, w,
+             list_append(list_filter(string_split(w, ''), c -> c != ''),
+                         '_') AS syms
+      FROM aw
+      UNION ALL
+      SELECT app.r + 1, app.w,
+             list_reduce(list_transform(app.syms, s -> [s]),
+               (acc, x) -> CASE WHEN len(acc) > 0
+                                AND acc[len(acc)] = m.a AND x[1] = m.b
+                           THEN acc[1:len(acc)-1] || [m.a || m.b]
+                           ELSE acc || x END)
+      FROM app JOIN bpe_merges m ON m.r = app.r + 1
+      WHERE app.r < {BPE_MERGES}
+    ),
+    wlen AS (SELECT w, len(syms) AS k FROM app WHERE r = {BPE_MERGES}),
+    docw AS (
+      SELECT doc_id, length(text) AS nchar, unnest(
+               list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(k) AS BIGINT) AS n_bpe_symbols,
+           CAST(round(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE)
+                AS DECIMAL(18,9)), 4) AS DOUBLE) AS symbols_per_char
+    FROM docw JOIN wlen USING (w)
+    GROUP BY doc_id
+"""
 
 
-@op("tokenizer_apply_bpe", oracle=None, tags=('llm', 'extra'))
+@op("tokenizer_apply_bpe", oracle=TOKENIZER_APPLY_BPE_ORACLE,
+    tags=('llm', 'extra'))
 def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table to the corpus — the serving half
     of the tokenizer pair (text_bpe_train_merges trains it). Every word

@@ -311,7 +311,47 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("blob_id", "length", "digest", "n_bytes", "byte_mean", "feature0")
 
 
-@op("multimodal_frame_sample", tags=("multimodal", "extra"))
+# Full fixture-regeneration oracle (round 6): the video fixture's pixels
+# are closed-form integer functions of (blob, frame, x, y), so DuckDB
+# rebuilds every sampled frame — geometry, pixel mean (the op's exact
+# float order: (mean_r + mean_g + mean_b) / 3), and the hex-domain digest
+# of the canonical P6 re-encode (header 'P6\n8 6\n255\n' + row-major RGB
+# raster) — from first principles. The torn blob (15) decodes a 5-frame
+# prefix, so its sampled frames 0/2/4 are identical to the clean formula
+# rows and its quarantine row is pinned literally: frame 5's header sits
+# at offset 5·155 = 775 and only 74 of its 144 raster bytes survive the
+# 70-byte tear. Only the binaryFile I/O itself has no DuckDB analog.
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+    WITH px AS (
+      SELECT i, t, y, x,
+             (x*5 + t*31 + i*7) % 256 AS r,
+             (y*9 + t*13 + i*3) % 256 AS g,
+             (x + y + t + i) % 256 AS b
+      FROM (SELECT unnest(generate_series(0, 15)) AS i) ii
+      CROSS JOIN (SELECT unnest([0, 2, 4]) AS t) tt
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) yy
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xx
+    ),
+    fr AS (
+      SELECT i, t, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+             string_agg(printf('%02x%02x%02x', r, g, b), ''
+                        ORDER BY y, x) AS raster_hex
+      FROM px GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS blob_id, CAST(t AS BIGINT) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           round((sr/48.0 + sg/48.0 + sb/48.0) / 3.0, 4) AS frame_mean,
+           sha256('50360a3820360a3235350a' || raster_hex) AS frame_digest,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM fr
+    UNION ALL
+    SELECT 15, -1, NULL, NULL, NULL, NULL,
+           'torn frame at offset 775: 74/144'
+"""
+
+
+@op("multimodal_frame_sample", oracle=MULTIMODAL_FRAME_SAMPLE_ORACLE,
+    tags=("multimodal", "extra"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-style frame sampling: each blob is a genuine
     concatenated-P6 (Netpbm multi-image) stream; the mapInPandas stage
@@ -341,7 +381,100 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("multimodal_resize", tags=("multimodal", "extra"))
+# Channel formulas of the PPM fixture (sources/binary.py::
+# generate_ppm_fixture), parameterized on pixel coordinates so the
+# bilinear corners substitute directly.
+_PPM_R_F = "({x}*7 + i*13) % 256"
+_PPM_G_F = "({y}*11 + i*29) % 256"
+_PPM_B_F = "({x}*3 + {y}*5 + i) % 256"
+
+
+def _duck_bilinear(formula: str) -> str:
+    """SQL for one resized output channel, replaying resize_bilinear
+    (functions/imagecodec.py) with the IDENTICAL float-op order — corner
+    lookups are the closed-form fixture formulas, weights come from the
+    surrounding CTE (y0/y1/x0/x1/wy/wx), and the final floor(·+0.5)+clamp
+    matches the uint8 conversion bit-for-bit (every step is an exactly-
+    specified IEEE double op, so same order ⇒ same bits)."""
+
+    def v(yv: str, xv: str) -> str:
+        return f"CAST(({formula.format(y=yv, x=xv)}) AS DOUBLE)"
+
+    top = f"({v('y0', 'x0')} * (1 - wx) + {v('y0', 'x1')} * wx)"
+    bot = f"({v('y1', 'x0')} * (1 - wx) + {v('y1', 'x1')} * wx)"
+    return (
+        f"CAST(least(greatest(floor({top} * (1 - wy) + {bot} * wy + 0.5),"
+        f" 0), 255) AS BIGINT)"
+    )
+
+
+# Full fixture-regeneration oracle (round 6): blob i is a closed-form
+# (16+i)×(12+i) integer-gradient PPM, so DuckDB replays decode geometry,
+# the mean_r channel mean, the ENTIRE bilinear 8×8 resample (see
+# _duck_bilinear), the canonical re-encode ('P6\n8 8\n255\n' + row-major
+# RGB raster, 203 bytes), and its hex-domain sha256 digest. The corrupt
+# blob (23: header kept, file halved → 2041 of 4095 raster bytes) is
+# pinned as the literal quarantine row.
+MULTIMODAL_RESIZE_ORACLE = f"""
+    WITH dims AS (
+      SELECT i, 12 + i AS h, 16 + i AS w
+      FROM (SELECT unnest(generate_series(0, 22)) AS i)
+    ),
+    grid AS (
+      SELECT i, h, w, oy, ox,
+             (oy + 0.5) * (h / 8.0) - 0.5 AS sy,
+             (ox + 0.5) * (w / 8.0) - 0.5 AS sx
+      FROM dims
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS oy)
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS ox)
+    ),
+    coords AS (
+      SELECT *,
+             CAST(least(greatest(floor(sy), 0), h - 1) AS BIGINT) AS y0,
+             CAST(least(greatest(floor(sx), 0), w - 1) AS BIGINT) AS x0
+      FROM grid
+    ),
+    weights AS (
+      SELECT *, least(y0 + 1, h - 1) AS y1, least(x0 + 1, w - 1) AS x1,
+             least(greatest(sy - y0, 0.0), 1.0) AS wy,
+             least(greatest(sx - x0, 0.0), 1.0) AS wx
+      FROM coords
+    ),
+    outs AS (
+      SELECT i, oy, ox,
+             {_duck_bilinear(_PPM_R_F)} AS r,
+             {_duck_bilinear(_PPM_G_F)} AS g,
+             {_duck_bilinear(_PPM_B_F)} AS b
+      FROM weights
+    ),
+    thumbs AS (
+      SELECT i, string_agg(printf('%02x%02x%02x', r, g, b), ''
+                           ORDER BY oy, ox) AS raster_hex
+      FROM outs GROUP BY i
+    ),
+    means AS (
+      SELECT d.i, sum(({_PPM_R_F.format(x='x', y='y')})) AS sr,
+             any_value(d.h * d.w) AS npx
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys,
+           LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs
+      GROUP BY d.i
+    )
+    SELECT CAST(d.i AS BIGINT) AS blob_id,
+           CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+           round(CAST(m.sr AS DOUBLE) / m.npx, 4) AS mean_r,
+           sha256('50360a3820380a3235350a' || t.raster_hex) AS thumb_digest,
+           CAST(203 AS BIGINT) AS thumb_len,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM dims d JOIN thumbs t ON t.i = d.i JOIN means m ON m.i = d.i
+    UNION ALL
+    SELECT 23, NULL, NULL, NULL, NULL, NULL,
+           'short PPM raster: 2041 < 4095'
+"""
+
+
+@op("multimodal_resize", oracle=MULTIMODAL_RESIZE_ORACLE,
+    tags=("multimodal", "extra"))
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode + resize: the fixture is genuine PPM (P6) files,
     and the mapInPandas stage parses the Netpbm header, reshapes the raster
@@ -362,7 +495,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.round("mean_r", 4).alias("mean_r"),
-        F.sha2("thumb", 256).alias("thumb_digest"),
+        # hex-domain digest (sha256 of the lowercase-hex thumb bytes):
+        # DuckDB sha256() only takes VARCHAR, so this keeps the digest
+        # replayable by MULTIMODAL_RESIZE_ORACLE (the WAV/frame pattern).
+        F.sha2(F.lower(F.hex("thumb")), 256).alias("thumb_digest"),
         "thumb_len",
         "decode_error",
     )

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.functions.dedup import minhash_candidate_pairs, simhash_near_pairs
+from aced_etl_pod_spark.functions.dedup import (
+    duck_minhash_pairs_cte,
+    duck_simhash_pairs_cte,
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+)
 from aced_etl_pod_spark.functions.text import ngrams_expr, normalize
 from aced_etl_pod_spark.operators.util import money
 from aced_etl_pod_spark.registry import op
@@ -130,20 +135,43 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("dedup_minhash_lsh", tags=("text", "dedup", "approx"))
+# Full oracle since round 6: the minhash family moved from xxhash64 to
+# sha256-derived universal hashing (functions/dedup.py), so the whole
+# LSH index — signatures, band buckets, mega-bucket cap, Jaccard verify —
+# replays deterministically in DuckDB. The recall tests in
+# tests/test_dedup.py remain the semantic gate; this pins the bits.
+DEDUP_MINHASH_LSH_ORACLE = f"""
+    WITH {duck_minhash_pairs_cte()}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+"""
+
+
+@op("dedup_minhash_lsh", oracle=DEDUP_MINHASH_LSH_ORACLE,
+    tags=("text", "dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (rows-checked: approximate by
-    design — recall is proven on synthetic near-dups in tests).
-    32 hashes × 8 bands; word-3-gram shingles; Jaccard ≥ 0.5 verify."""
+    """MinHash-LSH near-dup candidate pairs. 32 universal hashes over a
+    31-bit sha256 base hash × 8 bands; word-3-gram shingles; exact
+    Jaccard ≥ 0.5 verify on surviving candidates. Full hash oracle
+    (DEDUP_MINHASH_LSH_ORACLE replays the index build); recall proven on
+    synthetic near-dups in tests/test_dedup.py."""
     d = load(spark, sf_dir, "documents")
     return minhash_candidate_pairs(d, "doc_id", "text")
 
 
-@op("dedup_simhash", tags=("text", "dedup", "approx", "extra"))
+DEDUP_SIMHASH_ORACLE = f"""
+    WITH {duck_simhash_pairs_cte()}
+    SELECT id_a, id_b, hamming FROM sh_pairs
+"""
+
+
+@op("dedup_simhash", oracle=DEDUP_SIMHASH_ORACLE,
+    tags=("text", "dedup", "approx", "extra"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sign-sum signature, multi-block-pair
-    blocking with a recall GUARANTEE for Hamming ≤ 7, bit_count verify
-    (rows-checked; recall proven in tests/test_dedup.py)."""
+    """SimHash near-dup pairs: 64-bit sign-sum signature over sha256
+    chunk bits, multi-block-pair blocking with a recall GUARANTEE for
+    Hamming ≤ 7, bit_count verify. Full hash oracle since round 6
+    (DEDUP_SIMHASH_ORACLE replays votes, block keys, and the Hamming
+    verify); recall proven in tests/test_dedup.py."""
     d = load(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text")
 
@@ -805,11 +833,20 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_incremental_minhash (round-7 registration queue; rows-only)
 # ---------------------------------------------------------------------------
 
-DEDUP_INCREMENTAL_MINHASH_ORACLE = None  # approximate family; equality vs
-# full recompute is asserted in tests/test_queue7.py instead.
+# Full oracle since round 6 (sha256 minhash): the cap population is the
+# UNION of corpus and increment bands — i.e. ALL documents' bands — so the
+# replay is the full minhash pipeline with the candidate set restricted to
+# pairs touching the increment (doc_id % 10 == 0). Equality vs a full
+# recompute is additionally asserted in tests/test_queue7.py.
+DEDUP_INCREMENTAL_MINHASH_ORACLE = f"""
+    WITH {duck_minhash_pairs_cte(
+        pair_filter="(id_a % 10 = 0 OR id_b % 10 = 0)")}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+"""
 
 
-@op("dedup_incremental_minhash", oracle=None, tags=('text', 'dedup', 'extra'))
+@op("dedup_incremental_minhash", oracle=DEDUP_INCREMENTAL_MINHASH_ORACLE,
+    tags=('text', 'dedup', 'extra'))
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: dedupe a NEW batch (10% of docs)
     against the existing corpus via a PERSISTED minhash band index — the
@@ -829,7 +866,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled wholesale (functions/dedup.py's O(candidates) discipline)."""
     import os
 
-    from aced_etl_pod_spark.functions.dedup import _shingled_signatures
+    from aced_etl_pod_spark.functions.dedup import (
+        _shingled_signatures,
+        band_buckets_expr,
+    )
     from aced_etl_pod_spark.tables import scratch_dir
 
     num_hashes, bands, threshold, cap = 32, 8, 0.5, 200
@@ -839,21 +879,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def banded(df):
         sigged = _shingled_signatures(df, "doc_id", "text", 3, num_hashes)
-        rows = num_hashes // bands
-        band_hash = F.array(
-            *[
-                F.xxhash64(F.slice("sig", b * rows + 1, rows), F.lit(b))
-                for b in range(bands)
-            ]
-        )
         return sigged.select(
             F.col("doc_id").alias("doc"),
-            F.posexplode(band_hash).alias("band", "bucket"),
+            F.posexplode(band_buckets_expr(num_hashes, bands)).alias(
+                "band", "bucket"
+            ),
         )
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    idx = scratch_dir(f"mh_index_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
+    # v2: cache key versioned with the hash scheme — a persisted index
+    # built with a previous scheme must never satisfy a new-scheme run.
+    idx = scratch_dir(f"mh_index_v2_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}")
     marker = os.path.join(idx, "_SUCCESS")
     if not os.path.exists(marker):
         banded(corpus).write.mode("overwrite").parquet(idx)

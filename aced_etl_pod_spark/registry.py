@@ -130,14 +130,16 @@ _DRIVER_PRIORITY = (
 #   * a plan round has passed and any planned op still has no external row.
 # Round 7 = the 14 remaining r01-core windows/sorts/sets + queue tranches
 # 8-17 in tranche order. All planned ops are already registered (round-6
-# early registration; text_bpe_train_merges / tokenizer_apply_bpe /
-# multimodal_audio_features / sim_mmr_diversified_topk /
-# pipeline_rag_context_pack / sim_ann_lsh_multiprobe_topk /
-# dedup_incremental_minhash / dedup_image_phash carry oracle=None —
-# rows-only by design with exact local-reference gates; the formerly
-# rows-only recurrence ops seq_pack_bins_ffd / win_cusum_changepoint /
-# ts_holt_winters / ts_kalman_filter_1d gained full recursive-CTE oracles
-# in round 6). Rounds 8-9 drain tranches 18-60; the r09 window backfills
+# early registration). After the round-6 oracle-upgrade sweeps (recursive-
+# CTE replays, sha256-based minhash/simhash, fixture-regeneration
+# multimodal, BPE whole-table recursion) only SIX census ops remain
+# rows-only — the genuinely non-replayable float kernels:
+# embedding_pca_whiten (eigendecomposition), embedding_pq_codes /
+# sim_ann_pq_adc_topk / sim_ann_ivf_pq_topk / sim_ann_ivf_topk
+# (driver-side float k-means — numpy pairwise float sums have no stable
+# SQL order), dedup_image_phash (float DCT-II). Each has an exact
+# local-reference or recall gate instead. Rounds 8-9 drain tranches
+# 18-60; the r09 window backfills
 # its remaining ~20 slots with whatever registered ops then have the
 # OLDEST external rows (r02-era extras first) — backfill is chosen at
 # rotation time, so only the queue ops are pinned here.

@@ -298,10 +298,16 @@ def sample_ppm_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 for idx in range(0, len(frames), every_n):
                     img = frames[idx]
                     mr, mg, mb = channel_means(img)
+                    # digest in the HEX domain (sha256 of the lowercase-hex
+                    # re-encode, not of the raw bytes): DuckDB's sha256()
+                    # only takes VARCHAR, so this keeps the digest
+                    # oracle-replayable (same move as the WAV echo_digest).
                     rows.append(
                         (path, idx, img.shape[1], img.shape[0],
                          (mr + mg + mb) / 3.0,
-                         hashlib.sha256(encode_ppm(img)).hexdigest(), None)
+                         hashlib.sha256(
+                             encode_ppm(img).hex().encode()
+                         ).hexdigest(), None)
                     )
                 if err is not None:
                     rows.append((path, -1, None, None, None, None, err))

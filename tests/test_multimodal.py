@@ -187,7 +187,9 @@ def test_multimodal_resize_real_decode(spark):
     assert abs(rows[3]["mean_r"] - round(mr, 4)) < 1e-9
     import hashlib as _h
 
-    want = _h.sha256(encode_ppm(resize_bilinear(img, 8, 8))).hexdigest()
+    want = _h.sha256(
+        encode_ppm(resize_bilinear(img, 8, 8)).hex().encode()
+    ).hexdigest()
     assert rows[3]["thumb_digest"] == want
     # determinism: second run byte-identical
     again = {r["blob_id"]: r["thumb_digest"]
@@ -248,5 +250,7 @@ def test_multimodal_frame_sample_real_decode(spark):
         axis=2,
     ).astype(np.uint8)
     row = next(r for r in by_blob[2] if r["frame_idx"] == 2)
-    assert row["frame_digest"] == _h.sha256(encode_ppm(img)).hexdigest()
+    assert row["frame_digest"] == _h.sha256(
+        encode_ppm(img).hex().encode()
+    ).hexdigest()
     assert abs(row["frame_mean"] - round(float(img.mean()), 4)) < 1e-9

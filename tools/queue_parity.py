@@ -107,7 +107,7 @@ def queue_pairs():
         (txt.dedup_exact_substring_spans, txt.DEDUP_EXACT_SUBSTRING_SPANS_ORACLE),
         (txt.text_vocab_growth_heaps, txt.TEXT_VOCAB_GROWTH_HEAPS_ORACLE),
         (txt.text_zipf_rank_frequency, txt.TEXT_ZIPF_RANK_FREQUENCY_ORACLE),
-        (txt.dedup_incremental_minhash, None),
+        (txt.dedup_incremental_minhash, txt.DEDUP_INCREMENTAL_MINHASH_ORACLE),
         (cor.feature_one_hot_encode, cor.FEATURE_ONE_HOT_ORACLE),
         (cor.feature_standard_scale, cor.FEATURE_STANDARD_SCALE_ORACLE),
         (cor.agg_hll_portable, cor.AGG_HLL_PORTABLE_ORACLE),
@@ -127,8 +127,8 @@ def queue_pairs():
         (so.stream_anomaly_window_zscore, so.STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE),
         (so.stream_checked_ingest_dlq, so.STREAM_CHECKED_INGEST_DLQ_ORACLE),
         (llm.seq_pack_bins_ffd, llm.SEQ_PACK_BINS_FFD_ORACLE),
-        (llm.text_bpe_train_merges, None),
-        (llm.tokenizer_apply_bpe, None),
+        (llm.text_bpe_train_merges, llm.TEXT_BPE_TRAIN_MERGES_ORACLE),
+        (llm.tokenizer_apply_bpe, llm.TOKENIZER_APPLY_BPE_ORACLE),
         (llm.pipeline_rag_context_pack, llm.PIPELINE_RAG_CONTEXT_PACK_ORACLE),
         (sim.sim_mmr_diversified_topk, sim.SIM_MMR_DIVERSIFIED_TOPK_ORACLE),
         (sim.sim_ann_lsh_multiprobe_topk, sim.SIM_ANN_LSH_MULTIPROBE_TOPK_ORACLE),
