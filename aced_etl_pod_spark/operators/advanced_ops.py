@@ -215,8 +215,16 @@ def _pagerank_oracle(iterations: int = 8) -> str:
     directly — each step needs the previous ranks TWICE (dangling-mass
     scalar + in-contribution sum) and the standard recursive form allows a
     single reference to the working table — but with a fixed iteration
-    count plain chained CTEs are exact and engine-portable."""
-    step = """r{k} AS (
+    count plain chained CTEs are exact and engine-portable.
+
+    Each r{{k}} is AS MATERIALIZED: every step references its predecessor
+    TWICE (dangling scalar + contribution sum), and DuckDB inlines
+    non-materialized CTEs — without the hint the whole chain re-computes
+    from the edge join at every reference, a 2^iterations blowup (the
+    oracle-side twin of the BFS lineage bug fixed Spark-side in round 5c;
+    measured 246 s → 0.27 s at sf0.01, and disk-spill death → 2.8 s at
+    sf0.1)."""
+    step = """r{k} AS MATERIALIZED (
       SELECT nd.node,
              (1 - 0.85) / cnt.n
              + 0.85 * (COALESCE(c.in_rank, 0) + dgm.dm / cnt.n) AS rank
@@ -494,10 +502,13 @@ _BFS_EDGES_CTE = """
 
 
 def _bfs_oracle(hops: int) -> str:
+    # AS MATERIALIZED: each hop references its predecessor twice (carry +
+    # push); DuckDB inlines non-materialized CTEs, which re-computes the
+    # whole chain per reference — 2^hops work (see _pagerank_oracle).
     ctes = [_BFS_EDGES_CTE.format(seed_mod=_BFS_SEED_MOD)]
     for i in range(1, hops + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM d{i - 1}
         UNION ALL
@@ -690,10 +701,12 @@ _SPW_EDGES_CTE = """
 
 
 def _spw_oracle(rounds: int) -> str:
+    # AS MATERIALIZED for the same 2^rounds inlining reason as
+    # _bfs_oracle / _pagerank_oracle.
     ctes = [_SPW_EDGES_CTE]
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM d{i - 1}
         UNION ALL
