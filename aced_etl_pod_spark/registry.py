@@ -65,7 +65,14 @@ _REGISTRY: dict[str, Op] = {}
 #   r09 window: tranches 36-60 (stats/TS/LLM-prep/Spark-4 surfaces/graph/
 #     governance, _ROTATION_PLAN[9]) + oldest-external-row backfill to 50;
 #     any ops still short land r10.
-_DRIVER_PRIORITY = (
+# The LAST manually-rotated window (round 6). From round 7 on the window
+# rotates ITSELF: ``driver_window()`` below reads the CORRECTNESS_r*.json
+# files committed at the repo root, finds the next external round, and
+# emits that round's _ROTATION_PLAN slice (backfilled to 50 with the
+# registered ops whose external rows are OLDEST). Rotation is therefore
+# no longer a per-session chore the next builder could forget — the gate
+# tests now verify the automation instead of the manual swap.
+_R06_WINDOW = (
     # -- re-checks / upgrades (VERDICT r5 items 2, 5, 7) --
     "win_gap_islands",
     "multimodal_feature_embed_topk",
@@ -126,7 +133,7 @@ _DRIVER_PRIORITY = (
 # are the op IDs whose external row is DUE that round. The freshness gate
 # (tests/test_parity.py::test_rotation_plan_enforced) fails if:
 #   * a plan round has arrived (latest CORRECTNESS_r{N} == round-1) and the
-#     session's _DRIVER_PRIORITY doesn't contain every planned op, or
+#     session's driver_window() doesn't contain every planned op, or
 #   * a plan round has passed and any planned op still has no external row.
 # Round 7 = the 14 remaining r01-core windows/sorts/sets + queue tranches
 # 8-17 in tranche order. All planned ops are already registered (round-6
@@ -237,6 +244,60 @@ _MODULES = (
 )
 
 
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _external_rows() -> dict[str, int]:
+    """op_id -> latest external round with a CORRECTNESS row (from the
+    CORRECTNESS_r{N}.json files the driver commits at the repo root)."""
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(f) as fh:
+            for op_id in json.load(fh):
+                last[op_id] = max(last.get(op_id, 0), rnd)
+    return last
+
+
+def driver_window() -> tuple[str, ...]:
+    """The ACTIVE 50-slot external-verification window, self-rotating:
+
+    * next external round ≤ 6 → the static round-6 window (_R06_WINDOW);
+    * next round in _ROTATION_PLAN → that round's planned ops, backfilled
+      to 50 with the registered ops whose external rows are oldest
+      (never-checked first, then by ascending last-checked round, op id
+      as the total-order tie-break);
+    * past the plan (round ≥ 10) → pure oldest-row backfill, forever.
+
+    Reads only repo-committed CORRECTNESS files, so the window the driver
+    sees at round end is exactly the window the gate tests verified."""
+    rows = _external_rows()
+    # every round checks a non-empty window, so the max per-op round equals
+    # the newest CORRECTNESS file present
+    nxt = max(rows.values(), default=0) + 1
+    if nxt <= 6:
+        return _R06_WINDOW
+    planned = _ROTATION_PLAN.get(nxt, ())
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    fill = sorted(
+        (o for o in _REGISTRY if o not in set(planned)),
+        key=lambda o: (rows.get(o, 0), o),
+    )
+    return tuple(planned) + tuple(fill[: max(0, 50 - len(planned))])
+
+
 def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register ``fn`` as operator ``op_id`` with an optional DuckDB oracle."""
 
@@ -257,7 +318,7 @@ def registry() -> dict[str, Op]:
     ``operators.sampling`` directly), and the driver window must be stable."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    rank = {op_id: i for i, op_id in enumerate(_DRIVER_PRIORITY)}
+    rank = {op_id: i for i, op_id in enumerate(driver_window())}
     default = len(rank)
     mod_rank = {m: i for i, m in enumerate(_MODULES)}
 

@@ -56,12 +56,48 @@ def test_registry_complete():
 
 def test_driver_window_order():
     """The external harness verifies the FIRST 50 registry entries; the
-    rotation list must exactly occupy that window (guards against a module
-    refactor silently reshuffling which ops get driver-checked)."""
-    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY
+    active (self-rotating) window must exactly occupy that slice (guards
+    against a module refactor silently reshuffling which ops get
+    driver-checked)."""
+    from aced_etl_pod_spark.registry import driver_window
 
-    assert len(_DRIVER_PRIORITY) == 50
-    assert list(REG)[:50] == list(_DRIVER_PRIORITY)
+    win = driver_window()
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    assert list(REG)[:50] == list(win)
+
+
+def test_driver_window_self_rotation():
+    """driver_window() rotates itself from the committed CORRECTNESS
+    files: for every future plan round, simulate that round being next
+    and check the emitted window is the plan slice backfilled to exactly
+    50 registered ops with the oldest external rows first."""
+    from unittest import mock
+
+    from aced_etl_pod_spark import registry as regmod
+
+    rows = regmod._external_rows()
+    latest = max(rows.values(), default=0)
+    for r, planned in regmod._ROTATION_PLAN.items():
+        if r <= latest:
+            continue
+        fake = dict(rows)
+        fake["__probe__"] = r - 1  # pretend round r-1 already ran
+        with mock.patch.object(regmod, "_external_rows", return_value=fake):
+            win = regmod.driver_window()
+        assert len(win) == 50 and len(set(win)) == 50
+        assert list(win[: len(planned)]) == list(planned)
+        fill = win[len(planned):]
+        assert all(o in REG for o in fill)
+        # backfill is oldest-external-row first, op id as tie-break
+        keys = [(rows.get(o, 0), o) for o in fill]
+        assert keys == sorted(keys)
+    # beyond the plan: pure backfill, still a full valid window
+    fake = dict(rows)
+    fake["__probe__"] = max(regmod._ROTATION_PLAN) # next = max+1, unplanned
+    with mock.patch.object(regmod, "_external_rows", return_value=fake):
+        win = regmod.driver_window()
+    assert len(win) == 50 and all(o in REG for o in win)
 
 
 def test_operators_md_fresh():
@@ -80,7 +116,7 @@ def test_operators_md_fresh():
 def test_census_fully_externally_verified_or_queued():
     """Freshness guard (VERDICT r4 item 9): every registered operator must
     either already have an external CORRECTNESS_r*.json row, sit in the
-    current driver window (_DRIVER_PRIORITY's first 50 — the slice the next
+    current driver window (driver_window() — the slice the next
     external run will check), or be pinned to a specific FUTURE round in
     _ROTATION_PLAN (whose execution test_rotation_plan_enforced enforces:
     the plan's window must be rotated to when its round arrives, and its
@@ -91,14 +127,14 @@ def test_census_fully_externally_verified_or_queued():
     import json
     import os
 
-    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY, _ROTATION_PLAN
+    from aced_etl_pod_spark.registry import _ROTATION_PLAN, driver_window
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         with open(f) as fh:
             seen |= set(json.load(fh))
-    queued = set(_DRIVER_PRIORITY[:50])
+    queued = set(driver_window())
     planned = {o for ids in _ROTATION_PLAN.values() for o in ids}
     missing = sorted(set(registry()) - seen - queued - planned)
     assert not missing, (
@@ -112,8 +148,8 @@ def test_rotation_plan_enforced():
     machine-enforced, not aspirational. For each planned round R:
       * R in the future  → every planned ID must exist as a def in some
         operator module (typo guard — most are not yet registered);
-      * R == next round  → every planned op must sit in _DRIVER_PRIORITY
-        (the session must rotate the window to the plan);
+      * R == next round  → every planned op must sit in driver_window()
+        (self-rotation must emit the plan);
       * R in the past    → every planned op must have an external
         CORRECTNESS row (the plan was actually executed).
     Rounds are disjoint and ≤50 (the driver window size)."""
@@ -123,7 +159,7 @@ def test_rotation_plan_enforced():
     import os
     import re
 
-    from aced_etl_pod_spark.registry import _DRIVER_PRIORITY, _MODULES, _ROTATION_PLAN
+    from aced_etl_pod_spark.registry import _MODULES, _ROTATION_PLAN, driver_window
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds_seen = [
@@ -163,9 +199,9 @@ def test_rotation_plan_enforced():
                 f"external CORRECTNESS row: {missed}"
             )
         elif r == latest + 1:
-            unqueued = sorted(set(ids) - set(_DRIVER_PRIORITY))
+            unqueued = sorted(set(ids) - set(driver_window()))
             assert not unqueued, (
-                f"round {r} is next — rotate _DRIVER_PRIORITY to the plan; "
+                f"round {r} is next — driver_window() must emit the plan; "
                 f"missing: {unqueued}"
             )
 

@@ -32,7 +32,7 @@ def render() -> str:
         "(approximate/iterative — each recall/exactness-tested in tests/).",
         "",
         "The first 50 rows are the current external-driver correctness window "
-        "(`registry.py::_DRIVER_PRIORITY`, rotated per round).",
+        "(`registry.py::driver_window()`, self-rotating per round).",
         "",
         "| # | operator | correctness | tags | source | summary |",
         "|---|---|---|---|---|---|",
