@@ -187,22 +187,25 @@ def ivf_topk(
     )
     for _ in range(lloyd_iters):
         assigned = _assign_nearest_centroid(emb, centroids)
-        exploded = assigned.join(emb, "vec_id").select(
-            "cid",
-            F.posexplode(
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-            ).alias("pos", "val"),
-        )
-        centroids = (
-            exploded.groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))), "
-                    "s -> CAST(s.m AS FLOAT))"
-                ).alias("c_emb")
+        # Cell means as a vec_id-ORDERED left fold per dimension, not a
+        # distributed avg: fold order is part of the contract
+        # (docs/SCALE.md §10) — a partial-agg avg sums in partition order,
+        # which no oracle can replay. The collect_list is bounded by the
+        # cell width (~sqrt(n) vectors by construction), the same
+        # collect-sort-fold shape as agg_moments_mergeable_chan.
+        members = assigned.join(emb, "vec_id").groupBy("cid").agg(
+            F.expr("array_sort(collect_list(struct(vec_id, embedding)))").alias(
+                "ms"
             )
+        )
+        centroids = members.select(
+            "cid",
+            F.expr(
+                "transform(sequence(1, size(element_at(ms, 1).embedding)), t -> "
+                "CAST(aggregate(ms, CAST(0 AS DOUBLE), (acc, s) -> "
+                "acc + CAST(element_at(s.embedding, CAST(t AS INT)) AS DOUBLE)) "
+                "/ size(ms) AS FLOAT))"
+            ).alias("c_emb"),
         )
     inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
     q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))

@@ -161,18 +161,106 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_ann_ivf_topk", tags=("similarity", "approx", "extra"))
+def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
+    """Full replay of functions/similarity.py::ivf_topk since round 6:
+    ~sqrt(n) seed centroids (isqrt replayed with a double-rounding
+    correction), ``lloyd_iters`` refinement rounds whose cell means are
+    vec_id-ordered left folds cast to float32 (exactly the Spark kernel's
+    fold), cosine assignment with (desc cos, cid) tie-break via the
+    list_dot_product == house-DOT-fold identity, 4-cell probing, and the
+    exact in-cell re-rank. Iterations are unrolled AS MATERIALIZED (the
+    inliner rule, see _pagerank_oracle)."""
+    from aced_etl_pod_spark.operators.similarity import DUCK_COS
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, e, cid FROM (
+        SELECT s.vec_id, s.e, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 {DUCK_COS.format(a='s.e', b='c.cv')} DESC, c.cid) AS rk
+        FROM iv_emb s CROSS JOIN {cent} c
+      ) WHERE rk = 1
+    )"""
+
+    def step(prev_assign: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT cid,
+             CAST(list_transform(generate_series(1, len(vecs[1])), t ->
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(vecs, w -> CAST(w[t] AS DOUBLE))),
+                 (acc, x) -> acc + x) / cnt) AS FLOAT[]) AS cv
+      FROM (SELECT cid, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
+            FROM {prev_assign} GROUP BY cid)
+    )"""
+
+    ctes = ["""iv_emb AS (SELECT vec_id, embedding AS e FROM embeddings)""",
+            """iv_n AS (SELECT count(*) AS n FROM iv_emb)""",
+            """iv_c AS (
+      SELECT greatest(4, least(65536,
+        CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1
+             WHEN f * f > n THEN f - 1 ELSE f END)) AS c
+      FROM (SELECT greatest(n, 16) AS n,
+                   CAST(floor(sqrt(CAST(greatest(n, 16) AS DOUBLE)))
+                        AS BIGINT) AS f
+            FROM iv_n)
+    )""",
+            """c0 AS MATERIALIZED (
+      SELECT vec_id AS cid, e AS cv
+      FROM (SELECT vec_id, e FROM iv_emb ORDER BY vec_id
+            LIMIT (SELECT c FROM iv_c))
+    )"""]
+    prev = "c0"
+    for i in range(1, lloyd_iters + 1):
+        ctes.append(assign(prev, f"a{i}"))
+        ctes.append(step(f"a{i}", f"c{i}"))
+        prev = f"c{i}"
+    ctes.append(assign(prev, "iv_inverted"))
+    ctes.append(f"""iv_qcells AS (
+      SELECT q_id, qe, cid FROM (
+        SELECT q.vec_id AS q_id, q.e AS qe, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {DUCK_COS.format(a='q.e', b='c.cv')} DESC, c.cid) AS rk
+        FROM (SELECT vec_id, e FROM iv_emb WHERE vec_id % 100 = 0) q
+        CROSS JOIN {prev} c
+      ) WHERE rk <= {n_probe}
+    )""")
+    ctes.append(f"""iv_ranked AS (
+      SELECT q_id, vec_id AS nbr_id, cos, rk FROM (
+        SELECT qc.q_id, iv.vec_id,
+               {DUCK_COS.format(a='qc.qe', b='iv.e')} AS cos,
+               row_number() OVER (PARTITION BY qc.q_id ORDER BY
+                 {DUCK_COS.format(a='qc.qe', b='iv.e')} DESC, iv.vec_id) AS rk
+        FROM iv_qcells qc
+        JOIN iv_inverted iv ON iv.cid = qc.cid AND iv.vec_id != qc.q_id
+      ) WHERE rk <= {k}
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT q_id, nbr_id, round(cos, 6) AS cos_sim FROM iv_ranked
+    """
+
+
+SIM_ANN_IVF_TOPK_ORACLE = _ivf_topk_oracle()
+
+
+@op("sim_ann_ivf_topk", oracle=SIM_ANN_IVF_TOPK_ORACLE,
+    tags=("similarity", "approx", "extra"))
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN (the other scale path besides sign-LSH):
     coarse quantizer = ~sqrt(n) deterministic seed centroids
     (functions/similarity.py::ivf_centroids_for — the standard IVF sizing,
     balancing cell width n/C against quantizer probe cost C; a fixed C=16
     would leave cells O(n) wide at corpus scale) refined by 2 Lloyd
-    iterations (posexplode + groupBy-avg — one shuffle per iteration);
+    iterations (cell means as vec_id-ordered folds — one shuffle per
+    iteration, group state bounded by the ~sqrt(n) cell width);
     every vector is assigned to its nearest centroid (broadcast argmin);
     queries probe the 4 nearest cells and exact-re-rank only those
-    candidates. Rows-checked; recall vs brute force asserted in
-    tests/test_cluster.py on clustered data."""
+    candidates. Full oracle since round 6 (SIM_ANN_IVF_TOPK_ORACLE
+    replays seeds, both Lloyd rounds, probing, and the re-rank — the
+    ordered-fold means are what make the distributed training
+    replayable); recall vs brute force asserted in tests/test_cluster.py
+    on clustered data."""
     from aced_etl_pod_spark.functions.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")

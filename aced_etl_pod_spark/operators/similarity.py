@@ -615,7 +615,59 @@ def _pq_books_and_query(spark: SparkSession, sf_dir: str):
     return emb, books, q
 
 
-@op("embedding_pq_codes", tags=("similarity", "llm", "approx", "extra"))
+# Full oracle since round 6: with the kernels' float reductions pinned to
+# left-to-right folds (functions/pq.py::_ordered_sum), the ENTIRE PQ
+# pipeline — Lloyd codebook training included — replays as a DuckDB
+# recursive CTE (duck_kmeans_ctes) + list_reduce folds, bit-for-bit.
+def _pq_codes_oracle() -> str:
+    from aced_etl_pod_spark.functions.pq import (
+        DUCK_SQDIST,
+        duck_kmeans_ctes,
+        duck_pq_sample_ctes,
+    )
+
+    m, k, d, iters = 8, 16, 64, 10
+    ds = d // m
+    return f"""
+    WITH RECURSIVE
+    {duck_pq_sample_ctes(m, ds)},
+    {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
+    pqc_vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    pqc_sub AS (
+      SELECT vec_id, j, x[j * {ds} + 1 : (j + 1) * {ds}] AS v
+      FROM pqc_vecs
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+    ),
+    pqc_coded AS (
+      SELECT vec_id, j, cid, cv FROM (
+        SELECT s.vec_id, s.j, b.cid, b.v AS cv,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {DUCK_SQDIST.format(ds=ds, a='s.v', b='b.v')},
+                          b.cid) AS rk
+        FROM pqc_sub s JOIN pq_books b ON b.j = s.j
+      ) WHERE rk = 1
+    ),
+    pqc_recon AS (
+      SELECT vec_id,
+             string_agg(printf('%02x', cid), '' ORDER BY j) AS pq_code,
+             flatten(list(cv ORDER BY j)) AS r
+      FROM pqc_coded GROUP BY vec_id
+    )
+    SELECT v.vec_id, rc.pq_code,
+           round(sqrt({DUCK_SQDIST.format(ds=d, a='v.x', b='rc.r')}), 4)
+             AS recon_err
+    FROM pqc_vecs v JOIN pqc_recon rc ON rc.vec_id = v.vec_id
+    """
+
+
+EMBEDDING_PQ_CODES_ORACLE = _pq_codes_oracle()
+
+
+@op("embedding_pq_codes", oracle=EMBEDDING_PQ_CODES_ORACLE,
+    tags=("similarity", "llm", "approx", "extra"))
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization compression (published FAISS/Jégou design,
     functions/pq.py): 64 float32s → 8 uint8 codes per vector (32×; m=8 subspaces of
@@ -623,9 +675,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus, see tests).
     Codebooks train driver-side on a bounded deterministic sample and ride
     to executors in the task closure; encoding is vectorized per Arrow
-    batch; no shuffle anywhere. Rows-only (k-means is not SQL-expressible);
-    determinism across runs/partitionings, reconstruction-error bounds, and
-    code distribution are asserted in tests/test_similarity.py."""
+    batch; no shuffle anywhere. Full oracle since round 6: the pinned
+    left-to-right folds make even the Lloyd training SQL-replayable
+    (EMBEDDING_PQ_CODES_ORACLE); determinism across runs/partitionings,
+    reconstruction-error bounds, and code distribution are additionally
+    asserted in tests/test_similarity.py."""
     from aced_etl_pod_spark.functions.pq import pq_quantize
 
     emb, books, _ = _pq_books_and_query(spark, sf_dir)
@@ -635,7 +689,62 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@op("sim_ann_pq_adc_topk", tags=("similarity", "approx", "extra"))
+def _pq_adc_oracle() -> str:
+    from aced_etl_pod_spark.functions.pq import (
+        DUCK_SQDIST,
+        duck_kmeans_ctes,
+        duck_pq_sample_ctes,
+    )
+
+    m, k, d, iters = 8, 16, 64, 10
+    ds = d // m
+    return f"""
+    WITH RECURSIVE
+    {duck_pq_sample_ctes(m, ds)},
+    {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
+    adc_q AS (
+      SELECT j, CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS qv
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+    ),
+    adc_tab AS (
+      SELECT b.j, b.cid,
+             {DUCK_SQDIST.format(ds=ds, a='b.v', b='q.qv')} AS td
+      FROM pq_books b JOIN adc_q q ON q.j = b.j
+    ),
+    adc_sub AS (
+      SELECT vec_id, j,
+             CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0)
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+    ),
+    adc_coded AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, b.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {DUCK_SQDIST.format(ds=ds, a='s.v', b='b.v')},
+                          b.cid) AS rk
+        FROM adc_sub s JOIN pq_books b ON b.j = s.j
+      ) WHERE rk = 1
+    ),
+    adc_dists AS (
+      SELECT c.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t.td ORDER BY c.j)), (acc, x) -> acc + x) AS dist
+      FROM adc_coded c JOIN adc_tab t ON t.j = c.j AND t.cid = c.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(dist, 6) AS adc_dist
+    FROM adc_dists ORDER BY round(dist, 6), vec_id LIMIT 10
+    """
+
+
+SIM_ANN_PQ_ADC_TOPK_ORACLE = _pq_adc_oracle()
+
+
+@op("sim_ann_pq_adc_topk", oracle=SIM_ANN_PQ_ADC_TOPK_ORACLE,
+    tags=("similarity", "approx", "extra"))
 def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via PQ + Asymmetric Distance Computation: the query stays exact;
     each database vector is scored by summing 8 lookup-table entries
@@ -644,14 +753,131 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python stage, TakeOrdered top-k: zero shuffles, same plan shape as
     sim_cosine_topk_fast. Completes the ANN family (sign-LSH buckets, IVF
     probe, PQ compression — compose IVF+PQ for the full billion-scale
-    recipe). Rows-only; recall vs exact L2 asserted in tests."""
+    recipe). Full oracle since round 6 (SIM_ANN_PQ_ADC_TOPK_ORACLE
+    replays training, tables, and scoring); recall vs exact L2 asserted
+    in tests."""
     from aced_etl_pod_spark.functions.pq import adc_topk
 
     emb, books, q = _pq_books_and_query(spark, sf_dir)
     return adc_topk(emb.filter(F.col("vec_id") != 0), books, q, k=10)
 
 
-@op("sim_ann_ivf_pq_topk", tags=("similarity", "approx", "extra"))
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ (FAISS IVFADC) replayed end-to-end: coarse quantizer
+    training (m=1 k-means over the full 64 dims), sample residuals,
+    residual codebook training, query probing, per-cell ADC tables, and
+    the probe-filtered scoring — every float fold left-to-right, matching
+    the pinned numpy kernels."""
+    from aced_etl_pod_spark.functions.pq import (
+        DUCK_SQDIST,
+        duck_kmeans_ctes,
+        duck_pq_sample_ctes,
+    )
+
+    m, k, d, iters, n_probe = 8, 16, 64, 10, 4
+    ds = d // m
+    d64 = DUCK_SQDIST.format(ds=d, a="s.x", b="c.v")
+    return f"""
+    WITH RECURSIVE
+    {duck_pq_sample_ctes(1, d, name='cq_samp')},
+    {duck_kmeans_ctes('cq_', 'cq_samp', 1, k, d, iters)},
+    ipq_sraw AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS pos,
+             CAST(embedding AS DOUBLE[]) AS x
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 512)
+    ),
+    ipq_sassign AS (
+      SELECT pos, x, cv FROM (
+        SELECT s.pos, s.x, c.v AS cv,
+               row_number() OVER (PARTITION BY s.pos
+                                  ORDER BY {d64}, c.cid) AS rk
+        FROM ipq_sraw s JOIN cq_books c ON TRUE
+      ) WHERE rk = 1
+    ),
+    rq_samp AS (
+      SELECT pos, j,
+             list_transform(generate_series(1, {d}),
+                            t -> x[t] - cv[t])[j * {ds} + 1 : (j + 1) * {ds}]
+               AS v
+      FROM ipq_sassign
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+    ),
+    {duck_kmeans_ctes('rq_', 'rq_samp', m, k, ds, iters)},
+    ipq_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx
+              FROM embeddings WHERE vec_id = 0),
+    ipq_probed AS (
+      SELECT cid, v AS cv FROM (
+        SELECT c.cid, c.v,
+               row_number() OVER (ORDER BY
+                 {DUCK_SQDIST.format(ds=d, a='c.v', b='q.qx')},
+                 c.cid) AS rk
+        FROM cq_books c CROSS JOIN ipq_q q
+      ) WHERE rk <= {n_probe}
+    ),
+    ipq_qres AS (
+      SELECT p.cid, j,
+             list_transform(generate_series(1, {d}),
+                            t -> q.qx[t] - p.cv[t]
+                           )[j * {ds} + 1 : (j + 1) * {ds}] AS qv
+      FROM ipq_probed p CROSS JOIN ipq_q q
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+    ),
+    ipq_tabs AS (
+      SELECT q.cid AS cell, b.j, b.cid,
+             {DUCK_SQDIST.format(ds=ds, a='b.v', b='q.qv')} AS td
+      FROM rq_books b JOIN ipq_qres q ON q.j = b.j
+    ),
+    ipq_corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE vec_id != 0
+    ),
+    ipq_cells AS (
+      SELECT vec_id, x, cell, cv FROM (
+        SELECT s.vec_id, s.x, c.cid AS cell, c.v AS cv,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d64}, c.cid) AS rk
+        FROM ipq_corpus s JOIN cq_books c ON TRUE
+      ) WHERE rk = 1
+    ),
+    ipq_kept AS (
+      SELECT k2.vec_id, k2.cell,
+             list_transform(generate_series(1, {d}),
+                            t -> k2.x[t] - k2.cv[t]) AS r
+      FROM ipq_cells k2 JOIN ipq_probed p ON p.cid = k2.cell
+    ),
+    ipq_coded AS (
+      SELECT vec_id, cell, j, cid FROM (
+        SELECT s.vec_id, s.cell, s.j, b.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {DUCK_SQDIST.format(ds=ds, a='s.v', b='b.v')},
+                          b.cid) AS rk
+        FROM (SELECT vec_id, cell, j,
+                     r[j * {ds} + 1 : (j + 1) * {ds}] AS v
+              FROM ipq_kept
+              CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)) s
+        JOIN rq_books b ON b.j = s.j
+      ) WHERE rk = 1
+    ),
+    ipq_dists AS (
+      SELECT c.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t.td ORDER BY c.j)), (acc, x) -> acc + x) AS dist
+      FROM ipq_coded c
+      JOIN ipq_tabs t ON t.cell = c.cell AND t.j = c.j AND t.cid = c.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(dist, 6) AS adc_dist
+    FROM ipq_dists ORDER BY round(dist, 6), vec_id LIMIT 10
+    """
+
+
+SIM_ANN_IVF_PQ_TOPK_ORACLE = _ivf_pq_oracle()
+
+
+@op("sim_ann_ivf_pq_topk", oracle=SIM_ANN_IVF_PQ_TOPK_ORACLE,
+    tags=("similarity", "approx", "extra"))
 def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the full published billion-scale ANN recipe (FAISS IVFADC):
     a 16-cell coarse quantizer routes vectors; PQ encodes each vector's
@@ -661,8 +887,10 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell residual lookup tables. Everything trains driver-side on the
     bounded sample; the search is one scan + one vectorized Python stage
     + TakeOrdered, zero shuffles, and ~n_probe/C of the corpus does PQ
-    work (the rest dies at a centroid argmin). Rows-only; recall vs exact
-    L2 asserted in tests/test_similarity.py."""
+    work (the rest dies at a centroid argmin). Full oracle since round 6
+    (SIM_ANN_IVF_PQ_TOPK_ORACLE replays the whole architecture: coarse
+    training, residual codebooks, probing, per-cell tables, scoring);
+    recall vs exact L2 asserted in tests/test_similarity.py."""
     import numpy as np
 
     from aced_etl_pod_spark.functions.pq import ivfpq_topk, train_codebooks
@@ -671,7 +899,11 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_rows = emb.orderBy("vec_id").limit(512).select("embedding").collect()
     S = np.stack([np.asarray(r["embedding"]) for r in sample_rows]).astype(np.float64)
     coarse = train_codebooks(S, m=1, k=16, iters=10)[0]
-    assign = ((S[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    from aced_etl_pod_spark.functions.pq import _ordered_sum
+
+    assign = _ordered_sum(
+        (S[:, None, :] - coarse[None, :, :]) ** 2, axis=2
+    ).argmin(axis=1)
     books = train_codebooks(S - coarse[assign], m=8, k=16, iters=10)
     return ivfpq_topk(
         emb.filter(F.col("vec_id") != 0), coarse, books, q, k=10, n_probe=4

@@ -137,14 +137,13 @@ _R06_WINDOW = (
 #   * a plan round has passed and any planned op still has no external row.
 # Round 7 = the 14 remaining r01-core windows/sorts/sets + queue tranches
 # 8-17 in tranche order. All planned ops are already registered (round-6
-# early registration). After the round-6 oracle-upgrade sweeps (recursive-
-# CTE replays, sha256-based minhash/simhash, fixture-regeneration
-# multimodal, BPE whole-table recursion) only SIX census ops remain
-# rows-only — the genuinely non-replayable float kernels:
-# embedding_pca_whiten (eigendecomposition), embedding_pq_codes /
-# sim_ann_pq_adc_topk / sim_ann_ivf_pq_topk / sim_ann_ivf_topk
-# (driver-side float k-means — numpy pairwise float sums have no stable
-# SQL order), dedup_image_phash (float DCT-II). Each has an exact
+# early registration). After the round-6 oracle-upgrade sweeps
+# (recursive-CTE replays, sha256-based minhash/simhash,
+# fixture-regeneration multimodal, BPE whole-table recursion, and the
+# pinned-fold k-means that made the whole PQ/IVF ANN family replayable)
+# only TWO census ops remain rows-only: embedding_pca_whiten
+# (eigendecomposition — LAPACK iteration has no SQL replay) and
+# dedup_image_phash (BLAS-order DCT matmuls). Each has an exact
 # local-reference or recall gate instead. Rounds 8-9 drain tranches
 # 18-60; the r09 window backfills
 # its remaining ~20 slots with whatever registered ops then have the

@@ -464,3 +464,63 @@ def test_ppjoin_prefix_filter_never_misses_a_pair(docs, tau_pct):
                 assert prefs[i] & prefs[j], (
                     f"missed pair jac={jac:.3f} tau={tau}: {a} {b}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine hash-convention agreement (round 6: the sha256-derived
+# dedup hashing that makes the minhash/simhash oracles exact)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_base_hash_cross_engine_on_arbitrary_unicode(spark, strings):
+    """BASE_HASH_SQL (Spark) and DUCK_BASE_HASH_SQL (DuckDB) must agree on
+    ARBITRARY unicode input — the convention both the minhash kernel and
+    its oracle rest on (sha256 over UTF-8 bytes, top-8 hex chars, mod
+    2^31−1). Also pins the simhash 16-bit chunk parse, and checks both
+    against a pure-Python hashlib reference so a shared engine quirk
+    can't hide."""
+    import hashlib
+
+    from aced_etl_pod_spark.functions.dedup import (
+        BASE_HASH_SQL,
+        DUCK_BASE_HASH_SQL,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {
+        r["s"]: (r["h"], r["c0"], r["c3"])
+        for r in df.selectExpr(
+            "s",
+            f"{BASE_HASH_SQL.format(x='s')} AS h",
+            "CAST(conv(substr(sha2(s, 256), 1, 4), 16, 10) AS BIGINT) AS c0",
+            "CAST(conv(substr(sha2(s, 256), 13, 4), 16, 10) AS BIGINT) AS c3",
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        s: con.execute(
+            f"SELECT {DUCK_BASE_HASH_SQL.format(x='?')},"
+            " CAST(CAST('0x' || substr(sha256(?), 1, 4) AS UBIGINT) AS BIGINT),"
+            " CAST(CAST('0x' || substr(sha256(?), 13, 4) AS UBIGINT) AS BIGINT)",
+            [s, s, s],
+        ).fetchone()
+        for s in strings
+    }
+    for s in strings:
+        hx = hashlib.sha256(s.encode("utf-8")).hexdigest()
+        ref = (int(hx[:8], 16) % 2147483647, int(hx[:4], 16), int(hx[12:16], 16))
+        assert got[s] == ref, f"spark vs hashlib diverge on {s!r}"
+        assert duck[s] == ref, f"duckdb vs hashlib diverge on {s!r}"
