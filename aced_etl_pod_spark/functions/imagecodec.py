@@ -168,6 +168,15 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT_M = _dct_matrix(_DCT_N)
 
 
+def _ordered_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,k) @ (k,m) with the inner k-fold summed STRICTLY left-to-right
+    (cumsum's sequential order) — BLAS dgemm's blocked accumulation has
+    no SQL replay, this does (fold order is part of the contract,
+    docs/SCALE.md §10). O(n·k·m) temporaries are fine at the 32×32 sizes
+    this codec uses."""
+    return np.cumsum(a[:, :, None] * b[None, :, :], axis=1)[:, -1, :]
+
+
 def phash64(img: np.ndarray) -> int:
     """64-bit DCT perceptual hash of an (H, W, 3) uint8 image: luma →
     bilinear 32×32 → 2D DCT-II → top-left 8×8 block minus the DC term →
@@ -184,7 +193,7 @@ def phash64(img: np.ndarray) -> int:
         _DCT_N,
         _DCT_N,
     )[:, :, 0].astype(np.float64)
-    coeffs = _DCT_M @ small @ _DCT_M.T
+    coeffs = _ordered_matmul(_ordered_matmul(_DCT_M, small), _DCT_M.T)
     block = coeffs[:_DCT_K, :_DCT_K].copy().reshape(-1)
     vals = block[1:]  # drop the DC coefficient
     med = float(np.median(vals))

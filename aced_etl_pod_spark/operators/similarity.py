@@ -1222,15 +1222,236 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_multiprobe_topk(emb, k=3)
 
 
-DEDUP_IMAGE_PHASH_ORACLE = None  # rows-only: no DuckDB view over a blob
-# dir; contract = grouping/robustness/determinism tests in
-# tests/test_queue7.py plus an exact from-scratch reference hash.
+def _duck_bilinear_px(name: str, src: str, dims: str, oh: int, ow: int) -> str:
+    """CTE chain ending in ``{name}(img, y, x, v)`` — long-format replay of
+    resize_bilinear over per-image pixel rows ``src(img, y, x, v)`` with
+    per-image ``dims(img, h, w)``: same pixel-center mapping, same IEEE
+    double op order, same floor(·+0.5) uint8 rounding as the numpy kernel
+    (the _duck_bilinear precedent, in join form so source dims can vary
+    per image)."""
+    return f"""
+    {name}_co AS MATERIALIZED (
+      SELECT d.img, o.oy, o.ox,
+             CAST(least(greatest(floor((o.oy + 0.5) * (d.h / {oh}.0) - 0.5),
+                  0), d.h - 1) AS BIGINT) AS y0,
+             CAST(least(greatest(floor((o.ox + 0.5) * (d.w / {ow}.0) - 0.5),
+                  0), d.w - 1) AS BIGINT) AS x0,
+             (o.oy + 0.5) * (d.h / {oh}.0) - 0.5 AS sy,
+             (o.ox + 0.5) * (d.w / {ow}.0) - 0.5 AS sx,
+             d.h, d.w
+      FROM {dims} d
+      CROSS JOIN (SELECT oy, ox
+                  FROM (SELECT unnest(generate_series(0, {oh} - 1)) AS oy)
+                  CROSS JOIN (SELECT unnest(generate_series(0, {ow} - 1))
+                                AS ox)) o
+    ),
+    {name}_w AS MATERIALIZED (
+      SELECT img, oy, ox, y0, x0,
+             least(y0 + 1, h - 1) AS y1, least(x0 + 1, w - 1) AS x1,
+             least(greatest(sy - y0, 0.0), 1.0) AS wy,
+             least(greatest(sx - x0, 0.0), 1.0) AS wx
+      FROM {name}_co
+    ),
+    {name} AS MATERIALIZED (
+      SELECT c.img, c.oy AS y, c.ox AS x,
+             CAST(least(greatest(floor(
+               (CAST(p00.v AS DOUBLE) * (1 - c.wx)
+                  + CAST(p01.v AS DOUBLE) * c.wx) * (1 - c.wy)
+               + (CAST(p10.v AS DOUBLE) * (1 - c.wx)
+                  + CAST(p11.v AS DOUBLE) * c.wx) * c.wy
+               + 0.5), 0), 255) AS BIGINT) AS v
+      FROM {name}_w c
+      JOIN {src} p00 ON p00.img = c.img AND p00.y = c.y0 AND p00.x = c.x0
+      JOIN {src} p01 ON p01.img = c.img AND p01.y = c.y0 AND p01.x = c.x1
+      JOIN {src} p10 ON p10.img = c.img AND p10.y = c.y1 AND p10.x = c.x0
+      JOIN {src} p11 ON p11.img = c.img AND p11.y = c.y1 AND p11.x = c.x1
+    )"""
+
+
+def _image_phash_oracle() -> str:
+    """Complete first-principles replay of dedup_image_phash: the fixture
+    is re-synthesized from its integer-hash DCT coefficients (IDCT as
+    pinned-fold matmuls against the literal orthonormal DCT-II matrix),
+    the three variants re-rendered (bilinear 48×64, +1 brightness,
+    bilinear 44×60), every blob re-hashed (luma → uint8 → bilinear 32×32
+    → two pinned-fold DCT matmuls → 8×8 block, DC dropped → strict-median
+    threshold → 63-bit pack), and the byte-band candidate join, Hamming ≤ 4
+    verify, and recursive-CTE connected components replayed on top. The
+    pinned _ordered_matmul in functions/imagecodec.py is what makes the
+    DCT legs exact; the corrupt blob is the literal quarantine row."""
+    from aced_etl_pod_spark.functions.imagecodec import _DCT_M
+
+    m_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in _DCT_M
+    ) + "]"
+
+    def fold32(prod: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 32), t -> {prod})), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+    WITH RECURSIVE
+    phm AS (SELECT {m_lit} AS m),
+    syn_cm AS MATERIALIZED (
+      SELECT g, list(row ORDER BY u) AS cm
+      FROM (
+        SELECT g.g, u.u,
+               list_transform(generate_series(0, 31), v ->
+                 CAST(CASE WHEN u.u - 1 < 8 AND v < 8
+                           AND NOT (u.u - 1 = 0 AND v = 0)
+                 THEN CASE WHEN (((((u.u - 1) * 8 + v + 64 * g.g + 1)
+                                  * 2654435761) % 4294967296) // 8192) % 2 = 1
+                      THEN 40.0 ELSE -40.0 END
+                 ELSE 0.0 END AS DOUBLE)) AS row
+        FROM (SELECT unnest(generate_series(0, 5)) AS g) g
+        CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS u) u
+      ) GROUP BY g
+    ),
+    syn_c1 AS MATERIALIZED (
+      SELECT g,
+             list_transform(generate_series(1, 32), i ->
+               list_transform(generate_series(1, 32), j ->
+                 {fold32("pm.m[t][i] * s.cm[t][j]")})) AS c1
+      FROM syn_cm s CROSS JOIN phm pm
+    ),
+    syn_c2 AS MATERIALIZED (
+      SELECT g,
+             list_transform(generate_series(1, 32), i ->
+               list_transform(generate_series(1, 32), j ->
+                 {fold32("s.c1[i][t] * pm.m[t][j]")})) AS c2
+      FROM syn_c1 s CROSS JOIN phm pm
+    ),
+    syn_flat AS (SELECT g, unnest(flatten(c2)) AS x FROM syn_c2),
+    syn_mn AS (SELECT g, min(x) AS mn FROM syn_flat GROUP BY g),
+    syn_mx AS (SELECT f.g, max(f.x - n.mn) AS mx
+               FROM syn_flat f JOIN syn_mn n USING (g) GROUP BY f.g),
+    syn_px AS MATERIALIZED (
+      SELECT s.g AS img, i.i - 1 AS y, j.j - 1 AS x,
+             CAST(trunc((s.c2[i.i][j.j] - n.mn) / x2.mx * 255.0)
+                  AS BIGINT) AS v
+      FROM syn_c2 s JOIN syn_mn n USING (g) JOIN syn_mx x2 ON x2.g = s.g
+      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j) j
+    ),
+    syn_dims AS (SELECT unnest(generate_series(0, 5)) AS img,
+                        32 AS h, 32 AS w),
+    {_duck_bilinear_px('base_px', 'syn_px', 'syn_dims', 48, 64)},
+    base_src AS MATERIALIZED (SELECT img, y, x, v FROM base_px),
+    base_dims AS (SELECT unnest(generate_series(0, 5)) AS img,
+                         48 AS h, 64 AS w),
+    {_duck_bilinear_px('v2_px', 'base_src', 'base_dims', 44, 60)},
+    blob_px AS MATERIALIZED (
+      SELECT img * 3 AS img, y, x, v FROM base_px
+      UNION ALL
+      SELECT img * 3 + 1, y, x, least(v + 1, 255) FROM base_px
+      UNION ALL
+      SELECT img * 3 + 2, y, x, v FROM v2_px
+    ),
+    blob_dims AS (
+      SELECT img * 3 AS img, 48 AS h, 64 AS w FROM syn_dims
+      UNION ALL SELECT img * 3 + 1, 48, 64 FROM syn_dims
+      UNION ALL SELECT img * 3 + 2, 44, 60 FROM syn_dims
+    ),
+    luma_px AS MATERIALIZED (
+      SELECT img, y, x,
+             CAST(trunc((0.299 * CAST(v AS DOUBLE)
+                         + 0.587 * CAST(v AS DOUBLE))
+                        + 0.114 * CAST(v AS DOUBLE)) AS BIGINT) AS v
+      FROM blob_px
+    ),
+    {_duck_bilinear_px('small_px', 'luma_px', 'blob_dims', 32, 32)},
+    small_m AS MATERIALIZED (
+      SELECT img, list(row ORDER BY y) AS sm
+      FROM (SELECT img, y, list(CAST(v AS DOUBLE) ORDER BY x) AS row
+            FROM small_px GROUP BY img, y)
+      GROUP BY img
+    ),
+    ph_c1 AS MATERIALIZED (
+      SELECT img,
+             list_transform(generate_series(1, 32), i ->
+               list_transform(generate_series(1, 32), j ->
+                 {fold32("pm.m[i][t] * s.sm[t][j]")})) AS c1
+      FROM small_m s CROSS JOIN phm pm
+    ),
+    ph_c2 AS MATERIALIZED (
+      SELECT img,
+             list_transform(generate_series(1, 8), i ->
+               list_transform(generate_series(1, 8), j ->
+                 {fold32("s.c1[i][t] * pm.m[j][t]")})) AS c2
+      FROM ph_c1 s CROSS JOIN phm pm
+    ),
+    ph_vals AS MATERIALIZED (
+      SELECT img, jj.j AS j, c2[jj.j // 8 + 1][jj.j % 8 + 1] AS val
+      FROM ph_c2
+      CROSS JOIN (SELECT unnest(generate_series(1, 63)) AS j) jj
+    ),
+    ph_med AS MATERIALIZED (
+      SELECT img, val AS med FROM (
+        SELECT img, val,
+               row_number() OVER (PARTITION BY img ORDER BY val) AS rk
+        FROM ph_vals
+      ) WHERE rk = 32
+    ),
+    ph_hash AS MATERIALIZED (
+      SELECT v.img AS blob_id,
+             CAST(sum(CASE WHEN v.val > m.med
+                 THEN CAST(1 AS BIGINT) << CAST(v.j - 1 AS INTEGER)
+                 ELSE 0 END) AS BIGINT) AS phash
+      FROM ph_vals v JOIN ph_med m ON m.img = v.img
+      GROUP BY v.img
+    ),
+    ph_bands AS MATERIALIZED (
+      SELECT blob_id, phash, b.b,
+             (phash // CAST(pow(2, b.b * 8) AS BIGINT)) % 256 AS v
+      FROM ph_hash
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+    ),
+    ph_cand AS MATERIALIZED (
+      SELECT DISTINCT a.blob_id AS id_a, b2.blob_id AS id_b,
+             a.phash AS ha, b2.phash AS hb
+      FROM ph_bands a
+      JOIN ph_bands b2 ON a.b = b2.b AND a.v = b2.v
+                       AND a.blob_id < b2.blob_id
+    ),
+    ph_edges0 AS (SELECT id_a, id_b FROM ph_cand
+                  WHERE bit_count(xor(ha, hb)) <= 4),
+    ph_edges AS (SELECT id_a AS u, id_b AS v FROM ph_edges0
+                 UNION SELECT id_b, id_a FROM ph_edges0),
+    ph_reach AS (
+      SELECT u AS node, u AS r FROM ph_edges
+      UNION
+      SELECT ph_reach.node, e.v FROM ph_reach
+      JOIN ph_edges e ON e.u = ph_reach.r
+    ),
+    ph_comp AS (SELECT node, min(r) AS component FROM ph_reach GROUP BY 1),
+    ph_sz AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+              FROM ph_comp GROUP BY 1)
+    SELECT h.blob_id, printf('%016x', h.phash) AS phash_hex,
+           CAST(coalesce(c.component, h.blob_id) AS BIGINT) AS group_id,
+           coalesce(s.group_size, 1) AS group_size,
+           coalesce(s.group_size, 1) > 1 AS is_dup,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM ph_hash h LEFT JOIN ph_comp c ON c.node = h.blob_id
+                   LEFT JOIN ph_sz s ON s.component = c.component
+    UNION ALL
+    -- the quarantined blob: Spark's format_string('%016x', NULL) renders
+    -- the STRING 'null' right-aligned in a 16-char field, not SQL NULL
+    SELECT 18, '            null', 18, 1, false,
+           'short PPM raster: 5 < 9216'
+    """
+
+
+DEDUP_IMAGE_PHASH_ORACLE = _image_phash_oracle()
 
 _PHASH_BANDS = 8
 _PHASH_HAM_T = 4
 
 
-@op("dedup_image_phash", oracle=None, tags=('text', 'dedup', 'extra'))
+@op("dedup_image_phash", oracle=DEDUP_IMAGE_PHASH_ORACLE,
+    tags=('text', 'dedup', 'extra'))
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE dedup by DCT perceptual hash — the visual
     sibling of dedup_minhash_lsh and a core multimodal-training-data op
@@ -1250,7 +1471,11 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components (functions/cluster.py) into duplicate groups.
     Only 8-byte keys and band slices ever shuffle. Per-record decode
     quarantine as multimodal_resize; grouping/robustness/determinism +
-    a from-scratch reference hash are the gate."""
+    a from-scratch reference hash are the semantic gate; since round 6
+    the op also carries a FULL oracle (DEDUP_IMAGE_PHASH_ORACLE — fixture
+    synthesis, both bilinear renders, the pinned-fold DCT, median
+    threshold, banding, Hamming verify, and connected components all
+    replayed in SQL)."""
     import pandas as pd
 
     from aced_etl_pod_spark.functions.cluster import connected_components

@@ -139,12 +139,12 @@ _R06_WINDOW = (
 # 8-17 in tranche order. All planned ops are already registered (round-6
 # early registration). After the round-6 oracle-upgrade sweeps
 # (recursive-CTE replays, sha256-based minhash/simhash,
-# fixture-regeneration multimodal, BPE whole-table recursion, and the
-# pinned-fold k-means that made the whole PQ/IVF ANN family replayable)
-# only TWO census ops remain rows-only: embedding_pca_whiten
-# (eigendecomposition — LAPACK iteration has no SQL replay) and
-# dedup_image_phash (BLAS-order DCT matmuls). Each has an exact
-# local-reference or recall gate instead. Rounds 8-9 drain tranches
+# fixture-regeneration multimodal, BPE whole-table recursion, the
+# pinned-fold k-means that made the whole PQ/IVF ANN family replayable,
+# and the pinned-matmul DCT that did the same for image phash) exactly
+# ONE census op remains rows-only: embedding_pca_whiten —
+# eigendecomposition, whose LAPACK iteration has no SQL replay. It has
+# an exact local-reference gate instead. Rounds 8-9 drain tranches
 # 18-60; the r09 window backfills
 # its remaining ~20 slots with whatever registered ops then have the
 # OLDEST external rows (r02-era extras first) — backfill is chosen at

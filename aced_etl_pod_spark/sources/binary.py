@@ -459,7 +459,9 @@ def generate_phash_fixture(sub: str = "multimodal_phash") -> str:
                     continue
                 hsh = ((u * 8 + v + 64 * g + 1) * 2654435761) % 4294967296
                 coeffs[u, v] = 40.0 if (hsh >> 13) % 2 else -40.0
-        img32 = _DCT_M.T @ coeffs @ _DCT_M
+        from aced_etl_pod_spark.functions.imagecodec import _ordered_matmul
+
+        img32 = _ordered_matmul(_ordered_matmul(_DCT_M.T, coeffs), _DCT_M)
         img32 = img32 - img32.min()
         img32 = (img32 / img32.max() * 255.0)
         luma = np.repeat(img32[:, :, None], 3, axis=2).astype(np.uint8)
