@@ -524,3 +524,39 @@ def test_base_hash_cross_engine_on_arbitrary_unicode(spark, strings):
         ref = (int(hx[:8], 16) % 2147483647, int(hx[:4], 16), int(hx[12:16], 16))
         assert got[s] == ref, f"spark vs hashlib diverge on {s!r}"
         assert duck[s] == ref, f"duckdb vs hashlib diverge on {s!r}"
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e12, max_value=1e12,
+                  allow_nan=False, allow_subnormal=True),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ordered_sum_matches_sql_left_fold(xs):
+    """The round-6 oracle upgrades (PQ/IVF k-means, DCT phash) rest on ONE
+    assumption: numpy's cumsum-last-prefix (_ordered_sum/_ordered_matmul)
+    is bit-identical to a strict sequential left fold — i.e. to DuckDB's
+    list_reduce and Spark's aggregate(). Pin it three ways on adversarial
+    floats (catastrophic cancellation, tiny+huge mixes): numpy vs a pure
+    Python left fold vs DuckDB's actual list_reduce."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import _ordered_sum
+
+    arr = np.array(xs, dtype=np.float64)
+    got_np = float(_ordered_sum(arr.reshape(1, -1), axis=1)[0])
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    assert got_np == acc or (np.isnan(got_np) and np.isnan(acc))
+
+    con = duckdb.connect()
+    (got_duck,) = con.execute(
+        "SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), ?::DOUBLE[]),"
+        " (a, x) -> a + x)",
+        [xs],
+    ).fetchone()
+    assert got_duck == acc or (np.isnan(got_duck) and np.isnan(acc))
