@@ -560,3 +560,43 @@ def test_ordered_sum_matches_sql_left_fold(xs):
         [xs],
     ).fetchone()
     assert got_duck == acc or (np.isnan(got_duck) and np.isnan(acc))
+
+
+@given(
+    st.integers(min_value=2, max_value=9),   # src h
+    st.integers(min_value=2, max_value=9),   # src w
+    st.integers(min_value=1, max_value=6),   # out h
+    st.integers(min_value=1, max_value=6),   # out w
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+@settings(max_examples=60, deadline=None)
+def test_bilinear_replay_matches_numpy_on_random_images(sh, sw, oh, ow, seed):
+    """The multimodal/phash oracles replay resize_bilinear in SQL
+    (_duck_bilinear_px). Pin the identity on RANDOM geometry and pixels,
+    not just the fixture shapes: same pixel-center mapping, same IEEE op
+    order, same floor(x+0.5) uint8 rounding."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.imagecodec import resize_bilinear
+    from aced_etl_pod_spark.operators.similarity import _duck_bilinear_px
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(sh, sw), dtype=np.uint8)
+    ref = resize_bilinear(
+        np.repeat(img[:, :, None], 3, axis=2), oh, ow
+    )[:, :, 0].astype(np.int64)
+
+    px_rows = ", ".join(
+        f"(0, {y}, {x}, {int(img[y, x])})" for y in range(sh) for x in range(sw)
+    )
+    q = f"""
+    WITH src AS (SELECT * FROM (VALUES {px_rows}) t(img, y, x, v)),
+    dims AS (SELECT 0 AS img, {sh} AS h, {sw} AS w),
+    {_duck_bilinear_px('rz', 'src', 'dims', oh, ow)}
+    SELECT y, x, v FROM rz ORDER BY y, x
+    """
+    con = duckdb.connect()
+    got = np.zeros((oh, ow), dtype=np.int64)
+    for y, x, v in con.execute(q).fetchall():
+        got[y, x] = v
+    assert np.array_equal(got, ref), (sh, sw, oh, ow, got, ref)
