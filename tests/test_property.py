@@ -600,3 +600,37 @@ def test_bilinear_replay_matches_numpy_on_random_images(sh, sw, oh, ow, seed):
     for y, x, v in con.execute(q).fetchall():
         got[y, x] = v
     assert np.array_equal(got, ref), (sh, sw, oh, ow, got, ref)
+
+
+@given(
+    st.integers(min_value=5, max_value=30),        # sample size
+    st.integers(min_value=0, max_value=2**31 - 1), # data seed
+)
+@settings(max_examples=40, deadline=None)
+def test_kmeans_cte_replays_pinned_lloyd_on_tie_heavy_data(n, seed):
+    """duck_kmeans_ctes must replay train_codebooks bit-for-bit even on
+    ADVERSARIAL data: small-integer-valued vectors force exact distance
+    ties (argmin tie-break to lowest cid) and empty clusters (previous-
+    centroid carry) far more often than real embeddings do."""
+    import numpy as np
+
+    from aced_etl_pod_spark.functions.pq import duck_kmeans_ctes, train_codebooks
+
+    k, d, iters = 4, 4, 3
+    rng = np.random.default_rng(seed)
+    sample = rng.integers(-2, 3, size=(n, d)).astype(np.float64)
+    ref = train_codebooks(sample, m=1, k=k, iters=iters)[0]
+
+    rows = ", ".join(
+        f"({pos + 1}, 0, [" + ", ".join(repr(float(x)) for x in sample[pos]) + "]::DOUBLE[])"
+        for pos in range(n)
+    )
+    q = f"""
+    WITH RECURSIVE
+    samp AS (SELECT * FROM (VALUES {rows}) t(pos, j, v)),
+    {duck_kmeans_ctes('km_', 'samp', 1, k, d, iters)}
+    SELECT cid, v FROM km_books ORDER BY cid
+    """
+    con = duckdb.connect()
+    got = np.array([r[1] for r in con.execute(q).fetchall()])
+    assert np.array_equal(got, ref), (n, seed, got, ref)
