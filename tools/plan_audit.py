@@ -47,23 +47,70 @@ INFO_ONLY = ("split(",)
 # so the check is positional: a marker only flags when it appears before
 # the guard opens (i.e. outside it).
 GUARD = "size(split("
-# Streaming ops execute queries at build time — skip in a plan-only audit.
-SKIP_PREFIX = ("stream_",)
+# Streaming ops are audited through their BATCH TWINS: the identical
+# transformation chain built over a batch read of the replay source
+# (read_stream → spark.read, run_to_memory → identity, run_foreach_batch →
+# one direct epoch-0 call). Catalyst plans the twin with the same rules it
+# applies to each micro-batch, so a scan-filter re-evaluation in the twin is
+# the same bug in the stream. Ops built on streaming-ONLY APIs
+# (applyInPandasWithState, raw writeStream, custom stream sources,
+# checkpoint-restart machinery) have no batch twin and report as SKIP.
+_STREAM_ONLY_MARKERS = (
+    "streaming",
+    "writeStream",
+    "start()",
+    "applyInPandasWithState",
+)
+
+
+def _batch_twin_patches():
+    """Patches turning the replay harness into its batch equivalent."""
+    from contextlib import ExitStack
+    from unittest import mock
+
+    from aced_etl_pod_spark.operators import streaming_ops as so
+    from aced_etl_pod_spark.streaming import replay as rp
+
+    def batch_read(spark, src_dir, schema=None):
+        return spark.read.schema(schema or rp.EVENTS_STREAM_SCHEMA).parquet(src_dir)
+
+    def batch_sink(result, name, mode):
+        return result
+
+    def batch_foreach(result, sink_fn):
+        sink_fn(result, 0)
+
+    stack = ExitStack()
+    for m in (so, rp):
+        stack.enter_context(mock.patch.object(m, "read_stream", batch_read))
+        stack.enter_context(mock.patch.object(m, "run_to_memory", batch_sink))
+        stack.enter_context(mock.patch.object(m, "run_foreach_batch", batch_foreach))
+    return stack
 
 
 def main() -> int:
     spark = get_spark("plan-audit")
     reg = registry()
-    ids = sys.argv[1:] or [k for k in reg if not k.startswith(SKIP_PREFIX)]
-    flagged, info, errs = [], [], []
+    ids = sys.argv[1:] or list(reg)
+    flagged, info, errs, skipped = [], [], [], []
     for op_id in ids:
         try:
-            plan = (
-                reg[op_id].fn(spark, SF)._jdf.queryExecution()
-                .executedPlan().toString()
-            )
+            if op_id.startswith("stream_"):
+                with _batch_twin_patches():
+                    df = reg[op_id].fn(spark, SF)
+                if df.isStreaming:
+                    raise RuntimeError("streaming source outside the replay harness")
+            else:
+                df = reg[op_id].fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # build-time failures are their own signal
-            errs.append((op_id, f"{type(ex).__name__}: {ex}"))
+            msg = f"{type(ex).__name__}: {ex}"
+            if op_id.startswith("stream_") and any(
+                m in msg for m in _STREAM_ONLY_MARKERS
+            ):
+                skipped.append((op_id, msg.splitlines()[0][:100]))
+            else:
+                errs.append((op_id, msg))
             continue
         for scan in re.findall(r"DataFilters: \[(.*?)\], Format", plan, re.S):
             g = scan.find(GUARD)
@@ -80,10 +127,13 @@ def main() -> int:
         print(f"FLAG {op_id}: {m} re-evaluated in a scan filter")
     for op_id in sorted(set(info)):
         print(f"info {op_id}: cheap expr (split) in a scan filter")
+    for op_id, why in skipped:
+        print(f"skip {op_id}: no batch twin ({why})")
     for op_id, e in errs:
         print(f"ERR  {op_id}: {e}")
     print(f"\n{len(set(f[0] for f in flagged))} flagged, "
-          f"{len(set(info))} info, {len(errs)} errors / {len(ids)} audited")
+          f"{len(set(info))} info, {len(skipped)} skipped, "
+          f"{len(errs)} errors / {len(ids)} audited")
     return 1 if flagged else 0
 
 
