@@ -324,3 +324,57 @@ def test_semdedup_assignment_sweep_is_shuffle_free(spark):
     plan = _plan(_assign(e, cents))
     assert "Exchange" not in plan, plan[:2000]
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_shuffle_budget_subset(spark):
+    """The committed shuffle budget (docs/SHUFFLE_BUDGET.json, regenerated
+    by tools/shuffle_budget.py) matches the live plans of a representative
+    op slice — a refactor that adds an exchange to a core op fails here
+    before the full per-round tool run would catch it."""
+    import json
+    import os
+
+    from aced_etl_pod_spark.registry import registry
+    from tools.shuffle_budget import BUDGET_PATH, build_plan, count_exchanges
+
+    subset = [
+        "agg_group_sums",          # bench q1: scan + 1 hash agg exchange
+        "join_multiway_star",      # bench q2: dims broadcast, 0 extra shuffles
+        "win_row_number_topk",     # bench q3
+        "join_left_semi",          # bench q4 family
+        "sim_cosine_topk_fast",    # bench q8: must stay zero-shuffle
+        "agg_rollup",              # bench q9
+        "agg_distinct_count",      # bench q10: two-phase distinct
+        "dedup_minhash_lsh",       # banded self-join: bounded exchanges
+        "pipeline_corpus_curation",  # fused pipeline: <=2 hash exchanges
+        "stream_tumbling_window",  # streaming batch twin
+    ]
+    with open(BUDGET_PATH) as f:
+        budget = json.load(f)
+    reg = registry()
+    for op_id in subset:
+        live = count_exchanges(build_plan(spark, op_id, reg[op_id].fn))
+        assert live["shuffle"] <= budget[op_id]["shuffle"], (
+            f"{op_id}: {live['shuffle']} shuffle exchanges vs budget "
+            f"{budget[op_id]['shuffle']}"
+        )
+
+
+def test_shuffle_budget_covers_census():
+    """Every registered op has a recorded budget, except the 4 streaming
+    ops with no batch twin (streaming-only APIs)."""
+    import json
+
+    from aced_etl_pod_spark.registry import registry
+    from tools.shuffle_budget import BUDGET_PATH
+
+    no_twin = {
+        "stream_custom_stateful",
+        "stream_checked_ingest_dlq",
+        "stream_python_datasource",
+        "stream_checkpoint_restart",
+    }
+    with open(BUDGET_PATH) as f:
+        budget = json.load(f)
+    missing = set(registry()) - set(budget) - no_twin
+    assert not missing, f"ops missing from shuffle budget: {sorted(missing)}"
