@@ -21,6 +21,15 @@ benign.
 Counting happens on the pre-AQE initial plan (the plan is built, not run),
 so the budget is deterministic — AQE can only merge/skip exchanges at
 runtime, never add them.
+
+Caveat for the iterative graph ops (SSSP 316, BFS 76, LPA 23): those
+counts measure printed LINEAGE, not runtime shuffles. Per-round
+``.cache()`` means every reference to a previous round reprints its whole
+subtree in the plan text while executing it once — the doubled
+self-reference unrolls ~2^rounds copies on paper, O(rounds) on the
+cluster (docs/SCALE.md; ops needing >6 rounds use localCheckpoint, which
+truncates both). The gate is still sound: the inflated number is stable,
+and a regression still shows as an increase.
 """
 
 from __future__ import annotations
