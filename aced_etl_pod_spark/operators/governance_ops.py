@@ -528,3 +528,63 @@ def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_observe_metrics (round-6 session-5; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+DQ_OBSERVE_METRICS_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT)
+             AS n_gt25,
+           CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+           CAST(max(l_orderkey) AS BIGINT) AS max_ok
+    FROM lineitem
+"""
+
+
+@op("dq_observe_metrics", oracle=DQ_OBSERVE_METRICS_ORACLE, tags=('governance', 'extra'))
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit metrics via ``df.observe`` (Spark's Observation API): the
+    business query (revenue by return flag over high-quantity lineitems)
+    and the pre-filter audit profile (row count, quantity total, filter
+    selectivity, key range) are computed in the SAME pass — the
+    CollectMetrics node rides the scan, JVM-side, so the audit costs zero
+    extra reads. At 100 TB this halves every audited pipeline stage vs
+    the run-then-re-aggregate pattern (dq_expectation_checks is the
+    one-scan CONDITIONAL-aggregate flavor; this is the one-scan
+    piggyback-on-a-real-query flavor — together they cover both audit
+    shapes). Streaming twin: the same Observation attaches to a
+    writeStream and reports per-micro-batch.
+
+    The observed values are deterministic aggregates (counts, an exact
+    integral sum, min/max), so the op full-hash-checks: the oracle
+    recomputes the profile directly. l_quantity is integral-valued, so
+    sum-then-BIGINT is exact on both engines.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    li = load(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+    # the action that populates the observation IS the business query
+    (
+        observed.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .collect()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_gt25"], m["min_ok"], m["max_ok"])],
+        "n_rows long, sum_qty long, n_gt25 long, min_ok long, max_ok long",
+    )

@@ -801,3 +801,61 @@ def _ckpt_restart_phases(
         "SELECT event_type, n, total FROM t_ckpt_phase2 ORDER BY event_type"
     )
     return result, {"phase1_rows": phase1_rows, "phase2_rows": phase2_rows}
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_within_watermark (round-6 session-5; windowed in rotation
+# round 9)
+# ---------------------------------------------------------------------------
+
+STREAM_DEDUP_WITHIN_WATERMARK_ORACLE = """
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+"""
+
+
+@op(
+    "stream_dedup_within_watermark",
+    oracle=STREAM_DEDUP_WITHIN_WATERMARK_ORACLE,
+    tags=("stream", "dedup", "extra"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark`` — the 100 TB-correct sibling of
+    stream_dedup_keys. Plain streaming ``dropDuplicates`` keeps one state
+    entry per key FOREVER (its docstring calls out exactly that failure
+    mode); the within-watermark variant evicts a key's entry once the
+    watermark passes its event time + delta, so state is bounded by
+    keys-per-watermark-window no matter how long the stream runs — the
+    difference between a dedup stage that survives a year of ingest and
+    one that OOMs in week two. The guarantee weakens symmetrically:
+    duplicates arriving within delta of each other are always dropped;
+    a key recurring after eviction emits again (exercised determin-
+    istically in tests/test_streaming.py::test_watermark_dedup_eviction).
+
+    Here the key is (user_id, event_type, day) — per-day event dedup, a
+    standard ingest idempotency gate — and delta (60 days) exceeds the
+    replay's whole event span, so no entry evicts mid-replay and the
+    emitted key set is exactly DISTINCT: a full hash oracle for the
+    bounded-state API.
+    """
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "wm_dedup",
+        splits=[F.col("event_id") % 3 == i for i in range(3)],
+    )
+    deduped = (
+        read_stream(spark, src)
+        .withWatermark("ts", "60 days")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return run_to_memory(deduped, "t_wm_dedup", "append")

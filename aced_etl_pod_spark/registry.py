@@ -214,6 +214,8 @@ _ROTATION_PLAN = {
         "stat_fdr_benjamini_hochberg", "win_vwap_bars",
         "agg_causal_diff_in_diff", "agg_cuped_variance_reduction",
         "graph_kcore_membership", "ts_kalman_filter_1d",
+        # round-6 session-5 additions (Spark API surfaces)
+        "dq_observe_metrics", "stream_dedup_within_watermark",
     ),
 }
 

@@ -373,6 +373,7 @@ def test_shuffle_budget_covers_census():
         "stream_checked_ingest_dlq",
         "stream_python_datasource",
         "stream_checkpoint_restart",
+        "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark is streaming-only
     }
     with open(BUDGET_PATH) as f:
         budget = json.load(f)

@@ -75,3 +75,67 @@ def test_restart_without_new_data_is_noop(spark, tmp_path):
     n1 = spark.read.parquet(out_dir).count()
     _run_to_parquet(spark, src, out_dir, chk_dir)  # restart, nothing new
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_watermark_dedup_eviction(spark):
+    """dropDuplicatesWithinWatermark's bounded-state contract, exercised
+    deterministically: key A recurs AFTER the watermark evicts its state
+    entry (so it emits twice), key B's duplicate arrives within delta (so
+    it emits once). This is the eviction half the oracle can't see — the
+    stream_dedup_within_watermark replay keeps delta above the event span
+    precisely so its external check stays exact."""
+    from datetime import datetime
+
+    from aced_etl_pod_spark.streaming.replay import (
+        EVENTS_STREAM_SCHEMA,
+        read_stream,
+        run_to_memory,
+    )
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    t0 = datetime(2024, 3, 1, 12, 0)
+
+    def ev(eid, ts, user, etype):
+        return (eid, ts, user, etype, 1.0, "{}")
+
+    batches = [
+        # batch 0: A once, B twice within delta (10 min) -> A, B emit once
+        [ev(1, t0, 1, "A"), ev(2, t0, 2, "B"),
+         ev(3, datetime(2024, 3, 1, 12, 5), 2, "B")],
+        # batch 1: unrelated key 2h later -> advances the watermark past
+        # t0+delta (Spark applies a batch's NEW watermark only from the
+        # next batch, so this alone doesn't evict yet)
+        [ev(4, datetime(2024, 3, 1, 14, 0), 3, "C")],
+        # batch 2: spacer — runs end-of-batch state cleanup under the
+        # advanced watermark, evicting A's and B's entries
+        [ev(5, datetime(2024, 3, 1, 14, 30), 4, "D")],
+        # batch 3: A again at a later, non-late event time -> re-emits
+        [ev(6, datetime(2024, 3, 1, 15, 0), 1, "A")],
+    ]
+    out = scratch_dir("stream/test_wm_evict")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1)
+        tmp = os.path.join(out, f"_tmp_{i}")
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"batch_{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    deduped = (
+        read_stream(spark, out)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    emitted = [
+        (r.user_id, r.event_type)
+        for r in run_to_memory(deduped, "t_wm_evict", "append").collect()
+    ]
+    assert emitted.count((1, "A")) == 2, emitted  # evicted, then re-emitted
+    assert emitted.count((2, "B")) == 1, emitted  # dup within delta dropped
+    assert emitted.count((3, "C")) == 1, emitted
+    spark.catalog.dropTempView("t_wm_evict")

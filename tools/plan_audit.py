@@ -60,6 +60,7 @@ _STREAM_ONLY_MARKERS = (
     "writeStream",
     "start()",
     "applyInPandasWithState",
+    "not supported with batch",
 )
 
 

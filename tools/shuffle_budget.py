@@ -98,6 +98,13 @@ def main() -> int:
         print(f"ERR  {op_id}: {e}")
 
     if not check:
+        if ids and os.path.exists(BUDGET_PATH):
+            # explicit op list: merge into the committed budget, don't
+            # shrink it to the subset
+            with open(BUDGET_PATH) as f:
+                merged = json.load(f)
+            merged.update(current)
+            current = merged
         with open(BUDGET_PATH, "w") as f:
             json.dump(current, f, indent=0, sort_keys=True)
             f.write("\n")
