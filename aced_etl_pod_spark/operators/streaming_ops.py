@@ -859,3 +859,102 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type", "day")
     )
     return run_to_memory(deduped, "t_wm_dedup", "append")
+
+
+# ---------------------------------------------------------------------------
+# stream_state_store_reader (round-6 session-7; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+STREAM_STATE_STORE_READER_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id % 1000) AS BIGINT) AS id_residue,
+           'stateStoreSave' AS operator_name,
+           CAST(2 AS BIGINT) AS last_batch_id
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@op(
+    "stream_state_store_reader",
+    oracle=STREAM_STATE_STORE_READER_ORACLE,
+    tags=("stream", "extra"),
+)
+def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection via Spark 4's State Data Source: a
+    stateful aggregation runs to completion over the 3-batch replay, the
+    query stops, and the operator's state is then read BACK off the
+    checkpoint as an ordinary DataFrame (``format("statestore")``), joined
+    with the checkpoint's operator catalog (``format("state-metadata")``).
+    This is the 100 TB streaming ops story: debugging a stuck or skewed
+    stateful query means *auditing its state without touching the running
+    query* — per-key state rows, per-partition placement (skew!), and
+    per-operator batch coverage all become queryable tables; the reader
+    also supports batch-pinned time travel (``option("batchId", n)``,
+    gate-tested) for "what did the state look like before the bad
+    deploy" forensics.
+
+    The state value struct is named by the AGGREGATE FUNCTIONS (count,
+    sum) — state schemas belong to the operator, not the projection — so
+    the flatten re-aliases them. Final state after a drained replay ==
+    the batch aggregate, and the replay is exactly 3 micro-batches, so
+    metadata pins (operator_name, last_batch_id) = (stateStoreSave, 2):
+    everything full-hash-checks.
+    """
+    import shutil
+
+    src = materialize_batches(
+        spark,
+        sf_dir,
+        "state_reader",
+        splits=[F.col("event_id") % 3 == i for i in range(3)],
+    )
+    chk = scratch_dir("stream/state_reader_chk")
+    shutil.rmtree(chk, ignore_errors=True)
+
+    agg = (
+        read_stream(spark, src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_id") % 1000).cast("long")).alias("id_residue"),
+        )
+    )
+    # Same scoped shuffle-partition cap as replay.run_to_memory: the state
+    # store pins its partitioning at query start, and a foreign session's
+    # default of 200 would mean 200 state files per micro-batch here.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(key, str(min(int(prev), max(cores, 8))))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_state_reader")
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, prev)
+
+    state = spark.read.format("statestore").load(chk)
+    meta = (
+        spark.read.format("state-metadata")
+        .load(chk)
+        .filter(F.col("stateStoreName") == "default")
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("maxBatchId").alias("last_batch_id"),
+        )
+    )
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("id_residue"),
+    ).crossJoin(F.broadcast(meta))

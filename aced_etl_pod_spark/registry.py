@@ -216,6 +216,8 @@ _ROTATION_PLAN = {
         "graph_kcore_membership", "ts_kalman_filter_1d",
         # round-6 session-5 additions (Spark API surfaces)
         "dq_observe_metrics", "stream_dedup_within_watermark",
+        # round-6 session-7 additions (Spark API surfaces)
+        "stream_state_store_reader",
     ),
 }
 

@@ -374,6 +374,7 @@ def test_shuffle_budget_covers_census():
         "stream_python_datasource",
         "stream_checkpoint_restart",
         "stream_dedup_within_watermark",  # dropDuplicatesWithinWatermark is streaming-only
+        "stream_state_store_reader",  # statestore read needs a real checkpoint
     }
     with open(BUDGET_PATH) as f:
         budget = json.load(f)

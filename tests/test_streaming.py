@@ -139,3 +139,46 @@ def test_watermark_dedup_eviction(spark):
     assert emitted.count((2, "B")) == 1, emitted  # dup within delta dropped
     assert emitted.count((3, "C")) == 1, emitted
     spark.catalog.dropTempView("t_wm_evict")
+
+
+def test_state_store_reader_time_travel(spark):
+    """The half of the State Data Source the oracle can't see: batch-pinned
+    time travel. After stream_state_store_reader drains its 3-batch replay,
+    option("batchId", 0) must reconstruct the state as of micro-batch 0 —
+    i.e. the aggregate over split 0 ONLY, not the final totals."""
+    from aced_etl_pod_spark.operators.streaming_ops import stream_state_store_reader
+    from aced_etl_pod_spark.tables import load, scratch_dir
+
+    sf = "/root/testdata/sf0.001"
+    final = {
+        (r.event_type): (r.n_events, r.id_residue)
+        for r in stream_state_store_reader(spark, sf).collect()
+    }
+    chk = scratch_dir("stream/state_reader_chk")
+    at0 = {
+        r.event_type: (r.n, r.s)
+        for r in (
+            spark.read.format("statestore").option("batchId", 0).load(chk)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("s"),
+            )
+        ).collect()
+    }
+    want0 = {
+        r.event_type: (r.n, r.s)
+        for r in (
+            load(spark, sf, "events")
+            .filter(F.col("event_id") % 3 == 0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("event_id") % 1000).cast("long")).alias("s"),
+            )
+        ).collect()
+    }
+    assert at0 == want0
+    # and batch-0 state is a strict prefix of the final state
+    assert all(at0[k][0] <= final[k][0] for k in at0)
+    assert set(at0) <= set(final)
