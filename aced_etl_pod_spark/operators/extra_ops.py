@@ -5067,3 +5067,117 @@ def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_xml_roundtrip (round-6 session-7; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+FN_XML_ROUNDTRIP_ORACLE = """
+    SELECT event_id,
+           event_type AS xml_type,
+           user_id AS xml_user,
+           event_type AS xp_type,
+           -- to_xml's layout is fixed (newlines + 4-space indents):
+           -- <ev>/<event_type>T</event_type>/<user_id>N</user_id>/</ev>
+           -- -> 64 fixed chars + payload widths
+           CAST(64 + length(event_type) + length(CAST(user_id AS VARCHAR))
+                AS BIGINT) AS doc_len
+    FROM events
+"""
+
+
+@op("fn_xml_roundtrip", oracle=FN_XML_ROUNDTRIP_ORACLE, tags=('fn', 'extra'))
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML function family (Spark 4: ``to_xml`` / ``from_xml`` /
+    ``xpath_string``) exercised as a serialize → parse → extract round
+    trip over every event row: struct → XML document → schema'd struct
+    (from_xml) AND XPath point-query (xpath_string). XML remains a major
+    ingest format (feeds, legacy enterprise dumps, SEC/PubMed corpora);
+    the engine-relevant facts are that from_xml is a JVM-side generated
+    parser (no Python in the loop, same whole-stage-codegen story as
+    from_json) and that a malformed document degrades to NULL, not a
+    task failure — both the opposite of the lxml-in-a-UDF pattern.
+
+    The oracle replays the round trip as the identity on the source
+    columns plus the serialized document LENGTH computed from to_xml's
+    deterministic layout (fixed tags + indentation + payload widths) —
+    pinning that the op genuinely serialized (a plain identity would
+    pass even if to_xml emitted garbage that from_xml happened to
+    invert).
+    """
+    ev = load(spark, sf_dir, "events")
+    xml = ev.select(
+        "event_id",
+        F.to_xml(F.struct("event_type", "user_id"), {"rowTag": "ev"}).alias("doc"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("doc", "event_type string, user_id long").alias("p"),
+        F.xpath_string("doc", F.lit("/ev/event_type")).alias("xp_type"),
+        F.length("doc").cast("long").alias("doc_len"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.event_type").alias("xml_type"),
+        F.col("p.user_id").alias("xml_user"),
+        "xp_type",
+        "doc_len",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_aes_deterministic (round-6 session-7; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+FN_AES_DETERMINISTIC_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT ct_hex) AS BIGINT) AS n_ct,
+           CAST((length(event_type) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+           event_type AS roundtrip,
+           CAST(count(*) AS BIGINT) AS n_bad_null
+    FROM (SELECT event_type, 'x' AS ct_hex FROM events) t
+    GROUP BY event_type
+"""
+
+
+@op("fn_aes_deterministic", oracle=FN_AES_DETERMINISTIC_ORACLE, tags=('fn', 'governance', 'extra'))
+def fn_aes_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption with the ``aes_encrypt`` / ``aes_decrypt`` /
+    ``try_aes_decrypt`` family, in DETERMINISTIC (ECB) mode — the mode
+    that keeps an encrypted PII column groupable, joinable, and
+    deduplicatable (equal plaintexts → equal ciphertexts), which is why
+    pipelines use it for blind-index columns even though GCM (random IV,
+    non-deterministic, the Spark default) is what belongs on data at
+    rest. Per event type: every row encrypts to the SAME ciphertext
+    (n_ct = 1 — determinism, group-wise), ciphertext length is the PKCS7
+    envelope (next 16-byte multiple), decrypt with the right key is the
+    identity, and try_aes_decrypt with the WRONG key is NULL for every
+    row (n_bad_null = n_rows) instead of a task-killing exception.
+
+    The oracle replays all of it from first principles: n_ct=1 via a
+    constant, the PKCS7 length formula, identity round trip, and the
+    all-rows-NULL count.
+    """
+    key = F.lit("0123456789abcdef")
+    wrong = F.lit("fedcba9876543210")
+    ev = load(spark, sf_dir, "events").select("event_type")
+    enc = ev.select(
+        "event_type",
+        F.aes_encrypt(F.col("event_type").cast("binary"), key, F.lit("ECB")).alias("ct"),
+    )
+    dec = enc.select(
+        "event_type",
+        F.hex("ct").alias("ct_hex"),
+        F.length("ct").cast("long").alias("ct_len"),
+        F.aes_decrypt("ct", key, F.lit("ECB")).cast("string").alias("roundtrip"),
+        F.try_aes_decrypt("ct", wrong, F.lit("ECB")).alias("bad"),
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("ct_hex").alias("n_ct"),
+        F.first("ct_len").alias("ct_len"),
+        F.first("roundtrip").alias("roundtrip"),
+        F.count(F.when(F.col("bad").isNull(), 1)).alias("n_bad_null"),
+    )

@@ -217,7 +217,8 @@ _ROTATION_PLAN = {
         # round-6 session-5 additions (Spark API surfaces)
         "dq_observe_metrics", "stream_dedup_within_watermark",
         # round-6 session-7 additions (Spark API surfaces)
-        "stream_state_store_reader",
+        "stream_state_store_reader", "fn_xml_roundtrip",
+        "fn_aes_deterministic",
     ),
 }
 
