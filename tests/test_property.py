@@ -634,3 +634,42 @@ def test_kmeans_cte_replays_pinned_lloyd_on_tie_heavy_data(n, seed):
     con = duckdb.connect()
     got = np.array([r[1] for r in con.execute(q).fetchall()])
     assert np.array_equal(got, ref), (n, seed, got, ref)
+
+
+def test_xml_and_aes_length_formulas(spark):
+    """Pin the two closed-form length formulas the fn_xml_roundtrip /
+    fn_aes_deterministic oracles rely on, across every length class the
+    data could present (1..48 covers all mod-16 residues incl. exact
+    block multiples, where PKCS7 appends a FULL extra block):
+      - len(to_xml(struct(event_type, user_id))) == 64 + |type| + |str(uid)|
+      - len(aes_encrypt(s, k, ECB)) == (|s| // 16 + 1) * 16
+    XML-escapable payloads (&, <, >) are out of formula scope — event
+    types are plain words — but we assert the escape DOES change length,
+    so a future fixture with markup would fail parity loudly, not
+    silently."""
+    from pyspark.sql import functions as F
+
+    rows = [("x" * n, uid) for n in range(1, 49) for uid in (7, 4242)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = df.select(
+        "event_type",
+        "user_id",
+        F.length(
+            F.to_xml(F.struct("event_type", "user_id"), {"rowTag": "ev"})
+        ).alias("xml_len"),
+        F.length(
+            F.aes_encrypt(
+                F.col("event_type").cast("binary"),
+                F.lit("0123456789abcdef"),
+                F.lit("ECB"),
+            )
+        ).alias("ct_len"),
+    ).collect()
+    for r in out:
+        assert r.xml_len == 64 + len(r.event_type) + len(str(r.user_id)), r
+        assert r.ct_len == (len(r.event_type) // 16 + 1) * 16, r
+    esc = spark.createDataFrame([("a&b", 1)], "event_type string, user_id long")
+    (esc_len,) = esc.select(
+        F.length(F.to_xml(F.struct("event_type", "user_id"), {"rowTag": "ev"}))
+    ).first()
+    assert esc_len > 64 + 3 + 1  # '&' serializes as a longer entity
