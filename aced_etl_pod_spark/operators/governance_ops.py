@@ -588,3 +588,106 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_qty"], m["n_gt25"], m["min_ok"], m["max_ok"])],
         "n_rows long, sum_qty long, n_gt25 long, min_ok long, max_ok long",
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_join_cardinality_audit (round-6 session-7; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+DQ_JOIN_CARDINALITY_AUDIT_ORACLE = """
+    WITH lo_l AS (SELECT l_orderkey AS k, count(*) AS nl
+                  FROM lineitem GROUP BY 1),
+         lo_r AS (SELECT o_orderkey AS k, count(*) AS nr
+                  FROM orders GROUP BY 1),
+         lo_j AS (SELECT l.k, nl, nr, nl * nr AS prod
+                  FROM lo_l l JOIN lo_r r USING (k)),
+         lo_top AS (SELECT k, prod FROM lo_j
+                    ORDER BY prod DESC, k ASC LIMIT 1),
+         ev AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+         ev_top AS (SELECT k, n * n AS prod FROM ev
+                    ORDER BY n * n DESC, k ASC LIMIT 1)
+    SELECT 'lineitem_orders' AS join_name,
+           CAST((SELECT sum(nl) FROM lo_l) AS BIGINT) AS n_left,
+           CAST((SELECT sum(nr) FROM lo_r) AS BIGINT) AS n_right,
+           CAST((SELECT count(*) FROM lo_l) AS BIGINT) AS keys_left,
+           CAST((SELECT count(*) FROM lo_r) AS BIGINT) AS keys_right,
+           CAST((SELECT count(*) FROM lo_j) AS BIGINT) AS keys_shared,
+           CAST((SELECT sum(prod) FROM lo_j) AS BIGINT) AS predicted_rows,
+           CAST((SELECT prod FROM lo_top) AS BIGINT) AS max_key_product,
+           CAST((SELECT k FROM lo_top) AS BIGINT) AS heavy_key
+    UNION ALL
+    SELECT 'events_self_user',
+           CAST((SELECT sum(n) FROM ev) AS BIGINT),
+           CAST((SELECT sum(n) FROM ev) AS BIGINT),
+           CAST((SELECT count(*) FROM ev) AS BIGINT),
+           CAST((SELECT count(*) FROM ev) AS BIGINT),
+           CAST((SELECT count(*) FROM ev) AS BIGINT),
+           CAST((SELECT sum(n * n) FROM ev) AS BIGINT),
+           CAST((SELECT prod FROM ev_top) AS BIGINT),
+           CAST((SELECT k FROM ev_top) AS BIGINT)
+"""
+
+
+def _cardinality_audit(
+    left: DataFrame, lkey: str, right: DataFrame, rkey: str, name: str
+) -> DataFrame:
+    """Per-key count histograms on both sides, joined at histogram grain:
+    predicted inner-join cardinality = Σ nl·nr, plus the single heaviest
+    key (prod desc, key asc). Only aggregates ever shuffle or join."""
+    lc = left.groupBy(F.col(lkey).alias("k")).agg(F.count(F.lit(1)).alias("nl"))
+    rc = right.groupBy(F.col(rkey).alias("k")).agg(F.count(F.lit(1)).alias("nr"))
+    j = lc.join(rc, "k").select("k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("prod"))
+    totals = (
+        j.agg(
+            F.count(F.lit(1)).alias("keys_shared"),
+            F.sum("prod").alias("predicted_rows"),
+        )
+        .crossJoin(F.broadcast(lc.agg(F.sum("nl").alias("n_left"), F.count(F.lit(1)).alias("keys_left"))))
+        .crossJoin(F.broadcast(rc.agg(F.sum("nr").alias("n_right"), F.count(F.lit(1)).alias("keys_right"))))
+    )
+    top = j.orderBy(F.desc("prod"), F.asc("k")).limit(1).select(
+        F.col("prod").alias("max_key_product"), F.col("k").alias("heavy_key")
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        F.lit(name).alias("join_name"),
+        F.col("n_left").cast("long"),
+        F.col("n_right").cast("long"),
+        F.col("keys_left").cast("long"),
+        F.col("keys_right").cast("long"),
+        F.col("keys_shared").cast("long"),
+        F.col("predicted_rows").cast("long"),
+        F.col("max_key_product").cast("long"),
+        F.col("heavy_key").cast("long"),
+    )
+
+
+@op(
+    "dq_join_cardinality_audit",
+    oracle=DQ_JOIN_CARDINALITY_AUDIT_ORACLE,
+    tags=("governance", "dq", "join", "scale", "extra"),
+)
+def dq_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality/skew audit — predict a join's output
+    size and its heaviest key WITHOUT executing the join. Each side
+    collapses to a per-key count histogram (map-side-combinable, output
+    = O(distinct keys)); the histograms join at aggregate grain and
+    Σ nl·nr IS the exact inner-join cardinality, while max(nl·nr)
+    names the skew key that would dominate a shuffle partition. At
+    100 TB this is the difference between discovering a quadratic
+    self-join blowup from a kilobyte-sized histogram join and
+    discovering it as a 2-hour straggler task: the audit costs two
+    scans + tiny-aggregate joins, never materializes a single joined
+    row, and its verdict (predicted_rows, max_key_product) feeds the
+    salt/broadcast/bucketize decision the scale_ops family implements.
+
+    Two audits ship in one result: the lineitem⋈orders FK join (fanout
+    = lines per order, benign) and the events self-join on user_id
+    (Σ n² — the classic accidental-blowup shape). Every number is an
+    exact integer aggregate, so the op full-hash-checks.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    return _cardinality_audit(li, "l_orderkey", o, "o_orderkey", "lineitem_orders").unionAll(
+        _cardinality_audit(ev, "user_id", ev, "user_id", "events_self_user")
+    )

@@ -218,7 +218,7 @@ _ROTATION_PLAN = {
         "dq_observe_metrics", "stream_dedup_within_watermark",
         # round-6 session-7 additions (Spark API surfaces)
         "stream_state_store_reader", "fn_xml_roundtrip",
-        "fn_aes_deterministic",
+        "fn_aes_deterministic", "dq_join_cardinality_audit",
     ),
 }
 
