@@ -691,3 +691,84 @@ def dq_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cardinality_audit(li, "l_orderkey", o, "o_orderkey", "lineitem_orders").unionAll(
         _cardinality_audit(ev, "user_id", ev, "user_id", "events_self_user")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_table_content_digest (round-6 session-7; windowed in rotation round 9)
+# ---------------------------------------------------------------------------
+
+DQ_TABLE_CONTENT_DIGEST_ORACLE = """
+    WITH li AS (
+      SELECT CAST(CAST('0x' || substr(sha256(
+               concat_ws('|', l_orderkey, l_linenumber,
+                         CAST(l_quantity AS BIGINT), l_returnflag)
+             ), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM lineitem
+    ),
+    o AS (
+      SELECT CAST(CAST('0x' || substr(sha256(
+               concat_ws('|', o_orderkey, o_custkey, o_orderstatus)
+             ), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+           CAST(sum(h) AS BIGINT) AS sum_digest,
+           CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+    FROM li
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT), CAST(sum(h) AS BIGINT),
+           CAST(min(h) AS BIGINT), CAST(max(h) AS BIGINT)
+    FROM o
+"""
+
+
+def _content_digest(df: DataFrame, cols_sql: str, name: str) -> DataFrame:
+    h = df.select(
+        F.expr(
+            f"CAST(conv(substr(sha2(concat_ws('|', {cols_sql}), 256), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h")
+    )
+    return h.agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_digest"),
+        F.sum("h").cast("long").alias("sum_digest"),
+        F.min("h").cast("long").alias("min_h"),
+        F.max("h").cast("long").alias("max_h"),
+    )
+
+
+@op(
+    "dq_table_content_digest",
+    oracle=DQ_TABLE_CONTENT_DIGEST_ORACLE,
+    tags=("governance", "dq", "scale", "extra"),
+)
+def dq_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint — the cross-cluster
+    reconciliation primitive: per row, a 32-bit slice of
+    sha256(canonical column rendering); per table, commutative
+    reductions over it (xor, sum, min/max, count). Every aggregate is
+    mergeable and order-free, so the digest of a 100 TB table is one
+    O(scan) pass with map-side partials, an O(1) result, and NO
+    global sort — compare digests from two clusters / two table
+    versions / a pre- and post-migration copy and any dropped,
+    duplicated, or mutated row flips xor_digest (and sum_digest
+    catches xor's even-multiplicity blind spot — a row duplicated
+    TWICE xors out but still shifts the sum and count). The same
+    portable sha256→int recipe as the dedup family
+    (functions/dedup.py:40) keeps both engines bit-identical.
+
+    A governed warehouse runs this as the post-copy acceptance gate
+    (the reference's export/import cycle, fhir_import_export.py:334-352,
+    re-checked content-wise rather than by row count alone).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return _content_digest(
+        li,
+        "l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT), l_returnflag",
+        "lineitem",
+    ).unionAll(_content_digest(o, "o_orderkey, o_custkey, o_orderstatus", "orders"))

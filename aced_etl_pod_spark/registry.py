@@ -219,6 +219,7 @@ _ROTATION_PLAN = {
         # round-6 session-7 additions (Spark API surfaces)
         "stream_state_store_reader", "fn_xml_roundtrip",
         "fn_aes_deterministic", "dq_join_cardinality_audit",
+        "dq_table_content_digest",
     ),
 }
 

@@ -3548,3 +3548,33 @@ def test_kalman_matches_reference_and_riccati(spark):
     for _, (_, _, p_fin, k_fin, _) in got.items():
         assert abs(p_fin - p_star) < 1e-5
         assert abs(k_fin - p_pred / (p_pred + KALMAN_R)) < 1e-5
+
+
+def test_content_digest_sensitivity(spark):
+    """dq_table_content_digest's docstring claims: any dropped, duplicated,
+    or mutated row changes the digest tuple — including a row duplicated
+    TWICE, which xors out but must still shift sum_digest/n_rows."""
+    from aced_etl_pod_spark.operators.governance_ops import _content_digest
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+
+    def digest(df):
+        r = _content_digest(df, "k, v", "t").first()
+        return (r.n_rows, r.xor_digest, r.sum_digest, r.min_h, r.max_h)
+
+    d0 = digest(base)
+    dup_once = digest(base.unionAll(base.limit(1)))
+    dup_twice = digest(
+        base.unionAll(base.limit(1)).unionAll(base.limit(1))
+    )
+    mutated = digest(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, v string")
+    )
+    dropped = digest(base.filter("k != 2"))
+    assert dup_once != d0
+    assert dup_twice != d0
+    assert dup_twice[1] == d0[1]  # xor blind spot, by construction...
+    assert dup_twice[2] != d0[2]  # ...caught by the sum digest
+    assert mutated != d0 and dropped != d0
