@@ -673,3 +673,68 @@ def test_xml_and_aes_length_formulas(spark):
         F.length(F.to_xml(F.struct("event_type", "user_id"), {"rowTag": "ev"}))
     ).first()
     assert esc_len > 64 + 3 + 1  # '&' serializes as a longer entity
+
+
+# ---- window FRAME fuzz: ROWS/RANGE bounds + lag/lead, same SQL both ways --
+
+frame_spec = st.one_of(
+    st.tuples(
+        st.just("ROWS"), st.integers(0, 5), st.integers(0, 5)
+    ),
+    st.tuples(
+        st.just("RANGE"), st.integers(0, 50), st.integers(0, 50)
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fn=st.sampled_from(["sum", "min", "max", "count"]),
+    part=st.sampled_from([None, "o_orderstatus"]),
+    frame=frame_spec,
+    lag_off=st.integers(1, 4),
+    desc=st.booleans(),
+)
+def test_random_window_frame_matches_duckdb(orders_env, fn, part, frame, lag_off, desc):
+    """Frame-bound differential fuzzing — the window corners the plain
+    spec fuzzer can't reach: explicit ROWS frames (positional), RANGE
+    frames over o_custkey (value-based, WITH duplicate order values, so
+    peers enter the frame together — the classic cross-engine divergence
+    spot), and lag() with an offset + default. The SAME SQL text runs on
+    both engines; sums are cent-valued so round(,2) is ulp-stable."""
+    df, con = orders_env
+    df.createOrReplaceTempView("orders_pt")
+    kind, lo, hi = frame
+    direction = "DESC" if desc else "ASC"
+    if kind == "ROWS":
+        order = f"o_totalprice {direction}, o_orderkey"
+    else:
+        # RANGE requires a single numeric sort key (Spark's rule); keep
+        # duplicates in play — o_custkey repeats ~10x at this sf
+        order = f"o_custkey {direction}"
+    over = (
+        f"OVER ({f'PARTITION BY {part} ' if part else ''}ORDER BY {order} "
+        f"{kind} BETWEEN {lo} PRECEDING AND {hi} FOLLOWING)"
+    )
+    if fn == "count":
+        expr = f"CAST(count(*) {over} AS BIGINT)"
+    else:
+        expr = f"round({fn}(o_totalprice) {over}, 2)"
+    lag_over = (
+        f"OVER ({f'PARTITION BY {part} ' if part else ''}"
+        f"ORDER BY o_totalprice {direction}, o_orderkey)"
+    )
+    sql = (
+        f"SELECT o_orderkey, {expr} AS v, "
+        f"round(lag(o_totalprice, {lag_off}, -1.0) {lag_over}, 2) AS lg "
+        f"FROM orders_pt"
+    )
+    got = {
+        r["o_orderkey"]: (r["v"], r["lg"])
+        for r in df.sparkSession.sql(sql).collect()
+    }
+    exp = {
+        k: (v, lg)
+        for k, v, lg in con.execute(sql.replace("orders_pt", "orders")).fetchall()
+    }
+    assert got == exp
