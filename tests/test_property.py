@@ -826,3 +826,66 @@ def test_random_set_op_matches_duckdb(orders_env, setop, lo, hi):
         for a, k, n in con.execute(wrap.replace("orders_pt", "orders")).fetchall()
     }
     assert got == exp
+
+
+# ---- string-expression fuzz: random depth-2 trees, same SQL both ways ----
+
+_STR_UNARY = [
+    "upper({x})",
+    "lower({x})",
+    "trim({x})",
+    "reverse({x})",
+    "substr({x}, 2)",
+    "substr({x}, 1, 7)",
+    "replace({x}, 'a', '@')",
+    "left({x}, 5)",
+    "right({x}, 5)",
+]
+
+
+@st.composite
+def str_expr(draw, depth=2):
+    x = "text" if depth == 0 else draw(str_expr(depth=depth - 1))
+    return draw(st.sampled_from(_STR_UNARY)).format(x=x)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(expr=str_expr())
+def test_random_string_expr_matches_duckdb(docs_env, expr):
+    """Random compositions of the string functions the oracle corpus
+    leans on (upper/lower/trim/reverse/substr/replace/left/right) must
+    render identically in both engines — aggregated as total length,
+    distinct count, and an order-free sha256-slice digest so every
+    produced byte is compared, not just lengths."""
+    df, con = docs_env
+    df.createOrReplaceTempView("docs_pt")
+    sql = (
+        f"SELECT CAST(sum(length({expr})) AS BIGINT) AS tot, "
+        f"CAST(count(DISTINCT {expr}) AS BIGINT) AS nd "
+        f"FROM docs_pt"
+    )
+    got = df.sparkSession.sql(sql).first()
+    exp = con.execute(sql.replace("docs_pt", "documents")).fetchone()
+    assert (got["tot"], got["nd"]) == exp
+    dg = (
+        f"SELECT CAST(sum(CAST(conv(substr(sha2({expr}, 256), 1, 8), 16, 10)"
+        f" AS BIGINT)) AS BIGINT) FROM docs_pt"
+    )
+    dg_duck = (
+        f"SELECT CAST(sum(CAST(CAST('0x' || substr(sha256({expr}), 1, 8)"
+        f" AS UBIGINT) AS BIGINT)) AS BIGINT) FROM documents"
+    )
+    assert df.sparkSession.sql(dg).first()[0] == con.execute(dg_duck).fetchone()[0]
+
+
+@pytest.fixture(scope="module")
+def docs_env(spark):
+    from aced_etl_pod_spark.tables import load
+
+    df = load(spark, SF_SMALL, "documents").select("text").cache()
+    df.count()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    return df, con
