@@ -159,27 +159,14 @@ def ivf_centroids_for(n: int) -> int:
     return max(4, min(65536, int(math.isqrt(max(n, 16)))))
 
 
-def ivf_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int | None = 16,
-    n_probe: int = 4,
-    lloyd_iters: int = 2,
+def _ivf_train(
+    emb: DataFrame, n_centroids: int | None, lloyd_iters: int
 ) -> DataFrame:
-    """IVF approximate top-k: deterministic seed centroids (lowest vec_ids)
-    → Lloyd refinement (posexplode + per-dimension avg, one shuffle per
-    iteration) → inverted-list assignment → probe the ``n_probe`` nearest
-    cells per query → exact cosine re-rank of candidates only.
-
-    ``n_centroids=None`` derives ~sqrt(n) from a count (see
-    :func:`ivf_centroids_for`); an explicit value is for tests/small data.
-    ``emb``/``queries`` need (vec_id, embedding ARRAY<FLOAT>). At 100 TB
-    the assignment is the only full pass; queries touch n_probe/n_centroids
-    of the data."""
-    from pyspark.sql import Window as W
-
-    emb = emb.select("vec_id", "embedding").cache()
+    """The IVF coarse quantizer: deterministic seed centroids (lowest
+    vec_ids) refined by ``lloyd_iters`` Lloyd iterations. Shared by the
+    per-query :func:`ivf_topk` and the persisted-index
+    :func:`ivf_index_build`; the fold discipline below is what keeps the
+    training oracle-replayable."""
     if n_centroids is None:
         n_centroids = ivf_centroids_for(emb.count())
     centroids = emb.orderBy("vec_id").limit(n_centroids).select(
@@ -207,6 +194,102 @@ def ivf_topk(
                 "/ size(ms) AS FLOAT))"
             ).alias("c_emb"),
         )
+    return centroids
+
+
+def ivf_index_build(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    lloyd_iters: int = 2,
+) -> int:
+    """Build and PERSIST an IVF index: train the coarse quantizer
+    (:func:`_ivf_train`), assign every vector to its nearest cell, and
+    write the inverted lists as parquet ``partitionBy(cid)`` with the
+    centroid table alongside (``<path>/centroids``, C rows — model-sized).
+
+    This is the one-time full pass that makes serving sublinear: a probe
+    reads only its n_probe cells via partition pruning (PLANS.md round-6
+    §3 measured 61 ms touching 4.8% of rows at x50, beating DuckDB's
+    88 ms exact scan). At 100 TB the build cost equals ONE exact scan —
+    the cost DuckDB pays per query batch — and is amortized over every
+    query after. Returns the number of centroids."""
+    emb = emb.select("vec_id", "embedding").cache()
+    centroids = _ivf_train(emb, n_centroids, lloyd_iters)
+    inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
+    inverted.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/cells"
+    )
+    c = centroids.cache()
+    c.write.mode("overwrite").parquet(f"{path}/centroids")
+    n = c.count()
+    emb.unpersist()
+    c.unpersist()
+    return n
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Serve a single-query cosine top-k from a persisted IVF index
+    (:func:`ivf_index_build`): argmax the C-row centroid table driver-side
+    (model-sized state, like a literal), then scan ONLY the ``n_probe``
+    nearest cells — ``cid`` is the partition column, so the filter prunes
+    at the file level (plan shows PartitionFilters, not a data filter) —
+    and exact-re-rank survivors with the Arrow/BLAS kernel.
+
+    Latency scales with n_probe·n/C = O(sqrt(n)·n_probe) rows touched,
+    not n; this is the registered ops' serving twin for repeated queries
+    against a static corpus. The survivor re-rank delegates to the exact
+    kernels: codegen-unrolled straight-line arithmetic for dim ≤ 128
+    (pure JVM — no python worker roundtrip, which costs ~200 ms/query at
+    micro scale), Arrow/BLAS above (per-batch overhead amortizes, the
+    expression tree doesn't)."""
+    qvec = np.asarray(
+        query.select(emb_col).head(1)[0][0], dtype=np.float64
+    )
+    q_norm = float(np.sqrt(qvec @ qvec))
+    cpdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    C = np.stack(cpdf["c_emb"].to_numpy()).astype(np.float64)
+    sims = (C @ qvec) / (np.sqrt((C * C).sum(axis=1)) * q_norm)
+    order = np.lexsort((cpdf["cid"].to_numpy(), -sims))
+    cells = [int(cpdf["cid"].iloc[i]) for i in order[:n_probe]]
+
+    idx = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cells))
+    rerank = (
+        brute_force_topk_unrolled if len(qvec) <= 128 else brute_force_topk_fast
+    )
+    return rerank(idx, query, id_col=id_col, emb_col=emb_col, k=k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: deterministic seed centroids (lowest vec_ids)
+    → Lloyd refinement (posexplode + per-dimension avg, one shuffle per
+    iteration) → inverted-list assignment → probe the ``n_probe`` nearest
+    cells per query → exact cosine re-rank of candidates only.
+
+    ``n_centroids=None`` derives ~sqrt(n) from a count (see
+    :func:`ivf_centroids_for`); an explicit value is for tests/small data.
+    ``emb``/``queries`` need (vec_id, embedding ARRAY<FLOAT>). At 100 TB
+    the assignment is the only full pass; queries touch n_probe/n_centroids
+    of the data."""
+    from pyspark.sql import Window as W
+
+    emb = emb.select("vec_id", "embedding").cache()
+    centroids = _ivf_train(emb, n_centroids, lloyd_iters)
     inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
     q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     q_cells = (

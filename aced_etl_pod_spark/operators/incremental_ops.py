@@ -960,6 +960,11 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; sign/order of degenerate eigenvectors is
     engine-specific); the CONTRACT is property-tested instead:
     cov(whitened) == I within tolerance (tests/test_incremental.py).
+    ``white`` is emitted as its canonical rounded string
+    (``[x0,x1,...]``, 9 decimals) rather than ARRAY<DOUBLE> — the
+    embedding_quantize_int8 precedent: a scalar column stays sortable/
+    hashable by any downstream canonicalizer (pandas cannot factorize
+    ndarray cells), and 9 decimals keeps the cov≈I property testable.
 
     At 100 TB: two linear passes (covariance partials; transform), one
     O(D²) shuffle, driver state O(D²) — n never touches the driver."""
@@ -1010,11 +1015,18 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             X = (np.stack(pdf["emb"].to_numpy()) - m) @ w
+            # +0.0 collapses -0.0 so the canonical string is sign-stable
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "white": list(X)}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "white": [
+                        "[" + ",".join(f"{v:.9f}" for v in row + 0.0) + "]"
+                        for row in X.round(9)
+                    ],
+                }
             )
 
-    return e.mapInPandas(whiten, "vec_id long, white array<double>")
+    return e.mapInPandas(whiten, "vec_id long, white string")
 
 
 # ---------------------------------------------------------------------------

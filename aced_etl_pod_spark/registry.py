@@ -172,9 +172,22 @@ _ROTATION_PLAN = {
         "dq_freshness_slo", "dq_schema_contract", "sim_mmr_diversified_topk",
         "win_period_over_period", "pipeline_rag_context_pack",
         "sim_ann_lsh_multiprobe_topk", "win_percent_rank_cume",
-        "scan_date_dim_generate",
+        # r6 verdict item 1: the one red r06 row, re-verify the string-
+        # canonicalized output externally (scan_date_dim_generate moved to r08)
+        "embedding_pca_whiten",
     ),
     8: (
+        # r6 verdict item 4: the 11 ops whose oracles were upgraded from
+        # rows-only to full DuckDB replays in round 6 (sha256 minhash/simhash,
+        # recursive-CTE closure, replayed LSH/IVF/PQ training, fixture-
+        # regeneration multimodal) — their latest external rows are stale
+        # r03-r05 `no_oracle`; pin them here so the upgrades get external
+        # hash confirmation (12 prior tail entries displaced to r09)
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_cc",
+        "sim_ann_lsh_topk", "sim_ann_ivf_topk", "multimodal_binary_meta",
+        "multimodal_frame_sample", "multimodal_resize", "embedding_pq_codes",
+        "sim_ann_pq_adc_topk", "sim_ann_ivf_pq_topk",
+        "scan_date_dim_generate",
         "fn_surrogate_key_md5", "txnlog_overwrite_partition",
         "win_streak_longest_current", "agg_attribution_last_touch",
         "txnlog_branch_merge", "plan_result_cache", "scan_fixed_width",
@@ -192,13 +205,14 @@ _ROTATION_PLAN = {
         "win_survival_kaplan_meier", "text_ngram_lm_score",
         "stat_ks_two_sample", "ts_autocorrelation", "stat_mann_whitney_u",
         "graph_jaccard_link_prediction", "dp_noisy_count_laplace",
+    ),
+    9: (
+        # displaced from the r08 tail by the 12 upgraded-oracle pins above
         "join_fuzzy_phonetic_blocked", "agg_event_path_topk",
         "stat_t_test_welch", "ts_forecast_snaive_backtest", "ts_holt_winters",
         "ts_seasonal_residual_anomaly", "sql_recursive_cte_native",
         "scan_json_variant", "stat_bootstrap_poisson_ci",
         "ts_cross_correlation", "udf_scalar_arrow", "scan_python_datasource",
-    ),
-    9: (
         "stream_python_datasource", "seq_sft_chat_render",
         "join_point_in_time_features", "graph_cc_large_star_small_star",
         "text_line_dedup_c4", "fn_unicode_normalize_nfc",
@@ -334,6 +348,28 @@ def registry() -> dict[str, Op]:
             rank.get(kv[0], default),
             mod_rank.get(getattr(fn, "__module__", ""), len(mod_rank)),
             code.co_firstlineno if code is not None else 0,
+        )
+
+    return dict(sorted(_REGISTRY.items(), key=key))
+
+
+def census() -> dict[str, Op]:
+    """The registry in CANONICAL CENSUS ORDER — (module rank, source line),
+    independent of ``driver_window()``. Use this for committed artifacts
+    (docs/OPERATORS.md): unlike ``registry()``, the order never changes
+    when a new CORRECTNESS_r*.json lands and the window self-rotates, so a
+    generated-then-committed doc cannot go stale mid-round."""
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    mod_rank = {m: i for i, m in enumerate(_MODULES)}
+
+    def key(kv: tuple[str, Op]) -> tuple[int, int, str]:
+        fn = kv[1].fn
+        code = getattr(fn, "__code__", None)
+        return (
+            mod_rank.get(getattr(fn, "__module__", ""), len(mod_rank)),
+            code.co_firstlineno if code is not None else 0,
+            kv[0],
         )
 
     return dict(sorted(_REGISTRY.items(), key=key))

@@ -270,6 +270,13 @@ def test_pca_whitening_identity_covariance(spark):
     import numpy as np
 
     pdf = inc.embedding_pca_whiten(spark, SF_SMALL).toPandas()
-    X = np.stack(pdf["white"].to_numpy())
+    # white is the canonical rounded string "[x0,x1,...]" (9 decimals) —
+    # parse it back; quantization moves cov entries by O(1e-8)
+    X = np.stack(
+        [np.fromstring(s[1:-1], sep=",") for s in pdf["white"].to_numpy()]
+    )
     C = np.cov(X.T, bias=True)
-    assert np.abs(C - np.eye(C.shape[0])).max() < 1e-8
+    assert np.abs(C - np.eye(C.shape[0])).max() < 1e-6
+    # canonical-string contract: sortable scalar, fixed 9-decimal format
+    assert pdf["white"].map(type).eq(str).all()
+    assert pdf["white"].is_unique or len(pdf) == pdf["white"].nunique()

@@ -113,6 +113,31 @@ def test_operators_md_fresh():
         assert f.read() == render(), "stale docs/OPERATORS.md — regenerate"
 
 
+def test_operators_md_window_invariant():
+    """r6 verdict item 2: the committed doc must NOT depend on the
+    self-rotating driver window — landing a new CORRECTNESS_r*.json must
+    never stale it. Simulate the next external round landing and assert
+    render() is byte-identical."""
+    import os
+    import sys
+    from unittest import mock
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_operators_md import render
+
+    import aced_etl_pod_spark.registry as regmod
+
+    before = render()
+    rows = regmod._external_rows()
+    nxt = max(rows.values(), default=0) + 1
+    fake = dict(rows)
+    fake.update({o: nxt for o in regmod.driver_window()})
+    with mock.patch.object(regmod, "_external_rows", return_value=fake):
+        assert regmod.driver_window() != tuple(), "window must stay populated"
+        after = render()
+    assert before == after, "doc depends on the rotating driver window"
+
+
 def test_census_fully_externally_verified_or_queued():
     """Freshness guard (VERDICT r4 item 9): every registered operator must
     either already have an external CORRECTNESS_r*.json row, sit in the

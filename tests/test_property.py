@@ -889,3 +889,240 @@ def docs_env(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
     )
     return df, con
+
+
+# ---- NULL-key join fuzz (r6 verdict item 6a): the NOT IN trap family ----
+#
+# The TPC-H join keys are never NULL, so the round-5 join fuzzer could not
+# reach three-valued-logic territory. Here both sides get NULLs INJECTED by
+# the same CASE expression on both engines, then every join/predicate form
+# whose NULL semantics classically diverge runs as ONE SQL text on both:
+# inner/left/right/full ON equality, the null-safe IS NOT DISTINCT FROM
+# variant (NULL keys MATCH each other), and EXISTS / NOT EXISTS / IN /
+# NOT IN subqueries (NOT IN over a NULL-bearing rhs = empty result, the
+# SURVEY §7.3 trap).
+
+_NJ_A = (
+    "SELECT o_orderkey AS id, "
+    "CASE WHEN o_orderkey % {na} = 0 THEN NULL ELSE o_custkey END AS k, "
+    "o_totalprice AS v FROM {src}"
+)
+_NJ_B = (
+    "SELECT c_custkey AS id, "
+    "CASE WHEN c_custkey % {nb} = 0 THEN NULL ELSE c_custkey END AS k, "
+    "c_acctbal AS v FROM {src}"
+)
+
+
+@pytest.fixture(scope="module")
+def nulljoin_env(spark):
+    from aced_etl_pod_spark.tables import load
+
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("nj_orders")
+    load(spark, SF_SMALL, "customer").createOrReplaceTempView("nj_customer")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nj_orders AS SELECT * FROM '{SF_SMALL}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW nj_customer AS SELECT * FROM '{SF_SMALL}/customer.parquet'"
+    )
+    return spark, con
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    form=st.sampled_from(
+        ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+         "EXISTS", "NOT EXISTS", "IN", "NOT IN"]
+    ),
+    nullsafe=st.booleans(),
+    na=st.sampled_from([2, 3, 7, 10**9]),  # 10**9 → no NULLs on that side
+    nb=st.sampled_from([2, 3, 7, 10**9]),
+)
+def test_random_null_key_join_matches_duckdb(nulljoin_env, form, nullsafe, na, nb):
+    """Joins and membership predicates over NULL-bearing keys: row count,
+    both value sums, and the preserved-side NULL-key row count must agree
+    engine-for-engine. Same SQL text both sides."""
+    spark, con = nulljoin_env
+    a = _NJ_A.format(na=na, src="nj_orders")
+    b = _NJ_B.format(nb=nb, src="nj_customer")
+    eq = "a.k IS NOT DISTINCT FROM b.k" if nullsafe else "a.k = b.k"
+    if form in ("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"):
+        sql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(a.v), 2) AS sa, round(sum(b.v), 2) AS sb, "
+            "CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk "
+            f"FROM ({a}) a {form} ({b}) b ON {eq}"
+        )
+    elif form in ("EXISTS", "NOT EXISTS"):
+        cmp = "b.k IS NOT DISTINCT FROM a.k" if nullsafe else "b.k = a.k"
+        sql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n, round(sum(a.v), 2) AS sa, "
+            "CAST(NULL AS DOUBLE) AS sb, "
+            "CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk "
+            f"FROM ({a}) a WHERE {form} (SELECT 1 FROM ({b}) b WHERE {cmp})"
+        )
+    else:  # IN / NOT IN — nullsafe has no IN analogue; ignore the flag
+        sql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n, round(sum(a.v), 2) AS sa, "
+            "CAST(NULL AS DOUBLE) AS sb, "
+            "CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk "
+            f"FROM ({a}) a WHERE a.k {form} (SELECT b.k FROM ({b}) b)"
+        )
+    got = spark.sql(sql).first()
+    exp = con.execute(sql).fetchone()
+    assert (got["n"], got["sa"], got["sb"], got["nk"]) == exp, sql
+
+
+# ---- timestamp/decimal boundary-cast fuzz (r6 verdict item 6b) ----
+#
+# Two cast divergences are already pinned in docs/SCALE.md (DuckDB rounds
+# double→BIGINT, Spark truncates; nanos vs micros timestamps); this fuzzer
+# sweeps the REST of the boundary-cast surface with one SQL text both ways:
+# decimal round-trips at random precision/scale, floor-guarded integer
+# casts, date_trunc at every unit, EXTRACT fields, and epoch conversions.
+
+_TS_EXPRS = [
+    # (expression template over events, digest kind): "num" digests
+    # numerically — double→STRING rendering legitimately differs between
+    # engines (Java shortest-roundtrip vs C++ %g style), a cosmetic class
+    # the fuzzer must not conflate with value divergence; "str" compares
+    # the rendered bytes (dates/timestamps render identically).
+    ("CAST(floor(value * {m}) AS BIGINT)", "num"),
+    ("CAST(CAST(value AS DECIMAL(18, {s})) AS DOUBLE)", "num"),
+    # {s2}=max(s,2): value carries exactly 2 decimals, so scale ≥2 makes
+    # the cast exact — below that the product can land on x.5, which is the
+    # PINNED half-up (Spark) vs half-even (DuckDB) double→decimal class
+    ("CAST(CAST(value * {m} AS DECIMAL(28, {s2})) AS DOUBLE)", "num"),
+    # {s3}=max(s,3): the literals carry ≤3 decimals — exact cast, then
+    # the round() happens in decimal space where both engines round half
+    # away from zero (the oracle corpus's decimal-sandwich discipline)
+    ("round(CAST(value AS DECIMAL(18, {s3})) + CAST({lit} AS DECIMAL(18, {s3})), {s})", "num"),
+    ("CAST(date_trunc('{unit}', ts) AS DATE)", "str"),
+    ("EXTRACT({field} FROM ts)", "num"),
+    ("CAST(CAST(ts AS DATE) AS STRING)", "str"),
+    # explicit TIMESTAMP cast: DuckDB's date_trunc returns DATE for
+    # year/month/day units (pinned below); the normalized value must agree
+    ("CAST(CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS STRING)", "str"),
+]
+
+
+@pytest.fixture(scope="module")
+def events_env(spark):
+    from aced_etl_pod_spark.tables import load
+
+    load(spark, SF_SMALL, "events").createOrReplaceTempView("ev_pt")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev_pt AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    return spark, con
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tmpl=st.sampled_from(_TS_EXPRS),
+    m=st.sampled_from([1, 10, 100, 1000, 999999]),
+    s=st.integers(min_value=0, max_value=6),
+    lit=st.sampled_from(["0.005", "0.015", "0.025", "1.5", "2.5", "-2.5"]),
+    unit=st.sampled_from(["year", "month", "day", "hour", "minute", "second"]),
+    field=st.sampled_from(
+        ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "DOY", "QUARTER", "WEEK"]
+    ),
+)
+def test_random_boundary_cast_matches_duckdb(events_env, tmpl, m, s, lit, unit, field):
+    """Decimal/timestamp boundary casts, one SQL text both engines,
+    digested order-free. The two KNOWN divergences (double→int rounding,
+    half-even literals at exact .5 boundaries) are avoided by construction
+    here — floor() guards and data-derived values — exactly the discipline
+    the oracle corpus uses; this fuzzer checks everything else on the
+    surface agrees."""
+    spark, con = events_env
+    template, kind = tmpl
+    expr = template.format(
+        m=m, s=s, s2=max(s, 2), s3=max(s, 3), lit=lit, unit=unit, field=field
+    )
+    if kind == "num":
+        sql = (
+            f"SELECT CAST(count(DISTINCT {expr}) AS BIGINT) AS nd, "
+            f"round(CAST(sum({expr}) AS DOUBLE), 2) AS sm, "
+            f"round(CAST(min({expr}) AS DOUBLE), 4) AS lo, "
+            f"round(CAST(max({expr}) AS DOUBLE), 4) AS hi "
+            f"FROM ev_pt"
+        )
+    else:
+        sql = (
+            f"SELECT CAST(count(DISTINCT {expr}) AS BIGINT) AS nd, "
+            f"CAST(sum(CAST(length(CAST({expr} AS STRING)) AS BIGINT)) AS BIGINT) AS sm, "
+            f"min(CAST({expr} AS STRING)) AS lo, max(CAST({expr} AS STRING)) AS hi "
+            f"FROM ev_pt"
+        )
+    got = spark.sql(sql).first()
+    exp = con.execute(sql).fetchone()
+    assert (got["nd"], got["sm"], got["lo"], got["hi"]) == exp, sql
+
+
+def test_extract_dow_divergence_pinned(events_env):
+    """Engine divergence FOUND BY the boundary-cast fuzzer and pinned
+    (the grouping-construct precedent): EXTRACT(DOW) is Sunday=0..6 in
+    DuckDB (the Postgres convention) but Sunday=1..7 in Spark — a
+    constant +1 offset. Engine-level, not ours; no census oracle uses
+    DOW (they bucket with date_trunc), but a 100 TB pipeline porting
+    Postgres/DuckDB day-of-week reports to Spark must subtract 1 (or use
+    dayofweek()+explicit mapping). EPOCH is Spark-absent entirely —
+    unix_timestamp() is the porting path."""
+    spark, con = events_env
+    sql = (
+        "SELECT CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dw, "
+        "CAST(count(*) AS BIGINT) AS n FROM ev_pt GROUP BY 1 ORDER BY 1"
+    )
+    got = {r["dw"]: r["n"] for r in spark.sql(sql).collect()}
+    exp = {dw: n for dw, n in con.execute(sql).fetchall()}
+    assert got == {dw + 1: n for dw, n in exp.items()}
+
+
+def test_date_trunc_return_type_divergence_pinned(events_env):
+    """Second divergence FOUND BY the boundary-cast fuzzer: for coarse
+    units (year/month/day) DuckDB's date_trunc returns a DATE while Spark
+    always returns TIMESTAMP — so the same SQL text renders '2024-01-01'
+    vs '2024-01-01 00:00:00'. VALUES agree once normalized through an
+    explicit CAST(... AS TIMESTAMP) (or AS DATE); only the inferred type
+    differs. Schema-sensitive consumers (parquet writers, strict schema
+    contracts) porting between engines must cast explicitly."""
+    spark, con = events_env
+    for unit, duck_len, spark_len in [
+        ("year", 10, 19), ("month", 10, 19), ("day", 10, 19),
+        ("hour", 19, 19), ("minute", 19, 19), ("second", 19, 19),
+    ]:
+        sql = f"SELECT length(CAST(date_trunc('{unit}', ts) AS STRING)) AS l FROM ev_pt LIMIT 1"
+        assert spark.sql(sql).first()["l"] == spark_len, unit
+        assert con.execute(sql).fetchone()[0] == duck_len, unit
+        norm = (
+            f"SELECT count(DISTINCT CAST(CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS STRING)) "
+            f"AS nd, min(CAST(CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS STRING)) AS lo FROM ev_pt"
+        )
+        g = spark.sql(norm).first()
+        e = con.execute(norm).fetchone()
+        assert (g["nd"], g["lo"]) == e, unit
+
+
+def test_double_to_decimal_half_divergence_pinned(events_env):
+    """Third divergence FOUND BY the boundary-cast fuzzer: casting a
+    COMPUTED double that lands exactly on .5 to a coarser DECIMAL rounds
+    HALF-UP in Spark (BigDecimal, documented) but HALF-EVEN in DuckDB's
+    vectorized cast kernel (nearbyint under round-to-nearest). Literal
+    probes hide it: DuckDB's constant-folding path rounds half-up like
+    Spark, so `CAST(CAST(2.5 AS DOUBLE) AS DECIMAL)` agrees while the
+    same value read from a table does not. events has value=29.5, and
+    29.5*999999 = 29499970.5 exactly (half-integer < 2^53): Spark →
+    ...971, DuckDB → ...970 (even). Porting discipline: cast through a
+    scale where the value is exact (the fuzzer's {s2} guard) or floor()
+    explicitly — never round a computed double at its final scale."""
+    spark, con = events_env
+    sql = (
+        "SELECT CAST(CAST(value * 999999 AS DECIMAL(28, 0)) AS DOUBLE) AS d "
+        "FROM ev_pt WHERE round(value, 2) = 29.5 LIMIT 1"
+    )
+    got = spark.sql(sql).first()
+    if got is None:  # testdata regeneration could drop the 29.5 row
+        pytest.skip("no value=29.5 row in this testdata generation")
+    exp = con.execute(sql).fetchone()[0]
+    assert got["d"] == 29499971.0  # Spark: HALF_UP
+    assert exp == 29499970.0  # DuckDB computed path: HALF_EVEN

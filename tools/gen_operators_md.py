@@ -15,14 +15,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from aced_etl_pod_spark.registry import registry  # noqa: E402
+from aced_etl_pod_spark.registry import census  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "docs", "OPERATORS.md")
 
 
 def render() -> str:
-    reg = registry()
+    # census order, NOT registry() order: registry() puts the self-rotating
+    # driver_window() first, so a doc committed in its order goes stale the
+    # moment the driver lands a new CORRECTNESS_r*.json (r6 verdict item 2)
+    reg = census()
     lines = [
         "# Operator inventory (auto-generated — `python tools/gen_operators_md.py`)",
         "",
@@ -31,8 +34,10 @@ def render() -> str:
         f"{sum(1 for v in reg.values() if not v.oracle)} rows-only by design "
         "(approximate/iterative — each recall/exactness-tested in tests/).",
         "",
-        "The first 50 rows are the current external-driver correctness window "
-        "(`registry.py::driver_window()`, self-rotating per round).",
+        "Rows are in canonical census order (module, source line). The "
+        "external-driver correctness window is dynamic — query it live with "
+        "`python -c \"from aced_etl_pod_spark.registry import driver_window; "
+        "print(driver_window())\"`.",
         "",
         "| # | operator | correctness | tags | source | summary |",
         "|---|---|---|---|---|---|",
