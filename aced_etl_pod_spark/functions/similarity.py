@@ -356,7 +356,12 @@ def brute_force_topk_fast(
     *parameter*, like a literal) and closed over by the UDF. Results can
     differ from the fold in the last ulp (pairwise vs sequential summation);
     rounded to 6 dp they agree."""
-    qvec = np.asarray(query.select(emb_col).head(1)[0][0], dtype=np.float64)
+    head = query.select(emb_col).head(1)
+    if not head:  # empty query side (empty-partition contract): no matches
+        return df.select(id_col).limit(0).withColumn(
+            "cos_sim", F.lit(None).cast("double")
+        )
+    qvec = np.asarray(head[0][0], dtype=np.float64)
     q_norm = float(np.sqrt(qvec @ qvec))
 
     @F.pandas_udf("double")
@@ -389,7 +394,12 @@ def brute_force_topk_unrolled(
     O(dim)). For high-dim embeddings prefer :func:`brute_force_topk_fast`
     (Arrow + BLAS), whose per-batch overhead amortizes at real data sizes.
     """
-    head = query.select(emb_col).head(1)[0][0]
+    head1 = query.select(emb_col).head(1)
+    if not head1:  # empty query side (empty-partition contract): no matches
+        return df.select(id_col).limit(0).withColumn(
+            "cos_sim", F.lit(None).cast("double")
+        )
+    head = head1[0][0]
     qvec = [float(x) for x in head]
     q_norm = sum(x * x for x in qvec) ** 0.5
     dot_q = " + ".join(

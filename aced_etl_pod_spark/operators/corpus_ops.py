@@ -84,7 +84,9 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("sink_orc_roundtrip")
     shutil.rmtree(out, ignore_errors=True)
     d.write.mode("overwrite").partitionBy("lang").orc(out)
-    back = spark.read.orc(out)
+    # explicit schema: a zero-row partitioned write leaves nothing to
+    # infer from, and at scale it skips the footer-sampling pass
+    back = spark.read.schema(d.schema).orc(out)
     doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     return (
         back.withColumn("__h", doc_hash)
@@ -230,7 +232,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (per-term decimal sandwich at 6dp makes the ± sums add
     identical doubles despite engine-specific addition order)."""
     e = load(spark, sf_dir, "embeddings")
-    d_in = len(e.select("embedding").first()[0])
+    head = e.select("embedding").head(1)
+    if not head:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame([], "vec_id long, k long, y double")
+    d_in = len(head[0][0])
     dims = (
         spark.range(d_in)
         .select(F.col("id").alias("j"))
@@ -1353,7 +1358,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    fact = spark.read.parquet(out)
+    fact = spark.read.schema(o.schema).parquet(out)
     dim = (
         o.select(F.col("o_orderstatus").alias("status"))
         .distinct()
@@ -2448,8 +2453,12 @@ def scan_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same boundary-format argument as sink_csv_roundtrip's multiLine
     note). DuckDB reads the identical file with format='array'."""
     path = _multiline_json_fixture(sf_dir)
+    # explicit schema: an empty array document ("[]") has no records to
+    # infer fields from (the empty-input case), and at scale it skips the
+    # inference pass over the unsplittable file
     return (
         spark.read.option("multiLine", "true")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
         .json(path)
         .select(
             F.col("o_orderkey").cast("long"),
@@ -2529,7 +2538,7 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup is one partial agg. Both engines attribute the SAME
     partitioned fixture and must agree file-for-file."""
     path = _provenance_fixture(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = spark.read.schema(load(spark, sf_dir, "orders").schema).parquet(path)
     return (
         df.withColumn("fname", F.input_file_name())
         .withColumn(

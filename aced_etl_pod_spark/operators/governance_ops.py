@@ -568,13 +568,17 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs = Observation()
     li = load(spark, sf_dir, "lineitem")
+    # NULL-valued metrics (sum/min/max over ZERO rows — the empty-daily-
+    # partition case) crash Observation.get's row conversion, so the
+    # nullable aggregates carry explicit sentinels; on any non-empty
+    # table the coalesce never fires and the oracle is unaffected
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.coalesce(F.sum("l_quantity").cast("long"), F.lit(0)).alias("sum_qty"),
         F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
-        F.min("l_orderkey").alias("min_ok"),
-        F.max("l_orderkey").alias("max_ok"),
+        F.coalesce(F.min("l_orderkey"), F.lit(-1)).alias("min_ok"),
+        F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("max_ok"),
     )
     # the action that populates the observation IS the business query
     (
@@ -583,7 +587,23 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_extendedprice").alias("revenue"))
         .collect()
     )
-    m = obs.get
+    try:
+        m = obs.get
+    except Exception:
+        # Spark 4.1 edge: over a ZERO-row scan the CollectMetrics row fails
+        # JVM→Python conversion (assertion in toPyRow). Fall back to the
+        # run-then-re-aggregate pattern — the one case where the piggyback
+        # pass isn't available, and re-scanning an empty table is free.
+        row = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("l_quantity").cast("long"), F.lit(0)).alias(
+                "sum_qty"
+            ),
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
+            F.coalesce(F.min("l_orderkey"), F.lit(-1)).alias("min_ok"),
+            F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("max_ok"),
+        ).first()
+        m = row.asDict()
     return spark.createDataFrame(
         [(m["n_rows"], m["sum_qty"], m["n_gt25"], m["min_ok"], m["max_ok"])],
         "n_rows long, sum_qty long, n_gt25 long, min_ok long, max_ok long",

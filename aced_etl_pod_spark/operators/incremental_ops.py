@@ -471,6 +471,10 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     seeds = e.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    if not seeds:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, cos_rep double, is_kept boolean"
+        )
     cents = [(i, [float(v) for v in r.emb]) for i, r in enumerate(seeds)]
     for _ in range(2):
         cents = _update(_assign(e, cents))
@@ -998,6 +1002,8 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").alias("s"), F.sum("cnt").alias("tot"))
         .collect()
     )
+    if not rows:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame([], "vec_id long, white string")
     n = rows[0].tot  # every idx row carries the same total count
     g = np.zeros(d * d + d)
     for r in rows:

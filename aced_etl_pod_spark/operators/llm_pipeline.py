@@ -497,7 +497,9 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     sharded = d.withColumn("shard_id", hash_bucket("doc_id", N_SHARDS))
     sharded.write.mode("overwrite").partitionBy("shard_id").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: a zero-row partitioned write leaves no files to
+    # infer from (empty-corpus case), and it skips the inference pass
+    back = spark.read.schema(sharded.schema).parquet(out)
     doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     return back.withColumn("__h", doc_hash).groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),

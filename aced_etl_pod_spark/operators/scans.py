@@ -141,8 +141,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + read-back (flat-index load, R9; partition column
     is the project_id-analog tenancy key, fhir_import_export.py:55-59)."""
     out = _fresh("sink_parquet_partitioned")
-    write_partitioned(load(spark, sf_dir, "orders"), out, "o_orderstatus")
-    back = spark.read.parquet(out)
+    o = load(spark, sf_dir, "orders")
+    write_partitioned(o, out, "o_orderstatus")
+    # explicit schema: a zero-row partitioned write leaves no files to
+    # infer from (the empty-daily-partition case), and at scale it skips
+    # the footer-sampling inference pass entirely
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
@@ -182,9 +186,12 @@ def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (O(metadata)), read back (project teardown, R17,
     fhir_import_export.py:372-385)."""
     out = _fresh("delete_partition")
-    write_partitioned(load(spark, sf_dir, "orders"), out, "o_orderstatus")
+    o = load(spark, sf_dir, "orders")
+    write_partitioned(o, out, "o_orderstatus")
     drop_partition(out, "o_orderstatus", "F")
-    back = spark.read.parquet(out)
+    # explicit schema — survives the all-partitions-dropped / empty-input
+    # case where inference has no files left
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
 
 

@@ -606,6 +606,8 @@ def _pq_books_and_query(spark: SparkSession, sf_dir: str):
     sample_rows = (
         emb.orderBy("vec_id").limit(512).select("embedding").collect()
     )
+    if not sample_rows:  # empty corpus: no codebooks to train, no query
+        return emb, None, None
     sample = np.stack([np.asarray(r["embedding"]) for r in sample_rows])
     books = train_codebooks(sample.astype(np.float64), m=8, k=16, iters=10)
     q = np.asarray(
@@ -683,6 +685,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.pq import pq_quantize
 
     emb, books, _ = _pq_books_and_query(spark, sf_dir)
+    if books is None:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame(
+            [], "vec_id long, pq_code string, recon_err double"
+        )
     out = pq_quantize(emb, books)
     return out.select(
         "vec_id", "pq_code", F.round("recon_err", 4).alias("recon_err")
@@ -759,6 +765,8 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.pq import adc_topk
 
     emb, books, q = _pq_books_and_query(spark, sf_dir)
+    if books is None:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
     return adc_topk(emb.filter(F.col("vec_id") != 0), books, q, k=10)
 
 
@@ -896,6 +904,8 @@ def sim_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.pq import ivfpq_topk, train_codebooks
 
     emb, _, q = _pq_books_and_query(spark, sf_dir)
+    if q is None:  # empty corpus (empty-partition contract)
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
     sample_rows = emb.orderBy("vec_id").limit(512).select("embedding").collect()
     S = np.stack([np.asarray(r["embedding"]) for r in sample_rows]).astype(np.float64)
     coarse = train_codebooks(S, m=1, k=16, iters=10)[0]

@@ -318,8 +318,11 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").partitionBy("event_type").parquet(sink)
 
-    run_foreach_batch(read_stream(spark, src), write_batch)
-    back = spark.read.parquet(sink)
+    stream = read_stream(spark, src)
+    run_foreach_batch(stream, write_batch)
+    # explicit schema: with zero events every micro-batch is empty and the
+    # sink directory has no files to infer from (empty-partition case)
+    back = spark.read.schema(stream.schema).parquet(sink)
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
 
 

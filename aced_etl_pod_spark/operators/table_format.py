@@ -139,9 +139,8 @@ def lineitem_pruned_file_counts(spark: SparkSession, sf_dir: str) -> tuple[int, 
 def _lineitem_key_cap(spark: SparkSession, sf_dir: str) -> int:
     """floor(max(l_orderkey)/8) — the sf-relative range bound shared with
     the oracle's ``MAX(l_orderkey) // 8`` subquery (one-value collect)."""
-    return (
-        load(spark, sf_dir, "lineitem").agg(F.max("l_orderkey")).head()[0] // 8
-    )
+    mx = load(spark, sf_dir, "lineitem").agg(F.max("l_orderkey")).head()[0]
+    return 0 if mx is None else mx // 8  # empty table: degenerate cap
 
 
 @op(
@@ -547,6 +546,8 @@ def build_zorder_table(spark: SparkSession, sf_dir: str) -> str:
     lo_c, hi_c, lo_d, hi_d = o.agg(
         F.min("o_custkey"), F.max("o_custkey"), F.min("o_day"), F.max("o_day")
     ).first()
+    if lo_c is None:  # empty table: degenerate bounds (no rows to scale)
+        lo_c = hi_c = lo_d = hi_d = 0
     span = (1 << ZORDER_BITS) - 1
 
     def scale(col, lo, hi):
@@ -621,6 +622,10 @@ def txnlog_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     test SFs."""
     table = build_zorder_table(spark, sf_dir)
     files = _zorder_prune(snapshot_files(table))
+    if not files:  # empty table / everything pruned: nothing to scan
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n bigint, total double"
+        )
     df = spark.read.parquet(*[os.path.join(table, f["path"]) for f in files])
     return (
         df.filter(

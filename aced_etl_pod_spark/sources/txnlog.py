@@ -690,6 +690,13 @@ def txn_overwrite_partition(
         final = f"v{attempt}-{uid}-{seq:05d}.parquet"
         os.replace(os.path.join(staging, fname), os.path.join(table, final))
         rows, stats = _file_stats(os.path.join(table, final), all_stats)
+        if rows == 0:
+            # a zero-row staged file (empty replacement = partition
+            # truncation) carries no data and no stats — adding it would
+            # fail alignment; dropping it is exactly the overwrite-with-
+            # empty semantics (the removes below still retire the old files)
+            os.remove(os.path.join(table, final))
+            continue
         ps = stats.get(part_col)
         if ps is None or ps["min"] != part_value or ps["max"] != part_value:
             raise ValueError(
@@ -702,6 +709,10 @@ def txn_overwrite_partition(
         version = current_version(table) + 1
         removes = []
         for f in snapshot_files(table, version - 1):
+            if f.get("rows") == 0:
+                # a zero-row live file belongs to no partition and holds no
+                # data — it neither blocks nor joins the swap
+                continue
             ps = (f.get("stats") or {}).get(part_col)
             if ps is None:
                 raise ValueError(

@@ -1126,3 +1126,69 @@ def test_double_to_decimal_half_divergence_pinned(events_env):
     exp = con.execute(sql).fetchone()[0]
     assert got["d"] == 29499971.0  # Spark: HALF_UP
     assert exp == 29499970.0  # DuckDB computed path: HALF_EVEN
+
+
+# ---- interval-arithmetic + NULL-propagation fuzz (round-7 widening) ----
+
+_IV_UNITS = ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE"]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.sampled_from([1, 3, 11, 13, 25, 37]),
+    unit=st.sampled_from(_IV_UNITS),
+    sign=st.sampled_from(["+", "-"]),
+)
+def test_random_interval_arith_matches_duckdb(events_env, n, unit, sign):
+    """ts ± INTERVAL n unit over real data, one SQL text both engines —
+    month/year arithmetic end-of-month clamping (Jan 31 + 1 MONTH =
+    Feb 29) is the classic cross-engine divergence spot; the probe grid
+    confirmed the corners agree, this pins the whole surface."""
+    spark, con = events_env
+    expr = f"CAST(ts {sign} INTERVAL {n} {unit} AS STRING)"
+    sql = (
+        f"SELECT CAST(count(DISTINCT {expr}) AS BIGINT) AS nd, "
+        f"min({expr}) AS lo, max({expr}) AS hi, "
+        f"CAST(sum(CAST(length({expr}) AS BIGINT)) AS BIGINT) AS lt FROM ev_pt"
+    )
+    got = spark.sql(sql).first()
+    exp = con.execute(sql).fetchone()
+    assert (got["nd"], got["lo"], got["hi"], got["lt"]) == exp, sql
+
+
+@st.composite
+def null_tree(draw, depth=2):
+    """Random least/greatest/coalesce/nullif tree over NULL-injected
+    numeric leaves (CASE ... THEN NULL) — three-valued-logic propagation
+    through scalar functions."""
+    if depth == 0:
+        col = draw(st.sampled_from(["o_totalprice", "o_custkey", "o_orderkey"]))
+        mod = draw(st.sampled_from([2, 3, 5]))
+        return (
+            f"CASE WHEN o_orderkey % {mod} = 0 THEN NULL "
+            f"ELSE CAST({col} AS DOUBLE) END"
+        )
+    a = draw(null_tree(depth=depth - 1))
+    b = draw(null_tree(depth=depth - 1))
+    fn = draw(st.sampled_from(["least", "greatest", "coalesce", "nullif"]))
+    return f"{fn}({a}, {b})"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(expr=null_tree())
+def test_random_null_scalar_tree_matches_duckdb(orders_env, expr):
+    """least/greatest skip NULLs (Postgres convention, both engines),
+    coalesce takes the first non-NULL, nullif produces them — random
+    compositions must propagate NULLs identically. Digest: non-NULL
+    count, rounded sum, rounded min/max."""
+    df, con = orders_env
+    df.createOrReplaceTempView("orders_pt")
+    sql = (
+        f"SELECT CAST(count({expr}) AS BIGINT) AS n, "
+        f"round(CAST(sum({expr}) AS DOUBLE), 2) AS sm, "
+        f"round(CAST(min({expr}) AS DOUBLE), 4) AS lo, "
+        f"round(CAST(max({expr}) AS DOUBLE), 4) AS hi FROM orders_pt"
+    )
+    got = df.sparkSession.sql(sql).first()
+    exp = con.execute(sql.replace("orders_pt", "orders")).fetchone()
+    assert (got["n"], got["sm"], got["lo"], got["hi"]) == exp, sql
