@@ -1192,3 +1192,88 @@ def test_random_null_scalar_tree_matches_duckdb(orders_env, expr):
     got = df.sparkSession.sql(sql).first()
     exp = con.execute(sql.replace("orders_pt", "orders")).fetchone()
     assert (got["n"], got["sm"], got["lo"], got["hi"]) == exp, sql
+
+
+def test_concat_null_and_substr_zero_divergence_pinned(events_env):
+    """Fourth+fifth divergences, found by probing the string surface the
+    fuzzers lean on: (1) concat() SKIPS NULL arguments in DuckDB (CONCAT
+    SQL-standard variadic semantics) but PROPAGATES NULL in Spark — the
+    || operator agrees on NULL-in-NULL-out in both; porting rule: build
+    keys with || (or coalesce each argument) when NULLs are possible.
+    (2) substr(s, 0, n) returns n-1 chars in DuckDB (Postgres semantics:
+    the zero/negative prefix consumes length) but n chars in Spark
+    (start clamps to 1); porting rule: 1-based starts only, which every
+    census oracle already follows."""
+    spark, con = events_env
+    sql = "SELECT concat('a', NULL) AS c, substr('hello', 0, 3) AS s"
+    g = spark.sql(sql).first()
+    e = con.execute(sql).fetchone()
+    assert (g["c"], g["s"]) == (None, "hel")  # Spark
+    assert e == ("a", "he")  # DuckDB
+    agree = "SELECT 'a' || NULL AS c, substr('hello', 1, 3) AS s"
+    assert tuple(spark.sql(agree).first()) == con.execute(agree).fetchone()
+
+
+# ---- regexp fuzz: the shared Java-regex/RE2 dialect the oracles use ----
+
+_RX_ATOMS = [
+    "[a-z]+", "[0-9]+", "[aeiou]", "[^ ]+", "w[a-z]*", "[a-z]{2,4}",
+    "(the|and|of)", "[a-z]+[0-9]?", "q?u?[a-z]",
+]
+
+
+@st.composite
+def rx_pattern(draw):
+    a = draw(st.sampled_from(_RX_ATOMS))
+    b = draw(st.sampled_from(_RX_ATOMS))
+    form = draw(st.sampled_from(["{a}", "({a}) ({b})", "{a}|{b}", "^{a}", "({a}){b}"]))
+    return form.format(a=a, b=b)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pat=rx_pattern(), grp=st.integers(min_value=0, max_value=1))
+def test_random_regexp_matches_duckdb(docs_env, pat, grp):
+    """regexp_extract / regexp_replace / regexp-boolean over the shared
+    safe dialect (char classes, quantifiers, alternation, anchors,
+    groups — what the oracle corpus actually uses; no lookaround, no
+    backrefs). replace carries the 'g' flag on the DuckDB side because
+    its default is FIRST-match-only vs Spark's global (pinned below)."""
+    df, con = docs_env
+    df.createOrReplaceTempView("docs_rx")
+    grp = 0 if "(" not in pat else grp
+    ex = f"regexp_extract(text, '{pat}', {grp})"
+    sql = (
+        f"SELECT CAST(count(DISTINCT {ex}) AS BIGINT) AS nd, "
+        f"CAST(sum(CAST(length({ex}) AS BIGINT)) AS BIGINT) AS lt, "
+        f"min({ex}) AS lo, max({ex}) AS hi, "
+        f"CAST(count(CASE WHEN {ex} != '' THEN 1 END) AS BIGINT) AS nm "
+        f"FROM docs_rx"
+    )
+    got = spark_row = df.sparkSession.sql(sql).first()
+    exp = con.execute(sql.replace("docs_rx", "documents")).fetchone()
+    assert (got["nd"], got["lt"], got["lo"], got["hi"], got["nm"]) == exp, sql
+    rep_s = f"regexp_replace(text, '{pat}', '#')"
+    rep_d = f"regexp_replace(text, '{pat}', '#', 'g')"
+    dig = "SELECT CAST(sum(CAST(length({r}) AS BIGINT)) AS BIGINT) FROM {t}"
+    assert (
+        df.sparkSession.sql(dig.format(r=rep_s, t="docs_rx")).first()[0]
+        == con.execute(dig.format(r=rep_d, t="documents")).fetchone()[0]
+    ), pat
+
+
+def test_regexp_scope_and_lookahead_divergence_pinned(events_env):
+    """Sixth+seventh divergences: (1) regexp_replace replaces ONLY THE
+    FIRST match in DuckDB (Postgres default; pass 'g' for global) but ALL
+    matches in Spark — every census oracle already carries the 'g' flag,
+    this pins why. (2) lookahead assertions: RE2 (DuckDB) does not
+    support them and treats the pattern as UNMATCHABLE — silently, no
+    error — while Spark's Java regex honors them; the silent empty
+    result is the dangerous half, so the porting rule is: no lookaround
+    in any shared-dialect regex, rewrite as a group match."""
+    spark, con = events_env
+    sql = "SELECT regexp_replace('aaa', 'a', 'b') AS r"
+    assert spark.sql(sql).first()["r"] == "bbb"  # Spark: global
+    assert con.execute(sql).fetchone()[0] == "baa"  # DuckDB: first only
+    sql = "SELECT regexp_extract('ab', 'a(?=b)', 0) AS r"
+    assert spark.sql(sql).first()["r"] == "a"  # Java: lookahead honored
+    assert con.execute(sql).fetchone()[0] == ""  # RE2: silently unmatchable
