@@ -347,3 +347,31 @@ def test_ivfpq_recall_and_probe_fraction(spark):
     probed = set(np.argsort(cd2, kind="stable")[:4].tolist())
     frac = np.isin(cells, list(probed)).mean()
     assert frac < 0.8
+
+
+def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
+    """The persisted-index serving path (bench's q8_ivf line): build on
+    the corpus, probe the vec_id=0 query, and require (a) partition-
+    pruned cells on disk, (b) probe recall@10 == 1.0 vs the exact scan
+    at this n_probe on the small corpus, (c) schema/order contract."""
+    import os
+
+    from aced_etl_pod_spark.functions.similarity import (
+        brute_force_topk_unrolled,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    ncent = ivf_index_build(emb, path)
+    assert ncent >= 4
+    cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("cid=")]
+    assert len(cells) > 1, "inverted lists must be partitioned by cid"
+    q = emb.filter("vec_id = 0")
+    got = ivf_index_probe(spark, path, q, k=10, n_probe=max(4, ncent // 2))
+    rows = got.collect()
+    assert [c for c in got.columns] == ["vec_id", "cos_sim"]
+    exact = [r["vec_id"] for r in brute_force_topk_unrolled(emb, q, k=10).collect()]
+    assert set(r["vec_id"] for r in rows) == set(exact)
