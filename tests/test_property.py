@@ -1277,3 +1277,37 @@ def test_regexp_scope_and_lookahead_divergence_pinned(events_env):
     sql = "SELECT regexp_extract('ab', 'a(?=b)', 0) AS r"
     assert spark.sql(sql).first()["r"] == "a"  # Java: lookahead honored
     assert con.execute(sql).fetchone()[0] == ""  # RE2: silently unmatchable
+
+
+def test_null_sort_default_divergence_pinned(events_env):
+    """Eighth divergence: default NULL placement under ORDER BY x ASC is
+    NULLS FIRST in Spark but NULLS LAST in DuckDB (Postgres puts them
+    last too); DESC happens to agree (both last... for different
+    reasons: Spark NULLS LAST on DESC, DuckDB always-last). Porting
+    rule: any cross-engine ORDER BY over a nullable key must spell
+    NULLS FIRST/LAST explicitly — the census oracles are immune because
+    the driver's compare is order-insensitive, but LIMIT-after-ORDER
+    queries (top-k!) silently change results. Also pins an AGREEMENT
+    worth recording: both engines group/equate NaN=NaN, sort NaN above
+    +inf, and normalize -0.0 into 0.0 for grouping — the same
+    deviation from raw IEEE on both sides, so float keys are safe."""
+    spark, con = events_env
+    sql = "SELECT x FROM (VALUES (1), (NULL), (2)) t(x) ORDER BY x LIMIT 1"
+    s_sql = "SELECT x FROM VALUES (1), (NULL), (2) t(x) ORDER BY x LIMIT 1"
+    assert spark.sql(s_sql).first()[0] is None  # Spark ASC: NULLS FIRST
+    assert con.execute(sql).fetchone()[0] == 1  # DuckDB ASC: NULLS LAST
+    fix = " ORDER BY x NULLS LAST LIMIT 1"
+    assert (
+        spark.sql(s_sql.replace(" ORDER BY x LIMIT 1", fix)).first()[0]
+        == con.execute(sql.replace(" ORDER BY x LIMIT 1", fix)).fetchone()[0]
+        == 1
+    )
+    nan = (
+        "SELECT CAST(count(*) AS BIGINT) FROM (SELECT x, count(*) AS n FROM "
+        "(VALUES (0.0), (-0.0), (CAST('NaN' AS DOUBLE))) t(x) GROUP BY x) g"
+    )
+    s_nan = nan.replace("(VALUES", "(VALUES").replace(
+        "FROM (VALUES (0.0), (-0.0), (CAST('NaN' AS DOUBLE))) t(x)",
+        "FROM VALUES (0.0D), (-0.0D), (CAST('NaN' AS DOUBLE)) t(x)",
+    )
+    assert spark.sql(s_nan).first()[0] == con.execute(nan).fetchone()[0] == 2
