@@ -1,14 +1,18 @@
-"""Full-census empty-input robustness sweep (CLI).
+"""Full-census degenerate-input robustness sweep (CLI).
 
-    python tools/empty_sweep.py [op_id ...]
+    python tools/empty_sweep.py [--rows N] [op_id ...]
 
-Materializes an sf dir whose every table has the RIGHT SCHEMA and ZERO
-rows (DuckDB `WHERE 1=0` copies of sf0.001), then runs every registered
-operator against it. Contract (the round-5/6 curated sweeps, now census-
-wide per the r6 verdict): an operator must RETURN a DataFrame — usually
-empty — rather than raise. This is the empty-daily-partition / fresh-
-tenant case every scheduled 100 TB pipeline hits routinely; an operator
-that crashes on it takes the whole DAG down at 3am.
+Materializes an sf dir whose every table has the RIGHT SCHEMA and N rows
+(default 0; DuckDB `LIMIT N` copies of sf0.001), then runs every
+registered operator against it. Contract (the round-5/6 curated sweeps,
+census-wide since r7): an operator must RETURN a DataFrame — usually
+empty or tiny — rather than raise.
+
+--rows 0 is the empty-daily-partition / fresh-tenant case every
+scheduled 100 TB pipeline hits routinely; --rows 1 is the degenerate-
+statistics case (stddev of one observation is NULL, windows of width 1,
+single-sample percentiles, self-joins of one row) — a different crash
+class with the same 3am blast radius.
 
 Streaming ops run through the same path as the driver gate (their batch
 materialization), so the sweep covers them too. Exit 0 iff every checked
@@ -31,16 +35,17 @@ from aced_etl_pod_spark.session import get_spark  # noqa: E402
 SRC_SF = "/root/testdata/sf0.001"
 
 
-def make_empty_sf() -> str:
+def make_empty_sf(rows: int = 0) -> str:
     import duckdb
 
     from aced_etl_pod_spark.tables import TABLES
 
-    out = tempfile.mkdtemp(prefix="empty_sf_")
+    out = tempfile.mkdtemp(prefix=f"degen{rows}_sf_")
     con = duckdb.connect()
     for t in TABLES:
+        # deterministic slice; rowid-free tables order by their first col
         con.execute(
-            f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet' WHERE 1=0) "
+            f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet' LIMIT {rows}) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
     return out
@@ -48,13 +53,14 @@ def make_empty_sf() -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=0)
     ap.add_argument("ops", nargs="*")
     args = ap.parse_args()
 
     reg = registry()
     ids = args.ops or sorted(reg)
     spark = get_spark("empty-sweep")
-    sf = make_empty_sf()
+    sf = make_empty_sf(args.rows)
 
     n_ok = n_fail = 0
     failures: list[tuple[str, str]] = []
