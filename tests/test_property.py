@@ -1311,3 +1311,27 @@ def test_null_sort_default_divergence_pinned(events_env):
         "FROM VALUES (0.0D), (-0.0D), (CAST('NaN' AS DOUBLE)) t(x)",
     )
     assert spark.sql(s_nan).first()[0] == con.execute(nan).fetchone()[0] == 2
+
+
+def test_unicode_case_and_reverse_divergence_pinned(events_env):
+    """Ninth divergence class (unicode, found probing the text surface
+    the r6 unicode-hash fuzzer didn't cover): (1) reverse() is
+    grapheme-cluster-aware in DuckDB (a combining accent stays attached
+    to its base) but codepoint-level in Spark (the accent migrates to
+    the neighboring char); (2) case mapping is FULL in Spark (ß→SS,
+    İ→i+combining-dot — length can change) but SIMPLE 1:1 in DuckDB
+    (ß→ẞ, İ→i). ASCII text and astral codepoints WITHOUT combining
+    marks agree everywhere (length/substr/upper count codepoints
+    identically — also pinned here). Porting rule: the shared dialect
+    for oracle text ops is ASCII-safe transforms; reverse/case over
+    accented scripts is engine-specific."""
+    spark, con = events_env
+    agree = "SELECT length('a\U0001F600bc'), substr('a\U0001F600bc', 2, 2), upper('stra-be')"
+    assert tuple(spark.sql(agree).first()) == con.execute(agree).fetchone()
+    assert spark.sql("SELECT upper('ß')").first()[0] == "SS"
+    assert con.execute("SELECT upper('ß')").fetchone()[0] == "ẞ"
+    assert spark.sql("SELECT lower('İ')").first()[0] == "i̇"
+    assert con.execute("SELECT lower('İ')").fetchone()[0] == "i"
+    rev = "SELECT reverse('ab́c')"
+    assert spark.sql(rev).first()[0] == "ćba"  # accent migrates
+    assert con.execute(rev).fetchone()[0] == "cb́a"  # accent stays
