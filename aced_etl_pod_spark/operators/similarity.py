@@ -140,6 +140,37 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "sim_cosine_topk_arrow",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "extra"),
+)
+def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as sim_cosine_topk via the mapInArrow kernel
+    (functions/similarity.py::brute_force_topk_arrow): zero-object-
+    assembly flatten of the list column, one float64 gemm per Arrow
+    batch, per-batch argpartition top-k so only k rows per batch reach
+    the JVM TakeOrdered. The measured-best exact PYTHON kernel
+    (0.31 µs/row asymptote vs pandas-UDF 0.38; both are Arrow-transfer-
+    bound against DuckDB's 0.105 fused native — the indexed
+    ivf_index_probe path is the scale answer, this is the strongest
+    honest exact baseline). float64 compute ⇒ agrees with the fold
+    kernels at 6 dp, hash-matches the same oracle."""
+    from aced_etl_pod_spark.functions.similarity import brute_force_topk_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    topk = brute_force_topk_arrow(emb, q, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@op(
     "sim_knn_all_pairs_topk",
     oracle=f"""
     WITH pairs AS (

@@ -234,6 +234,8 @@ _ROTATION_PLAN = {
         "stream_state_store_reader", "fn_xml_roundtrip",
         "fn_aes_deterministic", "dq_join_cardinality_audit",
         "dq_table_content_digest",
+        # round-7 addition: the mapInArrow exact-cosine kernel (50th slot)
+        "sim_cosine_topk_arrow",
     ),
 }
 
