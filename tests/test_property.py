@@ -1335,3 +1335,38 @@ def test_unicode_case_and_reverse_divergence_pinned(events_env):
     rev = "SELECT reverse('ab́c')"
     assert spark.sql(rev).first()[0] == "ćba"  # accent migrates
     assert con.execute(rev).fetchone()[0] == "cb́a"  # accent stays
+
+
+def test_math_error_domain_divergence_pinned(events_env):
+    """Tenth divergence class — out-of-domain arithmetic: DuckDB returns
+    NULL for division by zero (even double/0 — no inf) but raises Out
+    of Range for ln(0)/log10(-1)/sqrt(-1); Spark's division behavior is
+    ANSI-MODE-DEPENDENT (raises DIVIDE_BY_ZERO under the 4.x vanilla
+    default; NULL under ansi=false) while log/sqrt return NULL/NaN in
+    both modes. This engine pins ansi=false (session.py:33), so under
+    ITS sessions ÷0 = NULL on both engines and only the log/sqrt side
+    diverges. Porting rules: `try_divide`/NULLIF(denom, 0) for
+    vanilla-session portability, explicit domain guards (CASE WHEN
+    x > 0) around log/sqrt on the DuckDB side — the census oracles do
+    both. Agreements: power(0,0)=1, round to negative digits,
+    split-of-empty-string, decimal mod."""
+    import math
+
+    import pytest as _pt
+
+    spark, con = events_env
+    assert con.execute("SELECT 1.0/0.0").fetchone()[0] is None
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    assert spark.sql("SELECT 1.0/0.0").first()[0] is None  # ansi=false
+    assert spark.sql("SELECT try_divide(1.0, 0.0)").first()[0] is None
+    assert spark.sql("SELECT ln(0.0)").first()[0] is None
+    with _pt.raises(Exception, match="Out of Range"):
+        con.execute("SELECT ln(0.0)")
+    assert math.isnan(spark.sql("SELECT sqrt(-1.0)").first()[0])
+    with _pt.raises(Exception, match="Out of Range"):
+        con.execute("SELECT sqrt(-1.0)")
+    agree = (
+        "SELECT power(0.0, 0.0) AS p, round(1234.5678, -2) AS r, "
+        "mod(7.5, 2.0) AS m"
+    )
+    assert tuple(spark.sql(agree).first()) == con.execute(agree).fetchone()
