@@ -1370,3 +1370,325 @@ def test_math_error_domain_divergence_pinned(events_env):
         "mod(7.5, 2.0) AS m"
     )
     assert tuple(spark.sql(agree).first()) == con.execute(agree).fetchone()
+
+
+# ---- shared array-surface fuzz (round 7, third wave) --------------------
+#
+# The probe sweep mapped the cross-engine array surface: construction by
+# literal is DISJOINT (Spark `array(...)` vs DuckDB `[...]`), and most
+# function NAMES are disjoint too (size/len, transform/list_transform,
+# element_at/list_element, slice/list_slice, array_join/array_to_string).
+# The genuinely SHARED one-SQL-text subset is: split(), array_contains,
+# array_position (1-based, 0 when absent), array_sort, the `filter`
+# lambda, list equality/comparison/DISTINCT, and unnest-style expansion.
+# This fuzzer hammers that shared subset with random compositions; the
+# traps found live in the pinned tests below it.
+
+_ARR_BASE = "split(lower(text), ' ')"
+_ARR_WRAPS = {
+    "none": "{a}",
+    "sort": "array_sort({a})",
+    "distinct_sorted": "array_sort(array_distinct({a}))",
+    "filter_len": "filter({a}, x -> length(x) > {k})",
+    "filter_ge": "filter({a}, x -> x >= '{c}')",
+    "filter_pfx": "filter({a}, x -> substr(x, 1, 1) = '{c}')",
+}
+_ARR_WORDS = ["the", "a", "of", "data", "zebra", ""]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    wraps=st.lists(
+        st.sampled_from(sorted(_ARR_WRAPS)), min_size=0, max_size=2
+    ),
+    k=st.integers(min_value=0, max_value=7),
+    c=st.sampled_from("abcdmstz"),
+    word=st.sampled_from(_ARR_WORDS),
+    digest=st.sampled_from(["pos", "has", "eqsorted"]),
+)
+def test_random_shared_array_expr_matches_duckdb(docs_env, wraps, k, c, word, digest):
+    """Random compositions over the SHARED array subset — split,
+    array_sort, array_distinct (always re-sorted: DuckDB's distinct
+    order is a hash-set order, pinned below), `filter` lambdas over
+    string predicates — digested per row as array_position /
+    array_contains / sorted-self-equality, then summed, plus a
+    count(DISTINCT <array>) group-key check. One SQL text both engines."""
+    df, con = docs_env
+    df.createOrReplaceTempView("docs_pt")
+    arr = _ARR_BASE
+    for w in wraps:
+        arr = _ARR_WRAPS[w].format(a=arr, k=k, c=c)
+    if digest == "pos":
+        dig = f"array_position({arr}, '{word}')"
+    elif digest == "has":
+        dig = f"CAST(array_contains({arr}, '{word}') AS INT)"
+    else:
+        dig = f"CAST({arr} = array_sort({arr}) AS INT)"
+    sql = (
+        f"SELECT CAST(sum({dig}) AS BIGINT) AS s, "
+        f"CAST(count(DISTINCT {arr}) AS BIGINT) AS nd FROM docs_pt"
+    )
+    got = df.sparkSession.sql(sql).first()
+    exp = con.execute(sql.replace("docs_pt", "documents")).fetchone()
+    assert (got["s"], got["nd"]) == exp, sql
+
+
+def test_array_index_base_divergence_pinned(docs_env):
+    """Eleventh divergence class — the array-indexing trap family. The
+    dangerous half is that the SAME text succeeds on both engines with
+    DIFFERENT values: bracket indexing is 0-based in Spark and 1-based
+    in DuckDB (arr[1] = second vs first element; arr[0] = first vs
+    NULL), concat(list, list) concatenates the LISTS in Spark but
+    string-casts and concatenates the RENDERINGS in DuckDB, and
+    array_distinct preserves first-occurrence order in Spark but
+    returns DuckDB's hash-set order. Positional expansion differs by
+    the same base: posexplode positions start at 0, DuckDB's
+    generate_subscripts at 1. Porting rules: never bracket-index in
+    shared SQL (array_position is 1-based in BOTH — use it, or add 1
+    on the Spark side); re-sort after any distinct/set op; list concat
+    via per-engine names (concat vs list_concat)."""
+    df, con = docs_env
+    idx = "SELECT split('a,b,c', ',')[1] AS v"
+    assert df.sparkSession.sql(idx).first()[0] == "b"  # 0-based
+    assert con.execute(idx).fetchone()[0] == "a"  # 1-based
+    zero = "SELECT split('a,b,c', ',')[0] AS v"
+    assert df.sparkSession.sql(zero).first()[0] == "a"
+    assert con.execute(zero).fetchone()[0] is None  # below range
+    cc = "SELECT concat(split('a,b', ','), split('c', ',')) AS v"
+    assert list(df.sparkSession.sql(cc).first()[0]) == ["a", "b", "c"]
+    assert con.execute(cc).fetchone()[0] == "[a, b][c]"  # stringified!
+    # distinct order: set-equal, sequence-divergent
+    dd = "SELECT array_distinct(split('c,b,a,b', ',')) AS v"
+    s_raw = list(df.sparkSession.sql(dd).first()[0])
+    d_raw = list(con.execute(dd).fetchone()[0])
+    assert s_raw == ["c", "b", "a"]  # first-occurrence order
+    assert sorted(s_raw) == sorted(d_raw)
+    agree = "SELECT array_sort(array_distinct(split('c,b,a,b', ','))) AS v"
+    assert list(df.sparkSession.sql(agree).first()[0]) == list(
+        con.execute(agree).fetchone()[0]
+    )
+    # 1-based array_position agrees — the portable index idiom
+    ap = "SELECT array_position(split('a,b,c', ','), 'b') AS v"
+    assert df.sparkSession.sql(ap).first()[0] == con.execute(ap).fetchone()[0] == 2
+    # positional expansion bases
+    s_pos = [
+        tuple(r)
+        for r in df.sparkSession.sql(
+            "SELECT posexplode(split('x,y', ','))"
+        ).collect()
+    ]
+    d_pos = con.execute(
+        "SELECT generate_subscripts(split('x,y', ','), 1) - 1, unnest(split('x,y', ','))"
+    ).fetchall()
+    assert s_pos == [(0, "x"), (1, "y")] == [tuple(r) for r in d_pos]
+
+
+def test_array_agg_empty_divergence_pinned(events_env):
+    """Twelfth divergence class — list aggregation over ZERO rows:
+    Spark's array_agg/collect_list returns an EMPTY ARRAY, DuckDB (SQL
+    standard) returns NULL. Also a construction gap in both directions:
+    DuckDB's in-aggregate ORDER BY (array_agg(x ORDER BY x)) does not
+    parse in Spark, and Spark's collect_list name doesn't exist in
+    DuckDB — the portable ordered-list idiom is array_sort over the
+    unordered aggregate (which the oracle corpus uses throughout)."""
+    spark, con = events_env
+    sql = "SELECT array_agg(x) AS v FROM (VALUES (1), (2)) t(x) WHERE x < 0"
+    assert list(spark.sql(sql).first()[0]) == []
+    assert con.execute(sql).fetchone()[0] is None
+    with pytest.raises(Exception):
+        spark.sql("SELECT array_agg(x ORDER BY x) FROM (VALUES (1)) t(x)").collect()
+    with pytest.raises(Exception):
+        con.execute("SELECT collect_list(x) FROM (VALUES (1)) t(x)")
+    agree = (
+        "SELECT array_sort(array_agg(x)) AS v "
+        "FROM (VALUES (3), (1), (2)) t(x) HAVING count(*) > 0"
+    )
+    assert list(spark.sql(agree).first()[0]) == list(
+        con.execute(agree).fetchone()[0]
+    ) == [1, 2, 3]
+
+
+# ---- decimal precision/scale propagation fuzz (round 7) -----------------
+
+_DEC_LITS = ["0.005", "1.25", "-2.5", "37.125", "0.001", "100"]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    s=st.integers(min_value=2, max_value=6),
+    lit=st.sampled_from(_DEC_LITS),
+    op=st.sampled_from(["+", "-", "*", "%"]),
+)
+def test_random_decimal_arith_matches_duckdb(events_env, s, lit, op):
+    """Decimal +,-,*,% over exactly-representable operands (value has 2
+    decimals, so scale >= 2 is an exact cast; literals carry <= 3
+    decimals) must produce the SAME VALUE AND SCALE on both engines —
+    compared via the rendered string of the decimal-space sum (exact,
+    order-independent) and min/max/distinct of the per-row rendering.
+    Division is EXCLUDED by design: its result TYPE diverges (pinned
+    below). Operand precision is kept <= 18 so DuckDB's physical-width
+    selection can't overflow (also pinned below)."""
+    spark, con = events_env
+    s3 = max(s, 3)
+    expr = f"(CAST(value AS DECIMAL(18, {s})) {op} CAST({lit} AS DECIMAL(12, {s3})))"
+    sql = (
+        f"SELECT CAST(sum({expr}) AS STRING) AS tot, "
+        f"min(CAST({expr} AS STRING)) AS lo, "
+        f"max(CAST({expr} AS STRING)) AS hi, "
+        f"CAST(count(DISTINCT {expr}) AS BIGINT) AS nd FROM ev_pt"
+    )
+    got = spark.sql(sql).first()
+    exp = con.execute(sql).fetchone()
+    assert (got["tot"], got["lo"], got["hi"], got["nd"]) == exp, sql
+
+
+def test_decimal_family_divergence_pinned(events_env):
+    """Thirteenth divergence class — the decimal TYPE-PROPAGATION family
+    (the probe found + - * % values AND scales agree; everything else
+    diverges):
+      * decimal / decimal: Spark stays DECIMAL under its scale rule
+        (max(6, s1+p2+1), capped), DuckDB converts to DOUBLE — same
+        math, different type, different rendering and downstream
+        rounding.
+      * avg(DECIMAL): Spark DECIMAL(p+4, s+4), DuckDB DOUBLE.
+      * decimal->decimal RESCALE: Spark rounds HALF_UP, DuckDB
+        TRUNCATES toward zero (CAST(123.456 AS DECIMAL(6,2)) = 123.46
+        vs 123.45!) — silent value divergence, both succeed.
+      * multiplication overflow: Spark auto-widens precision (cap 38),
+        DuckDB raises Out of Range when the result precision exceeds
+        its chosen physical width.
+    Porting rules (the corpus's decimal-sandwich discipline, extended):
+    divide in DOUBLE or via explicit final-scale casts on both sides;
+    rescale only at scales where the value is exact; keep operand
+    precision <= 18 on the DuckDB side or pre-cast to the final
+    precision."""
+    spark, con = events_env
+    tq = "SELECT typeof(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2))) AS t"
+    assert spark.sql(tq).first()[0].startswith("decimal")
+    assert con.execute(tq).fetchone()[0] == "DOUBLE"
+    ta = "SELECT typeof(avg(CAST(x AS DECIMAL(10,2)))) AS t FROM (VALUES (1.0)) t(x)"
+    assert spark.sql(ta).first()[0] == "decimal(14,6)"
+    assert con.execute(ta).fetchone()[0] == "DOUBLE"
+    rs = "SELECT CAST(CAST(123.456 AS DECIMAL(6,2)) AS STRING) AS v"
+    assert spark.sql(rs).first()[0] == "123.46"  # HALF_UP
+    assert con.execute(rs).fetchone()[0] == "123.45"  # truncation
+    rn = "SELECT CAST(CAST(-123.455 AS DECIMAL(6,2)) AS STRING) AS v"
+    assert spark.sql(rn).first()[0] == "-123.46"
+    assert con.execute(rn).fetchone()[0] == "-123.45"
+    ov = (
+        "SELECT CAST(99999999.99 AS DECIMAL(10,2)) * "
+        "CAST(99999999.99 AS DECIMAL(10,2)) AS v"
+    )
+    assert spark.sql(ov).first()[0] is not None  # widened to DECIMAL(21,4)
+    with pytest.raises(Exception, match="Overflow|Out of Range"):
+        con.execute(ov)
+    # the agreeing core the fuzzer leans on: + - * % value AND scale
+    agree = (
+        "SELECT CAST(CAST(1.5 AS DECIMAL(6,2)) * CAST(2.25 AS DECIMAL(6,3)) AS STRING) AS m, "
+        "CAST(CAST(3 AS DECIMAL(10,2)) + CAST(1.25 AS DECIMAL(10,3)) AS STRING) AS a, "
+        "CAST(CAST(7 AS DECIMAL(4,1)) % CAST(2.5 AS DECIMAL(4,2)) AS STRING) AS md"
+    )
+    assert tuple(spark.sql(agree).first()) == con.execute(agree).fetchone()
+
+
+# ---- numeric-string cast fuzz (round 7) ---------------------------------
+
+_INTISH = st.text(alphabet=" +-,qz0123456789", min_size=0, max_size=12)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=_INTISH)
+def test_random_int_string_cast_matches_duckdb(events_env, s):
+    """TRY_CAST of arbitrary integer-ish strings (digits, signs,
+    whitespace, separators, junk letters — NO decimal point, exponent,
+    hex prefix, or underscore, those are the pinned divergences below) to
+    SMALLINT/INT/BIGINT must agree: same acceptance, same value, same
+    overflow-to-NULL. One SQL text both engines."""
+    spark, con = events_env
+    sql = (
+        f"SELECT TRY_CAST('{s}' AS SMALLINT) AS a, "
+        f"TRY_CAST('{s}' AS INT) AS b, TRY_CAST('{s}' AS BIGINT) AS c"
+    )
+    assert tuple(spark.sql(sql).first()) == con.execute(sql).fetchone(), repr(s)
+
+
+def test_numeric_string_cast_divergence_pinned(events_env):
+    """Fourteenth divergence class — string->number/date casts beyond
+    plain integers:
+      * '42.7' -> INT: Spark TRUNCATES (42), DuckDB parses-then-ROUNDS
+        (43) — the double->int rounding pin resurfacing through strings,
+        both succeed silently.
+      * '1e3' -> INT: Spark NULL (no exponent grammar for int casts),
+        DuckDB 1000.
+      * '0x1A' -> INT: Spark NULL, DuckDB parses hex (26).
+      * underscore digit separators ('1_000', found by THIS fuzzer):
+        Spark NULL, DuckDB extends its numeric-literal grammar into
+        string casts (1000).
+      * 'yes' -> BOOLEAN: Spark true, DuckDB Conversion Error (its
+        grammar is true/false/t/f/1/0).
+      * invalid date ('2024-02-30', '20240105'): Spark (ansi=false)
+        NULL, DuckDB raises — TRY_CAST restores agreement.
+    Porting rule: route messy strings through TRY_CAST + an explicit
+    DOUBLE hop (TRY_CAST(s AS DOUBLE) then floor/cast) so both engines
+    share one grammar and one rounding path."""
+    spark, con = events_env
+    frac = "SELECT CAST('42.7' AS INT) AS v"
+    assert spark.sql(frac).first()[0] == 42
+    assert con.execute(frac).fetchone()[0] == 43
+    exp_ = "SELECT CAST('1e3' AS INT) AS v"
+    assert spark.sql(exp_).first()[0] is None
+    assert con.execute(exp_).fetchone()[0] == 1000
+    hx = "SELECT CAST('0x1A' AS INT) AS v"
+    assert spark.sql(hx).first()[0] is None
+    assert con.execute(hx).fetchone()[0] == 26
+    us = "SELECT CAST('1_000' AS INT) AS v"
+    assert spark.sql(us).first()[0] is None
+    assert con.execute(us).fetchone()[0] == 1000
+    yb = "SELECT CAST('yes' AS BOOLEAN) AS v"
+    assert spark.sql(yb).first()[0] is True
+    with pytest.raises(Exception, match="Conversion Error"):
+        con.execute(yb)
+    bad = "SELECT CAST('2024-02-30' AS DATE) AS v"
+    assert spark.sql(bad).first()[0] is None  # ansi=false
+    with pytest.raises(Exception, match="Conversion Error"):
+        con.execute(bad)
+    tc = "SELECT TRY_CAST('2024-02-30' AS DATE) AS v"
+    assert spark.sql(tc).first()[0] is None
+    assert con.execute(tc).fetchone()[0] is None
+    dbl = "SELECT CAST(floor(TRY_CAST('42.7' AS DOUBLE)) AS INT) AS v"
+    assert spark.sql(dbl).first()[0] == con.execute(dbl).fetchone()[0] == 42
+
+
+def test_dispersion_estimator_divergence_pinned(events_env):
+    """Fifteenth divergence class — higher-moment aggregate CONVENTIONS:
+    skewness/kurtosis return the POPULATION estimators in Spark (g1,
+    excess g2) but the SAMPLE estimators in DuckDB (G1, excess G2) —
+    same data, silently different numbers. The exact conversion is
+    pinned numerically:  G1 = g1*sqrt(n(n-1))/(n-2)  and
+    G2 = (n-1)/((n-2)(n-3)) * ((n+1)*g2 + 6).  Also: stddev/var over
+    +/-inf or NaN inputs return NaN in Spark but raise Out of Range in
+    DuckDB (the out-of-domain inversion, class 10, reappearing in
+    aggregates). stddev/var/corr/covar on finite data agree — the
+    census oracles rely on that."""
+    import math
+
+    spark, con = events_env
+    for vals in ["(1.0),(2.0),(3.0),(10.0)", "(2.0),(4.0),(4.0),(4.0),(5.0),(5.0),(7.0),(9.0)"]:
+        n = vals.count("(")
+        sql = f"SELECT skewness(x) AS sk, kurtosis(x) AS ku FROM (VALUES {vals}) t(x)"
+        g1, g2 = tuple(spark.sql(sql).first())
+        G1, G2 = con.execute(sql).fetchone()
+        assert abs(G1 - g1 * math.sqrt(n * (n - 1)) / (n - 2)) < 1e-9
+        assert abs(G2 - (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)) < 1e-9
+    inf_sql = (
+        "SELECT stddev_samp(x) AS v FROM "
+        "(VALUES (CAST('inf' AS DOUBLE)), (1.0)) t(x)"
+    )
+    assert math.isnan(spark.sql(inf_sql).first()[0])
+    with pytest.raises(Exception, match="Out of Range"):
+        con.execute(inf_sql)
+    fin = (
+        "SELECT round(stddev_samp(x), 9) AS sd, round(var_samp(x), 9) AS vr "
+        "FROM (VALUES (1.5), (2.5), (9.0)) t(x)"
+    )
+    assert tuple(spark.sql(fin).first()) == con.execute(fin).fetchone()
