@@ -312,6 +312,7 @@ def duck_pq_sample_ctes(m: int, d_sub: int, limit: int = 512,
                   AS DOUBLE[]) AS v
       FROM (SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding
             FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE embedding IS NOT NULL
                   ORDER BY vec_id LIMIT {limit}))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     )"""

@@ -29,6 +29,19 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def ws_token_count(col: Column | str) -> Column:
+    """NULL-safe whitespace token count: NULL text → NULL token count.
+
+    Non-ANSI Spark's ``size(split(NULL))`` is **-1** (the legacy
+    sizeOfNull), which silently POISONS averages, packing offsets, and
+    sequence bounds; DuckDB's ``len(string_split(NULL))`` is NULL and
+    drops out of aggregates. Every token-counting operator routes
+    through this guard so null documents count toward row counts but
+    never toward token arithmetic (found by tools/null_sweep.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(F.split(c, " ")))
+
+
 def ngrams_expr(tokens_expr: str, n: int) -> Column:
     """Word n-grams (joined by spaces) from a token-array SQL expression.
 

@@ -285,13 +285,23 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs / digit runs / single other-chars — the GPT-2 pre-tokenizer
     shape reduced to its deterministic regex core)."""
     d = load(spark, sf_dir, "documents")
+    # size() of a NULL array is -1 under non-ANSI Spark; null docs must
+    # report NULL counts (DuckDB's len(NULL) semantics), not -1
+    nn = F.col("text").isNotNull()
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
+        F.when(nn, F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        F.when(
+            nn,
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+                )
+            ),
+        )
         .cast("long")
         .alias("bpe_ish_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        F.when(nn, F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))))
         .cast("long")
         .alias("num_tokens"),
     )

@@ -120,7 +120,7 @@ _DUCK_STARTS = f"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), chunks AS (
       SELECT doc_id, n,
              generate_subscripts({_DUCK_STARTS}, 1) AS chunk_idx,
@@ -150,7 +150,9 @@ def text_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all: chunking is embarrassingly parallel and stays that
     way at 100 TB. Chunk text is materialized by slicing the bound array,
     so each output row carries only its own window."""
-    d = load(spark, sf_dir, "documents")
+    # null-text contract: a null document has no chunks (and size(split(
+    # NULL)) = -1 would corrupt the start list) — the oracle mirrors this
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = d.select(
         "doc_id",
         F.split("text", " ").alias("toks"),
@@ -232,7 +234,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (per-term decimal sandwich at 6dp makes the ± sums add
     identical doubles despite engine-specific addition order)."""
     e = load(spark, sf_dir, "embeddings")
-    head = e.select("embedding").head(1)
+    # null-vector guard: posexplode drops NULL embeddings on its own (as
+    # does unnest in the oracle), but the dimension probe must not read
+    # its d_in from a NULL row.
+    head = e.filter(F.col("embedding").isNotNull()).select("embedding").head(1)
     if not head:  # empty corpus (empty-partition contract)
         return spark.createDataFrame([], "vec_id long, k long, y double")
     d_in = len(head[0][0])
@@ -601,7 +606,7 @@ _DUCK_NORM_TEXT = (
                  " + 0.2 * least(nchar / ntok / 8, 1.0)", 4, 8)} AS quality
       FROM m
     ), gated AS (
-      SELECT *, quality < {QUALITY_MIN} AS low_q FROM scored
+      SELECT *, coalesce(quality < {QUALITY_MIN}, TRUE) AS low_q FROM scored
     ), ranked AS (
       SELECT *,
              CASE WHEN low_q THEN NULL
@@ -651,8 +656,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window as W
 
-    ntok = F.size(F.split("text", " ")).cast("double")
-    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    # size(split(NULL)) = -1 under non-ANSI Spark — gate on text so null
+    # docs score NULL (→ low_q via the coalesce below), as in the oracle
+    nn = F.col("text").isNotNull()
+    ntok = F.when(nn, F.size(F.split("text", " "))).cast("double")
+    nuniq = F.when(
+        nn, F.size(F.array_distinct(F.split("text", " ")))
+    ).cast("double")
     nchar = F.col("n_chars").cast("double")
     quality = money(
         0.5 * (nuniq / ntok)
@@ -675,7 +685,12 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntok.alias("ntok"),
         quality.alias("quality"),
         F.md5(norm).alias("content_key"),
-    ).withColumn("low_q", F.col("quality") < QUALITY_MIN)
+    ).withColumn(
+        # null text → null quality → LOW QUALITY by definition (coalesce
+        # on both engines; an unscorable doc must not reach the kept set)
+        "low_q",
+        F.coalesce(F.col("quality") < QUALITY_MIN, F.lit(True)),
+    )
     w = W.partitionBy("low_q", "content_key").orderBy("doc_id")
     ranked = scored.withColumn(
         "rn",

@@ -99,7 +99,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS last_type,
            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user_events
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("extra", "window"),
@@ -107,7 +107,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value with explicit full frame + unordered
     partition count."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     w_all = W.partitionBy("user_id")
@@ -149,7 +149,7 @@ def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
@@ -166,7 +166,7 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum numbers each user's sessions — the batch counterpart of
     stream_session_window, and the standard sessionize-without-streaming
     recipe."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
     new_sess = F.when(
@@ -320,6 +320,7 @@ def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total
     FROM events
+    WHERE ts IS NOT NULL  -- Spark's window() silently DROPS null-ts rows
     GROUP BY 1, 2
     """,
     tags=("extra", "agg", "bench"),
@@ -328,7 +329,8 @@ def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch time-bucket aggregation via window() — the batch face of
     stream_tumbling_window and the exact query bench.py runs as q5
     (BASELINE B5)."""
-    e = load(spark, sf_dir, "events")
+    # explicit for readers: F.window() already drops null-ts rows
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
@@ -1096,7 +1098,11 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_dim"),
         F.lit(None).cast("double").alias("price"),
     )
-    facts = o.select(
+    # inner-join semantics of the oracle: an order with a NULL custkey
+    # or date matches no dim version — exclude up front
+    facts = o.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").cast("date").alias("d"),
         F.lit(None).cast("string").alias("seg"),
@@ -1142,7 +1148,9 @@ WIN_EVENT_SEQUENCE_REGEX_ORACLE = f"""
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), ''
                         ORDER BY ts, event_id) AS journey
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
     )
     SELECT user_id,
            journey,
@@ -1169,8 +1177,16 @@ def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by events-per-user, and a per-user journey that outgrows
     memory is exactly the case for the session-window split
     (stream_session_window) before pattern matching."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.expr("substr(event_type, 1, 1)").alias("ch")
+    e = (
+        load(spark, sf_dir, "events")
+        # a journey char needs both a position (ts) and a symbol
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("substr(event_type, 1, 1)").alias("ch"),
+        )
     )
     seqs = e.groupBy("user_id").agg(
         F.expr(
@@ -1480,7 +1496,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
              max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS runmax
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     dd AS (
       SELECT user_id, runmax,
@@ -1504,7 +1520,7 @@ def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max is O(1) state per row. The drawdown ratio is the only
     float and goes through the decimal sandwich BEFORE the min, so the
     argmin can't flip on sub-rounding noise."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1659,7 +1675,7 @@ WIN_PERIOD_OVER_PERIOD_ORACLE = """
              strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS revenue
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
     SELECT prio, month, revenue,
            CAST(round(CAST((revenue - lag(revenue) OVER w)
@@ -1685,7 +1701,9 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     Percent changes are decimal-sandwiched; first periods stay NULL. At
     scale: the heavy reduce is the partial agg; the window runs over
     O(groups x months) rows."""
-    o = load(spark, sf_dir, "orders")
+    # a NULL month would take the class-8 divergent position in the lag
+    # window — undated orders are excluded from period reporting
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = o.groupBy(
         F.col("o_orderpriority").alias("prio"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
@@ -1719,7 +1737,7 @@ WIN_PERCENT_RANK_CUME_ORACLE = """
                 AS DOUBLE) AS pr,
            CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,9)), 6)
                 AS DOUBLE) AS cd
-    FROM orders
+    FROM orders WHERE o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
@@ -1731,7 +1749,8 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key carries the unique o_orderkey tie-break, so rank positions
     — and therefore both ratios — are cross-engine deterministic even
     among equal prices. One exchange on the partition key."""
-    o = load(spark, sf_dir, "orders")
+    # ASC over a nullable price: class-8 null position — exclude
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
@@ -1972,7 +1991,7 @@ TS_SEASONAL_DECOMPOSE_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
              CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
       SELECT h, total,
@@ -2008,7 +2027,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so trend/seasonal run over the tiny series — the same
     collapse-then-analyze split as the chi-square and anomaly ops. The
     seasonal table is O(24) and broadcast back."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
             "total"
@@ -2200,7 +2219,7 @@ WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
     WITH series AS (
       SELECT user_id, ts, event_id, value,
              CAST(floor(epoch(ts)) AS BIGINT) AS x
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sums AS (
       SELECT user_id, ts, event_id,
@@ -2235,7 +2254,7 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float division is the final slope, sandwiched at 4dp. Output
     aggregates to per-user mean hourly slope — the drift monitor a
     metrics pipeline alerts on."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -3667,7 +3686,7 @@ TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
              CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
       SELECT h, total,
@@ -4037,6 +4056,7 @@ JOIN_POINT_IN_TIME_FEATURES_ORACLE = """
              CASE WHEN event_type = 'view' THEN value END AS view_value
       FROM events
       WHERE event_type IN ('purchase', 'click', 'view')
+        AND ts IS NOT NULL
     ), feat AS (
       SELECT user_id, ts, event_id, is_label,
              coalesce(sum(is_click) OVER w, 0) AS clicks_before,
@@ -4072,6 +4092,7 @@ def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (-1), not NULL drops, so label cardinality is provably preserved."""
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click", "view")
+        & F.col("ts").isNotNull()
     )
     tagged = e.select(
         "user_id",
@@ -4126,7 +4147,8 @@ AGG_OHLC_BARS_ORACLE = """
       SELECT date_trunc('hour', ts) AS bar, value,
              printf('%020d%012d', CAST(epoch_us(ts) AS BIGINT), event_id)
                AS ord
-      FROM events WHERE event_type = 'purchase'
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
            CAST(count(*) AS BIGINT) AS n_trades,
@@ -4150,8 +4172,12 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_geo_nearest_broadcast rule: never a per-bar sort window when an
     argmin does), so the whole op is ONE hash aggregation with map-side
     combine — the cheapest possible shape for billions of ticks."""
+    # a tick needs both a time and a price: NULL-ts rows take divergent
+    # window positions (class 8) and min_by/max_by NULL handling differs
     e = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     )
     # composite order as a zero-padded sortable string: min_by/max_by on
     # both engines take scalar keys only (DuckDB 1.0 rejects ROW keys)

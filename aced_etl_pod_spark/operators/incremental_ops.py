@@ -313,6 +313,7 @@ _R = 6
 DEDUP_SEMANTIC_CLUSTER_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
     ), ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM e, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
@@ -467,6 +468,9 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # working set for the k-means epoch", the standard iterative pattern
     e = (
         load(spark, sf_dir, "embeddings")
+        # null-vector contract: vector kernels operate on the non-null
+        # embeddings (the oracle mirrors the filter)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .cache()
     )
@@ -573,6 +577,7 @@ EMBEDDING_COVARIANCE_TOPK_ORACLE = f"""
     WITH ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
+      WHERE embedding IS NOT NULL
     ), m AS (
       SELECT dim, round(CAST(avg(x) AS DECIMAL(18,8)), {_R}) AS mu
       FROM ex GROUP BY dim
@@ -622,8 +627,14 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = SEMDEDUP_DIM
-    e = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        # null-vector contract: np.stack needs rectangular batches; the
+        # oracle's base CTE carries the same IS NOT NULL filter
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     means_rows = (
         e.select(F.posexplode("emb").alias("dim0", "x"))
@@ -976,8 +987,11 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     d = SEMDEDUP_DIM
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        # null-vector contract (np.stack needs rectangular batches)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     # pass 1: mean + full Gram partials per batch (same shape as the
     # covariance op, full matrix this time)

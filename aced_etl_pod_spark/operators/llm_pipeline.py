@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from aced_etl_pod_spark.functions.text import ngrams_expr, word_shingles_expr
+from aced_etl_pod_spark.functions.text import (
+    ngrams_expr,
+    word_shingles_expr,
+    ws_token_count,
+)
 from aced_etl_pod_spark.operators.sampling import _bucket_sql, hash_bucket
 from aced_etl_pod_spark.operators.text import DUCK_NORMALIZE
 from aced_etl_pod_spark.operators.util import money, money_sql
@@ -158,7 +162,8 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Global top-20 is TakeOrdered (per-partition heaps),
     not a full sort."""
     d = load(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # null-safe token count: size(split(NULL)) = -1 would poison avgdl
+    dl = d.select("doc_id", ws_token_count(F.col("text")).alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = (
@@ -295,7 +300,9 @@ def seq_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle a boundary continue into the next pack (offset is the
     position in the concatenated shard stream, modulo SEQ_LEN)."""
     d = load(spark, sf_dir, "documents")
-    dl = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("ntok"))
+    dl = d.select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("ntok")
+    )
     w = (
         W.partitionBy("source")
         .orderBy("doc_id")
@@ -503,7 +510,7 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_hash = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     return back.withColumn("__h", doc_hash).groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(ws_token_count(F.col("text"))).cast("long").alias("n_tokens"),
         F.expr("bit_xor(__h)").alias("content_digest"),
     ).select(
         F.col("shard_id").cast("long").alias("shard_id"),
@@ -791,7 +798,7 @@ SEQ_PACK_BINS_FFD_ORACLE = f"""
       SELECT doc_id,
              (doc_id * 2654435761) % 4294967296 % {_FFD_SHARDS} AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     seq AS (
       SELECT shard, doc_id, ntok,
@@ -849,10 +856,17 @@ def seq_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversize) instead of failing the job."""
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(f"(doc_id * 2654435761) % {2**32} % {_FFD_SHARDS}").alias("shard"),
-        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    # null-text docs are unpackable (no length) — excluded on both sides
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(
+                f"(doc_id * 2654435761) % {2**32} % {_FFD_SHARDS}"
+            ).alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        )
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1281,7 +1295,9 @@ def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 4 is O(pool). Full static-SQL oracle since round 6 (nothing
     here is iterative — see PIPELINE_RAG_CONTEXT_PACK_ORACLE); exact
     end-to-end reference match in tests."""
-    d = load(spark, sf_dir, "documents")
+    # null text → no chunks: the oracle's generate_series over a NULL
+    # bound yields no rows; Spark's sequence() RAISES on the -1 sizeOfNull
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     chunks = (
         d.select(
             "doc_id",

@@ -57,14 +57,16 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     deterministically reproducible: the oracle hash-checks the exact
     bucketing, not a recall proxy."""
     return f"""
-    nn AS (SELECT count(*) AS n FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM embeddings
+           WHERE embedding IS NOT NULL),
     np AS (
       SELECT greatest(4, least(24,
                CAST(ceil(log2(greatest(n / {target_bucket}.0, 2.0)))
                     AS INTEGER))) AS planes
       FROM nn
     ),
-    dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+    dims AS (SELECT len(embedding) AS dim FROM embeddings
+             WHERE embedding IS NOT NULL LIMIT 1),
     planes AS (
       SELECT p,
              list_transform(generate_series(0, (SELECT dim FROM dims) - 1),
@@ -82,10 +84,16 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
                                             pl.vec) >= 0
                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
       FROM embeddings e CROSS JOIN planes pl
+      WHERE e.embedding IS NOT NULL
       GROUP BY e.vec_id
     ),
-    be AS (SELECT b.vec_id, b.bucket, e.embedding
-           FROM b JOIN embeddings e USING (vec_id)),
+    -- MATERIALIZED: the multiprobe unnest downstream makes DuckDB
+    -- evaluate list_dot_product eagerly across pre-filter rows (even a
+    -- CASE guard doesn't help — the vectorized THEN branch runs on the
+    -- whole vector); materializing the null-free CTE fences the kernel
+    be AS MATERIALIZED (SELECT b.vec_id, b.bucket, e.embedding
+           FROM b JOIN embeddings e USING (vec_id)
+           WHERE e.embedding IS NOT NULL),
     bn AS (SELECT bucket, count(*) AS cnt FROM be GROUP BY 1)
     """
 
@@ -93,10 +101,12 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
 @op(
     "sim_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings
+               WHERE vec_id = 0 AND embedding IS NOT NULL)
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
+    WHERE embedding IS NOT NULL
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -106,7 +116,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 query vector (BASELINE B8).
     Query side broadcast; scan side never shuffles — at 100 TB this is one
     pass + a TakeOrdered."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -115,10 +127,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "sim_cosine_topk_fast",
     oracle=f"""
-    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings
+               WHERE vec_id = 0 AND embedding IS NOT NULL)
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
+    WHERE embedding IS NOT NULL
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -133,7 +147,9 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition order ⇒ bit-identical to the fold, hash-matches the same
     oracle. (For high-dim embeddings the Arrow/numpy ``brute_force_topk_
     fast`` kernel is the scale path; at dim 64 the unrolled form wins.)"""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_unrolled(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -142,10 +158,12 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "sim_cosine_topk_arrow",
     oracle=f"""
-    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings
+               WHERE vec_id = 0 AND embedding IS NOT NULL)
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
+    WHERE embedding IS NOT NULL
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -164,7 +182,9 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels at 6 dp, hash-matches the same oracle."""
     from aced_etl_pod_spark.functions.similarity import brute_force_topk_arrow
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_arrow(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -285,7 +305,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full hash oracle (SIM_ANN_LSH_TOPK_ORACLE replays the index build);
     recall vs brute force and the bucket-width bound at synthetic 100× n
     asserted in tests/test_similarity.py."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return ann_lsh_topk(emb, k=3, target_bucket=64)
 
 
@@ -633,7 +655,11 @@ def _pq_books_and_query(spark: SparkSession, sf_dir: str):
 
     from aced_etl_pod_spark.functions.pq import train_codebooks
 
-    emb = load(spark, sf_dir, "embeddings")
+    # null-vector contract: codebook training and encoding operate on the
+    # non-null embeddings (duck_pq_sample_ctes mirrors the filter)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     sample_rows = (
         emb.orderBy("vec_id").limit(512).select("embedding").collect()
     )
@@ -641,9 +667,13 @@ def _pq_books_and_query(spark: SparkSession, sf_dir: str):
         return emb, None, None
     sample = np.stack([np.asarray(r["embedding"]) for r in sample_rows])
     books = train_codebooks(sample.astype(np.float64), m=8, k=16, iters=10)
-    q = np.asarray(
-        emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"],
-        dtype=np.float64,
+    # query contract: pinned to vec_id 0; a NULL query embedding means no
+    # query (consumers return empty, oracles' q CTE is empty too)
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = (
+        np.asarray(q_row["embedding"], dtype=np.float64)
+        if q_row is not None
+        else None
     )
     return emb, books, q
 
@@ -667,6 +697,7 @@ def _pq_codes_oracle() -> str:
     {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
     pqc_vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     pqc_sub AS (
       SELECT vec_id, j, x[j * {ds} + 1 : (j + 1) * {ds}] AS v
@@ -741,7 +772,8 @@ def _pq_adc_oracle() -> str:
     {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
     adc_q AS (
       SELECT j, CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS qv
-      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      FROM (SELECT embedding FROM embeddings
+            WHERE vec_id = 0 AND embedding IS NOT NULL)
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_tab AS (
@@ -752,7 +784,8 @@ def _pq_adc_oracle() -> str:
     adc_sub AS (
       SELECT vec_id, j,
              CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS v
-      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0)
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id != 0 AND embedding IS NOT NULL)
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_coded AS (
@@ -796,7 +829,7 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.pq import adc_topk
 
     emb, books, q = _pq_books_and_query(spark, sf_dir)
-    if books is None:  # empty corpus (empty-partition contract)
+    if books is None or q is None:  # empty corpus or NULL query embedding
         return spark.createDataFrame([], "vec_id long, adc_dist double")
     return adc_topk(emb.filter(F.col("vec_id") != 0), books, q, k=10)
 
@@ -824,6 +857,7 @@ def _ivf_pq_oracle() -> str:
       SELECT row_number() OVER (ORDER BY vec_id) AS pos,
              CAST(embedding AS DOUBLE[]) AS x
       FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY vec_id LIMIT 512)
     ),
     ipq_sassign AS (
@@ -844,7 +878,8 @@ def _ivf_pq_oracle() -> str:
     ),
     {duck_kmeans_ctes('rq_', 'rq_samp', m, k, ds, iters)},
     ipq_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx
-              FROM embeddings WHERE vec_id = 0),
+              FROM embeddings
+              WHERE vec_id = 0 AND embedding IS NOT NULL),
     ipq_probed AS (
       SELECT cid, v AS cv FROM (
         SELECT c.cid, c.v,
@@ -869,7 +904,7 @@ def _ivf_pq_oracle() -> str:
     ),
     ipq_corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-      FROM embeddings WHERE vec_id != 0
+      FROM embeddings WHERE vec_id != 0 AND embedding IS NOT NULL
     ),
     ipq_cells AS (
       SELECT vec_id, x, cell, cv FROM (
@@ -1086,11 +1121,13 @@ _MMR_POOL = 20
 # exact double the Python expression embeds. Full hash-match since r6.
 SIM_MMR_DIVERSIFIED_TOPK_ORACLE = f"""
     WITH RECURSIVE
-    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS q_emb FROM embeddings
+              WHERE vec_id = 0 AND embedding IS NOT NULL),
     sc AS (
       SELECT vec_id, embedding,
              {DUCK_COS.format(a="embedding", b="q_emb")} AS rel
-      FROM embeddings CROSS JOIN q WHERE vec_id != 0
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id != 0 AND embedding IS NOT NULL
     ),
     pool AS (
       SELECT vec_id, embedding, rel,
@@ -1130,7 +1167,12 @@ SIM_MMR_DIVERSIFIED_TOPK_ORACLE = f"""
                                              [CAST(j AS INTEGER)]))
                                   END)
                    END) AS scores
-          FROM state st WHERE st.k < {MMR_K}
+          FROM state st
+          WHERE st.k < {MMR_K}
+            -- stop when the pool is EMPTY (NULL query / null-vector
+            -- corpus) or exhausted; on a clean 20-row pool this is
+            -- always true for k < K, so behavior is unchanged
+            AND coalesce(len(st.ids), 0) > len(st.sel)
         ) s2
       ) s
     )
@@ -1155,7 +1197,9 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver state = K vectors, the k-means/PQ discipline). Penalty terms
     use the same zip_with dot-product kernel as the recall stage. An
     all-pairs pool similarity matrix is never materialized."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") == 0)
     pool = (
         brute_force_topk(emb.filter(F.col("vec_id") != 0), q, k=_MMR_POOL)
@@ -1259,7 +1303,9 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force, and recall >= single-probe LSH, asserted in tests."""
     from aced_etl_pod_spark.functions.similarity import ann_lsh_multiprobe_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return ann_lsh_multiprobe_topk(emb, k=3)
 
 

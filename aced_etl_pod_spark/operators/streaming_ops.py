@@ -381,8 +381,14 @@ def stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         table="documents",
     )
     docs = read_stream(spark, src, schema=DOCS_STREAM_SCHEMA)
-    ntok = F.size(F.split("text", " ")).cast("double")
-    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    # size(split(NULL)) = -1 under non-ANSI Spark; combined with
+    # null-skipping least() it can score a NULL doc ABOVE the quality
+    # gate — gate on text so null docs score NULL, as in the oracle
+    nn = F.col("text").isNotNull()
+    ntok = F.when(nn, F.size(F.split("text", " "))).cast("double")
+    nuniq = F.when(
+        nn, F.size(F.array_distinct(F.split("text", " ")))
+    ).cast("double")
     nchar = F.col("n_chars").cast("double")
     quality = (
         F.round(

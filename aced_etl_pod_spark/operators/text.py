@@ -54,7 +54,12 @@ DUCK_NORMALIZE = (
 def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + per-language stats (BASELINE B7)."""
     d = load(spark, sf_dir, "documents")
-    ntok = F.size(F.split("text", " "))
+    # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1 (legacy
+    # sizeOfNull), which silently POISONS avg(); DuckDB's len(NULL) is
+    # NULL and drops out of avg(). Null docs count in n_docs only.
+    ntok = F.when(
+        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+    )
     return (
         d.select("lang", ntok.alias("ntok"), "n_chars")
         .groupBy("lang")
@@ -294,7 +299,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(normalize(F.col("text")), " ")
     # stopword OCCURRENCES (not distinct hits), mirroring list_filter
     hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    ratio = hits.cast("double") / F.size(F.split("text", " "))
+    # -1/-1 = 1.0 for NULL text under non-ANSI size() — gate so null
+    # docs get NULL ratio → 'other', as in the oracle's CASE
+    ratio = F.when(
+        F.col("text").isNotNull(),
+        hits.cast("double") / F.size(F.split("text", " ")),
+    )
     return d.select(
         "doc_id",
         "lang",
@@ -329,8 +339,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-length saturation, weighted (the length/punct/stopword-ratio
     family of pretraining-data filters)."""
     d = load(spark, sf_dir, "documents")
-    ntok = F.size(F.split("text", " ")).cast("double")
-    nuniq = F.size(F.array_distinct(F.split("text", " "))).cast("double")
+    # size(split(NULL)) = -1 under non-ANSI Spark — gate on text so null
+    # docs emit NULL stats (DuckDB's len(NULL) does the same there).
+    nn = F.col("text").isNotNull()
+    ntok = F.when(nn, F.size(F.split("text", " "))).cast("double")
+    nuniq = F.when(
+        nn, F.size(F.array_distinct(F.split("text", " ")))
+    ).cast("double")
     nchar = F.col("n_chars").cast("double")
     quality = (
         0.5 * (nuniq / ntok)
@@ -411,12 +426,16 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(aug, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
     )
+    # || propagates NULL in both engines, so null text → null augmented
+    # string; gate the counts (size of a NULL match list is -1 in
+    # non-ANSI Spark, NULL in DuckDB)
+    nn = F.col("text").isNotNull()
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        F.when(nn, F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0))))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0)))
+        F.when(nn, F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0))))
         .cast("long")
         .alias("n_phones"),
         F.sha2(redacted, 256).alias("redacted_digest"),
@@ -1130,8 +1149,12 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), then one groupBy(doc_id) to reassemble. Documents whose
     every line is boilerplate come back EMPTY, not missing — cardinality
     is preserved for the downstream mixture accounting."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("l")
+    # null-text docs have no lines to dedup — excluded on both sides
+    # (the oracle's spans CTE never yields a row for them)
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("l"))
     )
     spans = (
         d.select(
@@ -1233,7 +1256,9 @@ def fn_unicode_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf("string", useArrow=True)
     def nfc(s: str) -> str:
-        return unicodedata.normalize("NFC", s)
+        # NULL text rows flow through as NULL (utf8proc's nfc_normalize
+        # does the same on the oracle side)
+        return None if s is None else unicodedata.normalize("NFC", s)
 
     d = load(spark, sf_dir, "documents")
     derived = d.select(

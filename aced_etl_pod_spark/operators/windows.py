@@ -82,14 +82,16 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_us,
            lead(event_type) OVER w AS next_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("window", "timeseries"),
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset analytics: per-user event deltas (lag) and next event (lead)."""
-    e = load(spark, sf_dir, "events")
+    # ORDER BY a NULL ts diverges cross-engine (Spark NULLS FIRST /
+    # DuckDB NULLS LAST, pinned class 8) — time order needs a timestamp
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -105,14 +107,14 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  2) AS run_total
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     tags=("window",),
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative frame per user (same accumulation order both engines →
     bit-stable doubles)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -130,7 +132,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END)
              AS DECIMAL(18,6)), 2) AS DOUBLE) AS mov_avg
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("window",),
@@ -140,7 +142,7 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula: DuckDB evaluates frame aggregates incrementally (segment tree),
     Spark re-scans the frame — last-ulp drift flips round() at boundaries.
     The lag form is the identical float expression on both engines."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     l1, l2 = F.lag("value", 1).over(w), F.lag("value", 2).over(w)
     total = F.col("value") + F.coalesce(l1, F.lit(0.0)) + F.coalesce(l2, F.lit(0.0))
@@ -159,7 +161,7 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(10) OVER w AS BIGINT) AS decile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume
-    FROM customer
+    FROM customer WHERE c_acctbal IS NOT NULL
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,
     tags=("window",),
@@ -167,7 +169,8 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over a global total order (small-result
     op — the one family that intentionally runs single-partition)."""
-    c = load(spark, sf_dir, "customer")
+    # ASC order over a nullable key: the class-8 null-position divergence
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     w = W.orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
