@@ -76,7 +76,10 @@ def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_distinct_count",
     oracle="""
-    SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_pairs,
+    SELECT CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL
+                                     AND event_type IS NOT NULL
+                                THEN (user_id, event_type) END)
+                AS BIGINT) AS n_pairs,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events
@@ -84,7 +87,13 @@ def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "dedup"),
 )
 def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts, incl. multi-column (BASELINE B10)."""
+    """Exact distinct counts, incl. multi-column (BASELINE B10).
+
+    NULL rule (found by the null sweep): Spark's multi-argument
+    count(DISTINCT a, b) drops rows where ANY argument is NULL (SQL
+    semantics); DuckDB's count(DISTINCT (a, b)) counts the ROW value,
+    which is non-null even with null fields — the oracle carries an
+    explicit CASE to mirror Spark."""
     e = load(spark, sf_dir, "events")
     return e.agg(
         F.countDistinct("user_id", "event_type").alias("n_pairs"),
@@ -132,19 +141,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(max(value), 2) AS max_v,
              strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
       FROM events GROUP BY event_type
-    ), r AS (
+    ), rt AS (
       SELECT event_type, event_id,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY value DESC, event_id DESC) AS rt,
+                                ORDER BY value DESC, event_id DESC) AS rt
+      FROM events WHERE value IS NOT NULL
+    ), rf AS (
+      SELECT event_type, event_id,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts ASC, event_id ASC) AS rf
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT s.event_type, s.min_v, s.max_v, s.first_ts,
-           CAST(max(CASE WHEN rt = 1 THEN event_id END) AS BIGINT) AS top_event,
-           CAST(max(CASE WHEN rf = 1 THEN event_id END) AS BIGINT) AS first_event
-    FROM stats s JOIN r ON s.event_type = r.event_type
-    GROUP BY s.event_type, s.min_v, s.max_v, s.first_ts
+           CAST(t.event_id AS BIGINT) AS top_event,
+           CAST(f.event_id AS BIGINT) AS first_event
+    FROM stats s
+    LEFT JOIN rt t ON t.event_type IS NOT DISTINCT FROM s.event_type
+                  AND t.rt = 1
+    LEFT JOIN rf f ON f.event_type IS NOT DISTINCT FROM s.event_type
+                  AND f.rf = 1
     """,
     tags=("agg",),
 )
@@ -156,8 +171,16 @@ def agg_min_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
-        F.max_by("event_id", F.struct("value", "event_id")).alias("top_event"),
-        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event"),
+        # max_by/min_by IGNORE null keys on both engines, so gating the
+        # struct key on its metric mirrors the oracle's filtered ranks
+        F.max_by(
+            "event_id",
+            F.when(F.col("value").isNotNull(), F.struct("value", "event_id")),
+        ).alias("top_event"),
+        F.min_by(
+            "event_id",
+            F.when(F.col("ts").isNotNull(), F.struct("ts", "event_id")),
+        ).alias("first_event"),
     )
 
 

@@ -418,7 +418,11 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_union_shards",
     oracle="""
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards,
+           -- the engine shards by groupBy(event_type), where NULL IS a
+           -- group; count(DISTINCT) would skip it
+           CAST(count(DISTINCT event_type)
+                + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shards,
            TRUE AS approx_within_tol
     FROM events
     """,
@@ -466,9 +470,13 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     "join_asof_forward",
     oracle=f"""
     WITH l AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
     ), r AS (
-      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+      SELECT DISTINCT user_id, ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
     ), nxt AS (
       SELECT l.event_id, min(r.ts) AS next_error_ts
       FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
@@ -495,11 +503,20 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
 
-    left = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_l")
-    )
+    # as-of positions are undefined without a timestamp — both sides
+    left = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        # the window PARTITION BY would group NULL users together, but an
+        # equi/ASOF join never matches NULL keys — excluded both sides
+        & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", F.lit(1).alias("is_l"))
     right = (
-        events.filter(F.col("event_type") == "error")
+        events.filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", "ts")
         .distinct()
         .select(
@@ -2087,10 +2104,12 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ASOF_NEAREST_ORACLE = """
     WITH l AS (
       SELECT event_id, user_id, epoch_us(ts) AS t
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
     ), r AS (
       SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
-      WHERE event_type = 'error'
+      WHERE event_type = 'error' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
     ), scored AS (
       SELECT l.event_id, l.user_id, r.t AS err_t,
              abs(r.t - l.t) AS adist,
@@ -2122,12 +2141,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     events = load(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type") == "purchase").select(
+    # as-of positions are undefined without a timestamp — both sides
+    left = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
         "event_id", "user_id", F.unix_micros("ts").alias("t"),
         F.lit(1).alias("is_l"),
     )
     right = (
-        events.filter(F.col("event_type") == "error")
+        events.filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", F.unix_micros("ts").alias("t"))
         .distinct()
         .select(F.lit(None).cast("long").alias("event_id"), "user_id", "t",
@@ -2734,7 +2762,7 @@ AGG_HLL_SLIDING_DISTINCT_ORACLE = f"""
     WITH h AS (
       SELECT CAST(ts AS DATE) AS day,
              (user_id * 2654435761) % 4294967296 AS hv
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),
     daily AS (
       SELECT day, hv % {_HLL_M} AS bucket,
@@ -2791,7 +2819,11 @@ def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded. The estimate itself (hll_estimate_from_registers over each
     day's 64 maxes) is asserted within HLL error of the exact column in
     tests — driver-side arithmetic, like the PQ/k-means stages."""
-    e = load(spark, sf_dir, "events")
+    # a NULL day would occupy a class-8-divergent slot in the trailing
+    # window grid; a NULL user contributes to no distinct count
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     h = e.select(
         F.to_date("ts").alias("day"),
         F.expr("(user_id * 2654435761) % 4294967296").alias("hv"),

@@ -1424,7 +1424,9 @@ AGG_WEIGHTED_PERCENTILE_ORACLE = """
     WITH by_val AS (
       SELECT l_returnflag, l_extendedprice AS v,
              sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
     ),
     cum AS (
       SELECT l_returnflag, v, w,
@@ -1459,7 +1461,11 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude smaller than rows). The approximate tier for
     unbounded value domains is agg_histogram_quantile_merge's binned
     partials; this is the exact tier."""
-    li = load(spark, sf_dir, "lineitem")
+    # a weighted observation needs both a value (ASC order key — class-8
+    # null position) and a weight — excluded both sides
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     by_val = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w")
     )
@@ -2290,7 +2296,7 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_GINI_COEFFICIENT_ORACLE = """
     WITH shifted AS (
       SELECT c_nationkey, c_acctbal + 1000 AS x, c_custkey
-      FROM customer
+      FROM customer WHERE c_acctbal IS NOT NULL
     ),
     ranked AS (
       SELECT c_nationkey, x,
@@ -2320,8 +2326,14 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     for non-negative support; same shift as the generalization ladder).
     At scale the rank window partitions by group; a single giant group
     would use the two-phase rank (the reservoir op's salt trick)."""
-    c = load(spark, sf_dir, "customer").select(
-        "c_nationkey", (F.col("c_acctbal") + 1000).alias("x"), "c_custkey"
+    c = (
+        load(spark, sf_dir, "customer")
+        # a NULL balance has no rank position (class-8 divergence) and no
+        # mass — excluded both sides
+        .filter(F.col("c_acctbal").isNotNull())
+        .select(
+            "c_nationkey", (F.col("c_acctbal") + 1000).alias("x"), "c_custkey"
+        )
     )
     w = W.partitionBy("c_nationkey").orderBy("x", "c_custkey")
     wp = W.partitionBy("c_nationkey")
@@ -2401,7 +2413,7 @@ AGG_MARKOV_TRANSITION_ORACLE = """
       SELECT user_id, event_type AS cur,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS nxt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
       SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL
@@ -2425,7 +2437,7 @@ def agg_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition matrix is itself a mergeable partial: per-shard pair
     counts add, normalization happens at read. One series-key exchange
     on the raw data; everything after is O(types^2)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("cur"),
@@ -3250,7 +3262,7 @@ AGG_EVENT_PATH_TOPK_ORACLE = """
       SELECT user_id, event_type,
              lead(event_type, 1) OVER w AS e2,
              lead(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), paths AS (
       SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
@@ -3281,7 +3293,11 @@ def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted pair of leads; path counting is then an ordinary partial
     agg on the O(types³)-bounded key space, and the top-k cut is a
     total-order row_number over that tiny counts table."""
-    e = load(spark, sf_dir, "events")
+    # a path step needs a time and a name (and concat-over-NULL diverges
+    # cross-engine, class 4) — excluded on both sides
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("e1"),
@@ -3511,7 +3527,9 @@ TS_HOLT_WINTERS_ORACLE = f"""
       SELECT event_type,
              CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
              count(*) AS y
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     ),
     bounds AS (
       SELECT event_type, min(h) AS lo, max(h) AS hi FROM hours GROUP BY 1
@@ -3611,7 +3629,10 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "events")
+    # same null-series contract as ts_kalman_filter_1d
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     series = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h"),
@@ -4298,7 +4319,9 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 AGG_RFM_SEGMENTATION_ORACLE = """
     WITH anchor AS (
-      SELECT max(ts) AS now FROM events WHERE event_type = 'purchase'
+      SELECT max(ts) AS now FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL
     ), per_user AS (
       SELECT user_id,
              CAST(floor(epoch((SELECT now FROM anchor))) -
@@ -4306,7 +4329,9 @@ AGG_RFM_SEGMENTATION_ORACLE = """
              CAST(count(*) AS BIGINT) AS frequency,
              CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
                AS monetary
-      FROM events WHERE event_type = 'purchase'
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL
       GROUP BY user_id
     ), scored AS (
       SELECT user_id, recency_s, frequency, monetary,
@@ -4345,8 +4370,16 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — at true scale swap ntile for approx-percentile boundary
     broadcast, the feature_quantile_bucketize trade documented there).
     Whole-second recency per the house epoch rule."""
+    # purchases missing a timestamp or amount are incomplete records —
+    # excluded both sides (a NULL metric would also take the class-8
+    # divergent ntile slot)
     e = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        # an unattributable purchase can't be segmented — and a NULL
+        # user_id in the ntile TIE-BREAK is itself a class-8 divergence
+        & F.col("user_id").isNotNull()
     )
     anchor = e.agg(F.max("ts").alias("now"))
     per_user = (
@@ -4985,7 +5018,9 @@ TS_KALMAN_FILTER_1D_ORACLE = f"""
       SELECT event_type,
              CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
              count(*) AS y
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     ),
     bounds AS (
       SELECT event_type, min(h) AS lo, max(h) AS hi FROM hours GROUP BY 1
@@ -5051,7 +5086,11 @@ def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "events")
+    # a series needs a time and a key: NULL-ts rows have no grid slot,
+    # and the oracle's equi-joins on event_type drop a NULL series anyway
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     series = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h"),

@@ -291,8 +291,12 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l.event_id, l.user_id,
            strftime(r.ts, '{TS_FMT_DUCK}') AS asof_signup_ts
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
-    ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL
+            AND user_id IS NOT NULL) l
+    ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                    WHERE event_type = 'signup' AND ts IS NOT NULL
+                    AND user_id IS NOT NULL) r
       ON l.user_id = r.user_id AND r.ts <= l.ts
     """,
     tags=("join", "timeseries"),
@@ -307,11 +311,19 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion — survives 100× scale where a banded cross-join would not.
     """
     events = load(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_l")
-    )
+    # as-of positions are undefined without a timestamp — both sides
+    left = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        # NULL keys: window PARTITION BY groups them, ASOF JOIN drops them
+        & F.col("user_id").isNotNull()
+    ).select("event_id", "user_id", "ts", F.lit(1).alias("is_l"))
     right = (
-        events.filter(F.col("event_type") == "signup")
+        events.filter(
+            (F.col("event_type") == "signup")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("user_id", "ts")
         .distinct()
         .select(F.lit(None).cast("long").alias("event_id"), "user_id", "ts", F.lit(0).alias("is_l"))

@@ -215,7 +215,7 @@ AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
              sum(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
                       THEN value END) AS samp_sum,
              count(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
-                        THEN 1 END) AS n_sample
+                        THEN value END) AS n_sample
       FROM events GROUP BY event_type
     )
     SELECT event_type,
