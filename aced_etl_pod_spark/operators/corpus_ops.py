@@ -744,7 +744,7 @@ SLIDE_ROWS = 10
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {SLIDE_ROWS - 1} PRECEDING AND CURRENT ROW)))
              AS BIGINT) AS n_distinct_types
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     tags=("window", "extra"),
 )
@@ -762,7 +762,7 @@ def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     does, which is the same cost every windowed op pays. (For unbounded
     frames the composition would hold a growing array — there the right
     tool is the HLL-merge pattern of agg_hll_union_shards.)"""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     from pyspark.sql.window import Window as W
 
     w = (
@@ -984,7 +984,7 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4)
              AS DOUBLE) AS med5
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     tags=("window", "extra"),
 )
@@ -996,7 +996,7 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is bounded (5 elements) so per-row state is O(frame) — same
     discipline as win_distinct_sliding; for wide frames the scale path is
     an approximate streaming quantile sketch, not a bigger collect."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     from pyspark.sql.window import Window as W
 
     w = (
@@ -1009,7 +1009,11 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact median: middle element (odd n) or mean of the two middles
     mid = ((n + 1) / 2).cast("int")
     lo = (n / 2).cast("int")
-    med = F.when(n % 2 == 1, F.element_at(frame, mid)).otherwise(
+    # collect_list SKIPS nulls, so an all-null frame is EMPTY — guard
+    # (element_at index 0 raises); median-of-none is NULL on both engines
+    med = F.when(n == 0, F.lit(None)).when(
+        n % 2 == 1, F.element_at(frame, mid)
+    ).otherwise(
         (F.element_at(frame, lo) + F.element_at(frame, lo + 1)) / 2.0
     )
     return e.select(

@@ -2853,7 +2853,8 @@ STAT_KS_TWO_SAMPLE_ORACLE = """
                   AS BIGINT) AS n1,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n2
-      FROM events WHERE event_type IN ('view', 'purchase')
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
       GROUP BY round(value, 2)
     ), tot AS (
       SELECT sum(n1) AS big_n1, sum(n2) AS big_n2 FROM binned
@@ -2896,8 +2897,10 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison runs on INTEGERS (|c1·N2 - c2·N1|, no division until the
     final row), so the max is exact on both engines; the last division
     and sqrt are identical IEEE ops on identical integers."""
+    # a NULL observation has no bin position (class-8 cumsum order)
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     binned = e.groupBy(F.round("value", 2).alias("x")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
@@ -3046,7 +3049,8 @@ STAT_MANN_WHITNEY_U_ORACLE = """
                   AS BIGINT) AS t1,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS t2
-      FROM events WHERE event_type IN ('view', 'purchase')
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
       GROUP BY round(value, 2)
     ), ranked AS (
       SELECT t1, t2, t1 + t2 AS t,
@@ -3092,8 +3096,10 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over those integers, rounded before the significance
     compare so the boolean cannot split at the threshold. One window over
     the O(bins) table is the only sort."""
+    # a NULL observation has no bin position (class-8 cumsum order)
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     binned = e.groupBy(F.round("value", 2).alias("x")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("t1"),

@@ -232,6 +232,7 @@ WIN_EWMA_ORACLE = f"""
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
       FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
     ), agg AS (
       SELECT i.event_id, i.user_id,
              sum(j.value * pow({EWMA_DECAY}, i.rn - j.rn)) AS num,
@@ -265,7 +266,14 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform-with-index + aggregate) over the collected frame: no
     Python, no self-join — while the DuckDB oracle pays the quadratic
     (i,j) pair join, the Spark side is linear in rows × K."""
-    e = load(spark, sf_dir, "events")
+    # the smoother needs a series key, a position, and an observation:
+    # the oracle's self-join drops NULL user keys that PARTITION BY would
+    # group, and collect_list SKIPS null values (mis-sizing the frame)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -523,7 +531,7 @@ WIN_TWAP_ORACLE = """
       SELECT user_id, value, epoch_us(ts) AS t,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nxt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
@@ -547,7 +555,7 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id partitioning, so Catalyst reuses the exchange). Durations are
     exact integer micros; only the final quotient is floating, decimal-
     sandwiched at 4dp on both engines."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.unix_micros("ts")
     s = e.select(
@@ -1063,7 +1071,7 @@ WIN_ANOMALY_ZSCORE_ORACLE = f"""
              avg(value) OVER w AS mu,
              stddev_samp(value) OVER w AS sd,
              count(*) OVER w AS n
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {ZSCORE_W - 1} PRECEDING AND CURRENT ROW)
     )
@@ -1091,7 +1099,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold boundary. At 100 TB: linear per series, O(frame) state —
     and the same frame algebra runs unchanged as a Structured Streaming
     window over event-time."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

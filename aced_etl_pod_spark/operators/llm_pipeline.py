@@ -1505,7 +1505,7 @@ SEQ_SFT_CHAT_RENDER_ORACLE = """
       SELECT user_id, event_type AS content,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ), first6 AS (
       SELECT user_id, content, rn,
              CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
@@ -1556,7 +1556,10 @@ def seq_sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same window pass — no second shuffle. At 100 TB conversations
     arrive pre-grouped; the same template/mask algebra applies per
     conversation shard."""
-    e = load(spark, sf_dir, "events")
+    # a turn needs a position and content (|| propagates NULL, class 4)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     turns = (
         e.select(
@@ -1646,7 +1649,9 @@ SEQ_DPO_PREFERENCE_PAIRS_ORACLE = """
       SELECT user_id, event_id, ts,
              round(value, 2) AS score,
              event_type || '#' || CAST(event_id AS VARCHAR) AS content
-      FROM events WHERE event_type IN ('purchase', 'click')
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
     ), ranked AS (
       SELECT user_id, score, content,
              row_number() OVER (PARTITION BY user_id
@@ -1688,8 +1693,13 @@ def seq_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the O(users) rank-1 rows assembles the pair. At corpus
     scale this is the standard reward-model-scores → DPO-dataset
     transform: one shuffle on the prompt key, output O(prompts)."""
+    # a preference pair needs a prompt key, a score, and a rank position
+    # (NULL score would take the class-8 divergent ASC slot)
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     responses = e.select(
         "user_id",
