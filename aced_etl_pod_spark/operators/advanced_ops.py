@@ -343,6 +343,7 @@ def _pagerank_oracle(iterations: int = 8) -> str:
     WITH e AS (
       SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     ), nodes AS (
       SELECT src AS node FROM e UNION SELECT dst FROM e
     ), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
@@ -387,9 +388,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (-(F.col("l_suppkey") + 1)).alias("dst"),
+    # an edge needs BOTH endpoints: a NULL src/dst would create a
+    # phantom NULL node that every downstream equi-join silently drops
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
     )
     pr = pagerank(edges, iterations=8, damping=0.85)
     # Rank on the ROUNDED value (like the other top-k ops): float-sum

@@ -378,7 +378,7 @@ def quantile_bucketize_plan(
                PARTITION BY l_returnflag
                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket,
              l_extendedprice
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -403,7 +403,10 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the swap is invisible downstream. The ntile ordering carries a
     total tie-break (price, orderkey, linenumber) so both engines assign
     boundary-straddling duplicates identically."""
-    li = load(spark, sf_dir, "lineitem")
+    # a NULL feature has no quantile (class-8 divergent ntile slot)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     return quantile_bucketize_plan(
         li,
         "l_returnflag",
@@ -1849,8 +1852,12 @@ def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'custkey_referential',
              CAST(COUNT(*) AS BIGINT),
+             -- NULL FK IS a referential failure; bare NOT IN would
+             -- three-valued-logic it into a silent pass (catalog class:
+             -- the SURVEY 7.3 NOT-IN trap)
              CAST(COUNT(*) FILTER (
-               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+               WHERE o_custkey IS NULL
+                  OR o_custkey NOT IN (SELECT c_custkey FROM customer)
              ) AS BIGINT)
       FROM orders
     )
@@ -3373,7 +3380,9 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.select(
         "c_custkey",
         "c_nationkey",
-        (F.col("c_acctbal") > 0).cast("int").alias("y"),
+        # explicit 0 for NULL balances: a bare bool cast would emit NULL
+        # where the oracle's CASE ELSE emits 0
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("y"),
     )
     prior = base.agg(
         (F.sum("y").cast("double") / F.count("*")).alias("p")

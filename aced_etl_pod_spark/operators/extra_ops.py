@@ -1819,11 +1819,14 @@ def scan_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_SURROGATE_KEY_MD5_ORACLE = """
     SELECT o_orderkey,
-           md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-               strftime(o_orderdate, '%Y-%m-%d')) AS sk,
+           md5(coalesce(CAST(o_custkey AS VARCHAR), '@null@') || '|' ||
+               coalesce(o_orderstatus, '@null@') || '|' ||
+               coalesce(strftime(o_orderdate, '%Y-%m-%d'), '@null@')) AS sk,
            CAST(count(*) OVER (PARTITION BY
-               md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-                   strftime(o_orderdate, '%Y-%m-%d'))) AS BIGINT) AS sk_width
+               md5(coalesce(CAST(o_custkey AS VARCHAR), '@null@') || '|' ||
+                   coalesce(o_orderstatus, '@null@') || '|' ||
+                   coalesce(strftime(o_orderdate, '%Y-%m-%d'), '@null@')))
+                AS BIGINT) AS sk_width
     FROM orders
 """
 
@@ -1839,12 +1842,18 @@ def fn_surrogate_key_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a key) audits natural-key uniqueness in the same pass.
     Zero-shuffle projection + one count window on the key."""
     o = load(spark, sf_dir, "orders")
+    # NULL key parts must be SENTINELED, not skipped: concat_ws silently
+    # drops null args (making ('a', NULL, 'b') collide with ('a', 'b',
+    # NULL)) while || propagates NULL (class 4) — coalesce each part so
+    # both engines mint the same unambiguous key
     sk = F.md5(
         F.concat_ws(
             "|",
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.coalesce(F.col("o_custkey").cast("string"), F.lit("@null@")),
+            F.coalesce(F.col("o_orderstatus"), F.lit("@null@")),
+            F.coalesce(
+                F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("@null@")
+            ),
         )
     )
     w = W.partitionBy(sk)
@@ -4295,10 +4304,13 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.round("o_totalprice", 2).alias("order_total"),
+        F.lit(1).alias("o_side"),
     )
-    joined = o.join(li, "okey", "full_outer").select(
-        F.when(F.col("order_total").isNull(), "orphan_lines")
-        .when(F.col("lines_total").isNull(), "order_without_lines")
+    # classify on SIDE PRESENCE, not total-is-null: an order whose total
+    # is NULL is still an order (the oracle keys on o.okey IS NULL)
+    joined = o.join(li.withColumn("li_side", F.lit(1)), "okey", "full_outer").select(
+        F.when(F.col("o_side").isNull(), "orphan_lines")
+        .when(F.col("li_side").isNull(), "order_without_lines")
         .when(
             F.abs(F.col("order_total") - F.col("lines_total")) > 0.01,
             "amount_mismatch",
@@ -5204,7 +5216,10 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_AES_DETERMINISTIC_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT ct_hex) AS BIGINT) AS n_ct,
+           -- aes_encrypt(NULL) is NULL: the NULL-plaintext group has
+           -- ZERO distinct ciphertexts, not one
+           CAST(count(DISTINCT CASE WHEN event_type IS NOT NULL
+                                    THEN ct_hex END) AS BIGINT) AS n_ct,
            CAST((length(event_type) // 16 + 1) * 16 AS BIGINT) AS ct_len,
            event_type AS roundtrip,
            CAST(count(*) AS BIGINT) AS n_bad_null

@@ -196,7 +196,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.size(toks).cast("long").alias("n_tokens"),
+        # size(NULL) is -1 under non-ANSI Spark; DuckDB len(NULL) is NULL
+        F.when(F.col("p_name").isNotNull(), F.size(toks))
+        .cast("long")
+        .alias("n_tokens"),
         F.element_at(toks, 1).alias("first_tok"),
         F.when(F.array_contains(toks, "red"), 1).otherwise(0).cast("long").alias("has_red"),
         F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("toks_sorted"),
@@ -211,8 +214,15 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderstatus AS status_v,
            CAST(2 AS BIGINT) AS n_keys,
            'prio,status' AS keys_sorted,
-           least(o_orderstatus, o_orderpriority) || ',' ||
-             greatest(o_orderstatus, o_orderpriority) AS vals_sorted
+           CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL
+                THEN '@null@,@null@'
+                WHEN o_orderstatus IS NULL
+                THEN o_orderpriority || ',@null@'
+                WHEN o_orderpriority IS NULL
+                THEN o_orderstatus || ',@null@'
+                ELSE least(o_orderstatus, o_orderpriority) || ',' ||
+                     greatest(o_orderstatus, o_orderpriority)
+           END AS vals_sorted
     FROM orders
     """,
     tags=("fn",),
@@ -230,7 +240,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "status").alias("status_v"),
         F.size(m).cast("long").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
-        F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
+        # array_join SKIPS nulls by default, silently shrinking the list
+        # — emit a sentinel instead (array_sort places NULLs last)
+        F.array_join(F.array_sort(F.map_values(m)), ",", "@null@").alias(
+            "vals_sorted"
+        ),
     )
 
 
@@ -278,7 +292,9 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            CAST(CAST(value AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
-           CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END AS BIGINT) AS is_big
+           -- direct bool->int cast so a NULL value stays NULL (the CASE
+           -- ELSE-0 form would coerce NULL comparisons to 0)
+           CAST(value > 100 AS BIGINT) AS is_big
     FROM events
     """,
     tags=("fn",),

@@ -616,14 +616,15 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_JOIN_CARDINALITY_AUDIT_ORACLE = """
     WITH lo_l AS (SELECT l_orderkey AS k, count(*) AS nl
-                  FROM lineitem GROUP BY 1),
+                  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
          lo_r AS (SELECT o_orderkey AS k, count(*) AS nr
-                  FROM orders GROUP BY 1),
+                  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
          lo_j AS (SELECT l.k, nl, nr, nl * nr AS prod
                   FROM lo_l l JOIN lo_r r USING (k)),
          lo_top AS (SELECT k, prod FROM lo_j
                     ORDER BY prod DESC, k ASC LIMIT 1),
-         ev AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+         ev AS (SELECT user_id AS k, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY 1),
          ev_top AS (SELECT k, n * n AS prod FROM ev
                     ORDER BY n * n DESC, k ASC LIMIT 1)
     SELECT 'lineitem_orders' AS join_name,
@@ -654,8 +655,19 @@ def _cardinality_audit(
     """Per-key count histograms on both sides, joined at histogram grain:
     predicted inner-join cardinality = Σ nl·nr, plus the single heaviest
     key (prod desc, key asc). Only aggregates ever shuffle or join."""
-    lc = left.groupBy(F.col(lkey).alias("k")).agg(F.count(F.lit(1)).alias("nl"))
-    rc = right.groupBy(F.col(rkey).alias("k")).agg(F.count(F.lit(1)).alias("nr"))
+    # NULL join keys match NOTHING in an equi-join — a correct
+    # cardinality prediction excludes them from both histograms (and the
+    # oracle's ev/lo CTEs carry the same filter)
+    lc = (
+        left.filter(F.col(lkey).isNotNull())
+        .groupBy(F.col(lkey).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    rc = (
+        right.filter(F.col(rkey).isNotNull())
+        .groupBy(F.col(rkey).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
     j = lc.join(rc, "k").select("k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("prod"))
     totals = (
         j.agg(

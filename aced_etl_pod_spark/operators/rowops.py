@@ -40,7 +40,11 @@ def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # F.concat (NULL-propagating, like the oracle's ||) rather than
+        # concat_ws, which silently SKIPS null parts (class 4)
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
     )
 
 
