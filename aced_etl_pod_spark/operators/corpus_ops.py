@@ -820,10 +820,18 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     subset = o.filter(F.col("o_orderkey") % CSV_GOOD_MOD == 0)
     good = subset.select(
-        F.concat_ws(
-            ",",
+        # a NULL price renders as an EMPTY CSV field ("key,"), which
+        # parses back as NULL — concat_ws would DROP the field entirely,
+        # leaving a short row that PERMISSIVE quarantines as corrupt
+        F.concat(
             F.col("o_orderkey").cast("string"),
-            F.format_string("%.6f", F.col("o_totalprice")).alias("p"),
+            F.lit(","),
+            # format_string renders a null arg as the STRING 'null'
+            # (never NULL), so the guard must be explicit
+            F.when(
+                F.col("o_totalprice").isNotNull(),
+                F.format_string("%.6f", F.col("o_totalprice")),
+            ).otherwise(""),
         ).alias("value")
     )
     bad = subset.filter(F.col("o_orderkey") % CSV_BAD_MOD == 0).select(
@@ -2383,8 +2391,14 @@ def _fixed_width_fixture(sf_dir: str) -> str:
                 WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey"""
         ).fetchall()
         with open(path, "w") as f:
+            # mainframe convention: a NULL field is BLANKS at its offsets
+            def fw(v, width):
+                return " " * width if v is None else f"{v:<{width}}"
+
             for ok, ck, stt, price in rows:
-                f.write(f"{ok:<10d}{ck:<8d}{stt:<1s}{price:<12s}\n")
+                f.write(
+                    fw(ok, 10) + fw(ck, 8) + fw(stt, 1) + fw(price, 12) + "\n"
+                )
         open(path + ".done", "w").close()
     return path
 
@@ -2394,10 +2408,12 @@ SCAN_FIXED_WIDTH_ORACLE = """
       SELECT column0 AS line FROM read_csv('{path}', header=false, delim='\x01',
                                            quote='', columns={{'column0': 'VARCHAR'}})
     )
-    SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS o_orderkey,
-           CAST(trim(substr(line, 11, 8)) AS BIGINT) AS o_custkey,
-           trim(substr(line, 19, 1)) AS o_orderstatus,
-           CAST(trim(substr(line, 20, 12)) AS DOUBLE) AS o_totalprice
+    SELECT CAST(nullif(trim(substr(line, 1, 10)), '') AS BIGINT)
+             AS o_orderkey,
+           CAST(nullif(trim(substr(line, 11, 8)), '') AS BIGINT) AS o_custkey,
+           nullif(trim(substr(line, 19, 1)), '') AS o_orderstatus,
+           CAST(nullif(trim(substr(line, 20, 12)), '') AS DOUBLE)
+             AS o_totalprice
     FROM lines
 """
 
@@ -2431,7 +2447,9 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = 1
     cols = []
     for name, width in _FW_LAYOUT:
-        c = F.expr(f"trim(substr(value, {pos}, {width}))")
+        # blank field = NULL (nullif: a trimmed-empty string is absence,
+        # and DuckDB would refuse CAST('' AS BIGINT) anyway)
+        c = F.expr(f"nullif(trim(substr(value, {pos}, {width})), '')")
         if name in ("o_orderkey", "o_custkey"):
             c = c.cast("long")
         elif name == "o_totalprice":
@@ -2596,8 +2614,14 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn("fname", F.input_file_name())
         .withColumn(
+            # regexp_extract returns '' (not NULL) on no match — nullif
+            # maps the __HIVE_DEFAULT_PARTITION__ (null-status) directory
+            # back to a NULL partition value, like the oracle's group
             "partition_value",
-            F.regexp_extract("fname", "o_orderstatus=([A-Z])", 1),
+            F.nullif(
+                F.regexp_extract("fname", "o_orderstatus=([A-Z])", 1),
+                F.lit(""),
+            ),
         )
         .groupBy("partition_value")
         .agg(

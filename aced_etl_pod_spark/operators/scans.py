@@ -176,7 +176,11 @@ def sink_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n
-    FROM orders WHERE o_orderstatus <> 'F'
+    FROM orders
+    -- IS DISTINCT FROM: the null-status partition
+    -- (__HIVE_DEFAULT_PARTITION__) survives the drop of 'F' and must
+    -- survive the predicate too; <> would three-valued-logic it away
+    WHERE o_orderstatus IS DISTINCT FROM 'F'
     GROUP BY o_orderstatus
     """,
     tags=("sink",),

@@ -33,7 +33,8 @@ def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.LongType())
     def prio_rank(p: str) -> int:
-        return int(p.split("-")[0])
+        # NULL propagates like the oracle's SQL (a row UDF sees None)
+        return None if p is None else int(p.split("-")[0])
 
     o = load(spark, sf_dir, "orders")
     return o.select("o_orderkey", prio_rank("o_orderpriority").alias("prio_rank"))
@@ -94,7 +95,7 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bal_rank,
            CAST(round(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)
                 AS DECIMAL(18,6)), 2) AS DOUBLE) AS centered
-    FROM customer
+    FROM customer WHERE c_acctbal IS NOT NULL
     """,
     tags=("udf",),
 )
@@ -115,7 +116,9 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out
 
-    c = load(spark, sf_dir, "customer")
+    # a NULL balance has no rank (pandas rank(NaN).astype(int) raises;
+    # SQL rank puts it at the class-8 divergent end) — excluded both sides
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     out = c.groupBy("c_nationkey").applyInPandas(
         per_nation,
         schema="c_custkey long, c_nationkey int, bal_rank long, centered double",
@@ -225,11 +228,18 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 UDTF_TABLE_ARGUMENT_ORACLE = """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
+           -- asymmetric on purpose, mirroring the UDTF: `first` keeps
+           -- looking past NULL types (min_by's skip-null-values matches),
+           -- while `last` is the literal final row even when NULL (the
+           -- coalesce/nullif sandwich defeats max_by's skip)
            min_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
                   lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
-           max_by(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
-                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
-    FROM events GROUP BY user_id
+           nullif(max_by(coalesce(event_type, '@null@'),
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')), '@null@')
+             AS last_type
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
 """
 
 
@@ -269,7 +279,12 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("per_user_summary", PerUserSummary)
     events_path = f"{sf_dir}/events.parquet"
-    load(spark, sf_dir, "events").createOrReplaceTempView("udtf_events_src")
+    # anonymous (NULL-user) partitions would be silently dropped by the
+    # uid-is-None terminate guard while the oracle's GROUP BY keeps them;
+    # null-ts rows take class-8 divergent order slots — excluded both sides
+    load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).createOrReplaceTempView("udtf_events_src")
     return spark.sql(
         """SELECT * FROM per_user_summary(
              TABLE(SELECT user_id, event_type, ts, event_id
@@ -303,11 +318,12 @@ def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType(), useArrow=True)
     def prio_word(p: str) -> str:
-        return p.split("-")[1].upper()
+        # NULL propagates like the oracle's SQL
+        return None if p is None else p.split("-")[1].upper()
 
     @F.udf(T.LongType(), useArrow=True)
     def prio_len(p: str) -> int:
-        return len(p)
+        return None if p is None else len(p)
 
     o = load(spark, sf_dir, "orders")
     return o.select(
