@@ -113,8 +113,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.event_id,
            CAST(count(r.ts) AS BIGINT) AS n_clicks_before
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
-    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+            AND ts IS NOT NULL AND user_id IS NOT NULL) l
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'click'
+                 AND ts IS NOT NULL AND user_id IS NOT NULL) r
       ON l.user_id = r.user_id
      AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
     GROUP BY l.event_id
@@ -134,13 +138,23 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ss_left_outer", extra_batches=[nudge, nudge]
     )
     stream = read_stream(spark, src)
+    # watermarked state joins need an event time and a key: null-ts
+    # rows are never evicted/emitted, silently vanishing from the result
     purchases = (
-        stream.filter(F.col("event_type") == "purchase")
+        stream.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", "2 hours")
     )
     clicks = (
-        stream.filter(F.col("event_type") == "click")
+        stream.filter(
+            (F.col("event_type") == "click")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "2 hours")
     )

@@ -38,6 +38,7 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total
     FROM events
+    WHERE ts IS NOT NULL  -- Spark's window() silently DROPS null-ts rows
     GROUP BY 1, 2
     """,
     tags=("stream", "bench"),
@@ -68,6 +69,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS win_start,
              value
       FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+      WHERE ts IS NOT NULL  -- window() drops null event times
     )
     SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
            CAST(count(*) AS BIGINT) AS n,
@@ -102,6 +104,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL  -- session_window() drops null event times
     ), sessions AS (
       SELECT user_id, ts, value,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -429,13 +432,14 @@ STREAM_SLIDING_TOPK_ORACLE = f"""
                AS win_start,
              event_type
       FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+      WHERE ts IS NOT NULL  -- window() drops null event times
     ), counted AS (
       SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
       FROM shifted GROUP BY 1, 2
     ), ranked AS (
       SELECT win_start, event_type, n,
              row_number() OVER (PARTITION BY win_start
-                                ORDER BY n DESC, event_type) AS rk
+                                ORDER BY n DESC, event_type NULLS LAST) AS rk
       FROM counted
     )
     SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
@@ -461,7 +465,11 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     out = run_to_memory(agg, "t_sliding_topk", "complete")
-    w = W.partitionBy("window.start").orderBy(F.desc("n"), "event_type")
+    # NULLS LAST spelled out: the bare ASC tie-break is the class-8
+    # divergence (Spark NULLS FIRST / DuckDB NULLS LAST)
+    w = W.partitionBy("window.start").orderBy(
+        F.desc("n"), F.asc_nulls_last("event_type")
+    )
     return (
         out.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
@@ -483,7 +491,9 @@ STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
     WITH wins AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
              CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
-      FROM events WHERE user_id < 50 GROUP BY 1, 2
+      FROM events
+      WHERE user_id < 50 AND ts IS NOT NULL  -- window() drops null ts
+      GROUP BY 1, 2
     ),
     stats AS (
       SELECT user_id, avg(total) AS mu, stddev_samp(total) AS sigma,
@@ -566,7 +576,9 @@ STREAM_CHECKED_INGEST_DLQ_ORACLE = """
     WITH tagged AS (
       SELECT event_type, value,
              CAST(floor(epoch(ts)) AS BIGINT) % 4 AS epoch_id
-      FROM events WHERE user_id < 50
+      FROM events
+      -- null-ts rows match no hash-split predicate and reach no batch
+      WHERE user_id < 50 AND ts IS NOT NULL
     ),
     epochs AS (
       SELECT epoch_id,
@@ -820,7 +832,7 @@ def _ckpt_restart_phases(
 STREAM_DEDUP_WITHIN_WATERMARK_ORACLE = """
     SELECT DISTINCT user_id, event_type,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -857,6 +869,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     deduped = (
         read_stream(spark, src)
+        # a watermark-governed dedup needs an event time: null-ts rows
+        # never evict and re-emit across batches
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", "60 days")
         .select(
             "user_id",

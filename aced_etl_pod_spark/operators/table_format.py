@@ -876,7 +876,11 @@ TXNLOG_MERGE_UPSERT_ORACLE = """
       SELECT user_id, event_type, value, ts,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rk
-      FROM events) t
+      FROM events
+      -- a NULL merge key can never be superseded (delete-key anti-joins
+      -- don't match NULL), and a NULL ts falls into no ingest batch —
+      -- both are excluded from the keyed state on both sides
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
     WHERE rk = 1
     ORDER BY user_id
 """
@@ -909,7 +913,9 @@ def build_upsert_state_table(spark: SparkSession, sf_dir: str) -> str:
     if current_version(table) == 3:
         return table
     shutil.rmtree(table, ignore_errors=True)
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     cuts = [F.lit(c).cast("timestamp") for c in _UPSERT_WEEKS]
     batches = [
         e.filter(F.col("ts") < cuts[0]),
@@ -980,13 +986,16 @@ def stream_txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cuts = [F.lit(c).cast("timestamp") for c in _UPSERT_WEEKS]
+    # NULL keys can't be merged (delete-key anti-joins never match);
+    # NULL ts already falls into no split — same contract as the batch op
+    keyed = F.col("user_id").isNotNull()
     src = materialize_batches(
         spark, sf_dir, "txnlog_upsert",
         splits=[
-            F.col("ts") < cuts[0],
-            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
-            (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
-            F.col("ts") >= cuts[2],
+            keyed & (F.col("ts") < cuts[0]),
+            keyed & (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            keyed & (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+            keyed & (F.col("ts") >= cuts[2]),
         ],
     )
     table = scratch_dir("stream/txnlog_upsert_table")
@@ -1025,7 +1034,15 @@ def stream_txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TXNLOG_OVERWRITE_PARTITION_ORACLE = (
-    _snap_sql(3, "o_orderstatus <> 'O' OR o_totalprice > 100.0")
+    # membership-explicit: the table only ever LOADED the F/O/P
+    # partitions (a NULL status matches no equality filter), so the
+    # restated state is F+P plus the reloaded O slice — the old
+    # status <> 'O' form let NULL-status rows leak in via OR
+    _snap_sql(
+        3,
+        "o_orderstatus IN ('F', 'P')"
+        " OR (o_orderstatus = 'O' AND o_totalprice > 100.0)",
+    )
     + " ORDER BY o_orderstatus"
 )
 
