@@ -1692,3 +1692,59 @@ def test_dispersion_estimator_divergence_pinned(events_env):
         "FROM (VALUES (1.5), (2.5), (9.0)) t(x)"
     )
     assert tuple(spark.sql(fin).first()) == con.execute(fin).fetchone()
+
+
+def test_null_sweep_micro_divergences_pinned(events_env):
+    """Sixteenth catalog class — the micro-divergences behind the
+    null-injection sweep's 104 failures (tools/null_sweep.py), pinned
+    independently of the operators that tripped over them:
+      * size(split(NULL)) = -1 under non-ANSI Spark vs len(NULL) = NULL
+        in DuckDB (and sequence() RAISES on the resulting bound);
+      * format_string/printf with a NULL arg: Spark renders the STRING
+        'null', DuckDB printf returns NULL;
+      * regexp_extract on no match: '' on BOTH engines (never NULL) —
+        a genuinely-NULL derived value comes back as '' and must be
+        nullif'd at the boundary;
+      * multi-argument count(DISTINCT a, b): Spark drops rows where ANY
+        argument is NULL, DuckDB's (a, b) row-value form counts them;
+      * min_by/max_by: DuckDB skips NULL *values*, Spark returns the
+        winning row's value even when NULL;
+      * x <> 'F' vs x IS DISTINCT FROM 'F' over NULLs (the partition-
+        survival trap).
+    The catalog rules (docs/DIVERGENCES.md class 16) are the porting
+    disciplines the operator corpus now follows on both sides."""
+    spark, con = events_env
+    # size-of-null
+    assert spark.sql("SELECT size(split(CAST(NULL AS STRING), ' '))").first()[0] == -1
+    assert con.execute("SELECT len(string_split(NULL, ' '))").fetchone()[0] is None
+    # with an explicit positive step the poisoned bound RAISES (bare
+    # two-arg sequence would infer step -1 and "succeed" descending)
+    with pytest.raises(Exception, match="[Ss]equence boundaries"):
+        spark.sql(
+            "SELECT sequence(0, size(split(CAST(NULL AS STRING), ' ')) - 1, 2)"
+        ).collect()
+    # format_string / printf
+    assert (
+        spark.sql("SELECT format_string('%s|', CAST(NULL AS STRING))").first()[0]
+        == "null|"
+    )
+    assert con.execute("SELECT printf('%s|', NULL)").fetchone()[0] is None
+    # regexp_extract no-match: '' on BOTH engines (agreement) — the trap
+    # is that a derived partition VALUE that was genuinely NULL comes
+    # back as '' from the regex, so boundary code must nullif(x, '')
+    assert spark.sql("SELECT regexp_extract('abc', 'x(y)', 1)").first()[0] == ""
+    assert con.execute("SELECT regexp_extract('abc', 'x(y)', 1)").fetchone()[0] == ""
+    # multi-arg count distinct
+    vals = "(VALUES (1, 'a'), (1, NULL), (NULL, 'a'), (2, 'b')) t(a, b)"
+    assert spark.sql(f"SELECT count(DISTINCT a, b) FROM {vals}").first()[0] == 2
+    assert con.execute(f"SELECT count(DISTINCT (a, b)) FROM {vals}").fetchone()[0] == 4
+    # min_by/max_by null-value handling
+    mv = "(VALUES ('x', 1), (NULL, 2)) t(v, k)"
+    assert spark.sql(f"SELECT max_by(v, k) FROM {mv}").first()[0] is None
+    assert con.execute(f"SELECT max_by(v, k) FROM {mv}").fetchone()[0] == "x"
+    # <> vs IS DISTINCT FROM (agrees across engines; the trap is 3VL)
+    tri = "(VALUES ('F'), ('O'), (NULL)) t(s)"
+    one = f"SELECT count(*) FROM {tri} WHERE s <> 'F'"
+    two = f"SELECT count(*) FROM {tri} WHERE s IS DISTINCT FROM 'F'"
+    assert spark.sql(one).first()[0] == con.execute(one).fetchone()[0] == 1
+    assert spark.sql(two).first()[0] == con.execute(two).fetchone()[0] == 2
