@@ -14,6 +14,7 @@ from aced_etl_pod_spark.functions.dedup import (
     duck_minhash_pairs_cte,
     minhash_candidate_pairs,
 )
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.streaming.replay import (
     materialize_batches,
@@ -1062,8 +1063,7 @@ SCAN_JSON_VARIANT_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(k) AS BIGINT) AS sum_k,
-           CAST(round(CAST(CAST(sum(k) AS DOUBLE) / count(*)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_k,
+           (CASE WHEN abs(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_k,
            CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high
     FROM extracted

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money, money_sql
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -551,7 +551,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey % 2 AS gen,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total,
            CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
                 AS BIGINT) AS n_status
@@ -797,7 +797,7 @@ CSV_BAD_MOD = 1000
            CAST(count(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0 THEN 1 END)
                 AS BIGINT) AS n_corrupt,
            CAST(count(*) AS BIGINT) AS n_good,
-           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS good_total
     FROM orders WHERE o_orderkey % {CSV_GOOD_MOD} = 0
     """,
@@ -869,7 +869,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARED_ANSI_SQL = """
 SELECT c_mktsegment, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+       (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
          AS total,
        CAST(rank() OVER (
               PARTITION BY c_mktsegment
@@ -991,10 +991,13 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_median_rolling",
     oracle="""
     SELECT event_id, user_id,
-           CAST(round(CAST(median(value) OVER (
+           (CASE WHEN abs(CAST(median(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)), 4)
-             AS DOUBLE) AS med5
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) END) AS med5
     FROM events WHERE ts IS NOT NULL
     """,
     tags=("window", "extra"),
@@ -1074,7 +1077,7 @@ def fn_datetime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SHARED_ANSI_SQL).
 LATERAL_TOPK_SQL = """
 SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
-       CAST(round(CAST(t.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+       (CASE WHEN abs(CAST(t.o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(t.o_totalprice AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(t.o_totalprice AS DOUBLE) END)
          AS o_totalprice
 FROM customer c,
 LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
@@ -1235,7 +1238,7 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_ndjson_gzip",
     oracle="""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders WHERE o_orderkey % 20 = 0
     GROUP BY o_orderstatus
@@ -1274,7 +1277,7 @@ def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           CAST(round(CAST(sum(value) OVER w AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(value) OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) OVER w AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) OVER w AS DOUBLE) END)
              AS sum_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1369,7 +1372,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_orderstatus AS status FROM orders
     )
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(o.o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders o JOIN dim d ON o.o_orderstatus = d.status
     WHERE d.status IN ('F', 'P')
@@ -2230,7 +2233,7 @@ SINK_CSV_ROUNDTRIP_ORACLE = f"""
     FROM t
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
-""".format(money="CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)")
+""".format(money="(CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)")
 
 
 @op("sink_csv_roundtrip", oracle=SINK_CSV_ROUNDTRIP_ORACLE, tags=("sink", "extra"))
@@ -2320,16 +2323,15 @@ def feature_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
-FEATURE_STANDARD_SCALE_ORACLE = """
+FEATURE_STANDARD_SCALE_ORACLE = f"""
     WITH stats AS (
       SELECT c_nationkey,
-             avg(c_acctbal) AS mu,
-             stddev_samp(c_acctbal) AS sigma
+             avg({finite_sql('c_acctbal')}) AS mu,
+             stddev_samp({finite_sql('c_acctbal')}) AS sigma
       FROM customer GROUP BY 1
     )
     SELECT c.c_custkey, c.c_nationkey,
-           CAST(round(CAST((c.c_acctbal - s.mu) / s.sigma
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS z
+           {money_sql('(c.c_acctbal - s.mu) / s.sigma', 4, 9)} AS z
     FROM customer c JOIN stats s USING (c_nationkey)
 """
 
@@ -2346,18 +2348,16 @@ def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind of partial the MV family persists and refreshes)."""
     c = load(spark, sf_dir, "customer")
     stats = c.groupBy("c_nationkey").agg(
-        F.avg("c_acctbal").alias("mu"),
-        F.stddev_samp("c_acctbal").alias("sigma"),
+        F.avg(finite(F.col("c_acctbal"))).alias("mu"),
+        F.stddev_samp(finite(F.col("c_acctbal"))).alias("sigma"),
     )
     return (
         c.join(F.broadcast(stats), "c_nationkey")
         .select(
             "c_custkey",
             "c_nationkey",
-            F.expr(
-                "CAST(round(CAST((c_acctbal - mu) / sigma AS DECIMAL(18,9)), 4)"
-                " AS DOUBLE)"
-            ).alias("z"),
+            money((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 4, 9)
+            .alias("z"),
         )
         .orderBy("c_custkey")
     )
@@ -2575,7 +2575,7 @@ SCAN_FILE_PROVENANCE_ORACLE = """
     SELECT regexp_extract(filename, 'o_orderstatus=([A-Z])', 1) AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
-           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM read_parquet('{path}/*/*.parquet', filename=true)
     GROUP BY 1
@@ -2592,7 +2592,7 @@ SCAN_FILE_PROVENANCE_STATIC_ORACLE = """
     SELECT o_orderstatus AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(1 AS BIGINT) AS n_files,
-           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders GROUP BY 1
 """
@@ -2757,13 +2757,17 @@ AGG_KMV_SET_INTERSECTION_SQL = f"""
            CAST(ku AS BIGINT) AS ku, CAST(kth_u AS BIGINT) AS kth_u,
            CAST(overlap AS BIGINT) AS overlap,
            CAST(exact_inter AS BIGINT) AS exact_inter,
-           CAST(round(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
-                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS est_union,
-           CAST(round(CAST((CAST(overlap AS DOUBLE) / ku) *
+           (CASE WHEN abs(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE) END) AS est_union,
+           (CASE WHEN abs(CAST((CAST(overlap AS DOUBLE) / ku) *
                 (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
-                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END)
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS est_intersection
+                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((CAST(overlap AS DOUBLE) / ku) *
+                (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST((CAST(overlap AS DOUBLE) / ku) *
+                (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE) END) AS est_intersection
     FROM s
 """
 
@@ -3138,7 +3142,7 @@ _SQLP_LANG = "en"
 SQL_PARAMETERIZED_QUERY_ORACLE = f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(avg(n_chars) AS DECIMAL(18,9)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
              AS avg_chars
     FROM documents
     WHERE lang = '{_SQLP_LANG}' AND n_chars >= {_SQLP_MIN_CHARS}
@@ -3164,7 +3168,7 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT source,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(round(CAST(avg(n_chars) AS DECIMAL(18,9)), 2) AS DOUBLE)
+               (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
                  AS avg_chars
         FROM param_documents
         WHERE lang = :lang AND n_chars >= :min_chars
@@ -3237,8 +3241,7 @@ PIPELINE_PRETRAIN_E2E_ORACLE = f"""
            CAST(count(*) AS BIGINT) AS docs_kept,
            CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
            CAST(sum(n_dropped) AS BIGINT) AS lines_deduped,
-           CAST(round(CAST(avg(distinct_ratio) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS avg_distinct_ratio
+           (CASE WHEN abs(CAST(avg(distinct_ratio) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(distinct_ratio) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(distinct_ratio) AS DOUBLE) END) AS avg_distinct_ratio
     FROM gated
     GROUP BY lang
     ORDER BY lang

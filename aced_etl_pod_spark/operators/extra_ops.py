@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money, money_sql
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -64,12 +64,12 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_percentile",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
-           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS median_price,
-           CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS p90_price
+           {money_sql(f"quantile_cont({finite_sql('o_totalprice')}, 0.5)")}
+             AS median_price,
+           {money_sql(f"quantile_cont({finite_sql('o_totalprice')}, 0.9)")}
+             AS p90_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -78,15 +78,14 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``); the approx variant is ``percentile_approx`` on the
-    100 TB path."""
+    100 TB path. Non-finite measures are excluded on both sides (class-B
+    contract): the engines place NaN at opposite ends of the quantile
+    order, so no propagation semantics can agree."""
     o = load(spark, sf_dir, "orders")
+    price = finite(F.col("o_totalprice"))
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)).cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("p90_price"),
+        money(F.percentile(price, F.lit(0.5))).alias("median_price"),
+        money(F.percentile(price, F.lit(0.9))).alias("p90_price"),
     )
 
 
@@ -236,11 +235,11 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_stddev_var",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
-           CAST(round(CAST(stddev_samp(c_acctbal) AS DECIMAL(18,6)), 3) AS DOUBLE) AS sd,
-           CAST(round(CAST(var_samp(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE) AS var_s,
-           CAST(round(CAST(var_pop(c_acctbal) AS DECIMAL(18,6)), 2) AS DOUBLE) AS var_p
+           {money_sql(f"stddev_samp({finite_sql('c_acctbal')})", 3)} AS sd,
+           {money_sql(f"var_samp({finite_sql('c_acctbal')})")} AS var_s,
+           {money_sql(f"var_pop({finite_sql('c_acctbal')})")} AS var_p
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -248,18 +247,14 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample/population variance + stddev (both engines merge partial
-    moments; decimal sandwich absorbs the last-ulp drift)."""
+    moments; decimal sandwich absorbs the last-ulp drift; non-finite
+    measures are missing per the class-B contract — see util.finite)."""
     c = load(spark, sf_dir, "customer")
+    acct = finite(F.col("c_acctbal"))
     return c.groupBy("c_nationkey").agg(
-        F.round(F.stddev_samp("c_acctbal").cast("decimal(18,6)"), 3)
-        .cast("double")
-        .alias("sd"),
-        F.round(F.var_samp("c_acctbal").cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("var_s"),
-        F.round(F.var_pop("c_acctbal").cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("var_p"),
+        money(F.stddev_samp(acct), 3).alias("sd"),
+        money(F.var_samp(acct)).alias("var_s"),
+        money(F.var_pop(acct)).alias("var_p"),
     )
 
 
@@ -345,12 +340,15 @@ def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_corr_covar",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           CAST(round(CAST(corr(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
-                AS DOUBLE) AS price_qty_corr,
-           CAST(round(CAST(covar_samp(l_extendedprice, l_quantity) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS price_qty_covar
+           {money_sql(
+               f"corr({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})",
+               4, 8,
+           )} AS price_qty_corr,
+           {money_sql(
+               f"covar_samp({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})",
+           )} AS price_qty_covar
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -358,15 +356,14 @@ def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / sample covariance (bivariate moments; decimal sandwich
-    for the cross-engine ulp drift)."""
+    for the cross-engine ulp drift). Non-finite on EITHER side drops the
+    pair — both engines' corr/covar already skip NULL pairs, so the
+    class-B finite()→NULL mapping composes with no extra predicate."""
     li = load(spark, sf_dir, "lineitem")
+    price, qty = finite(F.col("l_extendedprice")), finite(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
-        .cast("double")
-        .alias("price_qty_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity").cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("price_qty_covar"),
+        money(F.corr(price, qty), 4, 8).alias("price_qty_corr"),
+        money(F.covar_samp(price, qty)).alias("price_qty_covar"),
     )
 
 
@@ -650,10 +647,10 @@ def ts_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_approx_percentile",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
-           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS exact_median,
+           {money_sql(f"quantile_cont({finite_sql('o_totalprice')}, 0.5)")}
+             AS exact_median,
            TRUE AS approx_within_tol
     FROM orders GROUP BY o_orderstatus
     """,
@@ -663,13 +660,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentile (the 100 TB path — no per-group sort), with
     the same driver-checkable contract as agg_approx_distinct: emit the
     exact value plus a boolean asserting the sketch landed within 1% of it;
-    the oracle expects TRUE, so a drifting sketch hash-mismatches."""
+    the oracle expects TRUE, so a drifting sketch hash-mismatches.
+    Non-finite measures excluded both sides (class-B contract)."""
     o = load(spark, sf_dir, "orders")
+    price = finite(F.col("o_totalprice"))
     agg = o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("exact_median"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        money(F.percentile(price, F.lit(0.5))).alias("exact_median"),
+        F.percentile_approx(price, F.lit(0.5), F.lit(10000)).alias("approx_median"),
     )
     return agg.select(
         "o_orderstatus",
@@ -683,15 +680,21 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_regression",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           CAST(round(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
-                AS DOUBLE) AS slope,
-           CAST(round(CAST(regr_intercept(l_extendedprice, l_quantity) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS intercept,
-           CAST(round(CAST(regr_r2(l_extendedprice, l_quantity) AS DECIMAL(18,8)), 4)
-                AS DOUBLE) AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+           {money_sql(
+               f"regr_slope({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})",
+               4, 8,
+           )} AS slope,
+           {money_sql(
+               f"regr_intercept({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})",
+           )} AS intercept,
+           {money_sql(
+               f"regr_r2({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})",
+               4, 8,
+           )} AS r2,
+           CAST(regr_count({finite_sql('l_extendedprice')}, {finite_sql('l_quantity')})
+                AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -702,21 +705,15 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (regr_slope/intercept/r2) — single-pass, partial-agg-combinable, the
     JVM-side way to fit y = a·x + b per group at 100 TB (no UDAF, no
     collect). Decimal sandwich on each statistic for cross-engine ulp
-    drift (same treatment as agg_corr_covar)."""
+    drift; non-finite on either side drops the pair (class-B contract,
+    same treatment as agg_corr_covar)."""
     li = load(spark, sf_dir, "lineitem")
+    price, qty = finite(F.col("l_extendedprice")), finite(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
-        .cast("double")
-        .alias("slope"),
-        F.round(
-            F.regr_intercept("l_extendedprice", "l_quantity").cast("decimal(18,6)"), 2
-        )
-        .cast("double")
-        .alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity").cast("decimal(18,8)"), 4)
-        .cast("double")
-        .alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+        money(F.regr_slope(price, qty), 4, 8).alias("slope"),
+        money(F.regr_intercept(price, qty)).alias("intercept"),
+        money(F.regr_r2(price, qty), 4, 8).alias("r2"),
+        F.regr_count(price, qty).cast("long").alias("n"),
     )
 
 
@@ -1045,7 +1042,7 @@ JOIN_SCD2_TEMPORAL_ORACLE = f"""
     )
     SELECT d.seg,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(o.o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders o JOIN dim d
       ON o.o_custkey = d.key
@@ -1211,7 +1208,7 @@ def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_INTERPOLATE_LINEAR_ORACLE = """
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS v
       FROM events WHERE user_id < 50 GROUP BY 1, 2
     ),
     bounds AS (
@@ -1247,8 +1244,7 @@ TS_INTERPOLATE_LINEAR_ORACLE = """
            CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL OR nv IS NULL THEN NULL
-             ELSE CAST(round(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt)
-                       AS DECIMAL(18,9)), 2) AS DOUBLE)
+             ELSE (CASE WHEN abs(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) END)
            END AS interp_v,
            v IS NULL AS was_gap
     FROM ctx
@@ -1272,7 +1268,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is O(1) per row (running last/first), not O(frame)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+        F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
             "v"
         )
     )
@@ -1420,12 +1416,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_weighted_percentile (round-7 registration queue)
 # ---------------------------------------------------------------------------
 
-AGG_WEIGHTED_PERCENTILE_ORACLE = """
+AGG_WEIGHTED_PERCENTILE_ORACLE = f"""
     WITH by_val AS (
       SELECT l_returnflag, l_extendedprice AS v,
              sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
       FROM lineitem
-      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      WHERE {finite_sql('l_extendedprice')} IS NOT NULL
+        AND {finite_sql('l_quantity')} IS NOT NULL
       GROUP BY 1, 2
     ),
     cum AS (
@@ -1437,10 +1434,8 @@ AGG_WEIGHTED_PERCENTILE_ORACLE = """
       FROM by_val
     )
     SELECT l_returnflag,
-           CAST(round(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END)
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS wp50,
-           CAST(round(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END)
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS wp90
+           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) END) AS wp50,
+           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) END) AS wp90
     FROM cum GROUP BY l_returnflag
 """
 
@@ -1461,10 +1456,12 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude smaller than rows). The approximate tier for
     unbounded value domains is agg_histogram_quantile_merge's binned
     partials; this is the exact tier."""
-    # a weighted observation needs both a value (ASC order key — class-8
-    # null position) and a weight — excluded both sides
+    # a weighted observation needs both a FINITE value (ASC order key —
+    # class-8 null position; NaN order keys and decimal-cast weights
+    # diverge) and a FINITE weight — excluded both sides (class-B)
     li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        finite(F.col("l_extendedprice")).isNotNull()
+        & finite(F.col("l_quantity")).isNotNull()
     )
     by_val = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w")
@@ -1511,7 +1508,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
       FROM series
     )
     SELECT user_id,
-           CAST(round(CAST(max(runmax) AS DECIMAL(18,6)), 2) AS DOUBLE) AS peak,
+           (CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END) AS peak,
            CAST(min(dd_pct) AS DOUBLE) AS max_drawdown_pct
     FROM dd GROUP BY user_id
 """
@@ -1545,7 +1542,7 @@ def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         series.groupBy("user_id")
         .agg(
             F.expr(
-                "CAST(round(CAST(max(runmax) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+                "(CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END)"
             ).alias("peak"),
             F.min("dd_pct").cast("double").alias("max_drawdown_pct"),
         )
@@ -1571,11 +1568,11 @@ STAT_CHI_SQUARE_ORACLE = """
     )
     SELECT event_type, cohort,
            CAST(o AS BIGINT) AS observed,
-           CAST(round(CAST(row_tot * col_tot / CAST(n AS DOUBLE)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS expected,
-           CAST(round(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
-                      / (row_tot * col_tot / CAST(n AS DOUBLE))
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS contribution
+           (CASE WHEN abs(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) END) AS expected,
+           (CASE WHEN abs(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                      / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                      / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                      / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE) END) AS contribution
     FROM margins
 """
 
@@ -1684,12 +1681,14 @@ WIN_PERIOD_OVER_PERIOD_ORACLE = """
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
     SELECT prio, month, revenue,
-           CAST(round(CAST((revenue - lag(revenue) OVER w)
-                      / lag(revenue) OVER w * 100 AS DECIMAL(18,9)), 2)
-                AS DOUBLE) AS mom_pct,
-           CAST(round(CAST((revenue - lag(revenue, 12) OVER w)
-                      / lag(revenue, 12) OVER w * 100 AS DECIMAL(18,9)), 2)
-                AS DOUBLE) AS yoy_pct
+           (CASE WHEN abs(CAST((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100 AS DOUBLE) END) AS mom_pct,
+           (CASE WHEN abs(CAST((revenue - lag(revenue, 12) OVER w)
+                      / lag(revenue, 12) OVER w * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((revenue - lag(revenue, 12) OVER w)
+                      / lag(revenue, 12) OVER w * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((revenue - lag(revenue, 12) OVER w)
+                      / lag(revenue, 12) OVER w * 100 AS DOUBLE) END) AS yoy_pct
     FROM monthly
     WINDOW w AS (PARTITION BY prio ORDER BY month)
 """
@@ -1739,10 +1738,8 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_PERCENT_RANK_CUME_ORACLE = """
     SELECT o_orderkey, o_orderstatus,
-           CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,9)), 6)
-                AS DOUBLE) AS pr,
-           CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,9)), 6)
-                AS DOUBLE) AS cd
+           (CASE WHEN abs(CAST(percent_rank() OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(percent_rank() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(percent_rank() OVER w AS DOUBLE) END) AS pr,
+           (CASE WHEN abs(CAST(cume_dist() OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(cume_dist() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(cume_dist() OVER w AS DOUBLE) END) AS cd
     FROM orders WHERE o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
@@ -2005,7 +2002,7 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_DECOMPOSE_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -2018,7 +2015,7 @@ TS_SEASONAL_DECOMPOSE_ORACLE = """
     ),
     seas AS (
       SELECT hour(h) AS hod,
-             CAST(round(CAST(avg(total - trend) AS DECIMAL(18,9)), 4) AS DOUBLE)
+             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
                AS seasonal
       FROM tr WHERE trend IS NOT NULL GROUP BY 1
     )
@@ -2044,7 +2041,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal table is O(24) and broadcast back."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+        F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
             "total"
         )
     )
@@ -2093,22 +2090,24 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # win_outlier_mad (round-7 registration queue)
 # ---------------------------------------------------------------------------
 
-WIN_OUTLIER_MAD_ORACLE = """
-    WITH med AS (
+WIN_OUTLIER_MAD_ORACLE = f"""
+    WITH obs AS (
+      SELECT user_id, value FROM events
+      WHERE {finite_sql('value')} IS NOT NULL
+    ),
+    med AS (
       SELECT user_id,
-             CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,9)), 4)
-                  AS DOUBLE) AS med
-      FROM events GROUP BY 1
+             {money_sql('quantile_cont(value, 0.5)', 4, 9)} AS med
+      FROM obs GROUP BY 1
     ),
     dev AS (
       SELECT e.user_id, e.value, m.med,
              abs(e.value - m.med) AS ad
-      FROM events e JOIN med m USING (user_id)
+      FROM obs e JOIN med m USING (user_id)
     ),
     mad AS (
       SELECT user_id, med,
-             CAST(round(CAST(quantile_cont(ad, 0.5) AS DECIMAL(18,9)), 4)
-                  AS DOUBLE) AS mad
+             {money_sql('quantile_cont(ad, 0.5)', 4, 9)} AS mad
       FROM dev GROUP BY user_id, med
     )
     SELECT d.user_id, d.med, m.mad,
@@ -2132,21 +2131,22 @@ def win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't split engines. Exact interpolated percentiles on both sides
     (Spark percentile == DuckDB quantile_cont); the approx tier at
     unbounded scale is the histogram-partial quantile sketch."""
-    e = load(spark, sf_dir, "events").select("user_id", "value")
+    # observations must be finite: NaN order keys split the two engines'
+    # quantile order, and the deviation FILTER's decimal cast raises in
+    # DuckDB on a NaN deviation (class-B contract)
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(finite(F.col("value")).isNotNull())
+    )
     med = e.groupBy("user_id").agg(
-        F.expr(
-            "CAST(round(CAST(percentile(value, 0.5) AS DECIMAL(18,9)), 4)"
-            " AS DOUBLE)"
-        ).alias("med")
+        money(F.percentile("value", F.lit(0.5)), 4, 9).alias("med")
     )
     dev = e.join(F.broadcast(med), "user_id").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("user_id", "med").agg(
-        F.expr(
-            "CAST(round(CAST(percentile(ad, 0.5) AS DECIMAL(18,9)), 4)"
-            " AS DOUBLE)"
-        ).alias("mad")
+        money(F.percentile("ad", F.lit(0.5)), 4, 9).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad.select("user_id", "mad")), "user_id")
@@ -2181,11 +2181,9 @@ AGG_CONVERSION_LAG_ORACLE = """
         AND first_buy >= first_view
     )
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           CAST(round(CAST(quantile_cont(lag_s, 0.5) / 60.0
-                AS DECIMAL(18,9)), 2) AS DOUBLE) AS p50_min,
-           CAST(round(CAST(quantile_cont(lag_s, 0.9) / 60.0
-                AS DECIMAL(18,9)), 2) AS DOUBLE) AS p90_min,
-           CAST(round(CAST(max(lag_s) / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) END) AS p50_min,
+           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) END) AS p90_min,
+           (CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)
              AS max_min
     FROM lags
 """
@@ -2221,7 +2219,7 @@ def agg_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             " AS DOUBLE)"
         ).alias("p90_min"),
         F.expr(
-            "CAST(round(CAST(max(lag_s) / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)"
+            "(CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)"
         ).alias("max_min"),
     )
 
@@ -2249,10 +2247,13 @@ WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
     )
     SELECT user_id,
            CAST(count(*) FILTER (WHERE n = 10) AS BIGINT) AS n_windows,
-           CAST(round(CAST(avg(CASE WHEN n = 10
+           (CASE WHEN abs(CAST(avg(CASE WHEN n = 10
                 AND n * sxx - sx * sx <> 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_slope_per_hr
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(CASE WHEN n = 10
+                AND n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(CASE WHEN n = 10
+                AND n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE) END) AS avg_slope_per_hr
     FROM sums GROUP BY user_id
 """
 
@@ -2317,8 +2318,10 @@ AGG_GINI_COEFFICIENT_ORACLE = """
     )
     SELECT c_nationkey,
            CAST(max(n) AS BIGINT) AS n,
-           CAST(round(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
-                - (max(n) + 1.0) / max(n) AS DECIMAL(18,9)), 4) AS DOUBLE)
+           (CASE WHEN abs(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
+                - (max(n) + 1.0) / max(n) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
+                - (max(n) + 1.0) / max(n) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(2.0 * sum(i * x) / (max(n) * max(sx))
+                - (max(n) + 1.0) / max(n) AS DOUBLE) END)
              AS gini
     FROM ranked GROUP BY c_nationkey
 """
@@ -2379,9 +2382,10 @@ AGG_ENTROPY_CATEGORICAL_ORACLE = """
     SELECT user_id,
            CAST(sum(c) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_types,
-           CAST(round(CAST(-sum((c / CAST(tot AS DOUBLE))
-                * log2(c / CAST(tot AS DOUBLE))) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS entropy_bits
+           (CASE WHEN abs(CAST(-sum((c / CAST(tot AS DOUBLE))
+                * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(-sum((c / CAST(tot AS DOUBLE))
+                * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(-sum((c / CAST(tot AS DOUBLE))
+                * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE) END) AS entropy_bits
     FROM probs GROUP BY user_id
 """
 
@@ -2429,8 +2433,7 @@ AGG_MARKOV_TRANSITION_ORACLE = """
       GROUP BY 1, 2
     )
     SELECT cur, nxt, CAST(c AS BIGINT) AS n,
-           CAST(round(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS p
+           (CASE WHEN abs(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) END) AS p
     FROM pairs
 """
 
@@ -2482,16 +2485,18 @@ FN_AB_TEST_PROPORTIONS_ORACLE = """
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
            CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
-           CAST(round(CAST(ca / CAST(na AS DOUBLE) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS rate_a,
-           CAST(round(CAST(cb / CAST(nb AS DOUBLE) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS rate_b,
-           CAST(round(CAST(
-             (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+           (CASE WHEN abs(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) END) AS rate_a,
+           (CASE WHEN abs(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) END) AS rate_b,
+           (CASE WHEN abs(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
              sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
                   * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                  * (1.0 / na + 1.0 / nb))
-             AS DECIMAL(18,9)), 4) AS DOUBLE) AS z,
+                  * (1.0 / na + 1.0 / nb)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+             sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb)) AS DOUBLE) END) AS z,
            abs(round(CAST(
              (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
              sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
@@ -2565,12 +2570,12 @@ AGG_BENFORD_DIGIT_TEST_ORACLE = """
     tot AS (SELECT sum(n) AS t FROM counts)
     SELECT d AS leading_digit,
            CAST(n AS BIGINT) AS n,
-           CAST(round(CAST(n / CAST(t AS DOUBLE) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS observed_p,
-           CAST(round(CAST(log10(1.0 + 1.0 / d) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS benford_p,
-           CAST(round(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
-                      / log10(1.0 + 1.0 / d) AS DECIMAL(18,9)), 6) AS DOUBLE)
+           (CASE WHEN abs(CAST(n / CAST(t AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(n / CAST(t AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(n / CAST(t AS DOUBLE) AS DOUBLE) END) AS observed_p,
+           (CASE WHEN abs(CAST(log10(1.0 + 1.0 / d) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(log10(1.0 + 1.0 / d) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(log10(1.0 + 1.0 / d) AS DOUBLE) END) AS benford_p,
+           (CASE WHEN abs(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                      / log10(1.0 + 1.0 / d) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                      / log10(1.0 + 1.0 / d) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                      / log10(1.0 + 1.0 / d) AS DOUBLE) END)
              AS chi_contribution
     FROM counts CROSS JOIN tot
 """
@@ -2638,8 +2643,8 @@ WIN_CUSUM_CHANGEPOINT_ORACLE = f"""
     WITH RECURSIVE
     st AS (
       SELECT user_id,
-             {money_sql('avg(value)', 9, 12)} AS mu,
-             {money_sql('stddev_samp(value)', 9, 12)} AS sigma
+             {money_sql(f"avg({finite_sql('value')})", 9, 12)} AS mu,
+             {money_sql(f"stddev_samp({finite_sql('value')})", 9, 12)} AS sigma
       FROM events GROUP BY 1
     ),
     z AS (
@@ -2647,7 +2652,8 @@ WIN_CUSUM_CHANGEPOINT_ORACLE = f"""
              row_number() OVER (PARTITION BY e.user_id
                                 ORDER BY e.ts, e.event_id) AS i,
              {money_sql('(e.value - st.mu) / st.sigma', 6, 9)} AS z
-      FROM events e JOIN st USING (user_id) WHERE st.sigma > 0
+      FROM events e JOIN st USING (user_id)
+      WHERE st.sigma > 0 AND {finite_sql('e.value')} IS NOT NULL
     ),
     n AS (SELECT user_id, max(i) AS n_events FROM z GROUP BY 1),
     rec AS (
@@ -2696,12 +2702,15 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     stats = e.groupBy("user_id").agg(
-        money(F.avg("value"), 9, 12).alias("mu"),
-        money(F.stddev_samp("value"), 9, 12).alias("sigma"),
+        money(F.avg(finite(F.col("value"))), 9, 12).alias("mu"),
+        money(F.stddev_samp(finite(F.col("value"))), 9, 12).alias("sigma"),
     )
     joined = (
         e.join(F.broadcast(stats), "user_id")
-        .filter(F.col("sigma") > 0)
+        # non-finite measurements don't advance the CUSUM (class-B
+        # contract): Python max(0, nan) and SQL greatest diverge, so the
+        # recursion only ever sees finite z on both sides.
+        .filter((F.col("sigma") > 0) & finite(F.col("value")).isNotNull())
         # 6dp decimal sandwich so the recursion input is bit-identical on
         # both engines — see WIN_CUSUM_CHANGEPOINT_ORACLE.
         .withColumn(
@@ -2776,10 +2785,13 @@ WIN_SURVIVAL_KM_ORACLE = """
       FROM at_t
     )
     SELECT dur_s, CAST(d AS BIGINT) AS d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
-           CAST(round(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+           (CASE WHEN abs(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
                 OVER (ORDER BY dur_s
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS survival
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+                OVER (ORDER BY dur_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+                OVER (ORDER BY dur_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) END) AS survival
     FROM risk WHERE d > 0 AND d < n_at_risk
 """
 
@@ -3721,7 +3733,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -3734,32 +3746,28 @@ TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     ),
     seas AS (
       SELECT hour(h) AS hod,
-             CAST(round(CAST(avg(total - trend) AS DECIMAL(18,9)), 4) AS DOUBLE)
+             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
                AS seasonal
       FROM tr WHERE trend IS NOT NULL GROUP BY 1
     ),
     resid AS (
       SELECT tr.h, tr.total,
-             CAST(round(CAST(tr.total - tr.trend - seas.seasonal
-                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS residual
+             (CASE WHEN abs(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) END) AS residual
       FROM tr JOIN seas ON hour(tr.h) = seas.hod
       WHERE tr.trend IS NOT NULL
     ),
     stats AS (
-      SELECT CAST(round(CAST(quantile_cont(residual, 0.5) AS DECIMAL(18,9)),
-                        4) AS DOUBLE) AS med
+      SELECT (CASE WHEN abs(CAST(quantile_cont(residual, 0.5) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(residual, 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(residual, 0.5) AS DOUBLE) END) AS med
       FROM resid
     ),
     mad AS (
       SELECT med,
-             CAST(round(CAST(quantile_cont(abs(residual - med), 0.5)
-                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS mad
+             (CASE WHEN abs(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) END) AS mad
       FROM resid CROSS JOIN stats GROUP BY med
     ),
     scored AS (
       SELECT r.h, r.total, r.residual,
-             CAST(round(CAST(abs(r.residual - m.med) AS DECIMAL(18,9)), 4)
-                  AS DOUBLE) AS score,
+             (CASE WHEN abs(CAST(abs(r.residual - m.med) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(abs(r.residual - m.med) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(abs(r.residual - m.med) AS DOUBLE) END) AS score,
              3 * 1.4826 * m.mad AS fence
       FROM resid r CROSS JOIN mad m
     )
@@ -3856,21 +3864,17 @@ STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
       FROM reps
     ), means AS (
       SELECT b,
-             CAST(round(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w)
-                  AS DECIMAL(18,9)), 6) AS DOUBLE) AS mean_b
+             (CASE WHEN abs(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) END) AS mean_b
       FROM weighted GROUP BY b HAVING sum(w) > 0
     ), point AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)
-                  AS DECIMAL(18,9)), 4) AS DOUBLE) AS mean_point
+             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean_point
       FROM base
     )
     SELECT point.n, CAST({_BOOT_B} AS BIGINT) AS b_replicas,
            point.mean_point,
-           CAST(round(CAST(quantile_cont(mean_b, 0.025) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS ci_lo,
-           CAST(round(CAST(quantile_cont(mean_b, 0.975) AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS ci_hi
+           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) END) AS ci_lo,
+           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) END) AS ci_hi
     FROM means CROSS JOIN point
     GROUP BY point.n, point.mean_point
 """
@@ -4249,8 +4253,7 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
     WITH li AS (
       SELECT l_orderkey AS okey,
              CAST(count(*) AS BIGINT) AS n_lines,
-             CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
-                  AS DECIMAL(18,6)), 2) AS DOUBLE) AS lines_total
+             (CASE WHEN abs(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) END) AS lines_total
       FROM lineitem GROUP BY l_orderkey
     ), o AS (
       SELECT o_orderkey AS okey,
@@ -4268,8 +4271,7 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
     )
     SELECT status,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(coalesce(order_total, lines_total))
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS amount
+           (CASE WHEN abs(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) END) AS amount
     FROM joined
     GROUP BY status
     ORDER BY status
@@ -4345,7 +4347,7 @@ AGG_RFM_SEGMENTATION_ORACLE = """
              CAST(floor(epoch((SELECT now FROM anchor))) -
                   floor(epoch(max(ts))) AS BIGINT) AS recency_s,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
                AS monetary
       FROM events
       WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
@@ -4455,12 +4457,11 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_ABC_PARETO_ORACLE = """
     WITH rev AS (
       SELECT p.p_partkey,
-             CAST(round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
-                  AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue
+             (CASE WHEN abs(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) END) AS revenue
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_partkey
     ), tot AS (
-      SELECT CAST(round(CAST(sum(revenue) AS DECIMAL(18,6)), 2) AS DOUBLE)
+      SELECT (CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)
                AS t
       FROM rev
     ), ranked AS (
@@ -4509,7 +4510,7 @@ def agg_abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(
         F.expr(
-            "CAST(round(CAST(sum(revenue) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            "(CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)"
         ).alias("t")
     )
     w = W.orderBy(F.desc("revenue"), "p_partkey").rowsBetween(
@@ -4752,11 +4753,12 @@ WIN_VWAP_BARS_ORACLE = """
     SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
            CAST(count(*) AS BIGINT) AS n_trades,
            CAST(sum(vol) AS BIGINT) AS volume,
-           CAST(round(CAST(CAST(sum(px * vol) AS DOUBLE)
-                / nullif(sum(vol), 0) AS DECIMAL(18,9)), 4) AS DOUBLE)
+           (CASE WHEN abs(CAST(CAST(sum(px * vol) AS DOUBLE)
+                / nullif(sum(vol), 0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(px * vol) AS DOUBLE)
+                / nullif(sum(vol), 0) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(px * vol) AS DOUBLE)
+                / nullif(sum(vol), 0) AS DOUBLE) END)
              AS vwap,
-           CAST(round(CAST(CAST(sum(px) AS DOUBLE) / count(*)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS twap
+           (CASE WHEN abs(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) END) AS twap
     FROM trades
     GROUP BY bar
     ORDER BY bar_start
@@ -4825,8 +4827,7 @@ AGG_CAUSAL_DIFF_IN_DIFF_ORACLE = f"""
       FROM events WHERE event_type = 'purchase'
     ), cells AS (
       SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
-             CAST(round(CAST(CAST(sum(x) AS DOUBLE) / count(*)
-                  AS DECIMAL(18,9)), 6) AS DOUBLE) AS mean
+             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean
       FROM tagged GROUP BY grp, period
     ), wide AS (
       SELECT

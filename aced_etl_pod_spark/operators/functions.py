@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -101,8 +101,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS charged,
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged,
            round(abs(l_discount - 0.05), 4) AS disc_dev,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceiling(l_extendedprice) AS BIGINT) AS price_ceil,

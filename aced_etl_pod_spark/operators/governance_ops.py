@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -92,8 +93,7 @@ FN_PSEUDONYMIZE_CONSISTENT_ORACLE = f"""
     SELECT p.pseudonym,
            p.c_mktsegment,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(round(CAST(coalesce(sum(o.o_totalprice), 0) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS total_spend
+           (CASE WHEN abs(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) END) AS total_spend
     FROM p LEFT JOIN orders o ON o.o_custkey = p.c_custkey
     GROUP BY 1, 2
 """
@@ -235,10 +235,12 @@ DQ_FRESHNESS_SLO_ORACLE = """
     SELECT p.event_type,
            strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
            CAST(p.n AS BIGINT) AS n_events,
-           CAST(round(CAST(p.avg_gap_s / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(p.avg_gap_s / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(p.avg_gap_s / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(p.avg_gap_s / 60.0 AS DOUBLE) END)
              AS avg_gap_min,
-           CAST(round(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
-                / 60.0 AS DECIMAL(18,9)), 2) AS DOUBLE) AS lag_min,
+           (CASE WHEN abs(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
+                / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
+                / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
+                / 60.0 AS DOUBLE) END) AS lag_min,
            round(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts))) / 60.0
                  AS DECIMAL(18,9)), 2)
              > 3 * round(CAST(p.avg_gap_s / 60.0 AS DECIMAL(18,9)), 2)
@@ -467,9 +469,10 @@ DP_NOISY_COUNT_LAPLACE_ORACLE = f"""
       FROM keyed
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-           CAST(round(CAST(c + (-1.0 / {_DP_EPS})
-                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
-                AS DECIMAL(18,6)), 4) AS DOUBLE) AS noisy_count,
+           (CASE WHEN abs(CAST(c + (-1.0 / {_DP_EPS})
+                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c + (-1.0 / {_DP_EPS})
+                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE) AS DECIMAL(18,6)), 4) AS DOUBLE) ELSE CAST(c + (-1.0 / {_DP_EPS})
+                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE) END) AS noisy_count,
            {_DP_EPS} AS epsilon
     FROM noise
     ORDER BY event_type, day

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -242,8 +243,7 @@ WIN_EWMA_ORACLE = f"""
       GROUP BY i.event_id, i.user_id
     )
     SELECT event_id, user_id,
-           CAST(round(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA})
-                           AS DECIMAL(18,8)), 4) AS DOUBLE) AS ewma
+           (CASE WHEN abs(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) END) AS ewma
     FROM agg
 """
 
@@ -535,8 +535,7 @@ WIN_TWAP_ORACLE = """
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           CAST(round(CAST(sum(value * (nxt - t)) / sum(nxt - t)
-                           AS DECIMAL(18,8)), 4) AS DOUBLE) AS twap
+           (CASE WHEN abs(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) END) AS twap
     FROM s WHERE nxt IS NOT NULL
     GROUP BY user_id
 """
@@ -1068,19 +1067,20 @@ ZSCORE_TAU = 2.5
 WIN_ANOMALY_ZSCORE_ORACLE = f"""
     WITH s AS (
       SELECT event_id, user_id, value,
-             avg(value) OVER w AS mu,
-             stddev_samp(value) OVER w AS sd,
+             avg({finite_sql('value')}) OVER w AS mu,
+             stddev_samp({finite_sql('value')}) OVER w AS sd,
              count(*) OVER w AS n
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {ZSCORE_W - 1} PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT event_id, user_id,
+             {money_sql('(value - mu) / sd', 4, 8)} AS z
+      FROM s WHERE n >= {ZSCORE_MIN} AND sd > 0
     )
-    SELECT event_id, user_id,
-           CAST(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4) AS DOUBLE)
-             AS z,
-           (abs(round(CAST((value - mu) / sd AS DECIMAL(18,8)), 4))
-              > {ZSCORE_TAU}) AS is_outlier
-    FROM s WHERE n >= {ZSCORE_MIN} AND sd > 0
+    SELECT event_id, user_id, z,
+           (abs(z) > {ZSCORE_TAU}) AS is_outlier
+    FROM scored
 """
 
 
@@ -1105,15 +1105,18 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(ZSCORE_W - 1), W.currentRow)
     )
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
+    # frame stats over FINITE observations only (class-B contract); a
+    # non-finite current value still yields its IEEE z (NaN/±Inf), which
+    # both engines render and threshold identically
+    mu = F.avg(finite(F.col("value"))).over(w)
+    sd = F.stddev_samp(finite(F.col("value"))).over(w)
     n = F.count("*").over(w)
-    z = F.round(((F.col("value") - mu) / sd).cast("decimal(18,8)"), 4)
+    z = money((F.col("value") - mu) / sd, 4, 8)
     return (
         e.select(
             "event_id",
             "user_id",
-            z.cast("double").alias("z"),
+            z.alias("z"),
             (F.abs(z) > ZSCORE_TAU).alias("is_outlier"),
             n.alias("_n"),
             sd.alias("_sd"),

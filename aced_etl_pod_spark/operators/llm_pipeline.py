@@ -28,7 +28,7 @@ from aced_etl_pod_spark.functions.text import (
 )
 from aced_etl_pod_spark.operators.sampling import _bucket_sql, hash_bucket
 from aced_etl_pod_spark.operators.text import DUCK_NORMALIZE
-from aced_etl_pod_spark.operators.util import money, money_sql
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -722,7 +722,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           CAST(round(CAST(qscale AS DECIMAL(18,10)), 6) AS DOUBLE) AS qscale,
+           (CASE WHEN abs(CAST(qscale AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(qscale AS DOUBLE) AS DECIMAL(18,10)), 6) AS DOUBLE) ELSE CAST(qscale AS DOUBLE) END) AS qscale,
            '[' || array_to_string(
              list_transform(
                embedding,
@@ -1094,8 +1094,7 @@ TOKENIZER_APPLY_BPE_ORACLE = f"""
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(k) AS BIGINT) AS n_bpe_symbols,
-           CAST(round(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS symbols_per_char
+           (CASE WHEN abs(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) END) AS symbols_per_char
     FROM docw JOIN wlen USING (w)
     GROUP BY doc_id
 """
@@ -1414,10 +1413,8 @@ TEXT_NGRAM_LM_SCORE_ORACLE = """
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(round(CAST(CAST(sum(nll) AS DOUBLE) / count(*)
-                AS DECIMAL(18,9)), 4) AS DOUBLE) AS avg_nll_bits,
-           CAST(round(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*))
-                AS DECIMAL(18,6)), 2) AS DOUBLE) AS ppl
+           (CASE WHEN abs(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_nll_bits,
+           (CASE WHEN abs(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) END) AS ppl
     FROM scored GROUP BY doc_id
 """
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -26,8 +26,7 @@ from aced_etl_pod_spark.tables import load
     "project_select",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS net_price,
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END) AS net_price,
            l_returnflag || '/' || l_linestatus AS flag_status
     FROM lineitem
     """,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -220,11 +221,12 @@ AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
     )
     SELECT event_type,
            CAST(n_sample AS BIGINT) AS n_sample,
-           CAST(round(CAST(exact_sum AS DECIMAL(18,6)), 2) AS DOUBLE) AS exact_sum,
-           CAST(round(CAST(samp_sum * {100.0 / _AQP_PCT} AS DECIMAL(18,6)), 2)
-                AS DOUBLE) AS est_sum,
-           CAST(round(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
-                      / exact_sum * 100 AS DECIMAL(18,9)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(exact_sum AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exact_sum AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_sum AS DOUBLE) END) AS exact_sum,
+           (CASE WHEN abs(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) END) AS est_sum,
+           (CASE WHEN abs(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                      / exact_sum * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                      / exact_sum * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                      / exact_sum * 100 AS DOUBLE) END)
              AS rel_err_pct,
            round(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
                  / exact_sum * 100 AS DECIMAL(18,9)), 2) <= 15.0 AS within_15pct
@@ -264,11 +266,11 @@ def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n_sample").cast("long").alias("n_sample"),
-        F.expr("CAST(round(CAST(exact_raw AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+        F.expr("(CASE WHEN abs(CAST(exact_raw AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exact_raw AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_raw AS DOUBLE) END)").alias(
             "exact_sum"
         ),
         F.expr(
-            f"CAST(round(CAST(samp_raw * {scale} AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            f"(CASE WHEN abs(CAST(samp_raw * {scale} AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(samp_raw * {scale} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_raw * {scale} AS DOUBLE) END)"
         ).alias("est_sum"),
         F.expr(f"CAST({err} AS DOUBLE)").alias("rel_err_pct"),
         F.expr(f"{err} <= 15.0").alias("within_15pct"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.streaming.replay import (
     materialize_batches,
@@ -352,9 +353,10 @@ _DUCK_NORM_TEXT = (
     )
     SELECT DISTINCT source, md5({_DUCK_NORM_TEXT}) AS content_key
     FROM m
-    WHERE CAST(round(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
-               + 0.2 * least(nchar / ntok / 8, 1.0) AS DECIMAL(18,8)), 4)
-               AS DOUBLE) >= {CURATION_QUALITY_MIN}
+    WHERE (CASE WHEN abs(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+               + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+               + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+               + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) END) >= {CURATION_QUALITY_MIN}
     """,
     tags=("stream", "text", "llm"),
 )
@@ -490,7 +492,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
     WITH wins AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
       FROM events
       WHERE user_id < 50 AND ts IS NOT NULL  -- window() drops null ts
       GROUP BY 1, 2
@@ -503,8 +505,7 @@ STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
     SELECT w.user_id,
            strftime(w.h, '{TS_FMT_DUCK}') AS win_start,
            w.total,
-           CAST(round(CAST((w.total - s.mu) / s.sigma AS DECIMAL(18,9)), 4)
-                AS DOUBLE) AS z,
+           (CASE WHEN abs(CAST((w.total - s.mu) / s.sigma AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((w.total - s.mu) / s.sigma AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((w.total - s.mu) / s.sigma AS DOUBLE) END) AS z,
            round(CAST((w.total - s.mu) / s.sigma AS DECIMAL(18,9)), 4) > 3.0
              AS is_anomaly
     FROM wins w JOIN stats s USING (user_id)
@@ -533,7 +534,7 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 50)
         .groupBy("user_id", F.window("ts", "1 hour"))
         .agg(
-            F.expr("CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
                 "total"
             )
         )
@@ -729,7 +730,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_CHECKPOINT_RESTART_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2) AS DOUBLE)
+           (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
              AS total
     FROM events
     GROUP BY event_type

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import money
+from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -127,11 +127,13 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_sliding_avg",
     oracle="""
     SELECT event_id,
-           CAST(round(CAST(
-             (value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
+           (CASE WHEN abs(CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
              / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
-                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END)
-             AS DECIMAL(18,6)), 2) AS DOUBLE) AS mov_avg
+                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
+             / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
+             / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE) END) AS mov_avg
     FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
