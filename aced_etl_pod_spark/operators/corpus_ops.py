@@ -36,7 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    finite_vec,
+    finite_vec_sql,
+    money,
+    money_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -237,7 +244,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-vector guard: posexplode drops NULL embeddings on its own (as
     # does unnest in the oracle), but the dimension probe must not read
     # its d_in from a NULL row.
-    head = e.filter(F.col("embedding").isNotNull()).select("embedding").head(1)
+    head = e.filter(finite_vec(F.col("embedding"))).select("embedding").head(1)
     if not head:  # empty corpus (empty-partition contract)
         return spark.createDataFrame([], "vec_id long, k long, y double")
     d_in = len(head[0][0])
@@ -1313,9 +1320,7 @@ def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("n_1h"),
-        F.round(F.sum("value").over(w).cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("sum_1h"),
+        money(F.sum("value").over(w), 2, 6).alias("sum_1h"),
     )
 
 
@@ -3024,7 +3029,7 @@ def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MOMENTS_MERGEABLE_CHAN_ORACLE = """
     WITH cents AS (
       SELECT user_id % 8 AS shard,
-             CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events
     ), means AS (
       SELECT shard, CAST(count(*) AS BIGINT) AS n,
@@ -3087,7 +3092,7 @@ def agg_moments_mergeable_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cents = e.select(
         (F.col("user_id") % 8).alias("shard"),
-        F.round("value", 2).cast("decimal(18,2)").alias("x"),
+        F.round(finite(F.col("value")), 2).cast("decimal(18,2)").alias("x"),
     )
     means = cents.groupBy("shard").agg(
         F.count("*").alias("n"),

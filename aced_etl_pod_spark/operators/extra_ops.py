@@ -1042,8 +1042,7 @@ JOIN_SCD2_TEMPORAL_ORACLE = f"""
     )
     SELECT d.seg,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
-             AS total
+           {money_sql(f"sum({finite_sql('o.o_totalprice')})")} AS total
     FROM orders o JOIN dim d
       ON o.o_custkey = d.key
      AND CAST(o.o_orderdate AS DATE) >= d.valid_from
@@ -1122,7 +1121,9 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cur_seg").alias("seg"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+            # decimal-exact partial over FINITE prices (the decimal cast
+            # can't represent NaN/Inf; both engines exclude them)
+            F.round(F.sum(finite(F.col("price")).cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total"),
         )
@@ -1208,7 +1209,7 @@ def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_INTERPOLATE_LINEAR_ORACLE = """
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS v
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
       FROM events WHERE user_id < 50 GROUP BY 1, 2
     ),
     bounds AS (
@@ -1268,7 +1269,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is O(1) per row (running last/first), not O(frame)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
+        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
             "v"
         )
     )
@@ -1298,9 +1299,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
         .otherwise(
-            F.expr(
-                "CAST(round(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt)"
-                " AS DECIMAL(18,9)), 2) AS DOUBLE)"
+            money(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("eh") - F.col("pt"))
+                / (F.col("nt") - F.col("pt")),
+                2,
+                9,
             )
         )
     )
@@ -1419,7 +1424,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_WEIGHTED_PERCENTILE_ORACLE = f"""
     WITH by_val AS (
       SELECT l_returnflag, l_extendedprice AS v,
-             sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
+             sum(CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS DECIMAL(18,6))) AS w
       FROM lineitem
       WHERE {finite_sql('l_extendedprice')} IS NOT NULL
         AND {finite_sql('l_quantity')} IS NOT NULL
@@ -1464,7 +1469,7 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         & finite(F.col("l_quantity")).isNotNull()
     )
     by_val = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w")
+        F.sum(finite(F.col("l_quantity")).cast("decimal(18,6)")).alias("w")
     )
     wc = (
         W.partitionBy("l_returnflag")
@@ -1676,7 +1681,7 @@ WIN_PERIOD_OVER_PERIOD_ORACLE = """
     WITH monthly AS (
       SELECT o_orderpriority AS prio,
              strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS revenue
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
@@ -1714,7 +1719,7 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
     ).agg(
         F.expr(
-            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            "CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)"
         ).alias("revenue")
     )
     w = W.partitionBy("prio").orderBy("month")
@@ -2002,7 +2007,7 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_DECOMPOSE_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -2041,7 +2046,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal table is O(24) and broadcast back."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
+        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
             "total"
         )
     )
@@ -3350,7 +3355,7 @@ def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAT_T_TEST_WELCH_ORACLE = """
     WITH cents AS (
-      SELECT event_type, CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      SELECT event_type, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type IN ('view', 'purchase')
     ), moments AS (
       SELECT
@@ -3403,7 +3408,7 @@ def stat_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    x = F.round("value", 2).cast("decimal(18,2)")
+    x = F.round(finite(F.col("value")), 2).cast("decimal(18,2)")
     isv = F.col("event_type") == "view"
     m = e.select(F.col("event_type"), x.alias("x")).agg(
         F.sum(F.when(isv, 1).otherwise(0)).alias("n1"),
@@ -3733,7 +3738,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -3847,7 +3852,7 @@ _BOOT_W_SQL = (
 
 STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
     WITH base AS (
-      SELECT event_id, CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+      SELECT event_id, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type = 'purchase'
     ), reps AS (
       -- both mods keep every intermediate < 2^63 on BOTH engines (ADVICE
@@ -3898,7 +3903,7 @@ def stat_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica-mean table. No global sort, no driver-side resampling."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     base = e.select(
-        "event_id", F.round("value", 2).cast("decimal(18,2)").alias("x")
+        "event_id", F.round(finite(F.col("value")), 2).cast("decimal(18,2)").alias("x")
     )
     reps = base.crossJoin(
         F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
@@ -4347,7 +4352,7 @@ AGG_RFM_SEGMENTATION_ORACLE = """
              CAST(floor(epoch((SELECT now FROM anchor))) -
                   floor(epoch(max(ts))) AS BIGINT) AS recency_s,
              CAST(count(*) AS BIGINT) AS frequency,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)
                AS monetary
       FROM events
       WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
@@ -4413,10 +4418,9 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("recency_s"),
             F.count("*").cast("long").alias("frequency"),
-            F.expr(
-                "CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2)"
-                " AS DOUBLE)"
-            ).alias("monetary"),
+            # finite spend only (class-B): a NaN monetary would NULL out
+            # through the decimal cast and take a class-8 ntile slot
+            money(F.sum(finite(F.col("value"))), 2, 6).alias("monetary"),
         )
     )
     r = F.ntile(5).over(W.orderBy(F.desc("recency_s"), "user_id"))
@@ -4628,7 +4632,7 @@ def _norm_sf_sql(z_expr: str) -> str:
 
 STAT_FDR_BH_ORACLE = f"""
     WITH cents AS (
-      SELECT c_nationkey, CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS x
+      SELECT c_nationkey, CAST(round((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM customer
     ), gstats AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
@@ -4685,7 +4689,7 @@ def stat_fdr_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     c = load(spark, sf_dir, "customer")
     cents = c.select(
-        "c_nationkey", F.round("c_acctbal", 2).cast("decimal(18,2)").alias("x")
+        "c_nationkey", F.round(finite(F.col("c_acctbal")), 2).cast("decimal(18,2)").alias("x")
     )
     glob = cents.agg(
         F.count("*").alias("n"),
@@ -4746,7 +4750,7 @@ def stat_fdr_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_VWAP_BARS_ORACLE = """
     WITH trades AS (
       SELECT date_trunc('hour', ts) AS bar,
-             CAST(round(value, 2) AS DECIMAL(18,2)) AS px,
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS px,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
       FROM events WHERE event_type = 'purchase'
     )
@@ -4784,7 +4788,7 @@ def win_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trades = e.select(
         F.date_trunc("hour", "ts").alias("bar"),
-        F.round("value", 2).cast("decimal(18,2)").alias("px"),
+        F.round(finite(F.col("value")), 2).cast("decimal(18,2)").alias("px"),
         F.get_json_object("props", "$.k").cast("long").alias("vol"),
     )
     return (
@@ -4823,7 +4827,7 @@ AGG_CAUSAL_DIFF_IN_DIFF_ORACLE = f"""
                        % 100 < 50 THEN 'treat' ELSE 'control' END AS grp,
              CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
                   THEN 'pre' ELSE 'post' END AS period,
-             CAST(round(value, 2) AS DECIMAL(18,2)) AS x
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type = 'purchase'
     ), cells AS (
       SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
@@ -4877,7 +4881,7 @@ def agg_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = e.select(
         grp.alias("grp"),
         period.alias("period"),
-        F.round("value", 2).cast("decimal(18,2)").alias("x"),
+        F.round(finite(F.col("value")), 2).cast("decimal(18,2)").alias("x"),
     )
     cells = tagged.groupBy("grp", "period").agg(
         F.count("*").alias("n"),
@@ -4935,10 +4939,10 @@ AGG_CUPED_ORACLE = f"""
     WITH per_user AS (
       SELECT user_id,
              CAST(sum(CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
-                  THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
                   AS DOUBLE) AS x,
              CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT_TS}'
-                  THEN CAST(round(value, 2) AS DECIMAL(18,2)) END)
+                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
                   AS DOUBLE) AS y
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id
@@ -4984,7 +4988,7 @@ def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     split = F.lit(_DID_SPLIT_TS).cast("timestamp")
-    cents = F.round("value", 2).cast("decimal(18,2)")
+    cents = F.round(finite(F.col("value")), 2).cast("decimal(18,2)")
     per_user = (
         e.groupBy("user_id")
         .agg(

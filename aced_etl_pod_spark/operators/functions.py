@@ -290,7 +290,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           CAST(CAST(value AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
+           CAST(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
            -- direct bool->int cast so a NULL value stays NULL (the CASE
            -- ELSE-0 form would coerce NULL comparisons to 0)
            CAST(value > 100 AS BIGINT) AS is_big
@@ -309,6 +309,6 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").cast("long").alias("id_roundtrip"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.unix_timestamp("ts").alias("epoch_s"),
-        F.col("value").cast("decimal(18,2)").cast("string").alias("val_dec_str"),
+        finite(F.col("value")).cast("decimal(18,2)").cast("string").alias("val_dec_str"),
         (F.col("value") > 100).cast("long").alias("is_big"),
     )

@@ -122,10 +122,8 @@ def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pseudonym", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.expr(
-                "CAST(round(CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(18,6)), 2)"
-                " AS DOUBLE)"
-            ).alias("total_spend"),
+            money(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2, 6)
+            .alias("total_spend"),
         )
         .orderBy("pseudonym")
     )

@@ -59,7 +59,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    finite_vec,
+    finite_vec_sql,
+    money,
+    money_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -76,9 +83,9 @@ _MV_DELTA_MOD = 10
 MV_INCREMENTAL_REFRESH_ORACLE = """
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total,
-           CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(round(CAST(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))) AS DOUBLE)
                       / count(*), 2) AS DOUBLE) AS avg_price
     FROM orders
     GROUP BY o_orderstatus
@@ -92,7 +99,7 @@ def _mv_partials(df: DataFrame) -> DataFrame:
     read time — never stored, because stored averages don't merge."""
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_dec"),
+        F.sum(finite(F.col("o_totalprice")).cast("decimal(18,6)")).alias("total_dec"),
     )
 
 
@@ -163,13 +170,13 @@ AGG_CASCADING_ROLLUP_ORACLE = """
     SELECT 'day' AS level,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY date_trunc('day', ts)
     UNION ALL
     SELECT 'week' AS level,
            strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY date_trunc('week', ts)
 """
 
@@ -198,7 +205,7 @@ def agg_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("t"),
+        F.sum(finite(F.col("value")).cast("decimal(18,6)")).alias("t"),
     )
     daily = hourly.groupBy(F.date_trunc("day", "h").alias("b")).agg(
         F.sum("n").alias("n"), F.sum("t").alias("t")
@@ -294,9 +301,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round((num / mass).cast("decimal(18,8)"), 4)
-        .cast("double")
-        .alias("ewma"),
+        money(num / mass, 4, 8).alias("ewma"),
     )
 
 
@@ -321,7 +326,7 @@ _R = 6
 DEDUP_SEMANTIC_CLUSTER_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ), ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM e, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
@@ -478,7 +483,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         # null-vector contract: vector kernels operate on the non-null
         # embeddings (the oracle mirrors the filter)
-        .filter(F.col("embedding").isNotNull())
+        .filter(finite_vec(F.col("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .cache()
     )
@@ -584,7 +589,7 @@ EMBEDDING_COVARIANCE_TOPK_ORACLE = f"""
     WITH ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
-      WHERE embedding IS NOT NULL
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ), m AS (
       SELECT dim, round(CAST(avg(x) AS DECIMAL(18,8)), {_R}) AS mu
       FROM ex GROUP BY dim
@@ -638,7 +643,7 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         # null-vector contract: np.stack needs rectangular batches; the
         # oracle's base CTE carries the same IS NOT NULL filter
-        .filter(F.col("embedding").isNotNull())
+        .filter(finite_vec(F.col("embedding")))
         .select(
             F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
         )
@@ -770,7 +775,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 MV_JOIN_VIEW_ORACLE = """
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -784,7 +789,7 @@ def _mv_join_partials(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_dec"),
+            F.sum(finite(F.col("o_totalprice")).cast("decimal(18,6)")).alias("total_dec"),
         )
     )
 
@@ -997,7 +1002,7 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "embeddings")
         # null-vector contract (np.stack needs rectangular batches)
-        .filter(F.col("embedding").isNotNull())
+        .filter(finite_vec(F.col("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     # pass 1: mean + full Gram partials per batch (same shape as the

@@ -28,7 +28,14 @@ from aced_etl_pod_spark.functions.text import (
 )
 from aced_etl_pod_spark.operators.sampling import _bucket_sql, hash_bucket
 from aced_etl_pod_spark.operators.text import DUCK_NORMALIZE
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    finite_vec,
+    finite_vec_sql,
+    money,
+    money_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load, scratch_dir
 
@@ -712,7 +719,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT vec_id, embedding,
              greatest(
@@ -720,6 +727,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max'),
                1e-30) AS qscale
       FROM embeddings
+      WHERE {finite_vec_sql('embedding')}
     )
     SELECT vec_id,
            (CASE WHEN abs(CAST(qscale AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(qscale AS DOUBLE) AS DECIMAL(18,10)), 6) AS DOUBLE) ELSE CAST(qscale AS DOUBLE) END) AS qscale,
@@ -747,8 +755,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. ``qvec`` is emitted as its canonical JSON-ish string
     (``[q0,q1,...]``) rather than ARRAY<INT>: the value content is
     identical, and a scalar column keeps the result sortable/hashable by
-    any downstream canonicalizer (pandas cannot factorize ndarray cells)."""
-    e = load(spark, sf_dir, "embeddings")
+    any downstream canonicalizer (pandas cannot factorize ndarray cells).
+    Finite-vector contract: a vector with a NaN/Inf lane has no defined
+    int8 image (the per-lane decimal round raises in DuckDB and NULLs in
+    Spark) — such vectors are quarantined upstream, not quantized."""
+    e = load(spark, sf_dir, "embeddings").filter(
+        finite_vec(F.col("embedding"))
+    )
     s = e.select(
         "vec_id",
         "embedding",

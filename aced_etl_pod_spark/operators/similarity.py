@@ -23,6 +23,14 @@ from aced_etl_pod_spark.functions.similarity import (
     brute_force_topk_unrolled,
     cosine_expr,
 )
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    finite_vec,
+    finite_vec_sql,
+    money,
+    money_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.sources.binary import (
     decode_stub,
@@ -58,7 +66,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     bucketing, not a recall proxy."""
     return f"""
     nn AS (SELECT count(*) AS n FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
     np AS (
       SELECT greatest(4, least(24,
                CAST(ceil(log2(greatest(n / {target_bucket}.0, 2.0)))
@@ -66,7 +74,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
       FROM nn
     ),
     dims AS (SELECT len(embedding) AS dim FROM embeddings
-             WHERE embedding IS NOT NULL LIMIT 1),
+             WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0) LIMIT 1),
     planes AS (
       SELECT p,
              list_transform(generate_series(0, (SELECT dim FROM dims) - 1),
@@ -84,7 +92,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
                                             pl.vec) >= 0
                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
       FROM embeddings e CROSS JOIN planes pl
-      WHERE e.embedding IS NOT NULL
+      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
       GROUP BY e.vec_id
     ),
     -- MATERIALIZED: the multiprobe unnest downstream makes DuckDB
@@ -93,7 +101,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     -- whole vector); materializing the null-free CTE fences the kernel
     be AS MATERIALIZED (SELECT b.vec_id, b.bucket, e.embedding
            FROM b JOIN embeddings e USING (vec_id)
-           WHERE e.embedding IS NOT NULL),
+           WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
     bn AS (SELECT bucket, count(*) AS cnt FROM be GROUP BY 1)
     """
 
@@ -102,11 +110,11 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     "sim_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND embedding IS NOT NULL)
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE embedding IS NOT NULL
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -117,7 +125,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query side broadcast; scan side never shuffles — at 100 TB this is one
     pass + a TakeOrdered."""
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
@@ -128,11 +136,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_fast",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND embedding IS NOT NULL)
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE embedding IS NOT NULL
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -148,7 +156,7 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. (For high-dim embeddings the Arrow/numpy ``brute_force_topk_
     fast`` kernel is the scale path; at dim 64 the unrolled form wins.)"""
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_unrolled(emb, q, k=10)
@@ -159,11 +167,11 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_arrow",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND embedding IS NOT NULL)
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE embedding IS NOT NULL
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -183,7 +191,7 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.similarity import brute_force_topk_arrow
 
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_arrow(emb, q, k=10)
@@ -306,7 +314,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force and the bucket-width bound at synthetic 100× n
     asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     return ann_lsh_topk(emb, k=3, target_bucket=64)
 
@@ -658,7 +666,7 @@ def _pq_books_and_query(spark: SparkSession, sf_dir: str):
     # null-vector contract: codebook training and encoding operate on the
     # non-null embeddings (duck_pq_sample_ctes mirrors the filter)
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     sample_rows = (
         emb.orderBy("vec_id").limit(512).select("embedding").collect()
@@ -697,7 +705,7 @@ def _pq_codes_oracle() -> str:
     {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
     pqc_vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ),
     pqc_sub AS (
       SELECT vec_id, j, x[j * {ds} + 1 : (j + 1) * {ds}] AS v
@@ -773,7 +781,7 @@ def _pq_adc_oracle() -> str:
     adc_q AS (
       SELECT j, CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS qv
       FROM (SELECT embedding FROM embeddings
-            WHERE vec_id = 0 AND embedding IS NOT NULL)
+            WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_tab AS (
@@ -785,7 +793,7 @@ def _pq_adc_oracle() -> str:
       SELECT vec_id, j,
              CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS v
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id != 0 AND embedding IS NOT NULL)
+            WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_coded AS (
@@ -857,7 +865,7 @@ def _ivf_pq_oracle() -> str:
       SELECT row_number() OVER (ORDER BY vec_id) AS pos,
              CAST(embedding AS DOUBLE[]) AS x
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL
+            WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
             ORDER BY vec_id LIMIT 512)
     ),
     ipq_sassign AS (
@@ -879,7 +887,7 @@ def _ivf_pq_oracle() -> str:
     {duck_kmeans_ctes('rq_', 'rq_samp', m, k, ds, iters)},
     ipq_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx
               FROM embeddings
-              WHERE vec_id = 0 AND embedding IS NOT NULL),
+              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
     ipq_probed AS (
       SELECT cid, v AS cv FROM (
         SELECT c.cid, c.v,
@@ -904,7 +912,7 @@ def _ivf_pq_oracle() -> str:
     ),
     ipq_corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-      FROM embeddings WHERE vec_id != 0 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ),
     ipq_cells AS (
       SELECT vec_id, x, cell, cv FROM (
@@ -1122,12 +1130,12 @@ _MMR_POOL = 20
 SIM_MMR_DIVERSIFIED_TOPK_ORACLE = f"""
     WITH RECURSIVE
     q AS (SELECT embedding AS q_emb FROM embeddings
-              WHERE vec_id = 0 AND embedding IS NOT NULL),
+              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
     sc AS (
       SELECT vec_id, embedding,
              {DUCK_COS.format(a="embedding", b="q_emb")} AS rel
       FROM embeddings CROSS JOIN q
-      WHERE vec_id != 0 AND embedding IS NOT NULL
+      WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
     ),
     pool AS (
       SELECT vec_id, embedding, rel,
@@ -1198,7 +1206,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the same zip_with dot-product kernel as the recall stage. An
     all-pairs pool similarity matrix is never materialized."""
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0)
     pool = (
@@ -1304,7 +1312,7 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aced_etl_pod_spark.functions.similarity import ann_lsh_multiprobe_topk
 
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        finite_vec(F.col("embedding"))
     )
     return ann_lsh_multiprobe_topk(emb, k=3)
 
