@@ -876,11 +876,11 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARED_ANSI_SQL = """
 SELECT c_mktsegment, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+       (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
          AS total,
        CAST(rank() OVER (
               PARTITION BY c_mktsegment
-              ORDER BY round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2) DESC,
+              ORDER BY round(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DECIMAL(18,6)), 2) DESC,
                        o_orderstatus) AS BIGINT) AS rk
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderstatus
@@ -996,15 +996,14 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "win_median_rolling",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           (CASE WHEN abs(CAST(median(value) OVER (
+           {money_sql(
+               f'''median({finite_sql('value')}) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(median(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(median(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) END) AS med5
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)''',
+               4, 8,
+           )} AS med5
     FROM events WHERE ts IS NOT NULL
     """,
     tags=("window", "extra"),
@@ -1025,7 +1024,9 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-4, W.currentRow)
     )
-    frame = F.array_sort(F.collect_list("value").over(w))
+    # frame of FINITE observations only (class-B): NaN order keys split
+    # array_sort's placement from DuckDB's median exclusion
+    frame = F.array_sort(F.collect_list(finite(F.col("value"))).over(w))
     n = F.size(frame)
     # exact median: middle element (odd n) or mean of the two middles
     mid = ((n + 1) / 2).cast("int")
@@ -1040,7 +1041,7 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(med.cast("decimal(18,8)"), 4).cast("double").alias("med5"),
+        money(med, 4, 8).alias("med5"),
     )
 
 

@@ -533,9 +533,25 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2(base, updates, "c_custkey", "2024-06-01")
 
 
+# Canonical string rendering for a possibly-non-finite double: Spark
+# prints 'NaN'/'-Infinity' while DuckDB prints 'nan'/'-inf', so the
+# profile pins Java-style tokens with one dialect-neutral CASE (equality
+# with ±Inf works identically in both engines; the ELSE catches NaN;
+# STRING is the cast keyword both dialects accept — Spark lacks bare
+# VARCHAR, DuckDB aliases STRING to VARCHAR).
+_PROFILE_RENDER = (
+    "CASE WHEN {x} IS NULL THEN NULL"
+    " WHEN abs(CAST({x} AS DOUBLE)) < CAST('Infinity' AS DOUBLE)"
+    " THEN CAST(round(CAST({x} AS DOUBLE), 2) AS STRING)"
+    " WHEN CAST({x} AS DOUBLE) = CAST('Infinity' AS DOUBLE) THEN 'Infinity'"
+    " WHEN CAST({x} AS DOUBLE) = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'"
+    " ELSE 'NaN' END"
+)
+
+
 @op(
     "dq_profile_columns",
-    oracle="""
+    oracle=f"""
     SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
@@ -551,7 +567,8 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
            CAST(count(*) - count(o_totalprice) AS BIGINT),
            CAST(count(DISTINCT o_totalprice) AS BIGINT),
-           CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+           {_PROFILE_RENDER.format(x="min(o_totalprice)")},
+           {_PROFILE_RENDER.format(x="max(o_totalprice)")}
     FROM orders
     """,
     tags=("extra", "dq"),
@@ -576,8 +593,12 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("string").alias("max_o_custkey"),
         F.min("o_orderstatus").cast("string").alias("min_o_orderstatus"),
         F.max("o_orderstatus").cast("string").alias("max_o_orderstatus"),
-        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_o_totalprice"),
-        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_o_totalprice"),
+        F.expr(_PROFILE_RENDER.format(x="min(o_totalprice)")).alias(
+            "min_o_totalprice"
+        ),
+        F.expr(_PROFILE_RENDER.format(x="max(o_totalprice)")).alias(
+            "max_o_totalprice"
+        ),
     )
     rows = ", ".join(
         f"'{c}', n, n - nn_{c}, nd_{c}, min_{c}, max_{c}"
@@ -823,7 +844,7 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_histogram_fixed",
     oracle="""
-    SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+    SELECT CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END) / 1000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(l_extendedprice), 2) AS sum_price,
            round(min(l_extendedprice), 2) AS lo,
@@ -846,7 +867,10 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy(
-            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bucket")
+            # non-finite prices share the NULL bucket (no integer image)
+            F.floor(finite(F.col("l_extendedprice")) / 1000)
+            .cast("long")
+            .alias("bucket")
         )
         .agg(
             F.count("*").alias("n"),
@@ -1504,7 +1528,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
              max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS runmax
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) IS NOT NULL
     ),
     dd AS (
       SELECT user_id, runmax,
@@ -1528,7 +1552,11 @@ def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max is O(1) state per row. The drawdown ratio is the only
     float and goes through the decimal sandwich BEFORE the min, so the
     argmin can't flip on sub-rounding noise."""
-    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # drawdown is only defined over FINITE observations (class-B): a NaN
+    # in the running max poisons every later row's peak on both engines
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & finite(F.col("value")).isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2567,7 +2595,7 @@ AGG_BENFORD_DIGIT_TEST_ORACLE = """
     WITH digits AS (
       SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
                   AS BIGINT) AS d
-      FROM orders WHERE o_totalprice >= 1
+      FROM orders WHERE (CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) >= 1
     ),
     counts AS (
       SELECT d, count(*) AS n FROM digits GROUP BY d
@@ -2596,7 +2624,9 @@ def agg_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total broadcast. The synthetic uniform-ish prices do NOT
     follow Benford (observed_p ≈ uniform across high digits) and the op
     reports that honestly — it is a measurement, not an assertion."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # finite guard: NaN compares GREATER than 1 in both engines, and a
+    # non-finite price has no leading digit — excluded both sides
+    o = load(spark, sf_dir, "orders").filter(finite(F.col("o_totalprice")) >= 1)
     digits = o.select(
         F.expr(
             "CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))"
@@ -4303,10 +4333,11 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_orderkey").alias("okey")
     ).agg(
         F.count("*").cast("long").alias("n_lines"),
-        F.expr(
-            "CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))"
-            " AS DECIMAL(18,6)), 2) AS DOUBLE)"
-        ).alias("lines_total"),
+        # guarded: a NaN roll-up must SURVIVE to the comparison (NaN > 0.01
+        # is true in both engines → amount_mismatch), not NULL out into
+        # the 'reconciled' branch through the decimal cast
+        money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2, 6)
+        .alias("lines_total"),
     )
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
@@ -4461,7 +4492,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_ABC_PARETO_ORACLE = """
     WITH rev AS (
       SELECT p.p_partkey,
-             (CASE WHEN abs(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) END) AS revenue
+             (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) END) AS revenue
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_partkey
     ), tot AS (
@@ -4507,7 +4538,7 @@ def agg_abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(
             F.expr(
-                "CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))"
+                "CAST(round(CAST(sum((CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END))"
                 " AS DECIMAL(18,6)), 2) AS DOUBLE)"
             ).alias("revenue")
         )

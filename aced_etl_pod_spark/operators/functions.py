@@ -103,13 +103,13 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged,
            round(abs(l_discount - 0.05), 4) AS disc_dev,
-           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           CAST(ceiling(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_floor,
+           CAST(ceiling((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_ceil,
            l_orderkey % 7 AS key_mod,
            round(pow(1 + l_discount, 2), 6) AS disc_sq,
-           round(ln(l_extendedprice), 6) AS price_ln,
+           round(ln(CASE WHEN l_extendedprice >= 0 THEN l_extendedprice END), 6) AS price_ln,
            round(exp(l_discount), 6) AS disc_exp,
-           round(sqrt(l_quantity), 6) AS qty_sqrt
+           round(sqrt(CASE WHEN l_quantity >= 0 THEN l_quantity END), 6) AS qty_sqrt
     FROM lineitem
     """,
     tags=("fn",),
@@ -124,8 +124,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("charged"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
+        # non-finite prices have no integer floor/ceil image (Spark would
+        # silently emit 0 / Long.MaxValue; DuckDB raises) — NULL both sides
+        F.floor(finite(F.col("l_extendedprice"))).alias("price_floor"),
+        F.ceil(finite(F.col("l_extendedprice"))).alias("price_ceil"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
         F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
@@ -286,7 +288,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(user_id AS DOUBLE) AS uid_d,
-           CAST(trunc(value) AS BIGINT) AS val_trunc,
+           CAST(trunc((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS BIGINT) AS val_trunc,
            CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
@@ -300,12 +302,15 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family across int/long/double/string/timestamp/decimal/bool.
-    NB Spark double→int truncates while DuckDB rounds — oracle uses trunc()."""
+    NB Spark double→int truncates while DuckDB rounds — oracle uses trunc().
+    Non-finite doubles have no integer image (non-ANSI Spark silently
+    yields 0 for NaN and Long.MaxValue for Inf; DuckDB raises) — the
+    finite guard maps them to NULL on both sides."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
         F.col("user_id").cast("double").alias("uid_d"),
-        F.col("value").cast("long").alias("val_trunc"),
+        finite(F.col("value")).cast("long").alias("val_trunc"),
         F.col("event_id").cast("string").cast("long").alias("id_roundtrip"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.unix_timestamp("ts").alias("epoch_s"),

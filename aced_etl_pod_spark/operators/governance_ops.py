@@ -45,7 +45,7 @@ _BAL_BUCKET = 2000.0
 DQ_K_ANONYMITY_ORACLE = f"""
     SELECT c_mktsegment,
            c_nationkey,
-           CAST(floor(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
            CAST(count(*) AS BIGINT) AS n,
            count(*) >= {_K} AS k_anonymous
     FROM customer
@@ -67,7 +67,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(
             "c_mktsegment",
             "c_nationkey",
-            F.floor(F.col("c_acctbal") / _BAL_BUCKET).alias("bal_bucket"),
+            F.floor(finite(F.col("c_acctbal")) / _BAL_BUCKET).alias("bal_bucket"),
         )
         .agg(F.count("*").alias("n"))
         .select(
@@ -375,7 +375,7 @@ DQ_K_ANONYMITY_GENERALIZE_ORACLE = f"""
     WITH levels(width) AS (VALUES {', '.join(f'({w})' for w in _GEN_LEVELS)}),
     classes AS (
       SELECT l.width, c.c_mktsegment,
-             CAST(floor((c.c_acctbal + 1000) / l.width) AS BIGINT)
+             CAST(floor(((CASE WHEN abs(CAST(c.c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c.c_acctbal AS DOUBLE) END) + 1000) / l.width) AS BIGINT)
                AS bal_bucket,
              count(*) AS n
       FROM customer c CROSS JOIN levels l
@@ -419,7 +419,7 @@ def dq_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width",
             "c_mktsegment",
             F.expr(
-                "CAST(floor((c_acctbal + 1000) / width) AS BIGINT)"
+                "CAST(floor(((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) + 1000) / width) AS BIGINT)"
             ).alias("bal_bucket"),
         )
         .agg(F.count("*").alias("n"))
@@ -537,7 +537,7 @@ def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_OBSERVE_METRICS_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END)) AS BIGINT) AS sum_qty,
            CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT)
              AS n_gt25,
            CAST(min(l_orderkey) AS BIGINT) AS min_ok,
@@ -576,7 +576,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.sum("l_quantity").cast("long"), F.lit(0)).alias("sum_qty"),
+        F.coalesce(F.sum(finite(F.col("l_quantity"))).cast("long"), F.lit(0)).alias("sum_qty"),
         F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
         F.coalesce(F.min("l_orderkey"), F.lit(-1)).alias("min_ok"),
         F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("max_ok"),
@@ -597,7 +597,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass isn't available, and re-scanning an empty table is free.
         row = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum("l_quantity").cast("long"), F.lit(0)).alias(
+            F.coalesce(F.sum(finite(F.col("l_quantity"))).cast("long"), F.lit(0)).alias(
                 "sum_qty"
             ),
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
@@ -734,7 +734,7 @@ DQ_TABLE_CONTENT_DIGEST_ORACLE = """
     WITH li AS (
       SELECT CAST(CAST('0x' || substr(sha256(
                concat_ws('|', l_orderkey, l_linenumber,
-                         CAST(l_quantity AS BIGINT), l_returnflag)
+                         CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag)
              ), 1, 8) AS UBIGINT) AS BIGINT) AS h
       FROM lineitem
     ),
@@ -802,6 +802,6 @@ def dq_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return _content_digest(
         li,
-        "l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT), l_returnflag",
+        "l_orderkey, l_linenumber, CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag",
         "lineitem",
     ).unionAll(_content_digest(o, "o_orderkey, o_custkey, o_orderstatus", "orders"))

@@ -860,7 +860,7 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
              least({HIST_BINS - 1}, CAST(floor(value / {HIST_BIN_W}) AS INT))
                AS bin,
              count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) IS NOT NULL GROUP BY 1, 2
     ), merged AS (
       SELECT bin, sum(cnt) AS cnt FROM per_shard GROUP BY bin
     ), cum AS (
@@ -874,11 +874,11 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
       FROM qs JOIN cum ON cum.cum >= qs.p * cum.n
       GROUP BY qs.p
     ), exact AS (
-      SELECT 0.5 AS p, quantile_cont(value, 0.5) AS x FROM events
+      SELECT 0.5 AS p, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.5) AS x FROM events
       UNION ALL
-      SELECT 0.9, quantile_cont(value, 0.9) FROM events
+      SELECT 0.9, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.9) FROM events
       UNION ALL
-      SELECT 0.99, quantile_cont(value, 0.99) FROM events
+      SELECT 0.99, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.99) FROM events
     )
     SELECT CAST(est.p AS DOUBLE) AS p,
            CAST((est.bin + 1) * {HIST_BIN_W} AS DOUBLE) AS est,
@@ -915,7 +915,9 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(bins), and the histogram partials persist beside the data for
     incremental refresh — the fixed-bin tradeoff (range known a priori)
     buys exact mergeability that streaming t-digests only approximate."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(
+        finite(F.col("value")).isNotNull()
+    )
     binc = F.least(
         F.lit(HIST_BINS - 1), F.floor(F.col("value") / HIST_BIN_W)
     ).cast("int")

@@ -212,11 +212,11 @@ _AQP_PCT = 10  # keep buckets < 10 of 100 => 10% sample
 AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
     WITH s AS (
       SELECT event_type,
-             sum(value) AS exact_sum,
+             sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS exact_sum,
              sum(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
-                      THEN value END) AS samp_sum,
+                      THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) END) AS samp_sum,
              count(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
-                        THEN value END) AS n_sample
+                        THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) END) AS n_sample
       FROM events GROUP BY event_type
     )
     SELECT event_type,
@@ -252,10 +252,10 @@ def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is independent of `value`; per-group CI width scales 1/sqrt(n_sample)
     — the knob is the bucket count."""
     e = load(spark, sf_dir, "events")
-    samp = F.when(hash_bucket("event_id") < _AQP_PCT, F.col("value"))
+    samp = F.when(hash_bucket("event_id") < _AQP_PCT, finite(F.col("value")))
     s = e.groupBy("event_type").agg(
         F.count(samp).alias("n_sample"),
-        F.sum("value").alias("exact_raw"),
+        F.sum(finite(F.col("value"))).alias("exact_raw"),
         F.sum(samp).alias("samp_raw"),
     )
     scale = 100.0 / _AQP_PCT

@@ -237,7 +237,7 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           round(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)), 2) AS total
     FROM events
     GROUP BY user_id
     """,
@@ -253,6 +253,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the escape hatch for operators Spark lacks natively (SURVEY
     §2.b udtf/stream rows): arbitrary per-key state, Arrow-batched."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -268,7 +269,11 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # finite observations only: pandas sum() already skips NaN
+            # (conflated with SQL NULL in a float64 column), so +-Inf is
+            # excluded too to match the oracle's finite-filtered sum
+            v = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
+            total += float(v[np.isfinite(v)].sum())
         state.update((n, total))
         yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
 
@@ -498,18 +503,23 @@ STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
       GROUP BY 1, 2
     ),
     stats AS (
-      SELECT user_id, avg(total) AS mu, stddev_samp(total) AS sigma,
+      SELECT user_id,
+             avg((CASE WHEN abs(CAST(total AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(total AS DOUBLE) END)) AS mu,
+             stddev_samp((CASE WHEN abs(CAST(total AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(total AS DOUBLE) END)) AS sigma,
              count(*) AS n_windows
       FROM wins GROUP BY 1
+    ),
+    scored AS (
+      SELECT w.user_id,
+             strftime(w.h, '{TS_FMT_DUCK}') AS win_start,
+             w.total,
+             (CASE WHEN abs(CAST((w.total - s.mu) / s.sigma AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((w.total - s.mu) / s.sigma AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((w.total - s.mu) / s.sigma AS DOUBLE) END) AS z
+      FROM wins w JOIN stats s USING (user_id)
+      WHERE s.n_windows >= 10 AND s.sigma > 0
     )
-    SELECT w.user_id,
-           strftime(w.h, '{TS_FMT_DUCK}') AS win_start,
-           w.total,
-           (CASE WHEN abs(CAST((w.total - s.mu) / s.sigma AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((w.total - s.mu) / s.sigma AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((w.total - s.mu) / s.sigma AS DOUBLE) END) AS z,
-           round(CAST((w.total - s.mu) / s.sigma AS DECIMAL(18,9)), 4) > 3.0
-             AS is_anomaly
-    FROM wins w JOIN stats s USING (user_id)
-    WHERE s.n_windows >= 10 AND s.sigma > 0
+    SELECT user_id, win_start, total, z,
+           z > 3.0 AS is_anomaly
+    FROM scored
 """
 
 
@@ -550,12 +560,15 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window.start", TS_FMT_SPARK).alias("win_start"),
         "total",
     ).localCheckpoint(eager=True)
+    # population stats over FINITE window totals (class-B contract); a
+    # non-finite total still scores its IEEE z and flags (NaN/Inf > 3
+    # is true in both engines)
     stats = wins.groupBy("user_id").agg(
-        F.avg("total").alias("mu"),
-        F.stddev_samp("total").alias("sigma"),
+        F.avg(finite(F.col("total"))).alias("mu"),
+        F.stddev_samp(finite(F.col("total"))).alias("sigma"),
         F.count("*").alias("n_windows"),
     )
-    z = "round(CAST((total - mu) / sigma AS DECIMAL(18,9)), 4)"
+    zc = money((F.col("total") - F.col("mu")) / F.col("sigma"), 4, 9)
     return (
         wins.join(F.broadcast(stats), "user_id")
         .filter((F.col("n_windows") >= 10) & (F.col("sigma") > 0))
@@ -563,8 +576,8 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "win_start",
             "total",
-            F.expr(f"CAST({z} AS DOUBLE)").alias("z"),
-            F.expr(f"{z} > 3.0").alias("is_anomaly"),
+            zc.alias("z"),
+            (zc > 3.0).alias("is_anomaly"),
         )
     )
 

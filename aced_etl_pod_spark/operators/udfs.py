@@ -92,7 +92,7 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS BIGINT)
                AS bal_rank,
            (CASE WHEN abs(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) END) AS centered
-    FROM customer WHERE c_acctbal IS NOT NULL
+    FROM customer WHERE (CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) IS NOT NULL
     """,
     tags=("udf",),
 )
@@ -113,9 +113,12 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out
 
-    # a NULL balance has no rank (pandas rank(NaN).astype(int) raises;
-    # SQL rank puts it at the class-8 divergent end) — excluded both sides
-    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
+    # a NULL or non-finite balance has no rank (pandas rank(NaN).astype(int)
+    # raises; SQL rank puts it at the class-8 divergent end; pandas mean()
+    # skips NaN where SQL avg propagates) — excluded both sides
+    c = load(spark, sf_dir, "customer").filter(
+        finite(F.col("c_acctbal")).isNotNull()
+    )
     out = c.groupBy("c_nationkey").applyInPandas(
         per_nation,
         schema="c_custkey long, c_nationkey int, bal_rank long, centered double",

@@ -53,11 +53,13 @@ def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense",
     oracle="""
     SELECT c_custkey,
-           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) AS BIGINT) AS bal_bucket,
            CAST(rank() OVER (PARTITION BY c_nationkey
-                             ORDER BY floor(c_acctbal / 1000) DESC) AS BIGINT) AS rnk,
+                             ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
+                AS BIGINT) AS rnk,
            CAST(dense_rank() OVER (PARTITION BY c_nationkey
-                                   ORDER BY floor(c_acctbal / 1000) DESC) AS BIGINT) AS drnk
+                                   ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
+                AS BIGINT) AS drnk
     FROM customer
     """,
     tags=("window",),
@@ -66,8 +68,11 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank with real ties (bucketed balances — rank output is
     deterministic because it depends only on the order key's value)."""
     c = load(spark, sf_dir, "customer")
-    bucket = F.floor(F.col("c_acctbal") / 1000)
-    w = W.partitionBy("c_nationkey").orderBy(bucket.desc())
+    # non-finite balances have no integer bucket (Spark floor would emit
+    # 0 / Long.MaxValue; DuckDB raises) — they share the NULL bucket,
+    # ranked last on both engines (DESC NULLS LAST spelled out)
+    bucket = F.floor(finite(F.col("c_acctbal")) / 1000)
+    w = W.partitionBy("c_nationkey").orderBy(bucket.desc_nulls_last())
     return c.select(
         "c_custkey",
         bucket.alias("bal_bucket"),

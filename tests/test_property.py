@@ -1748,3 +1748,90 @@ def test_null_sweep_micro_divergences_pinned(events_env):
     two = f"SELECT count(*) FROM {tri} WHERE s IS DISTINCT FROM 'F'"
     assert spark.sql(one).first()[0] == con.execute(one).fetchone()[0] == 1
     assert spark.sql(two).first()[0] == con.execute(two).fetchone()[0] == 2
+
+
+def test_nonfinite_micro_divergences_pinned(events_env):
+    """Seventeenth catalog class — the micro-divergences behind the
+    NaN/Infinity-injection sweep's 88 failures (tools/nonfinite_sweep.py),
+    pinned independently of the operators that tripped over them:
+      * CAST(NaN AS DECIMAL): DuckDB RAISES, non-ANSI Spark silently
+        yields NULL — why every decimal sandwich carries the finite
+        guard (operators/util.py::money / money_sql);
+      * CAST(NaN/Inf AS BIGINT): DuckDB raises, Spark silently emits 0
+        for NaN and Long.MaxValue for +Inf — why every double→integer
+        cast goes through finite();
+      * stddev/var with an Inf input: DuckDB raises OutOfRange, Spark
+        returns NaN — no propagation semantics can agree, hence the
+        class-B "non-finite measures are missing" contract;
+      * ln/sqrt of a negative (incl -Inf): DuckDB raises, Spark NULL —
+        domain-guarded duck-side;
+      * double→string rendering: Spark 'NaN'/'-Infinity' vs DuckDB
+        'nan'/'-inf' — render numerics numerically or via the canonical
+        CASE (dq_profile_columns);
+      * AGREEMENTS the contracts lean on: NaN = NaN is true, NaN
+        compares greater than +Inf (so ``abs(e) < Inf`` is a portable
+        single-reference finite test and ``NaN > threshold`` flags
+        identically), and min/max place NaN at the top on both engines.
+    The catalog rules are docs/DIVERGENCES.md class 17."""
+    spark, con = events_env
+
+    # decimal sandwich crash class
+    assert (
+        spark.sql("SELECT CAST(double('NaN') AS DECIMAL(18,2))").first()[0] is None
+    )
+    with pytest.raises(Exception, match="[Cc]ast"):
+        con.execute("SELECT CAST('NaN'::DOUBLE AS DECIMAL(18,2))").fetchone()
+
+    # integer cast class
+    row = spark.sql(
+        "SELECT CAST(double('NaN') AS BIGINT), CAST(double('Infinity') AS BIGINT)"
+    ).first()
+    assert row[0] == 0 and row[1] == 9223372036854775807
+    with pytest.raises(Exception, match="[Cc]ast"):
+        con.execute("SELECT CAST('NaN'::DOUBLE AS BIGINT)").fetchone()
+
+    # second-moment class
+    vals = "(VALUES (1.0), (CAST('Infinity' AS DOUBLE))) t(x)"
+    import math
+
+    assert math.isnan(spark.sql(f"SELECT stddev_samp(x) FROM {vals}").first()[0])
+    with pytest.raises(Exception, match="[Oo]ut of [Rr]ange"):
+        con.execute(f"SELECT stddev_samp(x) FROM {vals}").fetchone()
+
+    # math domain class (on -Inf specifically; finite negatives are the
+    # already-pinned class in test_math_error_domain_divergence_pinned)
+    assert spark.sql("SELECT ln(double('-Infinity'))").first()[0] is None
+    with pytest.raises(Exception, match="logarithm"):
+        con.execute("SELECT ln('-Infinity'::DOUBLE)").fetchone()
+
+    # rendering class
+    assert spark.sql("SELECT CAST(double('NaN') AS STRING)").first()[0] == "NaN"
+    assert (
+        con.execute("SELECT CAST('NaN'::DOUBLE AS STRING)").fetchone()[0] == "nan"
+    )
+    assert (
+        spark.sql("SELECT CAST(double('-Infinity') AS STRING)").first()[0]
+        == "-Infinity"
+    )
+    assert (
+        con.execute("SELECT CAST('-Infinity'::DOUBLE AS STRING)").fetchone()[0]
+        == "-inf"
+    )
+
+    # agreements: the portable finite test and NaN ordering
+    probes = [
+        "double('NaN') = double('NaN')",
+        "double('NaN') > CAST('Infinity' AS DOUBLE)",
+        "NOT (abs(double('NaN')) < CAST('Infinity' AS DOUBLE))",
+        "abs(5.0) < CAST('Infinity' AS DOUBLE)",
+        "double('NaN') > 3.0",
+    ]
+    duck_probes = [p.replace("double('", "('").replace("')", "'::DOUBLE)") for p in probes]
+    for sp, dp in zip(probes, duck_probes):
+        assert spark.sql(f"SELECT {sp}").first()[0] is True, sp
+        assert con.execute(f"SELECT {dp}").fetchone()[0] is True, dp
+    mm = "(VALUES (1.0), (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE))) t(x)"
+    assert math.isnan(spark.sql(f"SELECT max(x) FROM {mm}").first()[0])
+    assert math.isnan(con.execute(f"SELECT max(x) FROM {mm}").fetchone()[0])
+    assert spark.sql(f"SELECT min(x) FROM {mm}").first()[0] == 1.0
+    assert con.execute(f"SELECT min(x) FROM {mm}").fetchone()[0] == 1.0
