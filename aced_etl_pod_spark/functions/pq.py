@@ -312,7 +312,7 @@ def duck_pq_sample_ctes(m: int, d_sub: int, limit: int = 512,
                   AS DOUBLE[]) AS v
       FROM (SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding
             FROM (SELECT vec_id, embedding FROM embeddings
-                  WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+                  WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
                   ORDER BY vec_id LIMIT {limit}))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     )"""

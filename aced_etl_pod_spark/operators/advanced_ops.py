@@ -1063,7 +1063,7 @@ SCAN_JSON_VARIANT_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(k) AS BIGINT) AS sum_k,
-           (CASE WHEN abs(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_k,
+           (CASE WHEN abs(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(k) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_k,
            CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high
     FROM extracted

@@ -558,7 +558,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey % 2 AS gen,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total,
            CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
                 AS BIGINT) AS n_status
@@ -804,7 +804,7 @@ CSV_BAD_MOD = 1000
            CAST(count(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0 THEN 1 END)
                 AS BIGINT) AS n_corrupt,
            CAST(count(*) AS BIGINT) AS n_good,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS good_total
     FROM orders WHERE o_orderkey % {CSV_GOOD_MOD} = 0
     """,
@@ -876,11 +876,11 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARED_ANSI_SQL = """
 SELECT c_mktsegment, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
+       (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
          AS total,
        CAST(rank() OVER (
               PARTITION BY c_mktsegment
-              ORDER BY round(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END)) AS DECIMAL(18,6)), 2) DESC,
+              ORDER BY round(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DECIMAL(18,6)), 2) DESC,
                        o_orderstatus) AS BIGINT) AS rk
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderstatus
@@ -1085,7 +1085,7 @@ def fn_datetime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SHARED_ANSI_SQL).
 LATERAL_TOPK_SQL = """
 SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
-       (CASE WHEN abs(CAST(t.o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(t.o_totalprice AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(t.o_totalprice AS DOUBLE) END)
+       (CASE WHEN abs(CAST(t.o_totalprice AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(t.o_totalprice AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(t.o_totalprice AS DOUBLE) END)
          AS o_totalprice
 FROM customer c,
 LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
@@ -1246,7 +1246,7 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_ndjson_gzip",
     oracle="""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders WHERE o_orderkey % 20 = 0
     GROUP BY o_orderstatus
@@ -1285,7 +1285,7 @@ def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           (CASE WHEN abs(CAST(sum(value) OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) OVER w AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) OVER w AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(value) OVER w AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) OVER w AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) OVER w AS DOUBLE) END)
              AS sum_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1378,7 +1378,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_orderstatus AS status FROM orders
     )
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders o JOIN dim d ON o.o_orderstatus = d.status
     WHERE d.status IN ('F', 'P')
@@ -2239,7 +2239,7 @@ SINK_CSV_ROUNDTRIP_ORACLE = f"""
     FROM t
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
-""".format(money="(CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)")
+""".format(money="(CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)")
 
 
 @op("sink_csv_roundtrip", oracle=SINK_CSV_ROUNDTRIP_ORACLE, tags=("sink", "extra"))
@@ -2581,7 +2581,7 @@ SCAN_FILE_PROVENANCE_ORACLE = """
     SELECT regexp_extract(filename, 'o_orderstatus=([A-Z])', 1) AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM read_parquet('{path}/*/*.parquet', filename=true)
     GROUP BY 1
@@ -2598,7 +2598,7 @@ SCAN_FILE_PROVENANCE_STATIC_ORACLE = """
     SELECT o_orderstatus AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(1 AS BIGINT) AS n_files,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
              AS total
     FROM orders GROUP BY 1
 """
@@ -2764,12 +2764,12 @@ AGG_KMV_SET_INTERSECTION_SQL = f"""
            CAST(overlap AS BIGINT) AS overlap,
            CAST(exact_inter AS BIGINT) AS exact_inter,
            (CASE WHEN abs(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
-                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
+                ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END AS DOUBLE) END) AS est_union,
            (CASE WHEN abs(CAST((CAST(overlap AS DOUBLE) / ku) *
                 (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
-                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((CAST(overlap AS DOUBLE) / ku) *
+                 ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST((CAST(overlap AS DOUBLE) / ku) *
                 (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
                  ELSE {_KMVI_K - 1}.0 * 4294967296 / kth_u END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST((CAST(overlap AS DOUBLE) / ku) *
                 (CASE WHEN ku < {_KMVI_K} THEN CAST(ku AS DOUBLE)
@@ -3030,7 +3030,7 @@ def pipeline_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MOMENTS_MERGEABLE_CHAN_ORACLE = """
     WITH cents AS (
       SELECT user_id % 8 AS shard,
-             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events
     ), means AS (
       SELECT shard, CAST(count(*) AS BIGINT) AS n,
@@ -3148,7 +3148,7 @@ _SQLP_LANG = "en"
 SQL_PARAMETERIZED_QUERY_ORACLE = f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
              AS avg_chars
     FROM documents
     WHERE lang = '{_SQLP_LANG}' AND n_chars >= {_SQLP_MIN_CHARS}
@@ -3174,7 +3174,7 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT source,
                CAST(count(*) AS BIGINT) AS n,
-               (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
+               (CASE WHEN abs(CAST(avg(n_chars) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(n_chars) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(avg(n_chars) AS DOUBLE) END)
                  AS avg_chars
         FROM param_documents
         WHERE lang = :lang AND n_chars >= :min_chars
@@ -3247,7 +3247,7 @@ PIPELINE_PRETRAIN_E2E_ORACLE = f"""
            CAST(count(*) AS BIGINT) AS docs_kept,
            CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
            CAST(sum(n_dropped) AS BIGINT) AS lines_deduped,
-           (CASE WHEN abs(CAST(avg(distinct_ratio) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(distinct_ratio) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(distinct_ratio) AS DOUBLE) END) AS avg_distinct_ratio
+           (CASE WHEN abs(CAST(avg(distinct_ratio) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(distinct_ratio) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(distinct_ratio) AS DOUBLE) END) AS avg_distinct_ratio
     FROM gated
     GROUP BY lang
     ORDER BY lang

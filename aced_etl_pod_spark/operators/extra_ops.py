@@ -541,7 +541,7 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VARCHAR, DuckDB aliases STRING to VARCHAR).
 _PROFILE_RENDER = (
     "CASE WHEN {x} IS NULL THEN NULL"
-    " WHEN abs(CAST({x} AS DOUBLE)) < CAST('Infinity' AS DOUBLE)"
+    " WHEN abs(CAST({x} AS DOUBLE)) < 1e12"
     " THEN CAST(round(CAST({x} AS DOUBLE), 2) AS STRING)"
     " WHEN CAST({x} AS DOUBLE) = CAST('Infinity' AS DOUBLE) THEN 'Infinity'"
     " WHEN CAST({x} AS DOUBLE) = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'"
@@ -844,7 +844,7 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_histogram_fixed",
     oracle="""
-    SELECT CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END) / 1000) AS BIGINT) AS bucket,
+    SELECT CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END) / 1000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(l_extendedprice), 2) AS sum_price,
            round(min(l_extendedprice), 2) AS lo,
@@ -1233,7 +1233,7 @@ def win_event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_INTERPOLATE_LINEAR_ORACLE = """
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
       FROM events WHERE user_id < 50 GROUP BY 1, 2
     ),
     bounds AS (
@@ -1269,7 +1269,7 @@ TS_INTERPOLATE_LINEAR_ORACLE = """
            CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL OR nv IS NULL THEN NULL
-             ELSE (CASE WHEN abs(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) END)
+             ELSE (CASE WHEN abs(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(pv + (nv - pv) * (eh - pt) / (nt - pt) AS DOUBLE) END)
            END AS interp_v,
            v IS NULL AS was_gap
     FROM ctx
@@ -1293,7 +1293,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is O(1) per row (running last/first), not O(frame)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
             "v"
         )
     )
@@ -1448,7 +1448,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_WEIGHTED_PERCENTILE_ORACLE = f"""
     WITH by_val AS (
       SELECT l_returnflag, l_extendedprice AS v,
-             sum(CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS DECIMAL(18,6))) AS w
+             sum(CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END) AS DECIMAL(18,6))) AS w
       FROM lineitem
       WHERE {finite_sql('l_extendedprice')} IS NOT NULL
         AND {finite_sql('l_quantity')} IS NOT NULL
@@ -1463,8 +1463,8 @@ AGG_WEIGHTED_PERCENTILE_ORACLE = f"""
       FROM by_val
     )
     SELECT l_returnflag,
-           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) END) AS wp50,
-           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) END) AS wp90
+           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.5 THEN v END) AS DOUBLE) END) AS wp50,
+           (CASE WHEN abs(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(min(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE) END) AS wp90
     FROM cum GROUP BY l_returnflag
 """
 
@@ -1528,7 +1528,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
              max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS runmax
-      FROM events WHERE ts IS NOT NULL AND (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND (CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) IS NOT NULL
     ),
     dd AS (
       SELECT user_id, runmax,
@@ -1537,7 +1537,7 @@ WIN_DRAWDOWN_RUNMAX_ORACLE = """
       FROM series
     )
     SELECT user_id,
-           (CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END) AS peak,
+           (CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END) AS peak,
            CAST(min(dd_pct) AS DOUBLE) AS max_drawdown_pct
     FROM dd GROUP BY user_id
 """
@@ -1575,7 +1575,7 @@ def win_drawdown_runmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         series.groupBy("user_id")
         .agg(
             F.expr(
-                "(CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END)"
+                "(CASE WHEN abs(CAST(max(runmax) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(max(runmax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(max(runmax) AS DOUBLE) END)"
             ).alias("peak"),
             F.min("dd_pct").cast("double").alias("max_drawdown_pct"),
         )
@@ -1601,9 +1601,9 @@ STAT_CHI_SQUARE_ORACLE = """
     )
     SELECT event_type, cohort,
            CAST(o AS BIGINT) AS observed,
-           (CASE WHEN abs(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) END) AS expected,
+           (CASE WHEN abs(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(row_tot * col_tot / CAST(n AS DOUBLE) AS DOUBLE) END) AS expected,
            (CASE WHEN abs(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
-                      / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                      / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
                       / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
                       / (row_tot * col_tot / CAST(n AS DOUBLE)) AS DOUBLE) END) AS contribution
     FROM margins
@@ -1709,17 +1709,17 @@ WIN_PERIOD_OVER_PERIOD_ORACLE = """
     WITH monthly AS (
       SELECT o_orderpriority AS prio,
              strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-             CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
+             CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS revenue
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
     SELECT prio, month, revenue,
            (CASE WHEN abs(CAST((revenue - lag(revenue) OVER w)
-                      / lag(revenue) OVER w * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((revenue - lag(revenue) OVER w)
                       / lag(revenue) OVER w * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((revenue - lag(revenue) OVER w)
                       / lag(revenue) OVER w * 100 AS DOUBLE) END) AS mom_pct,
            (CASE WHEN abs(CAST((revenue - lag(revenue, 12) OVER w)
-                      / lag(revenue, 12) OVER w * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((revenue - lag(revenue, 12) OVER w)
+                      / lag(revenue, 12) OVER w * 100 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((revenue - lag(revenue, 12) OVER w)
                       / lag(revenue, 12) OVER w * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((revenue - lag(revenue, 12) OVER w)
                       / lag(revenue, 12) OVER w * 100 AS DOUBLE) END) AS yoy_pct
     FROM monthly
@@ -1747,7 +1747,7 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
     ).agg(
         F.expr(
-            "CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            "CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)"
         ).alias("revenue")
     )
     w = W.partitionBy("prio").orderBy("month")
@@ -1771,8 +1771,8 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WIN_PERCENT_RANK_CUME_ORACLE = """
     SELECT o_orderkey, o_orderstatus,
-           (CASE WHEN abs(CAST(percent_rank() OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(percent_rank() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(percent_rank() OVER w AS DOUBLE) END) AS pr,
-           (CASE WHEN abs(CAST(cume_dist() OVER w AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(cume_dist() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(cume_dist() OVER w AS DOUBLE) END) AS cd
+           (CASE WHEN abs(CAST(percent_rank() OVER w AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(percent_rank() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(percent_rank() OVER w AS DOUBLE) END) AS pr,
+           (CASE WHEN abs(CAST(cume_dist() OVER w AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(cume_dist() OVER w AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(cume_dist() OVER w AS DOUBLE) END) AS cd
     FROM orders WHERE o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
@@ -2035,7 +2035,7 @@ def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_DECOMPOSE_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -2048,7 +2048,7 @@ TS_SEASONAL_DECOMPOSE_ORACLE = """
     ),
     seas AS (
       SELECT hour(h) AS hod,
-             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
+             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
                AS seasonal
       FROM tr WHERE trend IS NOT NULL GROUP BY 1
     )
@@ -2074,7 +2074,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal table is O(24) and broadcast back."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+        F.expr("CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
             "total"
         )
     )
@@ -2214,9 +2214,9 @@ AGG_CONVERSION_LAG_ORACLE = """
         AND first_buy >= first_view
     )
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) END) AS p50_min,
-           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) END) AS p90_min,
-           (CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)
+           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.5) / 60.0 AS DOUBLE) END) AS p50_min,
+           (CASE WHEN abs(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(quantile_cont(lag_s, 0.9) / 60.0 AS DOUBLE) END) AS p90_min,
+           (CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)
              AS max_min
     FROM lags
 """
@@ -2252,7 +2252,7 @@ def agg_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             " AS DOUBLE)"
         ).alias("p90_min"),
         F.expr(
-            "(CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)"
+            "(CASE WHEN abs(CAST(max(lag_s) / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(max(lag_s) / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(max(lag_s) / 60.0 AS DOUBLE) END)"
         ).alias("max_min"),
     )
 
@@ -2282,7 +2282,7 @@ WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
            CAST(count(*) FILTER (WHERE n = 10) AS BIGINT) AS n_windows,
            (CASE WHEN abs(CAST(avg(CASE WHEN n = 10
                 AND n * sxx - sx * sx <> 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(CASE WHEN n = 10
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(CASE WHEN n = 10
                 AND n * sxx - sx * sx <> 0
                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600 END) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(CASE WHEN n = 10
                 AND n * sxx - sx * sx <> 0
@@ -2352,7 +2352,7 @@ AGG_GINI_COEFFICIENT_ORACLE = """
     SELECT c_nationkey,
            CAST(max(n) AS BIGINT) AS n,
            (CASE WHEN abs(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
-                - (max(n) + 1.0) / max(n) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
+                - (max(n) + 1.0) / max(n) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(2.0 * sum(i * x) / (max(n) * max(sx))
                 - (max(n) + 1.0) / max(n) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(2.0 * sum(i * x) / (max(n) * max(sx))
                 - (max(n) + 1.0) / max(n) AS DOUBLE) END)
              AS gini
@@ -2416,7 +2416,7 @@ AGG_ENTROPY_CATEGORICAL_ORACLE = """
            CAST(sum(c) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_types,
            (CASE WHEN abs(CAST(-sum((c / CAST(tot AS DOUBLE))
-                * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(-sum((c / CAST(tot AS DOUBLE))
+                * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(-sum((c / CAST(tot AS DOUBLE))
                 * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(-sum((c / CAST(tot AS DOUBLE))
                 * log2(c / CAST(tot AS DOUBLE))) AS DOUBLE) END) AS entropy_bits
     FROM probs GROUP BY user_id
@@ -2466,7 +2466,7 @@ AGG_MARKOV_TRANSITION_ORACLE = """
       GROUP BY 1, 2
     )
     SELECT cur, nxt, CAST(c AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) END) AS p
+           (CASE WHEN abs(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(c / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS DOUBLE) END) AS p
     FROM pairs
 """
 
@@ -2518,12 +2518,12 @@ FN_AB_TEST_PROPORTIONS_ORACLE = """
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
            CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
-           (CASE WHEN abs(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) END) AS rate_a,
-           (CASE WHEN abs(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) END) AS rate_b,
+           (CASE WHEN abs(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(ca / CAST(na AS DOUBLE) AS DOUBLE) END) AS rate_a,
+           (CASE WHEN abs(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(cb / CAST(nb AS DOUBLE) AS DOUBLE) END) AS rate_b,
            (CASE WHEN abs(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
              sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
                   * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                  * (1.0 / na + 1.0 / nb)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+                  * (1.0 / na + 1.0 / nb)) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
              sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
                   * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
                   * (1.0 / na + 1.0 / nb)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
@@ -2595,7 +2595,7 @@ AGG_BENFORD_DIGIT_TEST_ORACLE = """
     WITH digits AS (
       SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
                   AS BIGINT) AS d
-      FROM orders WHERE (CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) >= 1
+      FROM orders WHERE (CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) >= 1
     ),
     counts AS (
       SELECT d, count(*) AS n FROM digits GROUP BY d
@@ -2603,10 +2603,10 @@ AGG_BENFORD_DIGIT_TEST_ORACLE = """
     tot AS (SELECT sum(n) AS t FROM counts)
     SELECT d AS leading_digit,
            CAST(n AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(n / CAST(t AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(n / CAST(t AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(n / CAST(t AS DOUBLE) AS DOUBLE) END) AS observed_p,
-           (CASE WHEN abs(CAST(log10(1.0 + 1.0 / d) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(log10(1.0 + 1.0 / d) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(log10(1.0 + 1.0 / d) AS DOUBLE) END) AS benford_p,
+           (CASE WHEN abs(CAST(n / CAST(t AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(n / CAST(t AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(n / CAST(t AS DOUBLE) AS DOUBLE) END) AS observed_p,
+           (CASE WHEN abs(CAST(log10(1.0 + 1.0 / d) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(log10(1.0 + 1.0 / d) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(log10(1.0 + 1.0 / d) AS DOUBLE) END) AS benford_p,
            (CASE WHEN abs(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
-                      / log10(1.0 + 1.0 / d) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+                      / log10(1.0 + 1.0 / d) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
                       / log10(1.0 + 1.0 / d) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(pow(n / CAST(t AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
                       / log10(1.0 + 1.0 / d) AS DOUBLE) END)
              AS chi_contribution
@@ -2822,7 +2822,7 @@ WIN_SURVIVAL_KM_ORACLE = """
     SELECT dur_s, CAST(d AS BIGINT) AS d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
            (CASE WHEN abs(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
                 OVER (ORDER BY dur_s
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
                 OVER (ORDER BY dur_s
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
                 OVER (ORDER BY dur_s
@@ -3385,7 +3385,7 @@ def agg_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAT_T_TEST_WELCH_ORACLE = """
     WITH cents AS (
-      SELECT event_type, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
+      SELECT event_type, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type IN ('view', 'purchase')
     ), moments AS (
       SELECT
@@ -3768,7 +3768,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h,
-             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE) AS total
       FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
@@ -3781,28 +3781,28 @@ TS_SEASONAL_RESIDUAL_ANOMALY_ORACLE = """
     ),
     seas AS (
       SELECT hour(h) AS hod,
-             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
+             (CASE WHEN abs(CAST(avg(total - trend) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(avg(total - trend) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(avg(total - trend) AS DOUBLE) END)
                AS seasonal
       FROM tr WHERE trend IS NOT NULL GROUP BY 1
     ),
     resid AS (
       SELECT tr.h, tr.total,
-             (CASE WHEN abs(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) END) AS residual
+             (CASE WHEN abs(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(tr.total - tr.trend - seas.seasonal AS DOUBLE) END) AS residual
       FROM tr JOIN seas ON hour(tr.h) = seas.hod
       WHERE tr.trend IS NOT NULL
     ),
     stats AS (
-      SELECT (CASE WHEN abs(CAST(quantile_cont(residual, 0.5) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(residual, 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(residual, 0.5) AS DOUBLE) END) AS med
+      SELECT (CASE WHEN abs(CAST(quantile_cont(residual, 0.5) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(residual, 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(residual, 0.5) AS DOUBLE) END) AS med
       FROM resid
     ),
     mad AS (
       SELECT med,
-             (CASE WHEN abs(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) END) AS mad
+             (CASE WHEN abs(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(abs(residual - med), 0.5) AS DOUBLE) END) AS mad
       FROM resid CROSS JOIN stats GROUP BY med
     ),
     scored AS (
       SELECT r.h, r.total, r.residual,
-             (CASE WHEN abs(CAST(abs(r.residual - m.med) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(abs(r.residual - m.med) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(abs(r.residual - m.med) AS DOUBLE) END) AS score,
+             (CASE WHEN abs(CAST(abs(r.residual - m.med) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(abs(r.residual - m.med) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(abs(r.residual - m.med) AS DOUBLE) END) AS score,
              3 * 1.4826 * m.mad AS fence
       FROM resid r CROSS JOIN mad m
     )
@@ -3882,7 +3882,7 @@ _BOOT_W_SQL = (
 
 STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
     WITH base AS (
-      SELECT event_id, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
+      SELECT event_id, CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type = 'purchase'
     ), reps AS (
       -- both mods keep every intermediate < 2^63 on BOTH engines (ADVICE
@@ -3899,17 +3899,17 @@ STAT_BOOTSTRAP_POISSON_CI_ORACLE = f"""
       FROM reps
     ), means AS (
       SELECT b,
-             (CASE WHEN abs(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) END) AS mean_b
+             (CASE WHEN abs(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(w * x) AS DOUBLE) / sum(w) AS DOUBLE) END) AS mean_b
       FROM weighted GROUP BY b HAVING sum(w) > 0
     ), point AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean_point
+             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean_point
       FROM base
     )
     SELECT point.n, CAST({_BOOT_B} AS BIGINT) AS b_replicas,
            point.mean_point,
-           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) END) AS ci_lo,
-           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) END) AS ci_hi
+           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.025) AS DOUBLE) END) AS ci_lo,
+           (CASE WHEN abs(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(quantile_cont(mean_b, 0.975) AS DOUBLE) END) AS ci_hi
     FROM means CROSS JOIN point
     GROUP BY point.n, point.mean_point
 """
@@ -4288,7 +4288,7 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
     WITH li AS (
       SELECT l_orderkey AS okey,
              CAST(count(*) AS BIGINT) AS n_lines,
-             (CASE WHEN abs(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) END) AS lines_total
+             (CASE WHEN abs(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) END) AS lines_total
       FROM lineitem GROUP BY l_orderkey
     ), o AS (
       SELECT o_orderkey AS okey,
@@ -4306,7 +4306,7 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
     )
     SELECT status,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) END) AS amount
+           (CASE WHEN abs(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) END) AS amount
     FROM joined
     GROUP BY status
     ORDER BY status
@@ -4383,7 +4383,7 @@ AGG_RFM_SEGMENTATION_ORACLE = """
              CAST(floor(epoch((SELECT now FROM anchor))) -
                   floor(epoch(max(ts))) AS BIGINT) AS recency_s,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)
+             CAST(round(CAST(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS DECIMAL(18,6)), 2) AS DOUBLE)
                AS monetary
       FROM events
       WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
@@ -4492,11 +4492,11 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_ABC_PARETO_ORACLE = """
     WITH rev AS (
       SELECT p.p_partkey,
-             (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) END) AS revenue
+             (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < 1e12 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < 1e12 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)) < 1e12 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) END)) AS DOUBLE) END) AS revenue
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_partkey
     ), tot AS (
-      SELECT (CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)
+      SELECT (CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)
                AS t
       FROM rev
     ), ranked AS (
@@ -4538,14 +4538,14 @@ def agg_abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(
             F.expr(
-                "CAST(round(CAST(sum((CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END))"
+                "CAST(round(CAST(sum((CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END))"
                 " AS DECIMAL(18,6)), 2) AS DOUBLE)"
             ).alias("revenue")
         )
     )
     tot = rev.agg(
         F.expr(
-            "(CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)"
+            "(CASE WHEN abs(CAST(sum(revenue) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(revenue) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(revenue) AS DOUBLE) END)"
         ).alias("t")
     )
     w = W.orderBy(F.desc("revenue"), "p_partkey").rowsBetween(
@@ -4663,7 +4663,7 @@ def _norm_sf_sql(z_expr: str) -> str:
 
 STAT_FDR_BH_ORACLE = f"""
     WITH cents AS (
-      SELECT c_nationkey, CAST(round((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
+      SELECT c_nationkey, CAST(round((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM customer
     ), gstats AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
@@ -4781,7 +4781,7 @@ def stat_fdr_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_VWAP_BARS_ORACLE = """
     WITH trades AS (
       SELECT date_trunc('hour', ts) AS bar,
-             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS px,
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS px,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
       FROM events WHERE event_type = 'purchase'
     )
@@ -4789,11 +4789,11 @@ WIN_VWAP_BARS_ORACLE = """
            CAST(count(*) AS BIGINT) AS n_trades,
            CAST(sum(vol) AS BIGINT) AS volume,
            (CASE WHEN abs(CAST(CAST(sum(px * vol) AS DOUBLE)
-                / nullif(sum(vol), 0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(px * vol) AS DOUBLE)
+                / nullif(sum(vol), 0) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(px * vol) AS DOUBLE)
                 / nullif(sum(vol), 0) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(px * vol) AS DOUBLE)
                 / nullif(sum(vol), 0) AS DOUBLE) END)
              AS vwap,
-           (CASE WHEN abs(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) END) AS twap
+           (CASE WHEN abs(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(px) AS DOUBLE) / count(*) AS DOUBLE) END) AS twap
     FROM trades
     GROUP BY bar
     ORDER BY bar_start
@@ -4858,11 +4858,11 @@ AGG_CAUSAL_DIFF_IN_DIFF_ORACLE = f"""
                        % 100 < 50 THEN 'treat' ELSE 'control' END AS grp,
              CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
                   THEN 'pre' ELSE 'post' END AS period,
-             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
+             CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) AS x
       FROM events WHERE event_type = 'purchase'
     ), cells AS (
       SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
-             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean
+             (CASE WHEN abs(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 6) AS DOUBLE) ELSE CAST(CAST(sum(x) AS DOUBLE) / count(*) AS DOUBLE) END) AS mean
       FROM tagged GROUP BY grp, period
     ), wide AS (
       SELECT
@@ -4970,10 +4970,10 @@ AGG_CUPED_ORACLE = f"""
     WITH per_user AS (
       SELECT user_id,
              CAST(sum(CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'
-                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
+                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
                   AS DOUBLE) AS x,
              CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT_TS}'
-                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
+                  THEN CAST(round((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 2) AS DECIMAL(18,2)) END)
                   AS DOUBLE) AS y
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id

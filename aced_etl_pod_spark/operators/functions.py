@@ -101,10 +101,10 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged,
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged,
            round(abs(l_discount - 0.05), 4) AS disc_dev,
-           CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_floor,
-           CAST(ceiling((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_ceil,
+           CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_floor,
+           CAST(ceiling((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_ceil,
            l_orderkey % 7 AS key_mod,
            round(pow(1 + l_discount, 2), 6) AS disc_sq,
            round(ln(CASE WHEN l_extendedprice >= 0 THEN l_extendedprice END), 6) AS price_ln,
@@ -288,11 +288,11 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(user_id AS DOUBLE) AS uid_d,
-           CAST(trunc((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS BIGINT) AS val_trunc,
+           CAST(trunc((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS BIGINT) AS val_trunc,
            CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS id_roundtrip,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           CAST(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
+           CAST(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) AS DECIMAL(18, 2)) AS VARCHAR) AS val_dec_str,
            -- direct bool->int cast so a NULL value stays NULL (the CASE
            -- ELSE-0 form would coerce NULL comparisons to 0)
            CAST(value > 100 AS BIGINT) AS is_big

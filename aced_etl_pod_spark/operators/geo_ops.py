@@ -94,7 +94,7 @@ JOIN_GEO_GRIDDED_RADIUS_ORACLE = f"""
       FROM supplier
     )
     SELECT c.c_custkey, s.s_suppkey,
-           (CASE WHEN abs(CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE) END) AS dist_km
+           (CASE WHEN abs(CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS DOUBLE) END) AS dist_km
     FROM c CROSS JOIN s
     WHERE round(CAST({_haversine_sql('c.lat', 'c.lon', 's.lat', 's.lon')}
                 AS DECIMAL(18,9)), 3) <= {_RADIUS_KM}
@@ -178,8 +178,8 @@ AGG_GEO_GRID_DENSITY_ORACLE = f"""
     SELECT lat_mil // {_CELL_MIL} AS cell_lat,
            lon_mil // {_CELL_MIL} AS cell_lon,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE) END) AS centroid_lat,
-           (CASE WHEN abs(CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE) END) AS centroid_lon
+           (CASE WHEN abs(CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST(sum(lat_mil) / count(*) / 1000.0 - 45.0 AS DOUBLE) END) AS centroid_lat,
+           (CASE WHEN abs(CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE) AS DECIMAL(18,9)), 3) AS DOUBLE) ELSE CAST(sum(lon_mil) / count(*) / 1000.0 - 150.0 AS DOUBLE) END) AS centroid_lon
     FROM p
     GROUP BY 1, 2
 """

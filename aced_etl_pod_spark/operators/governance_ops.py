@@ -45,7 +45,7 @@ _BAL_BUCKET = 2000.0
 DQ_K_ANONYMITY_ORACLE = f"""
     SELECT c_mktsegment,
            c_nationkey,
-           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
            CAST(count(*) AS BIGINT) AS n,
            count(*) >= {_K} AS k_anonymous
     FROM customer
@@ -93,7 +93,7 @@ FN_PSEUDONYMIZE_CONSISTENT_ORACLE = f"""
     SELECT p.pseudonym,
            p.c_mktsegment,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           (CASE WHEN abs(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) END) AS total_spend
+           (CASE WHEN abs(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) END) AS total_spend
     FROM p LEFT JOIN orders o ON o.o_custkey = p.c_custkey
     GROUP BY 1, 2
 """
@@ -233,10 +233,10 @@ DQ_FRESHNESS_SLO_ORACLE = """
     SELECT p.event_type,
            strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
            CAST(p.n AS BIGINT) AS n_events,
-           (CASE WHEN abs(CAST(p.avg_gap_s / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(p.avg_gap_s / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(p.avg_gap_s / 60.0 AS DOUBLE) END)
+           (CASE WHEN abs(CAST(p.avg_gap_s / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(p.avg_gap_s / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(p.avg_gap_s / 60.0 AS DOUBLE) END)
              AS avg_gap_min,
            (CASE WHEN abs(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
-                / 60.0 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
+                / 60.0 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
                 / 60.0 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts)))
                 / 60.0 AS DOUBLE) END) AS lag_min,
            round(CAST((floor(epoch(r.now_ts)) - floor(epoch(p.last_ts))) / 60.0
@@ -375,7 +375,7 @@ DQ_K_ANONYMITY_GENERALIZE_ORACLE = f"""
     WITH levels(width) AS (VALUES {', '.join(f'({w})' for w in _GEN_LEVELS)}),
     classes AS (
       SELECT l.width, c.c_mktsegment,
-             CAST(floor(((CASE WHEN abs(CAST(c.c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c.c_acctbal AS DOUBLE) END) + 1000) / l.width) AS BIGINT)
+             CAST(floor(((CASE WHEN abs(CAST(c.c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c.c_acctbal AS DOUBLE) END) + 1000) / l.width) AS BIGINT)
                AS bal_bucket,
              count(*) AS n
       FROM customer c CROSS JOIN levels l
@@ -419,7 +419,7 @@ def dq_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width",
             "c_mktsegment",
             F.expr(
-                "CAST(floor(((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) + 1000) / width) AS BIGINT)"
+                "CAST(floor(((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) + 1000) / width) AS BIGINT)"
             ).alias("bal_bucket"),
         )
         .agg(F.count("*").alias("n"))
@@ -468,7 +468,7 @@ DP_NOISY_COUNT_LAPLACE_ORACLE = f"""
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
            (CASE WHEN abs(CAST(c + (-1.0 / {_DP_EPS})
-                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c + (-1.0 / {_DP_EPS})
+                * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(c + (-1.0 / {_DP_EPS})
                 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE) AS DECIMAL(18,6)), 4) AS DOUBLE) ELSE CAST(c + (-1.0 / {_DP_EPS})
                 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS DOUBLE) END) AS noisy_count,
            {_DP_EPS} AS epsilon
@@ -537,7 +537,7 @@ def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_OBSERVE_METRICS_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END)) AS BIGINT) AS sum_qty,
+           CAST(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END)) AS BIGINT) AS sum_qty,
            CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT)
              AS n_gt25,
            CAST(min(l_orderkey) AS BIGINT) AS min_ok,
@@ -734,7 +734,7 @@ DQ_TABLE_CONTENT_DIGEST_ORACLE = """
     WITH li AS (
       SELECT CAST(CAST('0x' || substr(sha256(
                concat_ws('|', l_orderkey, l_linenumber,
-                         CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag)
+                         CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag)
              ), 1, 8) AS UBIGINT) AS BIGINT) AS h
       FROM lineitem
     ),
@@ -802,6 +802,6 @@ def dq_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return _content_digest(
         li,
-        "l_orderkey, l_linenumber, CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag",
+        "l_orderkey, l_linenumber, CAST((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END) AS BIGINT), l_returnflag",
         "lineitem",
     ).unionAll(_content_digest(o, "o_orderkey, o_custkey, o_orderstatus", "orders"))

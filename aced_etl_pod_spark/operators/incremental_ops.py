@@ -83,9 +83,9 @@ _MV_DELTA_MOD = 10
 MV_INCREMENTAL_REFRESH_ORACLE = """
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total,
-           CAST(round(CAST(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(round(CAST(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))) AS DOUBLE)
                       / count(*), 2) AS DOUBLE) AS avg_price
     FROM orders
     GROUP BY o_orderstatus
@@ -170,13 +170,13 @@ AGG_CASCADING_ROLLUP_ORACLE = """
     SELECT 'day' AS level,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY date_trunc('day', ts)
     UNION ALL
     SELECT 'week' AS level,
            strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events GROUP BY date_trunc('week', ts)
 """
 
@@ -250,7 +250,7 @@ WIN_EWMA_ORACLE = f"""
       GROUP BY i.event_id, i.user_id
     )
     SELECT event_id, user_id,
-           (CASE WHEN abs(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) END) AS ewma
+           (CASE WHEN abs(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(num / ((1 - pow({EWMA_DECAY}, k)) / {EWMA_ALPHA}) AS DOUBLE) END) AS ewma
     FROM agg
 """
 
@@ -326,7 +326,7 @@ _R = 6
 DEDUP_SEMANTIC_CLUSTER_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ), ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM e, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
@@ -540,7 +540,7 @@ WIN_TWAP_ORACLE = """
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           (CASE WHEN abs(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) END) AS twap
+           (CASE WHEN abs(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) END) AS twap
     FROM s WHERE nxt IS NOT NULL
     GROUP BY user_id
 """
@@ -589,7 +589,7 @@ EMBEDDING_COVARIANCE_TOPK_ORACLE = f"""
     WITH ex AS (
       SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, generate_series(1, {SEMDEDUP_DIM}) AS t(i)
-      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ), m AS (
       SELECT dim, round(CAST(avg(x) AS DECIMAL(18,8)), {_R}) AS mu
       FROM ex GROUP BY dim
@@ -775,7 +775,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 MV_JOIN_VIEW_ORACLE = """
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END) AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -860,7 +860,7 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
              least({HIST_BINS - 1}, CAST(floor(value / {HIST_BIN_W}) AS INT))
                AS bin,
              count(*) AS cnt
-      FROM events WHERE (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) IS NOT NULL GROUP BY 1, 2
+      FROM events WHERE (CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) IS NOT NULL GROUP BY 1, 2
     ), merged AS (
       SELECT bin, sum(cnt) AS cnt FROM per_shard GROUP BY bin
     ), cum AS (
@@ -874,11 +874,11 @@ AGG_HISTOGRAM_QUANTILE_ORACLE = f"""
       FROM qs JOIN cum ON cum.cum >= qs.p * cum.n
       GROUP BY qs.p
     ), exact AS (
-      SELECT 0.5 AS p, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.5) AS x FROM events
+      SELECT 0.5 AS p, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 0.5) AS x FROM events
       UNION ALL
-      SELECT 0.9, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.9) FROM events
+      SELECT 0.9, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 0.9) FROM events
       UNION ALL
-      SELECT 0.99, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END), 0.99) FROM events
+      SELECT 0.99, quantile_cont((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END), 0.99) FROM events
     )
     SELECT CAST(est.p AS DOUBLE) AS p,
            CAST((est.bin + 1) * {HIST_BIN_W} AS DOUBLE) AS est,

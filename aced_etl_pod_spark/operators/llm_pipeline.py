@@ -730,7 +730,7 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE {finite_vec_sql('embedding')}
     )
     SELECT vec_id,
-           (CASE WHEN abs(CAST(qscale AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(qscale AS DOUBLE) AS DECIMAL(18,10)), 6) AS DOUBLE) ELSE CAST(qscale AS DOUBLE) END) AS qscale,
+           (CASE WHEN abs(CAST(qscale AS DOUBLE)) < 1e8 THEN CAST(round(CAST(CAST(qscale AS DOUBLE) AS DECIMAL(18,10)), 6) AS DOUBLE) ELSE CAST(qscale AS DOUBLE) END) AS qscale,
            '[' || array_to_string(
              list_transform(
                embedding,
@@ -1107,7 +1107,7 @@ TOKENIZER_APPLY_BPE_ORACLE = f"""
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(k) AS BIGINT) AS n_bpe_symbols,
-           (CASE WHEN abs(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) END) AS symbols_per_char
+           (CASE WHEN abs(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(sum(k) / CAST(any_value(nchar) AS DOUBLE) AS DOUBLE) END) AS symbols_per_char
     FROM docw JOIN wlen USING (w)
     GROUP BY doc_id
 """
@@ -1426,8 +1426,8 @@ TEXT_NGRAM_LM_SCORE_ORACLE = """
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           (CASE WHEN abs(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_nll_bits,
-           (CASE WHEN abs(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) END) AS ppl
+           (CASE WHEN abs(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(nll) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_nll_bits,
+           (CASE WHEN abs(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(pow(2.0, CAST(sum(nll) AS DOUBLE) / count(*)) AS DOUBLE) END) AS ppl
     FROM scored GROUP BY doc_id
 """
 

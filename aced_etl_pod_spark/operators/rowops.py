@@ -26,7 +26,7 @@ from aced_etl_pod_spark.tables import load
     "project_select",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END) AS net_price,
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END) AS net_price,
            l_returnflag || '/' || l_linestatus AS flag_status
     FROM lineitem
     """,

@@ -212,19 +212,19 @@ _AQP_PCT = 10  # keep buckets < 10 of 100 => 10% sample
 AGG_SAMPLE_ESTIMATE_CI_ORACLE = f"""
     WITH s AS (
       SELECT event_type,
-             sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)) AS exact_sum,
+             sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)) AS exact_sum,
              sum(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
-                      THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) END) AS samp_sum,
+                      THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) END) AS samp_sum,
              count(CASE WHEN {_bucket_sql("event_id")} < {_AQP_PCT}
-                        THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) END) AS n_sample
+                        THEN (CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) END) AS n_sample
       FROM events GROUP BY event_type
     )
     SELECT event_type,
            CAST(n_sample AS BIGINT) AS n_sample,
-           (CASE WHEN abs(CAST(exact_sum AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exact_sum AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_sum AS DOUBLE) END) AS exact_sum,
-           (CASE WHEN abs(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) END) AS est_sum,
+           (CASE WHEN abs(CAST(exact_sum AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(exact_sum AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_sum AS DOUBLE) END) AS exact_sum,
+           (CASE WHEN abs(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_sum * {100.0 / _AQP_PCT} AS DOUBLE) END) AS est_sum,
            (CASE WHEN abs(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
-                      / exact_sum * 100 AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
+                      / exact_sum * 100 AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
                       / exact_sum * 100 AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(abs(samp_sum * {100.0 / _AQP_PCT} - exact_sum)
                       / exact_sum * 100 AS DOUBLE) END)
              AS rel_err_pct,
@@ -266,11 +266,11 @@ def agg_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n_sample").cast("long").alias("n_sample"),
-        F.expr("(CASE WHEN abs(CAST(exact_raw AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(exact_raw AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_raw AS DOUBLE) END)").alias(
+        F.expr("(CASE WHEN abs(CAST(exact_raw AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(exact_raw AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(exact_raw AS DOUBLE) END)").alias(
             "exact_sum"
         ),
         F.expr(
-            f"(CASE WHEN abs(CAST(samp_raw * {scale} AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(samp_raw * {scale} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_raw * {scale} AS DOUBLE) END)"
+            f"(CASE WHEN abs(CAST(samp_raw * {scale} AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(samp_raw * {scale} AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(samp_raw * {scale} AS DOUBLE) END)"
         ).alias("est_sum"),
         F.expr(f"CAST({err} AS DOUBLE)").alias("rel_err_pct"),
         F.expr(f"{err} <= 15.0").alias("within_15pct"),

@@ -66,7 +66,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     bucketing, not a recall proxy."""
     return f"""
     nn AS (SELECT count(*) AS n FROM embeddings
-           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
+           WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)),
     np AS (
       SELECT greatest(4, least(24,
                CAST(ceil(log2(greatest(n / {target_bucket}.0, 2.0)))
@@ -74,7 +74,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
       FROM nn
     ),
     dims AS (SELECT len(embedding) AS dim FROM embeddings
-             WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0) LIMIT 1),
+             WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0) LIMIT 1),
     planes AS (
       SELECT p,
              list_transform(generate_series(0, (SELECT dim FROM dims) - 1),
@@ -92,7 +92,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
                                             pl.vec) >= 0
                       THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
       FROM embeddings e CROSS JOIN planes pl
-      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
       GROUP BY e.vec_id
     ),
     -- MATERIALIZED: the multiprobe unnest downstream makes DuckDB
@@ -101,7 +101,7 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     -- whole vector); materializing the null-free CTE fences the kernel
     be AS MATERIALIZED (SELECT b.vec_id, b.bucket, e.embedding
            FROM b JOIN embeddings e USING (vec_id)
-           WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
+           WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)),
     bn AS (SELECT bucket, count(*) AS cnt FROM be GROUP BY 1)
     """
 
@@ -110,11 +110,11 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
     "sim_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -136,11 +136,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_fast",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -167,11 +167,11 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_arrow",
     oracle=f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings
-               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
     SELECT vec_id,
            round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
     FROM embeddings CROSS JOIN q
-    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
     LIMIT 10
     """,
@@ -705,7 +705,7 @@ def _pq_codes_oracle() -> str:
     {duck_kmeans_ctes('pq_', 'pq_samp', m, k, ds, iters)},
     pqc_vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ),
     pqc_sub AS (
       SELECT vec_id, j, x[j * {ds} + 1 : (j + 1) * {ds}] AS v
@@ -781,7 +781,7 @@ def _pq_adc_oracle() -> str:
     adc_q AS (
       SELECT j, CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS qv
       FROM (SELECT embedding FROM embeddings
-            WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
+            WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_tab AS (
@@ -793,7 +793,7 @@ def _pq_adc_oracle() -> str:
       SELECT vec_id, j,
              CAST(embedding[j * {ds} + 1 : (j + 1) * {ds}] AS DOUBLE[]) AS v
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0))
+            WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
       CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
     ),
     adc_coded AS (
@@ -865,7 +865,7 @@ def _ivf_pq_oracle() -> str:
       SELECT row_number() OVER (ORDER BY vec_id) AS pos,
              CAST(embedding AS DOUBLE[]) AS x
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+            WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
             ORDER BY vec_id LIMIT 512)
     ),
     ipq_sassign AS (
@@ -887,7 +887,7 @@ def _ivf_pq_oracle() -> str:
     {duck_kmeans_ctes('rq_', 'rq_samp', m, k, ds, iters)},
     ipq_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qx
               FROM embeddings
-              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
+              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)),
     ipq_probed AS (
       SELECT cid, v AS cv FROM (
         SELECT c.cid, c.v,
@@ -912,7 +912,7 @@ def _ivf_pq_oracle() -> str:
     ),
     ipq_corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-      FROM embeddings WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      FROM embeddings WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ),
     ipq_cells AS (
       SELECT vec_id, x, cell, cv FROM (
@@ -1130,12 +1130,12 @@ _MMR_POOL = 20
 SIM_MMR_DIVERSIFIED_TOPK_ORACLE = f"""
     WITH RECURSIVE
     q AS (SELECT embedding AS q_emb FROM embeddings
-              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)),
+              WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)),
     sc AS (
       SELECT vec_id, embedding,
              {DUCK_COS.format(a="embedding", b="q_emb")} AS rel
       FROM embeddings CROSS JOIN q
-      WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < CAST('Infinity' AS DOUBLE)))) = 0)
+      WHERE vec_id != 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
     ),
     pool AS (
       SELECT vec_id, embedding, rel,

@@ -237,7 +237,7 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END)), 2) AS total
+           round(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)), 2) AS total
     FROM events
     GROUP BY user_id
     """,
@@ -359,7 +359,7 @@ _DUCK_NORM_TEXT = (
     SELECT DISTINCT source, md5({_DUCK_NORM_TEXT}) AS content_key
     FROM m
     WHERE (CASE WHEN abs(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
-               + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+               + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
                + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
                + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) END) >= {CURATION_QUALITY_MIN}
     """,
@@ -497,15 +497,15 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
     WITH wins AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
+             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
       FROM events
       WHERE user_id < 50 AND ts IS NOT NULL  -- window() drops null ts
       GROUP BY 1, 2
     ),
     stats AS (
       SELECT user_id,
-             avg((CASE WHEN abs(CAST(total AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(total AS DOUBLE) END)) AS mu,
-             stddev_samp((CASE WHEN abs(CAST(total AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(total AS DOUBLE) END)) AS sigma,
+             avg((CASE WHEN abs(CAST(total AS DOUBLE)) < 1e12 THEN CAST(total AS DOUBLE) END)) AS mu,
+             stddev_samp((CASE WHEN abs(CAST(total AS DOUBLE)) < 1e12 THEN CAST(total AS DOUBLE) END)) AS sigma,
              count(*) AS n_windows
       FROM wins GROUP BY 1
     ),
@@ -513,7 +513,7 @@ STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
       SELECT w.user_id,
              strftime(w.h, '{TS_FMT_DUCK}') AS win_start,
              w.total,
-             (CASE WHEN abs(CAST((w.total - s.mu) / s.sigma AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((w.total - s.mu) / s.sigma AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((w.total - s.mu) / s.sigma AS DOUBLE) END) AS z
+             (CASE WHEN abs(CAST((w.total - s.mu) / s.sigma AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((w.total - s.mu) / s.sigma AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((w.total - s.mu) / s.sigma AS DOUBLE) END) AS z
       FROM wins w JOIN stats s USING (user_id)
       WHERE s.n_windows >= 10 AND s.sigma > 0
     )
@@ -544,7 +544,7 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 50)
         .groupBy("user_id", F.window("ts", "1 hour"))
         .agg(
-            F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
+            F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
                 "total"
             )
         )
@@ -743,7 +743,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_CHECKPOINT_RESTART_ORACLE = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
              AS total
     FROM events
     GROUP BY event_type

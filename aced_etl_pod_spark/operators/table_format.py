@@ -258,7 +258,7 @@ def pruned_file_counts(spark: SparkSession, sf_dir: str,
     "stream_txnlog_exactly_once",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type

@@ -325,10 +325,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(ntok AS BIGINT) AS n_tokens,
-           (CASE WHEN abs(CAST(nuniq / ntok AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(nuniq / ntok AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(nuniq / ntok AS DOUBLE) END) AS uniq_ratio,
-           (CASE WHEN abs(CAST(nchar / ntok AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(nchar / ntok AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(nchar / ntok AS DOUBLE) END) AS avg_tok_len,
+           (CASE WHEN abs(CAST(nuniq / ntok AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(nuniq / ntok AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(nuniq / ntok AS DOUBLE) END) AS uniq_ratio,
+           (CASE WHEN abs(CAST(nchar / ntok AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(nchar / ntok AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(nchar / ntok AS DOUBLE) END) AS avg_tok_len,
            (CASE WHEN abs(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
-                 + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
+                 + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
                  + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(0.5 * (nuniq / ntok) + 0.3 * least(ntok / 20, 1.0)
                  + 0.2 * least(nchar / ntok / 8, 1.0) AS DOUBLE) END)
              AS quality
@@ -647,7 +647,7 @@ TEXT_READABILITY_SCORE_ORACLE = """
     )
     SELECT doc_id, lang, n_words, n_syllables, n_sentences,
            (CASE WHEN abs(CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
-                      - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) AS DOUBLE) AS DECIMAL(18,9)), 2) AS DOUBLE) ELSE CAST(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) AS DOUBLE) END) AS flesch
     FROM m ORDER BY doc_id
@@ -793,7 +793,7 @@ DEDUP_EXACT_SUBSTRING_SPANS_ORACLE = f"""
            CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
            CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
            (CASE WHEN abs(CAST(coalesce(p.n_repeated, 0)
-                      / greatest(CAST(coalesce(p.n_windows, 0) AS DOUBLE), 1.0) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(coalesce(p.n_repeated, 0)
+                      / greatest(CAST(coalesce(p.n_windows, 0) AS DOUBLE), 1.0) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(coalesce(p.n_repeated, 0)
                       / greatest(CAST(coalesce(p.n_windows, 0) AS DOUBLE), 1.0) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(coalesce(p.n_repeated, 0)
                       / greatest(CAST(coalesce(p.n_windows, 0) AS DOUBLE), 1.0) AS DOUBLE) END) AS frac_repeated
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
@@ -1047,7 +1047,7 @@ TEXT_ZIPF_RANK_FREQUENCY_ORACLE = """
     SELECT tok, CAST(r AS BIGINT) AS rank, CAST(f AS BIGINT) AS freq,
            (CASE WHEN abs(CAST((SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
                      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))
-              FROM logs) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+              FROM logs) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST((SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
                      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))
               FROM logs) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST((SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
                      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))

@@ -44,7 +44,7 @@ def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_vectorized",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged
     FROM lineitem
     """,
     tags=("udf",),
@@ -66,7 +66,7 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           (CASE WHEN abs(CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE) END) AS w_avg_price
+           (CASE WHEN abs(CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(l_extendedprice * l_quantity) / sum(l_quantity) AS DOUBLE) END) AS w_avg_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -91,8 +91,8 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS BIGINT)
                AS bal_rank,
-           (CASE WHEN abs(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) END) AS centered
-    FROM customer WHERE (CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) IS NOT NULL
+           (CASE WHEN abs(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE) END) AS centered
+    FROM customer WHERE (CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) IS NOT NULL
     """,
     tags=("udf",),
 )
@@ -172,7 +172,7 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_map_in_arrow",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END) AS discounted
+           (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) END) AS discounted
     FROM lineitem
     WHERE l_quantity >= 25
     """,
@@ -352,7 +352,7 @@ SCAN_PYTHON_DATASOURCE_ORACLE = """
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN status = 'fault' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_fault,
-           (CASE WHEN abs(CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_temp
+           (CASE WHEN abs(CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE)) < 1e9 THEN CAST(round(CAST(CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE) AS DECIMAL(18,9)), 4) AS DOUBLE) ELSE CAST(CAST(sum(temp) AS DOUBLE) / count(*) AS DOUBLE) END) AS avg_temp
     FROM rows_
     GROUP BY shard
     ORDER BY shard

@@ -53,12 +53,12 @@ def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense",
     oracle="""
     SELECT c_custkey,
-           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) AS BIGINT) AS bal_bucket,
+           CAST(floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) / 1000) AS BIGINT) AS bal_bucket,
            CAST(rank() OVER (PARTITION BY c_nationkey
-                             ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
+                             ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
                 AS BIGINT) AS rnk,
            CAST(dense_rank() OVER (PARTITION BY c_nationkey
-                                   ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
+                                   ORDER BY floor((CASE WHEN abs(CAST(c_acctbal AS DOUBLE)) < 1e12 THEN CAST(c_acctbal AS DOUBLE) END) / 1000) DESC NULLS LAST)
                 AS BIGINT) AS drnk
     FROM customer
     """,
@@ -134,7 +134,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            (CASE WHEN abs(CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
              / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
-                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE)) < CAST('Infinity' AS DOUBLE) THEN CAST(round(CAST(CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
+                  + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
              / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST((value + coalesce(lag(value, 1) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0))
              / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
