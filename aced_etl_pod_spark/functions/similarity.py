@@ -226,22 +226,47 @@ def ivf_index_build(
     At 100 TB the build cost equals ONE exact scan — what DuckDB pays
     per query batch — amortized over every query after. Returns the
     number of centroids."""
-    emb = emb.select("vec_id", "embedding")
+    from ..operators.util import finite_vec
+
+    # well-scaled-vector contract (same as the query-time kernels): a
+    # NULL embedding makes np.stack raise and one non-finite/extreme lane
+    # would poison every centroid through the Lloyd means
+    emb = emb.filter(finite_vec(F.col("embedding"))).select(
+        "vec_id", "embedding"
+    )
     if n_centroids is None:
         n_centroids = ivf_centroids_for(emb.count())
     rows = emb.orderBy("vec_id").limit(max(sample_size, n_centroids)).collect()
+    if not rows:
+        # empty-partition contract: an index over zero valid vectors is an
+        # EMPTY index (0 cells, 0 centroids), not a crash — probes on it
+        # return the empty k-NN frame
+        emb.withColumn("cid", F.lit(0).cast("long")).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/cells")
+        emb.sparkSession.createDataFrame(
+            [], "cid long, c_emb array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        return 0
     S = np.stack([np.asarray(r["embedding"]) for r in rows]).astype(np.float64)
+    # an explicit n_centroids larger than the (filtered) corpus would seed
+    # from missing rows and desync the centroid-id arange below
+    n_centroids = min(n_centroids, len(S))
     cents = S[:n_centroids].copy()
     for _ in range(lloyd_iters):
-        # cosine assignment on the sample (normalized dot)
-        Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
-        Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        # cosine assignment on the sample (normalized dot); zero-norm
+        # clamp mirrors assign_cells — a zero vector must not NaN-poison
+        # the whole assignment
+        Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+        Cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-30
+        )
         assign = (Sn @ Cn.T).argmax(axis=1)
         for c in range(n_centroids):
             mask = assign == c
             if mask.any():
                 cents[c] = S[mask].mean(axis=0)
-    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -295,11 +320,14 @@ def ivf_index_probe(
     (pure JVM — no python worker roundtrip, which costs ~200 ms/query at
     micro scale), Arrow/BLAS above (per-batch overhead amortizes, the
     expression tree doesn't)."""
-    qvec = np.asarray(
-        query.select(emb_col).head(1)[0][0], dtype=np.float64
-    )
+    head1 = query.select(emb_col).head(1)
+    if not head1:  # empty query side (empty-partition contract): no matches
+        return spark.createDataFrame([], f"{id_col} long, cos_sim double")
+    qvec = np.asarray(head1[0][0], dtype=np.float64)
     q_norm = float(np.sqrt(qvec @ qvec))
     cpdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    if not len(cpdf):  # empty index (built over zero valid vectors)
+        return spark.createDataFrame([], f"{id_col} long, cos_sim double")
     C = np.stack(cpdf["c_emb"].to_numpy()).astype(np.float64)
     sims = (C @ qvec) / (np.sqrt((C * C).sum(axis=1)) * q_norm)
     order = np.lexsort((cpdf["cid"].to_numpy(), -sims))
@@ -525,7 +553,15 @@ def brute_force_topk_arrow(
             dots = X @ qvec
             norms = np.sqrt((X * X).sum(axis=1))
             cos = dots / (norms * q_norm)
-            idx = np.argpartition(-cos, min(k, len(cos)) - 1)[:k]
+            # per-batch top-k WITH the id tie-break: bare argpartition on
+            # -cos is free to keep any k of a >k-way tie at the k-th
+            # cosine, dropping the row the global ORDER BY cos DESC, id
+            # would keep BEFORE it ever reaches the orderBy — lexsort
+            # (primary -cos, secondary id) keeps the same k rows the
+            # final sort would
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids_np, -cos))[:k]
+            idx = order
             yield pa.RecordBatch.from_arrays(
                 [ids.take(pa.array(idx)), pa.array(cos[idx])],
                 names=[id_col, "cos_sim"],

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -37,15 +38,15 @@ def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_group_sums",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(sum({finite_sql("l_quantity")}), 2) AS sum_qty,
+           round(sum({finite_sql("l_extendedprice")}), 2) AS sum_base_price,
+           round(sum({finite_sql("l_extendedprice * (1 - l_discount)")}), 2) AS sum_disc_price,
+           round(sum({finite_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}), 2) AS sum_charge,
+           round(avg({finite_sql("l_quantity")}), 2) AS avg_qty,
+           round(avg({finite_sql("l_extendedprice")}), 2) AS avg_price,
+           round(avg({finite_sql("l_discount")}), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -54,20 +55,37 @@ def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "bench"),
 )
 def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-measure hash aggregation (TPC-H Q1 shape; BASELINE B1)."""
+    """Multi-measure hash aggregation (TPC-H Q1 shape; BASELINE B1).
+
+    Measures carry the well-scaled contract (util.finite): a finite
+    1e289 summand makes the parallel fold order VISIBLE in the last ULP
+    (Spark's partial-agg tree vs DuckDB's vectorized fold can't agree,
+    and round(,2) of a 1e291 total rounds nothing) — exclusion, applied
+    to both sides, is the only cross-engine-stable semantic. Guards wrap
+    the full product expressions, so one extreme factor excludes the
+    whole term, identically in both engines."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = finite(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = finite(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(finite(F.col("l_quantity"))), 2).alias("sum_qty"),
+            F.round(F.sum(finite(F.col("l_extendedprice"))), 2).alias(
+                "sum_base_price"
+            ),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg(finite(F.col("l_quantity"))), 2).alias("avg_qty"),
+            F.round(F.avg(finite(F.col("l_extendedprice"))), 2).alias(
+                "avg_price"
+            ),
+            F.round(F.avg(finite(F.col("l_discount"))), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -430,8 +430,10 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
            -- the engine shards by groupBy(event_type), where NULL IS a
            -- group; count(DISTINCT) would skip it
+           -- coalesce: max() is NULL over an empty table, where the
+           -- engine's count of zero shard sketches is 0
            CAST(count(DISTINCT event_type)
-                + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                + coalesce(max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_shards,
            TRUE AS approx_within_tol
     FROM events

@@ -537,11 +537,15 @@ def dp_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_OBSERVE_METRICS_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END)) AS BIGINT) AS sum_qty,
+           -- engine side coalesces the nullable aggregates to sentinels
+           -- (Observation.get can't carry NULL rows on empty scans);
+           -- mirror them here so both sides agree on degenerate input
+           -- (empty table, or every l_quantity non-finite/extreme)
+           CAST(coalesce(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END)), 0) AS BIGINT) AS sum_qty,
            CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT)
              AS n_gt25,
-           CAST(min(l_orderkey) AS BIGINT) AS min_ok,
-           CAST(max(l_orderkey) AS BIGINT) AS max_ok
+           CAST(coalesce(min(l_orderkey), -1) AS BIGINT) AS min_ok,
+           CAST(coalesce(max(l_orderkey), -1) AS BIGINT) AS max_ok
     FROM lineitem
 """
 

@@ -1835,3 +1835,283 @@ def test_nonfinite_micro_divergences_pinned(events_env):
     assert math.isnan(con.execute(f"SELECT max(x) FROM {mm}").fetchone()[0])
     assert spark.sql(f"SELECT min(x) FROM {mm}").first()[0] == 1.0
     assert con.execute(f"SELECT min(x) FROM {mm}").fetchone()[0] == 1.0
+
+
+# ---- time zone / DST / calendar-arithmetic fuzz (round-8 widening) ----
+#
+# The one boundary family the r7 fuzzers did not touch: session-TZ-dependent
+# truncation and bucketing over DST transitions, month-end calendar
+# arithmetic, and ISO week-year edges. Probe grid findings (2026-08): the
+# surfaces agree EXCEPT ambiguous fall-back wall clocks (pinned below).
+
+_TZ_ZONES = [
+    "America/New_York",   # 2024-03-10 07:00Z spring fwd / 2024-11-03 06:00Z fall back
+    "Europe/Berlin",      # 2024-03-31 01:00Z / 2024-10-27 01:00Z
+    "Australia/Sydney",   # southern hemisphere: 2024-04-06 16:00Z / 2024-10-05 16:00Z
+    "America/Santiago",   # transitions AT LOCAL MIDNIGHT (the date_trunc edge)
+    "Asia/Kolkata",       # +05:30, no DST (half-hour-offset control)
+    "Pacific/Auckland",   # 2024-04-06 14:00Z / 2024-09-28 14:00Z
+]
+
+# UTC instants bracketing every 2024 transition of the zones above, on a
+# 20-minute grid ±1h (spring-forward gaps, fall-back ambiguity, and the
+# Santiago local-midnight gap), plus mid-season controls.
+_TZ_TRANSITIONS_UTC = [
+    "2024-03-10 07:00:00", "2024-11-03 06:00:00",  # New_York
+    "2024-03-31 01:00:00", "2024-10-27 01:00:00",  # Berlin
+    "2024-04-06 16:00:00", "2024-10-05 16:00:00",  # Sydney
+    "2024-09-08 04:00:00", "2024-04-07 03:00:00",  # Santiago (midnight local)
+    "2024-04-06 14:00:00", "2024-09-28 14:00:00",  # Auckland
+    "2024-01-15 12:00:00", "2024-07-15 12:00:00",  # controls
+]
+
+_CAL_DATES = [
+    # month-end ladder incl leap day and both leap/non-leap February
+    "2024-01-29", "2024-01-30", "2024-01-31", "2024-02-28", "2024-02-29",
+    "2023-02-28", "2024-03-31", "2024-04-30", "2024-08-31", "2024-12-31",
+    # ISO week-year edges: week-53 years (2015/2020/2026) and week-1 spills
+    "2015-12-28", "2015-12-31", "2016-01-01", "2016-01-03", "2016-01-04",
+    "2020-12-28", "2020-12-31", "2021-01-01", "2021-01-03", "2021-01-04",
+    "2024-12-30", "2025-01-01", "2026-01-01", "2026-12-28", "2027-01-03",
+]
+
+
+@pytest.fixture(scope="module")
+def tz_env(spark):
+    import pandas as pd
+
+    base = pd.to_datetime(_TZ_TRANSITIONS_UTC)
+    grid = pd.DatetimeIndex(
+        sorted({t + pd.Timedelta(minutes=m) for t in base for m in range(-60, 61, 20)})
+    )
+    ts_pdf = pd.DataFrame({"ts": grid})
+    d_pdf = pd.DataFrame({"d": pd.to_datetime(_CAL_DATES).date})
+    spark.createDataFrame(ts_pdf).createOrReplaceTempView("tz_pt")
+    spark.createDataFrame(d_pdf).createOrReplaceTempView("cal_pt")
+    con = duckdb.connect()
+    con.register("tz_pt", ts_pdf)
+    con.register("cal_pt", d_pdf)
+    yield spark, con
+    con.close()
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    zone=st.sampled_from(_TZ_ZONES),
+    unit=st.sampled_from(["day", "hour", "minute", "month"]),
+)
+def test_random_tz_conversion_and_trunc_matches_duckdb(tz_env, zone, unit):
+    """UTC→zone wall-clock conversion and LOCAL-wall-clock truncation over
+    every DST transition instant: Spark ``from_utc_timestamp`` /
+    ``date_trunc`` in a zone session vs DuckDB ``AT TIME ZONE`` with the
+    matching ``SET TimeZone``. Engines cannot share one SQL text here
+    (Spark lacks AT TIME ZONE, DuckDB lacks from_utc_timestamp), so each
+    side gets its native spelling of the same semantics and the digests
+    must agree. Spring-forward gap instants and the Santiago
+    local-midnight gap (trunc 'day' lands ON a nonexistent wall clock —
+    both engines shift it forward to 01:00) are all in the grid."""
+    spark, con = tz_env
+    sp = (
+        f"SELECT CAST(count(DISTINCT x) AS BIGINT) AS nd, min(CAST(x AS STRING)) AS lo, "
+        f"max(CAST(x AS STRING)) AS hi FROM (SELECT date_trunc('{unit}', "
+        f"from_utc_timestamp(ts, '{zone}')) AS x FROM tz_pt)"
+    )
+    du = (
+        f"SELECT CAST(count(DISTINCT x) AS BIGINT) AS nd, min(CAST(x AS VARCHAR)) AS lo, "
+        f"max(CAST(x AS VARCHAR)) AS hi FROM (SELECT date_trunc('{unit}', "
+        f"(ts AT TIME ZONE 'UTC') AT TIME ZONE '{zone}') AS x FROM tz_pt)"
+    )
+    got = spark.sql(sp).first()
+    exp = con.execute(du).fetchone()
+    # DuckDB renders midnight-exact DAY/MONTH truncations as DATE strings
+    # (the pinned date_trunc return-type divergence) — normalize via
+    # length-10 pad, same rule as the r7 pinned test
+    def _norm(s):
+        return f"{s} 00:00:00" if s is not None and len(s) == 10 else s
+    assert (got["nd"], got["lo"], got["hi"]) == (exp[0], _norm(exp[1]), _norm(exp[2])), (sp, du)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    zone=st.sampled_from(_TZ_ZONES),
+    days=st.sampled_from([1, 7]),
+)
+def test_random_window_bucket_epoch_aligned_matches_duckdb(tz_env, zone, days):
+    """``window()`` start edges over DST transitions: Spark's windows are
+    EPOCH-ALIGNED INSTANTS — a '1 day' window under a DST-observing
+    session TZ does NOT snap to local midnight (that is date_trunc's
+    job) and every bucket is exactly 24h of real time. DuckDB's
+    ``time_bucket`` over TIMESTAMPTZ has the same fixed-width semantics,
+    so the two agree bucket-for-bucket across every transition — the
+    porting rule a 100 TB pipeline needs when moving daily rollups
+    between engines (use date_trunc for civil days, window/time_bucket
+    for fixed 24h spans; they differ by the DST shear).
+
+    Multi-day widths need DuckDB's EXPLICIT origin argument pinned to the
+    epoch — the default origins differ (pinned divergence below)."""
+    spark, con = tz_env
+    spark.conf.set("spark.sql.session.timeZone", zone)
+    try:
+        got = spark.sql(
+            f"SELECT CAST(count(DISTINCT w.start) AS BIGINT) AS nd, "
+            f"CAST(min(unix_timestamp(w.start)) AS BIGINT) AS lo, "
+            f"CAST(max(unix_timestamp(w.start)) AS BIGINT) AS hi "
+            f"FROM (SELECT window(ts, '{days} day') AS w FROM tz_pt)"
+        ).first()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    con.execute(f"SET TimeZone='{zone}'")
+    try:
+        exp = con.execute(
+            f"SELECT CAST(count(DISTINCT b) AS BIGINT), "
+            f"CAST(min(epoch(b)) AS BIGINT), CAST(max(epoch(b)) AS BIGINT) "
+            f"FROM (SELECT time_bucket(INTERVAL {days} DAY, ts AT TIME ZONE 'UTC', "
+            f"TIMESTAMPTZ '1970-01-01 00:00:00+00') AS b FROM tz_pt)"
+        ).fetchone()
+    finally:
+        con.execute("SET TimeZone='UTC'")
+    assert (got["nd"], got["lo"], got["hi"]) == exp
+
+
+def test_multiday_bucket_origin_divergence_pinned(tz_env):
+    """Second divergence FOUND BY the round-8 TZ fuzzer: multi-day bucket
+    ORIGINS differ. Spark's ``window(ts, '7 day')`` anchors to the epoch
+    (1970-01-01, a THURSDAY); DuckDB's ``time_bucket(INTERVAL 7 DAY, ..)``
+    anchors to its documented origin 2000-01-03 (a MONDAY) — so default
+    "weekly" buckets are shifted by 4 days between engines:
+
+        2024-01-15 12:00 → Spark week start Thu 2024-01-11
+                         → DuckDB week start Mon 2024-01-15
+
+    Widths that divide 24h can't see the anchor (both origins are
+    midnight-UTC-aligned), which is why the day/hour fuzzer never trips.
+    Porting rule (docs/DIVERGENCES.md class 18): any bucket wider than a
+    day must carry an explicit origin — DuckDB's third time_bucket
+    argument, Spark's window startTime offset."""
+    spark, con = tz_env
+    probe = "2024-01-15 12:00:00"
+    got = spark.sql(
+        f"SELECT CAST(window(TIMESTAMP '{probe}', '7 day').start AS STRING)"
+    ).first()[0]
+    dflt = str(
+        con.execute(
+            f"SELECT time_bucket(INTERVAL 7 DAY, TIMESTAMP '{probe}')"
+        ).fetchone()[0]
+    )
+    anchored = str(
+        con.execute(
+            f"SELECT time_bucket(INTERVAL 7 DAY, TIMESTAMP '{probe}', "
+            f"TIMESTAMP '1970-01-01')"
+        ).fetchone()[0]
+    )
+    assert got == "2024-01-11 00:00:00"  # Thursday (epoch anchor)
+    assert dflt == "2024-01-15 00:00:00"  # Monday (2000-01-03 anchor)
+    assert anchored == got
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sign=st.sampled_from(["+", "-"]),
+    n=st.sampled_from([1, 2, 11, 12, 13, 24, 25, 47]),
+)
+def test_random_month_arith_end_of_month_matches_duckdb(tz_env, sign, n):
+    """Month arithmetic over the month-end ladder (Jan 29/30/31, leap and
+    non-leap Feb, every 31-day month end): ONE SQL text ``d ± INTERVAL n
+    MONTH`` both engines (DuckDB needs the sign OUTSIDE the interval
+    literal), plus Spark's ``add_months`` asserted equal to its own
+    interval path — all three clamp to end-of-month identically and
+    none is end-of-month STICKY (Feb 29 + 1 month = Mar 29, not
+    Mar 31; the pre-2.3 Spark stickiness is long gone)."""
+    spark, con = tz_env
+    one = (
+        f"SELECT CAST(count(DISTINCT x) AS BIGINT) AS nd, "
+        f"min(CAST(x AS STRING)) AS lo, max(CAST(x AS STRING)) AS hi "
+        f"FROM (SELECT CAST(d {sign} INTERVAL {n} MONTH AS DATE) AS x FROM cal_pt)"
+    )
+    got = spark.sql(one).first()
+    exp = con.execute(one.replace("AS STRING", "AS VARCHAR")).fetchone()
+    assert (got["nd"], got["lo"], got["hi"]) == exp, one
+    am = spark.sql(
+        f"SELECT CAST(count(*) AS BIGINT) AS bad FROM cal_pt "
+        f"WHERE add_months(d, {'-' if sign == '-' else ''}{n}) "
+        f"IS DISTINCT FROM CAST(d {sign} INTERVAL {n} MONTH AS DATE)"
+    ).first()
+    assert am["bad"] == 0
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(field=st.sampled_from(["WEEK", "ISO"]))
+def test_random_iso_week_year_edges_match_duckdb(tz_env, field):
+    """ISO week fields on the week-53/week-1 year edges: EXTRACT(WEEK) is
+    ISO-numbered in BOTH engines (one shared text); the ISO week-YEAR is
+    spelled EXTRACT(YEAROFWEEK) in Spark and EXTRACT(ISOYEAR) in DuckDB —
+    same values, different keyword (the porting rename). Dec 28 is always
+    in the old ISO year, Jan 4 always in the new one; the ladder covers
+    week-53 years (2015, 2020, 2026) where Dec 31 → week 53 of the OLD
+    year and Jan 1-3 spill backward."""
+    spark, con = tz_env
+    if field == "WEEK":
+        one = (
+            "SELECT CAST(sum(EXTRACT(WEEK FROM d) * 31 + EXTRACT(WEEK FROM d)) AS BIGINT) AS s, "
+            "CAST(min(EXTRACT(WEEK FROM d)) AS BIGINT) AS lo, "
+            "CAST(max(EXTRACT(WEEK FROM d)) AS BIGINT) AS hi FROM cal_pt"
+        )
+        got = spark.sql(one).first()
+        exp = con.execute(one).fetchone()
+        assert (got["s"], got["lo"], got["hi"]) == exp
+    else:
+        sp = "SELECT CAST(d AS STRING) AS d, CAST(EXTRACT(YEAROFWEEK FROM d) AS BIGINT) AS y FROM cal_pt ORDER BY 1"
+        du = "SELECT CAST(d AS VARCHAR) AS d, CAST(EXTRACT(ISOYEAR FROM d) AS BIGINT) AS y FROM cal_pt ORDER BY 1"
+        got = [(r["d"], r["y"]) for r in spark.sql(sp).collect()]
+        exp = [(str(a), b) for a, b in con.execute(du).fetchall()]
+        assert got == exp
+
+
+def test_ambiguous_fallback_wallclock_divergence_pinned(tz_env):
+    """Divergence FOUND BY the round-8 TZ fuzzer probes and pinned: an
+    AMBIGUOUS local wall clock (the repeated hour at fall-back, e.g.
+    2024-11-03 01:30 in America/New_York) resolves to the EARLIER offset
+    (DST, -04) in Spark's ``to_utc_timestamp`` (java.time
+    ZonedDateTime.of semantics) but to the LATER offset (standard, -05)
+    in DuckDB's ICU ``AT TIME ZONE`` — one full hour apart:
+
+        Spark  to_utc_timestamp('2024-11-03 01:30', NY) = 05:30Z
+        DuckDB ('2024-11-03 01:30' AT TIME ZONE NY)      = 06:30Z
+
+    NONEXISTENT wall clocks (spring-forward gap, incl. Santiago's
+    local-midnight gap) agree — both shift forward past the gap. Porting
+    rule (docs/DIVERGENCES.md class 18): local→UTC conversion of
+    untagged wall clocks is only portable for unambiguous times; tag
+    ambiguous readings with an explicit UTC offset upstream, or accept a
+    ±1h skew on one hour per year per DST zone. The engine census never
+    converts local→UTC (ingest normalizes to UTC instants — tables.load);
+    this pins the boundary for pipelines that do."""
+    spark, con = tz_env
+
+    amb = "2024-11-03 01:30:00"  # NY fall-back: 01:30 EDT and 01:30 EST both exist
+    got = spark.sql(
+        f"SELECT CAST(to_utc_timestamp(TIMESTAMP '{amb}', 'America/New_York') AS STRING)"
+    ).first()[0]
+    exp = str(
+        con.execute(
+            f"SELECT (TIMESTAMP '{amb}' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'"
+        ).fetchone()[0]
+    )
+    assert got == "2024-11-03 05:30:00"  # Spark: earlier offset (EDT, -04)
+    assert exp == "2024-11-03 06:30:00"  # DuckDB: later offset (EST, -05)
+
+    # the agreement half of the class: nonexistent wall clocks shift
+    # forward identically (NY 02:30 spring-fwd; Santiago 00:30 midnight gap)
+    for wall, zone in [
+        ("2024-03-10 02:30:00", "America/New_York"),
+        ("2024-09-08 00:30:00", "America/Santiago"),
+    ]:
+        g = spark.sql(
+            f"SELECT CAST(to_utc_timestamp(TIMESTAMP '{wall}', '{zone}') AS STRING)"
+        ).first()[0]
+        e = str(
+            con.execute(
+                f"SELECT (TIMESTAMP '{wall}' AT TIME ZONE '{zone}') AT TIME ZONE 'UTC'"
+            ).fetchone()[0]
+        )
+        assert g == e, (wall, zone)
