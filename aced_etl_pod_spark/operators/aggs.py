@@ -204,10 +204,10 @@ def agg_min_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 2) AS total,
+           round(sum({finite_sql("o_totalprice")}), 2) AS total,
            CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -215,13 +215,15 @@ def agg_min_max_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via Spark SQL (spark.sql IS the parser — SURVEY §7.4)."""
+    """GROUPING SETS via Spark SQL (spark.sql IS the parser — SURVEY §7.4).
+    The total carries the well-scaled measure contract (see
+    agg_group_sums) — extreme summands make parallel fold order visible."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total,
+               round(sum({finite_sql("o_totalprice")}), 2) AS total,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -231,21 +233,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum({finite_sql("o_totalprice")}), 2) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     tags=("agg", "bench"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (BASELINE B9)."""
+    """ROLLUP hierarchy totals (BASELINE B9). Well-scaled measure contract
+    on the total (agg_group_sums precedent)."""
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(finite(F.col("o_totalprice"))), 2).alias("total"),
     )
 
 

@@ -560,7 +560,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey % 2 AS gen,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS total,
            CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
                 AS BIGINT) AS n_status
@@ -806,7 +806,7 @@ CSV_BAD_MOD = 1000
            CAST(count(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0 THEN 1 END)
                 AS BIGINT) AS n_corrupt,
            CAST(count(*) AS BIGINT) AS n_good,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS good_total
     FROM orders WHERE o_orderkey % {CSV_GOOD_MOD} = 0
     """,
@@ -1248,7 +1248,7 @@ def agg_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_ndjson_gzip",
     oracle="""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS total
     FROM orders WHERE o_orderkey % 20 = 0
     GROUP BY o_orderstatus
@@ -2241,7 +2241,7 @@ SINK_CSV_ROUNDTRIP_ORACLE = f"""
     FROM t
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
-""".format(money="(CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)")
+""".format(money="(CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)")
 
 
 @op("sink_csv_roundtrip", oracle=SINK_CSV_ROUNDTRIP_ORACLE, tags=("sink", "extra"))
@@ -2399,9 +2399,15 @@ def _fixed_width_fixture(sf_dir: str) -> str:
                 WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey"""
         ).fetchall()
         with open(path, "w") as f:
-            # mainframe convention: a NULL field is BLANKS at its offsets
+            # mainframe convention: a NULL field is BLANKS at its offsets;
+            # a value that does NOT FIT its field is unrepresentable in
+            # the layout and writes as blanks too (Python's width spec is
+            # a MINIMUM — without this, an extreme price would silently
+            # shift every following field's offsets)
             def fw(v, width):
-                return " " * width if v is None else f"{v:<{width}}"
+                if v is None or len(str(v)) > width:
+                    return " " * width
+                return f"{v:<{width}}"
 
             for ok, ck, stt, price in rows:
                 f.write(
@@ -2434,7 +2440,11 @@ SCAN_FIXED_WIDTH_ORACLE = """
 # stronger file-level check in tests/test_queue7.py + tools/queue_parity.
 SCAN_FIXED_WIDTH_STATIC_ORACLE = """
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS o_totalprice
+           -- width-12 layout field: a rendered price that doesn't fit is
+           -- blanks in the file, i.e. NULL after the round-trip
+           CASE WHEN length(printf('%.2f', o_totalprice)) <= 12
+                THEN CAST(printf('%.2f', o_totalprice) AS DOUBLE) END
+             AS o_totalprice
     FROM orders WHERE o_orderkey % 11 = 0
 """
 
@@ -2583,7 +2593,7 @@ SCAN_FILE_PROVENANCE_ORACLE = """
     SELECT regexp_extract(filename, 'o_orderstatus=([A-Z])', 1) AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS total
     FROM read_parquet('{path}/*/*.parquet', filename=true)
     GROUP BY 1
@@ -2600,7 +2610,7 @@ SCAN_FILE_PROVENANCE_STATIC_ORACLE = """
     SELECT o_orderstatus AS partition_value,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(1 AS BIGINT) AS n_files,
-           (CASE WHEN abs(CAST(sum(o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS total
     FROM orders GROUP BY 1
 """
@@ -2635,10 +2645,10 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("fname").alias("n_files"),
-            F.expr(
-                "CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,6)), 2)"
-                " AS DOUBLE)"
-            ).alias("total"),
+            # summand carries the well-scaled guard (raw extreme sums are
+            # fold-order-visible; the bare decimal cast NULLed them
+            # engine-side while the oracle passed them through)
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
         )
         .orderBy("partition_value")
     )

@@ -9,7 +9,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -43,20 +52,22 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "unpivot_stack",
-    oracle="""
-    SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS v FROM customer
+    oracle=f"""
+    SELECT c_custkey, 'acctbal' AS metric, {money_sql("c_acctbal")} AS v FROM customer
     UNION ALL
     SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS v FROM customer
     """,
     tags=("extra",),
 )
 def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long) via stack()."""
+    """Unpivot (wide→long) via stack(). The balance leg emits through the
+    money sandwich (money_sql is dialect-neutral, so the SAME text rides
+    inside Spark's stack() and the oracle)."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.expr(
-            "stack(2, 'acctbal', round(c_acctbal, 2), "
+            f"stack(2, 'acctbal', {money_sql('c_acctbal')}, "
             "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, v)"
         ),
     )
@@ -309,11 +320,11 @@ def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_time_bucket",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           {wsum_sql("value")} AS total
     FROM events
     WHERE ts IS NOT NULL  -- Spark's window() silently DROPS null-ts rows
     GROUP BY 1, 2
@@ -323,12 +334,12 @@ def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch time-bucket aggregation via window() — the batch face of
     stream_tumbling_window and the exact query bench.py runs as q5
-    (BASELINE B5)."""
+    (BASELINE B5). Totals carry the well-scaled-sum emit idiom (wsum)."""
     # explicit for readers: F.window() already drops null-ts rows
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), wsum(F.col("value")).alias("total"))
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
@@ -482,14 +493,14 @@ def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "merge_scd2",
-    oracle="""
+    oracle=f"""
     WITH base AS (
-      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+      SELECT c_custkey, {money_sql("c_acctbal")} AS acctbal,
              '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
              TRUE AS is_current
       FROM customer
     ), updates AS (
-      SELECT c_custkey, round(-c_acctbal, 2) AS acctbal
+      SELECT c_custkey, {money_sql("-c_acctbal")} AS acctbal
       FROM customer WHERE c_acctbal < 0
     ), untouched AS (
       SELECT b.* FROM base b WHERE NOT EXISTS
@@ -522,13 +533,13 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     base = c.select(
         "c_custkey",
-        F.round("c_acctbal", 2).alias("acctbal"),
+        money(F.col("c_acctbal")).alias("acctbal"),
         F.lit("2024-01-01").alias("valid_from"),
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     updates = c.filter(F.col("c_acctbal") < 0).select(
-        "c_custkey", F.round(-F.col("c_acctbal"), 2).alias("acctbal")
+        "c_custkey", money(-F.col("c_acctbal")).alias("acctbal")
     )
     return _scd2(base, updates, "c_custkey", "2024-06-01")
 
@@ -613,9 +624,9 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "ts_resample_gap_fill",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+      SELECT user_id, date_trunc('hour', ts) AS h, {wsum_sql("value")} AS v
       FROM events WHERE user_id < 50 GROUP BY 1, 2
     ), bounds AS (
       SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
@@ -643,7 +654,7 @@ def ts_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(wsum(F.col("value")).alias("v"))
     bounds = hourly.groupBy("user_id").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
@@ -740,7 +751,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "cdc_apply_changelog",
-    oracle="""
+    oracle=f"""
     WITH changes AS (
       SELECT c_custkey AS key, 1 AS seq, 'U' AS op, c_acctbal + 100 AS new_bal
       FROM customer WHERE c_custkey % 10 = 1
@@ -767,7 +778,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM survivors UNION ALL SELECT * FROM applied
     )
     SELECT CAST(nation AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n,
-           round(sum(bal), 2) AS total_bal
+           {wsum_sql("bal")} AS total_bal
     FROM final GROUP BY nation
     """,
     tags=("extra", "sink"),
@@ -837,18 +848,18 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = survivors.unionByName(applied)
     return final.groupBy(F.col("nation").cast("long").alias("nation")).agg(
-        F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total_bal")
+        F.count("*").alias("n"), wsum(F.col("bal")).alias("total_bal")
     )
 
 
 @op(
     "agg_histogram_fixed",
-    oracle="""
-    SELECT CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END) / 1000) AS BIGINT) AS bucket,
+    oracle=f"""
+    SELECT CAST(floor({finite_sql("l_extendedprice")} / 1000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(min(l_extendedprice), 2) AS lo,
-           round(max(l_extendedprice), 2) AS hi
+           {wsum_sql("l_extendedprice")} AS sum_price,
+           {money_sql("min(l_extendedprice)")} AS lo,
+           {money_sql("max(l_extendedprice)")} AS hi
     FROM lineitem
     GROUP BY 1
     """,
@@ -874,9 +885,12 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.min("l_extendedprice"), 2).alias("lo"),
-            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            wsum(F.col("l_extendedprice")).alias("sum_price"),
+            # raw min/max agree bit-wise (same doubles, no fold order);
+            # money() makes the 2dp emit extreme-safe (plain round drifts
+            # a ULP in DuckDB above ~2^53 and signs the zero on denormals)
+            money(F.min("l_extendedprice")).alias("lo"),
+            money(F.max("l_extendedprice")).alias("hi"),
         )
     )
 
@@ -2261,9 +2275,11 @@ def agg_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
 # win_rolling_regression_slope (round-7 registration queue)
 # ---------------------------------------------------------------------------
 
-WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
+WIN_ROLLING_REGRESSION_SLOPE_ORACLE = f"""
     WITH series AS (
-      SELECT user_id, ts, event_id, value,
+      -- y carries the well-scaled measure contract: one extreme value
+      -- makes sy/sxy (and the averaged slopes) fold-order-visible
+      SELECT user_id, ts, event_id, {finite_sql("value")} AS y,
              CAST(floor(epoch(ts)) AS BIGINT) AS x
       FROM events WHERE ts IS NOT NULL
     ),
@@ -2271,8 +2287,8 @@ WIN_ROLLING_REGRESSION_SLOPE_ORACLE = """
       SELECT user_id, ts, event_id,
              count(*) OVER w AS n,
              sum(x) OVER w AS sx,
-             sum(value) OVER w AS sy,
-             sum(x * value) OVER w AS sxy,
+             sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
              sum(x * x) OVER w AS sxx
       FROM series
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -2309,12 +2325,13 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-9, 0)
     )
+    y = finite(F.col("value"))
     sums = e.select(
         "user_id",
         F.count("*").over(w).alias("n"),
         F.sum(F.unix_timestamp("ts")).over(w).alias("sx"),
-        F.sum("value").over(w).alias("sy"),
-        F.sum(F.unix_timestamp("ts") * F.col("value")).over(w).alias("sxy"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(F.unix_timestamp("ts") * y).over(w).alias("sxy"),
         F.sum(F.unix_timestamp("ts") * F.unix_timestamp("ts")).over(w).alias("sxx"),
     )
     return (
@@ -4217,7 +4234,7 @@ def join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_ohlc_bars (round-7+ registration queue, tranche 53)
 # ---------------------------------------------------------------------------
 
-AGG_OHLC_BARS_ORACLE = """
+AGG_OHLC_BARS_ORACLE = f"""
     WITH ordered AS (
       SELECT date_trunc('hour', ts) AS bar, value,
              printf('%020d%012d', CAST(epoch_us(ts) AS BIGINT), event_id)
@@ -4227,10 +4244,10 @@ AGG_OHLC_BARS_ORACLE = """
     )
     SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
            CAST(count(*) AS BIGINT) AS n_trades,
-           round(min_by(value, ord), 2) AS open,
-           round(max(value), 2) AS high,
-           round(min(value), 2) AS low,
-           round(max_by(value, ord), 2) AS close
+           {money_sql("min_by(value, ord)")} AS open,
+           {money_sql("max(value)")} AS high,
+           {money_sql("min(value)")} AS low,
+           {money_sql("max_by(value, ord)")} AS close
     FROM ordered
     GROUP BY bar
     ORDER BY bar_start
@@ -4263,10 +4280,13 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", "ts").alias("bar"))
         .agg(
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.min_by("value", key), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", key), 2).alias("close"),
+            # money(): argmin/argmax/min/max agree on the RAW doubles; the
+            # 2dp emit must not re-round extremes (DuckDB drifts a ULP)
+            # nor sign the zero on denormals
+            money(F.min_by("value", key)).alias("open"),
+            money(F.max("value")).alias("high"),
+            money(F.min("value")).alias("low"),
+            money(F.max_by("value", key)).alias("close"),
         )
         .select(
             F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
@@ -4284,7 +4304,7 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dq_cross_table_reconciliation (round-7+ registration queue, tranche 53)
 # ---------------------------------------------------------------------------
 
-DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
+DQ_CROSS_TABLE_RECONCILIATION_ORACLE = f"""
     WITH li AS (
       SELECT l_orderkey AS okey,
              CAST(count(*) AS BIGINT) AS n_lines,
@@ -4306,7 +4326,11 @@ DQ_CROSS_TABLE_RECONCILIATION_ORACLE = """
     )
     SELECT status,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(coalesce(order_total, lines_total)) AS DOUBLE) END) AS amount
+           -- the SUMMAND carries the well-scaled contract (a surviving
+           -- extreme/Inf amount is classification input, not money — its
+           -- raw sum is fold-order-visible and non-ANSI Spark NULLs it
+           -- through the decimal cast while DuckDB passes it through)
+           {money_sql("sum(" + finite_sql("coalesce(order_total, lines_total)") + ")", 2, 6)} AS amount
     FROM joined
     GROUP BY status
     ORDER BY status
@@ -4361,10 +4385,7 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         joined.groupBy("status")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.expr(
-                "CAST(round(CAST(sum(amount) AS DECIMAL(18,6)), 2)"
-                " AS DOUBLE)"
-            ).alias("amount"),
+            money(F.sum(finite(F.col("amount"))), 2, 6).alias("amount"),
         )
         .orderBy("status")
     )

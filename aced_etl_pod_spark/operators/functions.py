@@ -16,7 +16,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -99,17 +108,17 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "fn_math",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            (CASE WHEN abs(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) END) AS charged,
-           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           {money_sql("abs(l_discount - 0.05)", 4, 8)} AS disc_dev,
            CAST(floor((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_floor,
            CAST(ceiling((CASE WHEN abs(CAST(l_extendedprice AS DOUBLE)) < 1e12 THEN CAST(l_extendedprice AS DOUBLE) END)) AS BIGINT) AS price_ceil,
            l_orderkey % 7 AS key_mod,
-           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           {money_sql("pow(1 + l_discount, 2)", 6, 9)} AS disc_sq,
            round(ln(CASE WHEN l_extendedprice >= 0 THEN l_extendedprice END), 6) AS price_ln,
-           round(exp(l_discount), 6) AS disc_exp,
-           round(sqrt(CASE WHEN l_quantity >= 0 THEN l_quantity END), 6) AS qty_sqrt
+           {money_sql("exp(l_discount)", 6, 9)} AS disc_exp,
+           {money_sql("sqrt(CASE WHEN l_quantity >= 0 THEN l_quantity END)", 6, 9)} AS qty_sqrt
     FROM lineitem
     """,
     tags=("fn",),
@@ -123,30 +132,34 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("charged"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        # money-style guards: round() of a finite-but-extreme derived
+        # value (|x| up to ~1e308 after abs/pow/sqrt/exp) drifts a ULP in
+        # DuckDB's multiply-based kernel; the sandwich rounds in-bounds
+        # identically and passes extremes raw (bit-identical)
+        money(F.abs(F.col("l_discount") - 0.05), 4, 8).alias("disc_dev"),
         # non-finite prices have no integer floor/ceil image (Spark would
         # silently emit 0 / Long.MaxValue; DuckDB raises) — NULL both sides
         F.floor(finite(F.col("l_extendedprice"))).alias("price_floor"),
         F.ceil(finite(F.col("l_extendedprice"))).alias("price_ceil"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        money(F.pow(F.col("l_discount") + 1, 2), 6, 9).alias("disc_sq"),
         F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        money(F.exp("l_discount"), 6, 9).alias("disc_exp"),
+        money(F.sqrt("l_quantity"), 6, 9).alias("qty_sqrt"),
     )
 
 
 @op(
     "fn_conditional",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            CASE WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 150000 THEN 'mid'
                 ELSE 'high' END AS bucket,
            nullif(o_orderstatus, 'P') AS status_np,
            coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS status_filled,
-           round(greatest(o_totalprice, 100000), 2) AS at_least,
-           round(least(o_totalprice, 100000), 2) AS at_most,
+           {money_sql("greatest(o_totalprice, 100000)")} AS at_least,
+           {money_sql("least(o_totalprice, 100000)")} AS at_most,
            CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent
     FROM orders
     """,
@@ -166,8 +179,8 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("was_p")).alias(
             "status_filled"
         ),
-        F.round(F.greatest("o_totalprice", F.lit(100000)), 2).alias("at_least"),
-        F.round(F.least("o_totalprice", F.lit(100000)), 2).alias("at_most"),
+        money(F.greatest("o_totalprice", F.lit(100000))).alias("at_least"),
+        money(F.least("o_totalprice", F.lit(100000))).alias("at_most"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).cast("long").alias(
             "is_urgent"
         ),

@@ -35,7 +35,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -93,7 +102,7 @@ FN_PSEUDONYMIZE_CONSISTENT_ORACLE = f"""
     SELECT p.pseudonym,
            p.c_mktsegment,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           (CASE WHEN abs(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(coalesce(sum(o.o_totalprice), 0) AS DOUBLE) END) AS total_spend
+           {money_sql("coalesce(sum(" + finite_sql("o.o_totalprice") + "), 0)", 2, 6)} AS total_spend
     FROM p LEFT JOIN orders o ON o.o_custkey = p.c_custkey
     GROUP BY 1, 2
 """
@@ -122,8 +131,13 @@ def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pseudonym", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            money(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2, 6)
-            .alias("total_spend"),
+            # finite() on the SUMMAND: extreme values make the parallel
+            # fold order visible past money()'s passthrough bound
+            money(
+                F.coalesce(F.sum(finite(F.col("o_totalprice"))), F.lit(0.0)),
+                2,
+                6,
+            ).alias("total_spend"),
         )
         .orderBy("pseudonym")
     )
@@ -541,7 +555,7 @@ DQ_OBSERVE_METRICS_ORACLE = """
            -- (Observation.get can't carry NULL rows on empty scans);
            -- mirror them here so both sides agree on degenerate input
            -- (empty table, or every l_quantity non-finite/extreme)
-           CAST(coalesce(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END)), 0) AS BIGINT) AS sum_qty,
+           CAST(round(coalesce(sum((CASE WHEN abs(CAST(l_quantity AS DOUBLE)) < 1e12 THEN CAST(l_quantity AS DOUBLE) END)), 0), 0) AS BIGINT) AS sum_qty,
            CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT)
              AS n_gt25,
            CAST(coalesce(min(l_orderkey), -1) AS BIGINT) AS min_ok,
@@ -580,7 +594,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.sum(finite(F.col("l_quantity"))).cast("long"), F.lit(0)).alias("sum_qty"),
+        F.coalesce(F.round(F.sum(finite(F.col("l_quantity"))), 0).cast("long"), F.lit(0)).alias("sum_qty"),
         F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),
         F.coalesce(F.min("l_orderkey"), F.lit(-1)).alias("min_ok"),
         F.coalesce(F.max("l_orderkey"), F.lit(-1)).alias("max_ok"),
@@ -601,7 +615,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass isn't available, and re-scanning an empty table is free.
         row = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum(finite(F.col("l_quantity"))).cast("long"), F.lit(0)).alias(
+            F.coalesce(F.round(F.sum(finite(F.col("l_quantity"))), 0).cast("long"), F.lit(0)).alias(
                 "sum_qty"
             ),
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_gt25"),

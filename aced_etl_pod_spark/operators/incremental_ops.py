@@ -240,7 +240,10 @@ WIN_EWMA_ORACLE = f"""
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
       FROM events
+      -- well-scaled observations only: one extreme in a frame makes the
+      -- two engines' different summation orders visible in the last ULP
       WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+        AND abs(CAST(value AS DOUBLE)) < 1e12
     ), agg AS (
       SELECT i.event_id, i.user_id,
              sum(j.value * pow({EWMA_DECAY}, i.rn - j.rn)) AS num,
@@ -280,6 +283,9 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
+        # well-scaled series contract (mirrors the oracle's WHERE): an
+        # extreme frame member splits the engines' summation orders
+        & (F.abs(F.col("value").cast("double")) < F.lit(1e12))
     )
     w = (
         W.partitionBy("user_id")
@@ -531,16 +537,19 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # win_time_weighted_avg (TWAP)
 # ---------------------------------------------------------------------------
 
-WIN_TWAP_ORACLE = """
+WIN_TWAP_ORACLE = f"""
     WITH s AS (
-      SELECT user_id, value, epoch_us(ts) AS t,
+      -- the observation carries the well-scaled measure contract (an
+      -- extreme value times an integer-micros duration makes the sum
+      -- fold-order-visible); durations stay exact integers
+      SELECT user_id, {finite_sql("value")} AS v, epoch_us(ts) AS t,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nxt
       FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           (CASE WHEN abs(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE)) < 1e10 THEN CAST(round(CAST(CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE) ELSE CAST(sum(value * (nxt - t)) / sum(nxt - t) AS DOUBLE) END) AS twap
+           {money_sql("sum(v * (nxt - t)) / sum(nxt - t)", 4, 8)} AS twap
     FROM s WHERE nxt IS NOT NULL
     GROUP BY user_id
 """
@@ -571,11 +580,9 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = F.col("nxt") - F.col("t")
     return s.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_intervals"),
-        F.round(
-            (F.sum(F.col("value") * dt) / F.sum(dt)).cast("decimal(18,8)"), 4
-        )
-        .cast("double")
-        .alias("twap"),
+        money(
+            F.sum(finite(F.col("value")) * dt) / F.sum(dt), 4, 8
+        ).alias("twap"),
     )
 
 
@@ -1081,8 +1088,12 @@ WIN_ANOMALY_ZSCORE_ORACLE = f"""
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {ZSCORE_W - 1} PRECEDING AND CURRENT ROW)
     ), scored AS (
+      -- z only for WELL-SCALED observations (extreme-sweep upgrade of
+      -- the r7 non-finite rule): an out-of-contract value's raw z
+      -- inherits the engines' different windowed-aggregate summation
+      -- orders (segment tree vs frame rescan) in the last ULP
       SELECT event_id, user_id,
-             {money_sql('(value - mu) / sd', 4, 8)} AS z
+             {money_sql(f"({finite_sql('value')} - mu) / sd", 4, 8)} AS z
       FROM s WHERE n >= {ZSCORE_MIN} AND sd > 0
     )
     SELECT event_id, user_id, z,
@@ -1112,13 +1123,15 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(ZSCORE_W - 1), W.currentRow)
     )
-    # frame stats over FINITE observations only (class-B contract); a
-    # non-finite current value still yields its IEEE z (NaN/±Inf), which
-    # both engines render and threshold identically
+    # frame stats AND the scored observation over WELL-SCALED values only
+    # (extreme-sweep upgrade of the r7 non-finite rule): an out-of-
+    # contract value has no portable z — its raw (value - mu)/sd carries
+    # the engines' different windowed summation orders in the last ULP —
+    # so it scores NULL on both sides
     mu = F.avg(finite(F.col("value"))).over(w)
     sd = F.stddev_samp(finite(F.col("value"))).over(w)
     n = F.count("*").over(w)
-    z = money((F.col("value") - mu) / sd, 4, 8)
+    z = money((finite(F.col("value")) - mu) / sd, 4, 8)
     return (
         e.select(
             "event_id",

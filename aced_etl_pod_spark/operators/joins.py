@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import finite, finite_sql, wsum, wsum_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -27,10 +28,10 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 @op(
     "join_multiway_star",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
            CAST(count(*) AS BIGINT) AS order_count,
-           round(sum(o_totalprice), 2) AS revenue
+           {wsum_sql("o_totalprice")} AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -62,17 +63,17 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            wsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
 
 @op(
     "join_inner_hash",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {wsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -87,7 +88,7 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            wsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
         )
@@ -96,10 +97,10 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "join_left_outer",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS spend
+           (round(coalesce(sum({finite_sql("o_totalprice")}), 0), 2) + 0.0) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -115,7 +116,12 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("spend"),
+            (
+                F.round(
+                    F.coalesce(F.sum(finite(F.col("o_totalprice"))), F.lit(0)), 2
+                )
+                + F.lit(0.0)
+            ).alias("spend"),
         )
     )
 
@@ -216,10 +222,10 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "join_broadcast",
-    oracle="""
+    oracle=f"""
     SELECT r_name,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           {wsum_sql("c_acctbal")} AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -240,7 +246,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            wsum(F.col("c_acctbal")).alias("total_acctbal"),
         )
     )
 

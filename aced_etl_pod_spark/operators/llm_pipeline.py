@@ -1654,10 +1654,10 @@ def seq_sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seq_dpo_preference_pairs (round-7+ registration queue, tranche 50)
 # ---------------------------------------------------------------------------
 
-SEQ_DPO_PREFERENCE_PAIRS_ORACLE = """
+SEQ_DPO_PREFERENCE_PAIRS_ORACLE = f"""
     WITH responses AS (
       SELECT user_id, event_id, ts,
-             round(value, 2) AS score,
+             {money_sql("value")} AS score,
              event_type || '#' || CAST(event_id AS VARCHAR) AS content
       FROM events
       WHERE event_type IN ('purchase', 'click')
@@ -1674,7 +1674,7 @@ SEQ_DPO_PREFERENCE_PAIRS_ORACLE = """
       SELECT c.user_id,
              c.content AS chosen, r.content AS rejected,
              c.score AS chosen_score, r.score AS rejected_score,
-             round(c.score - r.score, 2) AS margin,
+             {money_sql("c.score - r.score")} AS margin,
              c.n_resp
       FROM ranked c
       JOIN ranked r ON r.user_id = c.user_id AND r.rk_bot = 1
@@ -1715,7 +1715,9 @@ def seq_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round("value", 2).alias("score"),
+        # money(): the 2dp reward emit must not re-round extremes (ULP
+        # drift in DuckDB) nor sign the zero on denormals
+        money(F.col("value")).alias("score"),
         F.concat_ws("#", "event_type", F.col("event_id").cast("string")).alias(
             "content"
         ),
@@ -1750,7 +1752,7 @@ def seq_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("chosen") != F.col("rejected"))
         .withColumn(
             "margin",
-            F.round(F.col("chosen_score") - F.col("rejected_score"), 2),
+            money(F.col("chosen_score") - F.col("rejected_score")),
         )
         .filter(F.col("margin") > 0)
         .select(

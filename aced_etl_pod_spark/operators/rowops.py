@@ -17,7 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -108,9 +117,9 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "flatten_struct",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name AS name,
-           round(c_acctbal, 2) AS acctbal,
+           {money_sql("c_acctbal")} AS acctbal,
            c_mktsegment AS segment
     FROM customer
     """,
@@ -133,7 +142,7 @@ def flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "c_custkey",
         F.col("obj.name").alias("name"),
-        F.round(F.col("obj.acctbal"), 2).alias("acctbal"),
+        money(F.col("obj.acctbal")).alias("acctbal"),
         F.col("obj.deep.segment").alias("segment"),
     )
 

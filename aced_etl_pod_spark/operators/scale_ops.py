@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import wsum, wsum_sql
 from aced_etl_pod_spark.plans.scale import (
     salted_group_count,
     salted_join_small_skew,
@@ -36,10 +37,10 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
     SELECT s_nationkey,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_quantity), 2) AS qty
+           {wsum_sql("l_quantity")} AS qty
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
     """,
@@ -52,16 +53,16 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
     joined = salted_join_small_skew(li, sup, "suppkey")
     return joined.groupBy("s_nationkey").agg(
-        F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty")
+        F.count("*").alias("n_items"), wsum(F.col("l_quantity")).alias("qty")
     )
 
 
 @op(
     "join_bucketed_colocated",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           {wsum_sql("o_totalprice")} AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
     """,
@@ -81,5 +82,5 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.hint("merge").join(bc, "custkey")
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        wsum(F.col("o_totalprice")).alias("total"),
     )

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+)
 from aced_etl_pod_spark.plans.storage import drop_partition, write_partitioned
 from aced_etl_pod_spark.plans.storage import upsert_by_key as merge_by_key
 from aced_etl_pod_spark.registry import op
@@ -54,10 +62,10 @@ def _fresh(sub: str) -> str:
 
 @op(
     "scan_parquet",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_quantity), 2) AS qty
+           {wsum_sql("l_quantity")} AS qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 25
     GROUP BY l_returnflag
@@ -74,16 +82,16 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") > 25)
         )
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count("*").alias("n"), wsum(F.col("l_quantity")).alias("qty"))
     )
 
 
 @op(
     "scan_ndjson",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(c_acctbal), 2) AS bal
+           {wsum_sql("c_acctbal")} AS bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -98,7 +106,7 @@ def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").coalesce(4).write.mode("overwrite").json(out)
     back = spark.read.schema(CUSTOMER_SCHEMA).json(out)
     return back.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        F.count("*").alias("n"), wsum(F.col("c_acctbal")).alias("bal")
     )
 
 
@@ -128,10 +136,10 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "sink_parquet_partitioned",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 2) AS total
+           {wsum_sql("o_totalprice")} AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -148,14 +156,14 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the footer-sampling inference pass entirely
     back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), wsum(F.col("o_totalprice")).alias("total")
     )
 
 
 @op(
     "sink_json_export",
-    oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    oracle=f"""
+    SELECT c_custkey, c_name, {money_sql("c_acctbal")} AS acctbal
     FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
     tags=("sink",),
@@ -168,7 +176,7 @@ def sink_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     ).write.mode("overwrite").json(out)
     back = spark.read.schema(CUSTOMER_SCHEMA).json(out)
-    return back.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    return back.select("c_custkey", "c_name", money(F.col("c_acctbal")).alias("acctbal"))
 
 
 @op(
@@ -201,11 +209,10 @@ def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "upsert_by_key",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(CASE WHEN c_nationkey = 5 THEN c_acctbal * 2 ELSE c_acctbal END),
-                 2) AS bal
+           {wsum_sql("CASE WHEN c_nationkey = 5 THEN c_acctbal * 2 ELSE c_acctbal END")} AS bal
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -220,5 +227,5 @@ def upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_by_key(c, updates, "c_custkey")
     return merged.groupBy("c_nationkey").agg(
-        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        F.count("*").alias("n"), wsum(F.col("c_acctbal")).alias("bal")
     )

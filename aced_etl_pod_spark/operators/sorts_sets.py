@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aced_etl_pod_spark.operators.util import money, money_sql
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -45,8 +46,8 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "limit_topk_global",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    oracle=f"""
+    SELECT o_orderkey, {money_sql("o_totalprice")} AS price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
@@ -60,7 +61,10 @@ def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        # money(): plain round() of an extreme double drifts a ULP in
+        # DuckDB (multiply-based kernel); the sandwich rounds in-bounds
+        # values identically and passes out-of-bounds raw
+        .select("o_orderkey", money(F.col("o_totalprice")).alias("price"))
     )
 
 

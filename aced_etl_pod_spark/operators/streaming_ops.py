@@ -17,7 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.streaming.replay import (
     materialize_batches,
@@ -37,7 +46,7 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           {wsum_sql("value")} AS total
     FROM events
     WHERE ts IS NOT NULL  -- Spark's window() silently DROPS null-ts rows
     GROUP BY 1, 2
@@ -51,7 +60,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         read_stream(spark, src)
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), wsum(F.col("value")).alias("total"))
     )
     out = run_to_memory(agg, "t_tumbling", "complete")
     return out.select(
@@ -74,7 +83,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(win_start, '{TS_FMT_DUCK}') AS win_start,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           {wsum_sql("value")} AS total
     FROM shifted
     GROUP BY 1
     """,
@@ -87,7 +96,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         read_stream(spark, src)
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), wsum(F.col("value")).alias("total"))
     )
     out = run_to_memory(agg, "t_sliding", "complete")
     return out.select(
@@ -206,10 +215,10 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_stateful_count",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total
+           {wsum_sql("value")} AS total
     FROM events
     GROUP BY user_id
     """,
@@ -227,17 +236,17 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         read_stream(spark, src)
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), wsum(F.col("value")).alias("total"))
     )
     return run_to_memory(agg, "t_stateful", "complete")
 
 
 @op(
     "stream_custom_stateful",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum((CASE WHEN abs(CAST(value AS DOUBLE)) < 1e12 THEN CAST(value AS DOUBLE) END)), 2) AS total
+           {wsum_sql("value")} AS total
     FROM events
     GROUP BY user_id
     """,
@@ -269,11 +278,11 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            # finite observations only: pandas sum() already skips NaN
-            # (conflated with SQL NULL in a float64 column), so +-Inf is
-            # excluded too to match the oracle's finite-filtered sum
+            # well-scaled observations only (|x| < 1e12): the comparison
+            # is False for NaN too, so one mask takes the same cut as the
+            # oracle's finite_sql guard — NaN/±Inf AND extreme magnitudes
             v = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
-            total += float(v[np.isfinite(v)].sum())
+            total += float(v[np.abs(v) < 1e12].sum())
         state.update((n, total))
         yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
 
@@ -294,7 +303,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.groupBy("user_id")
         .agg(
             F.max("n").alias("n"),
-            F.round(F.max_by("total", "n"), 2).alias("total"),
+            zn(F.round(F.max_by("total", "n"), 2)).alias("total"),
         )
     )
 
@@ -497,7 +506,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ANOMALY_WINDOW_ZSCORE_ORACLE = f"""
     WITH wins AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END) AS total
+             {money_sql("sum(" + finite_sql("value") + ")", 2, 6)} AS total
       FROM events
       WHERE user_id < 50 AND ts IS NOT NULL  -- window() drops null ts
       GROUP BY 1, 2
@@ -544,9 +553,7 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 50)
         .groupBy("user_id", F.window("ts", "1 hour"))
         .agg(
-            F.expr("(CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)").alias(
-                "total"
-            )
+            money(F.sum(finite(F.col("value"))), 2, 6).alias("total")
         )
     )
     sink = run_to_memory(agg, "t_anomaly_z", "complete")
@@ -740,11 +747,10 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_checkpoint_restart (round-7+ registration queue, tranche 49)
 # ---------------------------------------------------------------------------
 
-STREAM_CHECKPOINT_RESTART_ORACLE = """
+STREAM_CHECKPOINT_RESTART_ORACLE = f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(value) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(value) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(value) AS DOUBLE) END)
-             AS total
+           {money_sql("sum(" + finite_sql("value") + ")", 2, 6)} AS total
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -806,10 +812,7 @@ def _ckpt_restart_phases(
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.expr(
-                    "CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 2)"
-                    " AS DOUBLE)"
-                ).alias("total"),
+                money(F.sum(finite(F.col("value"))), 2, 6).alias("total"),
             )
         )
         q = (

@@ -67,7 +67,7 @@ def build_orders_txn_table(spark: SparkSession, sf_dir: str) -> str:
 def _snapshot_agg(df: DataFrame, version: int) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        money(F.sum("o_totalprice"), 2, 6).alias("total_price"),
+        money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total_price"),
     ).select(F.lit(version).alias("version"), "o_orderstatus", "n_orders",
              "total_price")
 
@@ -82,7 +82,7 @@ _SNAP_SQL = """
 
 
 def _snap_sql(v: int, pred: str) -> str:
-    return _SNAP_SQL.format(v=v, pred=pred, money=money_sql("SUM(o_totalprice)", 2, 6))
+    return _SNAP_SQL.format(v=v, pred=pred, money=money_sql("SUM(" + finite_sql("o_totalprice") + ")", 2, 6))
 
 
 def build_lineitem_txn_table(spark: SparkSession, sf_dir: str) -> str:
@@ -210,7 +210,7 @@ def txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           {money_sql("SUM(o_totalprice)", 2, 6)} AS total_price
+           {money_sql("SUM(" + finite_sql("o_totalprice") + ")", 2, 6)} AS total_price
     FROM orders
     WHERE o_orderkey % 7 <= 2 AND o_orderkey BETWEEN 0 AND 300
     GROUP BY o_orderstatus
@@ -235,7 +235,7 @@ def txnlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            money(F.sum("o_totalprice"), 2, 6).alias("total_price"),
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -505,7 +505,7 @@ ZORDER_FILES = 16
 TXNLOG_ZORDER_ORACLE = f"""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           {money_sql('sum(o_totalprice)')} AS total
+           {money_sql('sum(' + finite_sql('o_totalprice') + ')')} AS total
     FROM orders
     WHERE o_custkey BETWEEN {ZORDER_CUST_LO} AND {ZORDER_CUST_HI}
       AND CAST(o_orderdate AS DATE)
@@ -637,7 +637,7 @@ def txnlog_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -652,7 +652,7 @@ _DEL_MOD = 13
 TXNLOG_EQUALITY_DELETES_ORACLE = f"""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           {money_sql('sum(o_totalprice)')} AS total
+           {money_sql('sum(' + finite_sql('o_totalprice') + ')')} AS total
     FROM orders
     WHERE o_orderkey % {_DEL_MOD} != 0
     GROUP BY o_orderstatus
@@ -716,7 +716,7 @@ def txnlog_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -113,3 +113,37 @@ def money_sql(expr: str, scale: int = 2, exact_scale: int = 6) -> str:
         f"THEN CAST(round(CAST({e} AS DECIMAL(18,{exact_scale})), {scale}) AS DOUBLE) "
         f"ELSE {e} END)"
     )
+
+
+def wsum(col: Column, scale: int = 2) -> Column:
+    """Well-scaled rounded SUM — the extreme-sweep emit idiom for plain
+    money-style totals: ``round(sum(finite(x)), scale) + 0.0``.
+
+    * ``finite`` on the SUMMAND: one finite 1e289 makes the parallel
+      fold order visible in the last ULP of the total (no rounding can
+      hide a 1e275 ULP), and DuckDB/Spark partial-agg trees cannot agree
+      — exclusion applied to both sides is the only stable semantic;
+    * ``+ 0.0`` on the EMIT: a group whose only surviving measures are
+      denormal negatives sums to -0.0 in DuckDB but +0.0 after Spark's
+      round (Spark's round normalizes the zero sign, DuckDB's preserves
+      it); adding +0.0 maps -0.0 → +0.0 identically in both engines and
+      is the identity for every other value (incl. NULL).
+    """
+    return F.round(F.sum(finite(col)), scale) + F.lit(0.0)
+
+
+def wsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of :func:`wsum`."""
+    return f"(round(sum({finite_sql(expr)}), {scale}) + 0.0)"
+
+
+def zn(col: Column) -> Column:
+    """Zero-sign normalization alone (``x + 0.0``) for already-guarded
+    emits where only the -0.0/+0.0 render can differ (e.g. min/max over
+    denormals, per-row rounds of tiny values)."""
+    return col.cast("double") + F.lit(0.0)
+
+
+def zn_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`zn`."""
+    return f"(CAST({expr} AS DOUBLE) + 0.0)"

@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from aced_etl_pod_spark.operators.util import finite, finite_sql, money, money_sql
+from aced_etl_pod_spark.operators.util import (
+    finite,
+    finite_sql,
+    money,
+    money_sql,
+    wsum,
+    wsum_sql,
+    zn,
+    zn_sql,
+)
 from aced_etl_pod_spark.registry import op
 from aced_etl_pod_spark.tables import load
 
@@ -107,25 +116,31 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "win_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           (round(sum({finite_sql("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 2) AS run_total
+                 2) + 0.0) AS run_total
     FROM events WHERE ts IS NOT NULL
     """,
     tags=("window",),
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative frame per user (same accumulation order both engines →
-    bit-stable doubles)."""
+    bit-stable doubles). The summand carries the well-scaled contract:
+    once an extreme enters the prefix, DuckDB's segment-tree partials and
+    Spark's frame rescan sum in different orders and the last ULP shows;
+    +0.0 normalizes the signed zero of all-denormal prefixes."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("run_total"))
+    return e.select(
+        "event_id",
+        zn(F.round(F.sum(finite(F.col("value"))).over(w), 2)).alias("run_total"),
+    )
 
 
 @op(
