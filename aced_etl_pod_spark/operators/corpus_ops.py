@@ -602,7 +602,7 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gen")
         .agg(
             F.count("*").alias("n"),
-            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
             F.count("o_orderstatus").alias("n_status"),
         )
     )
@@ -1278,7 +1278,7 @@ def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        money(F.sum("o_totalprice"), 2, 6).alias("total"),
+        money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
     )
 
 
@@ -1380,7 +1380,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_orderstatus AS status FROM orders
     )
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           (CASE WHEN abs(CAST(sum(o.o_totalprice) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum(o.o_totalprice) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum(o.o_totalprice) AS DOUBLE) END)
+           (CASE WHEN abs(CAST(sum((CASE WHEN abs(CAST(o.o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o.o_totalprice AS DOUBLE) END)) AS DOUBLE)) < 1e12 THEN CAST(round(CAST(CAST(sum((CASE WHEN abs(CAST(o.o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o.o_totalprice AS DOUBLE) END)) AS DOUBLE) AS DECIMAL(18,6)), 2) AS DOUBLE) ELSE CAST(sum((CASE WHEN abs(CAST(o.o_totalprice AS DOUBLE)) < 1e12 THEN CAST(o.o_totalprice AS DOUBLE) END)) AS DOUBLE) END)
              AS total
     FROM orders o JOIN dim d ON o.o_orderstatus = d.status
     WHERE d.status IN ('F', 'P')
@@ -1425,7 +1425,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     joined = fact.join(dim, fact.o_orderstatus == dim.status)
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        money(F.sum("o_totalprice"), 2, 6).alias("total"),
+        money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
     )
 
 
@@ -2291,7 +2291,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.length("tricky")).cast("long").alias("tricky_len"),
             F.expr("bit_xor(__h)").alias("content_digest"),
-            money(F.sum("o_totalprice"), 2, 6).alias("total"),
+            money(F.sum(finite(F.col("o_totalprice"))), 2, 6).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
