@@ -124,9 +124,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 query vector (BASELINE B8).
     Query side broadcast; scan side never shuffles — at 100 TB this is one
     pass + a TakeOrdered."""
-    emb = load(spark, sf_dir, "embeddings").filter(
-        finite_vec(F.col("embedding"))
-    )
+    from aced_etl_pod_spark.tables import load_validated_embeddings
+
+    emb = load_validated_embeddings(spark, sf_dir)  # ingest-validated (r8)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -155,9 +155,12 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition order ⇒ bit-identical to the fold, hash-matches the same
     oracle. (For high-dim embeddings the Arrow/numpy ``brute_force_topk_
     fast`` kernel is the scale path; at dim 64 the unrolled form wins.)"""
-    emb = load(spark, sf_dir, "embeddings").filter(
-        finite_vec(F.col("embedding"))
-    )
+    from aced_etl_pod_spark.tables import load_validated_embeddings
+
+    # ingest-validated corpus (r8 guard A/B: the per-query finite_vec
+    # guard costs +17% of this kernel at 400 k rows; validating once at
+    # ingest makes every exact/ANN query inherit clean vectors for free)
+    emb = load_validated_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_unrolled(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -190,9 +193,9 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels at 6 dp, hash-matches the same oracle."""
     from aced_etl_pod_spark.functions.similarity import brute_force_topk_arrow
 
-    emb = load(spark, sf_dir, "embeddings").filter(
-        finite_vec(F.col("embedding"))
-    )
+    from aced_etl_pod_spark.tables import load_validated_embeddings
+
+    emb = load_validated_embeddings(spark, sf_dir)  # ingest-validated (r8)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_arrow(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))

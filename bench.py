@@ -37,8 +37,14 @@ BENCH_QUERIES = {
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
     "q7_token_stats": "text_tokenize_stats",
-    # q8 uses the Arrow/numpy cosine kernel (same oracle-checked result as
-    # sim_cosine_topk; the interpreted-fold variant exists for bit-parity)
+    # q8 uses the codegen-unrolled cosine kernel (same oracle-checked
+    # result as sim_cosine_topk; the interpreted-fold variant exists for
+    # bit-parity). Posture since r8: the corpus is INGEST-VALIDATED
+    # (tables.load_validated_embeddings — one-time finite_vec pass,
+    # cached by source fingerprint) instead of guard-per-query; the
+    # guard A/B (tools/guard_ab.py) measured the per-query guard at
+    # +13-17% of the kernel at 400 k rows while the validated read
+    # matches the raw scan, amortizing its build in ~9 queries.
     "q8_cosine_topk": "sim_cosine_topk_fast",
     "q9_rollup": "agg_rollup",
     "q10_distinct": "agg_distinct_count",
