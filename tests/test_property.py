@@ -2115,3 +2115,67 @@ def test_ambiguous_fallback_wallclock_divergence_pinned(tz_env):
             ).fetchone()[0]
         )
         assert g == e, (wall, zone)
+
+
+def test_extreme_magnitude_micro_divergences_pinned(events_env):
+    """Eighteenth-plus catalog class — the micro-divergences behind the
+    extreme-magnitude sweep's 42 failures (tools/extreme_sweep.py),
+    pinned independently of the operators that tripped over them
+    (docs/DIVERGENCES.md class 19):
+
+      * round(x, 2) of an extreme double: DuckDB's multiply-based kernel
+        drifts from the input (2dp of 1e256 is sub-ULP anyway) while
+        Spark's BigDecimal round returns the input exactly — why every
+        2dp emit of a possibly-extreme value goes through money()
+        (in-bounds: identical decimal round; out-of-bounds: raw
+        passthrough on BOTH sides);
+      * round() of a tiny negative: Spark NORMALIZES the result to +0.0,
+        DuckDB preserves -0.0 — why wsum()/zn() add +0.0 (and why the
+        money() sandwich is immune: decimal zero is unsigned);
+      * plain double sum over extremes: parallel fold order becomes
+        VISIBLE in the last ULP (a 1e291 total has a 1e275 ULP that no
+        rounding hides) — why summands carry the well-scaled contract;
+      * AGREEMENTS the guards lean on: |x| < 1e12 is a single-reference
+        test that NaN fails in both engines; an extreme double
+        round-trips CAST→STRING→DOUBLE bit-exactly in both; min/max of
+        raw extremes agree (no fold, same doubles).
+    """
+    import math
+
+    spark, con = events_env
+
+    # round() drift class: DuckDB's double round at extreme magnitude is
+    # not the identity; Spark's is
+    probe = "round(CAST(2.4341214408285853e+256 AS DOUBLE), 2)"
+    s = spark.sql(f"SELECT {probe}").first()[0]
+    d = con.execute(f"SELECT {probe}").fetchone()[0]
+    assert s == 2.4341214408285853e256  # Spark: exact identity
+    assert d != s and abs(d / s - 1) < 1e-15  # DuckDB: one-ULP drift
+
+    # signed-zero class
+    sz = "round(CAST(-1e-310 AS DOUBLE), 2)"
+    s = spark.sql(f"SELECT {sz}").first()[0]
+    d = con.execute(f"SELECT {sz}").fetchone()[0]
+    assert math.copysign(1.0, s) == 1.0  # Spark: +0.0
+    assert math.copysign(1.0, d) == -1.0  # DuckDB: -0.0
+    # +0.0 normalizes identically in both engines
+    for eng in (lambda q: spark.sql(q).first()[0],
+                lambda q: con.execute(q).fetchone()[0]):
+        assert math.copysign(1.0, eng(f"SELECT {sz} + 0.0")) == 1.0
+
+    # agreements: the single-reference well-scaled test and raw-extreme
+    # rendering round-trips
+    for probe in [
+        "abs(CAST('NaN' AS DOUBLE)) < 1e12",           # False both
+        "abs(CAST(1e250 AS DOUBLE)) < 1e12",           # False both
+        "abs(CAST(-1e-310 AS DOUBLE)) < 1e12",         # True both (tiny is in-contract)
+    ]:
+        s = spark.sql(f"SELECT {probe}").first()[0]
+        d = con.execute(f"SELECT {probe}").fetchone()[0]
+        assert bool(s) == bool(d), probe
+    rt = ("CAST(CAST(CAST(-7.361632249604216e+291 AS DOUBLE) AS STRING) "
+          "AS DOUBLE) = CAST(-7.361632249604216e+291 AS DOUBLE)")
+    assert spark.sql(f"SELECT {rt}").first()[0] is True
+    assert con.execute(
+        f"SELECT {rt.replace('AS STRING', 'AS VARCHAR')}"
+    ).fetchone()[0] is True
