@@ -5217,12 +5217,24 @@ FN_XML_ROUNDTRIP_ORACLE = """
     SELECT event_id,
            event_type AS xml_type,
            user_id AS xml_user,
-           event_type AS xp_type,
-           -- to_xml's layout is fixed (newlines + 4-space indents):
-           -- <ev>/<event_type>T</event_type>/<user_id>N</user_id>/</ev>
-           -- -> 64 fixed chars + payload widths
-           CAST(64 + length(event_type) + length(CAST(user_id AS VARCHAR))
-                AS BIGINT) AS doc_len
+           -- xpath_string returns '' (not NULL) when the element is
+           -- absent — the regexp_extract no-match convention's XML twin
+           coalesce(event_type, '') AS xp_type,
+           -- to_xml's layout is fixed (newlines + 4-space indents) and
+           -- OMITS null fields entirely:
+           --   both:      <ev>/<event_type>T</..>/<user_id>N</..>/</ev>
+           --              = 64 fixed chars + payload widths
+           --   type only: 40 + len(T);  user only: 34 + len(N)
+           --   both null: the self-closing '<ev/>' = 5
+           CAST(CASE
+                  WHEN event_type IS NOT NULL AND user_id IS NOT NULL
+                    THEN 64 + length(event_type)
+                         + length(CAST(user_id AS VARCHAR))
+                  WHEN event_type IS NOT NULL THEN 40 + length(event_type)
+                  WHEN user_id IS NOT NULL
+                    THEN 34 + length(CAST(user_id AS VARCHAR))
+                  ELSE 5
+                END AS BIGINT) AS doc_len
     FROM events
 """
 

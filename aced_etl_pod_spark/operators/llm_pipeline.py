@@ -223,7 +223,11 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM train_grams t JOIN bench b USING (gram)
       GROUP BY 1
     )
-    SELECT d.doc_id, CAST(d.n_grams AS BIGINT) AS n_grams,
+    -- coalesce: a NULL-text doc has NULL toks duck-side (len(NULL) is
+    -- NULL) where the engine's null-safe shingler emits an empty set —
+    -- both report the doc with 0 grams (the "every doc in the report"
+    -- contract below)
+    SELECT d.doc_id, CAST(coalesce(d.n_grams, 0) AS BIGINT) AS n_grams,
            CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
            {money_sql("coalesce(h.n_hit, 0) * 1.0 / greatest(d.n_grams, 1)", 4, 8)}
              AS overlap_frac
@@ -1143,6 +1147,12 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                            concat(slice(acc, 1, size(acc) - 1), array('{m}')),
                            concat(acc, array(x))))"""
     d = load(spark, sf_dir, "documents")
+    # a doc is tokenizable iff it HAS words: the oracle's unnest-then-
+    # group drops zero-word docs structurally, and a NULL text would
+    # flow size(NULL) = -1 through the stats under non-ANSI Spark
+    d = d.filter(
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))") > 0
+    )
     return d.select(
         "doc_id",
         F.expr("size(filter(split(text, ' '), w -> w <> ''))")

@@ -152,7 +152,12 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="part string, plen int")
     class SplitPriority:
         def eval(self, s: str):
-            for p in (s or "").split("-"):
+            # NULL in → ZERO rows out: the lateral-unnest semantic both
+            # engines share (DuckDB's unnest of a NULL list emits no
+            # rows; `(s or "")` would fabricate one empty part)
+            if s is None:
+                return
+            for p in s.split("-"):
                 yield p, len(p)
 
     spark.udtf.register("split_priority", SplitPriority)
