@@ -973,34 +973,126 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding_pca_whiten (rows-only: eigendecomposition is not
-# SQL-expressible; contract is property-tested — whitened covariance ≈ I)
+# embedding_pca_whiten — FULL oracle since round 8: ZCA whitening is
+# W = C^(-1/2), and the inverse square root is computed by a FIXED-K
+# coupled Newton–Schulz iteration (pure matmuls) instead of LAPACK eigh,
+# so DuckDB replays the entire training in one recursive CTE. Bit-exact
+# parity comes from the fold discipline: every matmul entry is a
+# k-ORDERED left fold on both sides (numpy outer-product accumulation ==
+# list_reduce), so once the rounded mean/moment inputs agree, every
+# iterate — and every whitened output — is bit-identical; the only
+# rounding in the whole pipeline is the 9dp quench on the row-order-
+# dependent mean/moment sums.
 # ---------------------------------------------------------------------------
 
-WHITEN_EPS = 1e-6
+# ridge, not clip: W = (C + εI)^(-1/2), so cov(whitened) = I − ε·W²
+# ≈ I − ε/λ_min — at 1e-9 the ridge term stays ~1e-8-1e-7 on real
+# corpora (inside the property tolerance) while still making the NS
+# input strictly SPD on degenerate data
+WHITEN_EPS = 1e-9
+WHITEN_K = 30  # fixed Newton–Schulz iterations (part of the op contract)
+
+_GS = f"generate_series(1, {SEMDEDUP_DIM})"
+_FOLD = "list_reduce(list_prepend(0e0, {lst}), (a,b)->a+b)"
+
+EMBEDDING_PCA_WHITEN_ORACLE = f"""
+    WITH RECURSIVE
+    src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
+             x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
+    ),
+    dims AS (SELECT unnest({_GS}) AS i),
+    mu AS (
+      SELECT list(m ORDER BY i) AS mu FROM (
+        SELECT i, round(sum(e[i]) / (SELECT count(*) FROM src), 9) AS m
+        FROM src, dims GROUP BY i)
+    ),
+    mom AS (
+      SELECT list(row ORDER BY i) AS M FROM (
+        SELECT i, list(v ORDER BY j) AS row FROM (
+          SELECT a.i, b.i AS j,
+                 round(sum(src.e[a.i] * src.e[b.i])
+                       / (SELECT count(*) FROM src), 9) AS v
+          FROM src, dims a, dims b GROUP BY a.i, b.i) GROUP BY i)
+    ),
+    amat AS (
+      SELECT list_transform({_GS}, i -> list_transform({_GS}, j ->
+               M[i][j] - mu[i]*mu[j]
+               + (CASE WHEN i=j THEN {WHITEN_EPS} ELSE 0e0 END))) AS A
+      FROM mom, mu
+    ),
+    tr AS (
+      SELECT A, {_FOLD.format(lst=f"list_transform({_GS}, i -> A[i][i])")}
+               AS s
+      FROM amat
+    ),
+    ns AS (
+      SELECT 0 AS it, s,
+             list_transform(A, r -> list_transform(r, v -> v / s)) AS y,
+             list_transform({_GS}, i -> list_transform({_GS}, j ->
+               CASE WHEN i=j THEN 1e0 ELSE 0e0 END)) AS z
+      FROM tr
+      UNION ALL
+      SELECT it + 1, s,
+             list_transform({_GS}, i -> list_transform({_GS}, j ->
+               {_FOLD.format(lst=f"list_transform({_GS}, k -> y[i][k] * tt[k][j])")})),
+             list_transform({_GS}, i -> list_transform({_GS}, j ->
+               {_FOLD.format(lst=f"list_transform({_GS}, k -> tt[i][k] * z[k][j])")}))
+      FROM (
+        SELECT it, s, y, z,
+               list_transform({_GS}, k -> list_transform({_GS}, j ->
+                 5e-1 * ((CASE WHEN k=j THEN 3e0 ELSE 0e0 END) -
+                   {_FOLD.format(lst=f"list_transform({_GS}, m -> z[k][m] * y[m][j])")})))
+                 AS tt
+        FROM ns WHERE it < {WHITEN_K}
+      ) sub
+    ),
+    wmat AS (
+      SELECT list_transform(z, r -> list_transform(r, v -> v / sqrt(s)))
+               AS w
+      FROM ns WHERE it = {WHITEN_K}
+    )
+    SELECT src.vec_id,
+           '[' || array_to_string(list_transform({_GS}, j ->
+             printf('%.9f',
+               {_FOLD.format(lst=f"list_transform({_GS}, k -> (e[k] - mu[k]) * w[k][j])")})),
+             ',') || ']' AS white
+    FROM src, wmat, mu
+"""
 
 
-@op("embedding_pca_whiten", oracle=None, tags=("similarity", "llm", "approx", "extra"))
+@op(
+    "embedding_pca_whiten",
+    oracle=EMBEDDING_PCA_WHITEN_ORACLE,
+    tags=("similarity", "llm", "approx", "extra"),
+)
 def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening of the embedding corpus — the consumer of the
     covariance partials (embedding_covariance_topk): the full D×D second-
     moment matrix reduces from per-batch gemm partials exactly as there,
-    the D×D eigendecomposition runs on the DRIVER (O(D³) on a 64×64
+    the D×D inverse square root runs on the DRIVER (O(K·D³) on a 64×64
     matrix — model-sized state, like the k-means centroids and PQ
     codebooks), and the whitening transform broadcasts back for a single
     Arrow map over the data. Whitening is the standard preconditioner
-    before embedding-space search/clustering (and the core of PCA dim
-    reduction — keep the top rows of the same eigenbasis).
+    before embedding-space search/clustering.
 
-    Output is rows-only for the driver gate (eigenvectors are not
-    SQL-expressible; sign/order of degenerate eigenvectors is
-    engine-specific); the CONTRACT is property-tested instead:
-    cov(whitened) == I within tolerance (tests/test_incremental.py).
-    ``white`` is emitted as its canonical rounded string
-    (``[x0,x1,...]``, 9 decimals) rather than ARRAY<DOUBLE> — the
-    embedding_quantize_int8 precedent: a scalar column stays sortable/
-    hashable by any downstream canonicalizer (pandas cannot factorize
-    ndarray cells), and 9 decimals keeps the cov≈I property testable.
+    FULL oracle since round 8 (was the census's last rows-only op):
+    instead of LAPACK ``eigh`` — whose iteration no SQL can replay and
+    whose degenerate-eigenvector sign/order is engine-specific —
+    W = C^(-1/2) is computed DIRECTLY by a fixed-K coupled
+    Newton–Schulz iteration (Y←Y·T, Z←T·Z, T = (3I − Z·Y)/2 on the
+    trace-normalized, ε-ridged covariance; Z → C^(-1/2)·√s, basis-free).
+    Everything after the 9dp-rounded mean/moment inputs is pure
+    elementwise arithmetic and k-ORDERED left-fold matmuls (numpy
+    outer-product accumulation here == DuckDB list_reduce in the
+    oracle's recursive CTE), so every iterate and every whitened output
+    double is BIT-IDENTICAL across engines; the canonical 9-decimal
+    string render (printf-correct rounding of identical doubles) is
+    therefore hash-exact with no further quenching. The fixed K is part
+    of the op contract — both engines run exactly K steps, converged or
+    not. cov(whitened) ≈ I stays property-tested in
+    tests/test_incremental.py.
 
     At 100 TB: two linear passes (covariance partials; transform), one
     O(D²) shuffle, driver state O(D²) — n never touches the driver."""
@@ -1043,26 +1135,52 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = np.zeros(d * d + d)
     for r in rows:
         g[r.idx] = r.s
-    G = g[: d * d].reshape(d, d)
-    mu = g[d * d :] / n
-    cov = G / n - np.outer(mu, mu)
-    vals, vecs = np.linalg.eigh(cov)
-    wm = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, WHITEN_EPS))) @ vecs.T
-    bw = spark.sparkContext.broadcast((mu, wm))
+    # the ONLY rounding in the pipeline: the mean/moment sums are
+    # row-order-dependent (batch partials here, hash-agg in the oracle);
+    # 9dp quenches the fold-order ULP while keeping cov(whitened) ≈ I
+    # inside the property tolerance
+    M = (g[: d * d].reshape(d, d) / n).round(9)
+    mu = (g[d * d :] / n).round(9)
+    A = M - np.outer(mu, mu) + WHITEN_EPS * np.eye(d)
+    s = 0.0  # trace as an i-ordered fold (matches the oracle's list_reduce)
+    for i in range(d):
+        s += A[i, i]
+
+    def matmul_kfold(P, Q):
+        # k-ordered left-fold matmul: entry (i,j) accumulates
+        # P[i,0]Q[0,j] + P[i,1]Q[1,j] + ... in EXACT k order — the same
+        # float sequence as the oracle's list_reduce, so results are
+        # bit-identical (a BLAS gemm's blocked summation would not be)
+        acc = np.zeros((d, d))
+        for k in range(d):
+            acc += P[:, k : k + 1] * Q[k : k + 1, :]
+        return acc
+
+    eye = np.eye(d)
+    Y, Z = A / s, eye.copy()
+    for _ in range(WHITEN_K):
+        T = 0.5 * (3.0 * eye - matmul_kfold(Z, Y))
+        Y, Z = matmul_kfold(Y, T), matmul_kfold(T, Z)
+    W = Z / np.sqrt(s)
+    bw = spark.sparkContext.broadcast((mu, W))
 
     def whiten(batches):
         m, w = bw.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = (np.stack(pdf["emb"].to_numpy()) - m) @ w
-            # +0.0 collapses -0.0 so the canonical string is sign-stable
+            X = np.stack(pdf["emb"].to_numpy())
+            # k-ordered fold of (x_k - mu_k) * W[k, :] — bit-identical to
+            # the oracle's per-row list_reduce
+            acc = np.zeros((len(X), d))
+            for k in range(d):
+                acc += (X[:, k : k + 1] - m[k]) * w[k : k + 1, :]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "white": [
-                        "[" + ",".join(f"{v:.9f}" for v in row + 0.0) + "]"
-                        for row in X.round(9)
+                        "[" + ",".join(f"{v:.9f}" for v in row) + "]"
+                        for row in acc
                     ],
                 }
             )

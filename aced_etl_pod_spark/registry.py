@@ -141,10 +141,12 @@ _R06_WINDOW = (
 # (recursive-CTE replays, sha256-based minhash/simhash,
 # fixture-regeneration multimodal, BPE whole-table recursion, the
 # pinned-fold k-means that made the whole PQ/IVF ANN family replayable,
-# and the pinned-matmul DCT that did the same for image phash) exactly
-# ONE census op remains rows-only: embedding_pca_whiten —
-# eigendecomposition, whose LAPACK iteration has no SQL replay. It has
-# an exact local-reference gate instead. Rounds 8-9 drain tranches
+# and the pinned-matmul DCT that did the same for image phash) the last
+# rows-only op — embedding_pca_whiten — went FULL-oracle in round 8:
+# LAPACK eigh was replaced by a fixed-K Newton-Schulz inverse square
+# root whose k-ordered-fold matmuls replay bit-exactly in a DuckDB
+# recursive CTE. EVERY census op now carries a full hash-checked
+# oracle. Rounds 8-9 drain tranches
 # 18-60; the r09 window backfills
 # its remaining ~20 slots with whatever registered ops then have the
 # OLDEST external rows (r02-era extras first) — backfill is chosen at
