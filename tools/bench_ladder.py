@@ -1,0 +1,178 @@
+"""Bench ladder beyond sf0.1 (verdict r7 "What's missing" item 3).
+
+    python tools/bench_ladder.py [--scale 10] [--reps 5]
+
+At sf0.1 every headline query sits on the local-mode job floor
+(20-60 ms), so the per-query ≤2× gate measures task scheduling, not the
+engine. This harness tiles the sf0.1 tables ×``--scale`` with
+key-offset replicas (join cardinalities preserved: every fact key is
+offset per replica, the constant star dims — nation/region — are NOT
+tiled), then runs each headline query on Spark AND its registered
+DuckDB oracle on the SAME scaled parquet files, reporting warm medians
+and the ratio at a scale where compute dominates.
+
+Protocol mirrors bench.py (plan built once, AQE off, 2 warmups,
+round-robin samples, median); DuckDB gets the whole machine (its
+default all-core thread pool) and reads the identical files, so the
+ratio is engine-vs-engine on equal terms, not engine-vs-baseline-file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+
+# per-table key columns to offset per replica (join integrity): every
+# column here gets `+ r * span(col)` so replicas never collide
+KEY_OFFSETS = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+CONST_DIMS = ["nation", "region"]  # 25/5 rows at EVERY scale factor
+
+BENCH_QUERIES = {
+    "q1_pricing_summary": "agg_group_sums",
+    "q2_star_join": "join_multiway_star",
+    "q3_topk_window": "win_row_number_topk",
+    "q4_semi_anti": "join_left_semi",
+    "q5_tumbling": "agg_time_bucket",
+    "q6_json_extract": "fn_json",
+    "q7_token_stats": "text_tokenize_stats",
+    "q8_cosine_topk": "sim_cosine_topk_fast",
+    "q9_rollup": "agg_rollup",
+    "q10_distinct": "agg_distinct_count",
+}
+
+
+def build_scaled(scale: int) -> str:
+    import duckdb
+
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    st = os.stat(os.path.join(SRC, "lineitem.parquet"))
+    out = scratch_dir(f"benchladder_x{scale}_{st.st_mtime_ns:x}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    con = duckdb.connect()
+    for t, keys in KEY_OFFSETS.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+            ).fetchall()
+        ]
+        spans = {
+            k: con.execute(
+                f"SELECT coalesce(max({k}), 0) + 1 FROM '{SRC}/{t}.parquet'"
+            ).fetchone()[0]
+            for k in keys
+        }
+        sel = ", ".join(
+            f"{c} + r * {spans[c]} AS {c}" if c in keys else c for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
+            f"range({scale}) tt(r)) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in CONST_DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    open(marker, "w").close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from aced_etl_pod_spark.registry import registry
+    from aced_etl_pod_spark.session import get_spark, pin
+
+    sf = build_scaled(args.scale)
+    print(f"scaled dir: {sf} (sf0.1 x {args.scale})", flush=True)
+
+    spark = get_spark("bench-ladder", shuffle_partitions=32)
+    pin(spark, {"spark.sql.adaptive.enabled": "false"})
+    reg = registry()
+    con = duckdb.connect()
+    for t in list(KEY_OFFSETS) + CONST_DIMS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+
+    dfs, oracles = {}, {}
+    for name, op_id in BENCH_QUERIES.items():
+        dfs[name] = reg[op_id].fn(spark, sf)
+        oracles[name] = reg[op_id].oracle
+    for df in dfs.values():
+        df.collect()
+        df.collect()
+    for q in oracles.values():
+        con.execute(q).fetchall()
+
+    s_samples = {n: [] for n in dfs}
+    d_samples = {n: [] for n in dfs}
+    for _ in range(args.reps):
+        for name, df in dfs.items():
+            t0 = time.perf_counter()
+            df.collect()
+            s_samples[name].append(time.perf_counter() - t0)
+        for name, q in oracles.items():
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            d_samples[name].append(time.perf_counter() - t0)
+
+    queries = {}
+    tot_s = tot_d = 0.0
+    for name in dfs:
+        ms = statistics.median(s_samples[name])
+        md = statistics.median(d_samples[name])
+        tot_s += ms
+        tot_d += md
+        queries[name] = {
+            "spark_sec": round(ms, 4),
+            "duckdb_sec": round(md, 4),
+            "ratio": round(ms / md, 2),
+        }
+        print(
+            f"{name}: spark {ms * 1e3:7.1f} ms  duck {md * 1e3:7.1f} ms "
+            f"ratio {ms / md:5.2f}x",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": f"bench_ladder_x{args.scale}",
+                "spark_total_sec": round(tot_s, 4),
+                "duckdb_total_sec": round(tot_d, 4),
+                "total_ratio": round(tot_s / tot_d, 2),
+                "queries": queries,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
