@@ -380,3 +380,45 @@ def test_shuffle_budget_covers_census():
         budget = json.load(f)
     missing = set(registry()) - set(budget) - no_twin
     assert not missing, f"ops missing from shuffle budget: {sorted(missing)}"
+
+
+def test_bench_ladder_fixture_preserves_join_integrity(tmp_path, monkeypatch):
+    """The ladder's scaled fixture (tools/bench_ladder.py::build_scaled)
+    must preserve the schema EXACTLY (the ladder times the same operator
+    code on the scaled dir), multiply every fact cardinality by the
+    scale, keep the constant star dims un-tiled, and keep every FK
+    resolvable — an orphaned key would quietly change join selectivity
+    and corrupt the engine-vs-engine ratios recorded in PLANS.md."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    monkeypatch.setenv("SPARK_GRAFT_LADDER_SRC", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    spec = importlib.util.spec_from_file_location(
+        "bench_ladder", "/root/repo/tools/bench_ladder.py"
+    )
+    bl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bl)
+    out = bl.build_scaled(3)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in list(bl.KEY_OFFSETS) + bl.CONST_DIMS:
+        n_src = con.execute(f"SELECT count(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        n_out = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        want = n_src if t in bl.CONST_DIMS else n_src * 3
+        assert n_out == want, (t, n_src, n_out)
+        s_src = con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
+        s_out = con.execute(f"DESCRIBE SELECT * FROM '{out}/{t}.parquet'").fetchall()
+        assert [c[0] for c in s_src] == [c[0] for c in s_out], t
+    for fact, key, dim, dkey in [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]:
+        orphans = con.execute(
+            f"""SELECT count(*) FROM '{out}/{fact}.parquet' f
+                LEFT JOIN '{out}/{dim}.parquet' d ON f.{key} = d.{dkey}
+                WHERE d.{dkey} IS NULL AND f.{key} IS NOT NULL"""
+        ).fetchone()[0]
+        assert orphans == 0, (fact, dim, orphans)

@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_LADDER_SRC", "/root/testdata/sf0.1")
 
 # per-table key columns to offset per replica (join integrity): every
 # column here gets `+ r * span(col)` so replicas never collide
