@@ -2179,3 +2179,36 @@ def test_extreme_magnitude_micro_divergences_pinned(events_env):
     assert con.execute(
         f"SELECT {rt.replace('AS STRING', 'AS VARCHAR')}"
     ).fetchone()[0] is True
+
+
+def test_map_access_shape_divergence_pinned(events_env):
+    """Map-dialect probes (round 8, docs/DIVERGENCES.md class 20):
+
+      * ACCESS SHAPE diverges: DuckDB's ``m[key]`` / element_at return a
+        LIST of matching values — ``[]`` when the key is absent — while
+        Spark returns the SCALAR value or NULL. A ported null-check
+        (``m['k'] IS NULL``) silently breaks: DuckDB's empty list is NOT
+        NULL. Portable access is Spark element_at vs DuckDB
+        ``m[key][1]`` (indexing the list yields NULL when empty).
+      * AGREEMENTS: both engines RAISE on duplicate keys at map
+        construction (Spark's default mapKeyDedupPolicy=EXCEPTION —
+        merge pipelines must opt into LAST_WIN) and on NULL keys.
+    """
+    spark, con = events_env
+
+    assert spark.sql("SELECT map('a',1)['b']").first()[0] is None
+    assert con.execute("SELECT MAP{'a':1}['b']").fetchone()[0] == []
+    # the portable spelling agrees
+    assert spark.sql("SELECT element_at(map('a',1),'b')").first()[0] is None
+    assert con.execute("SELECT MAP{'a':1}['b'][1]").fetchone()[0] is None
+    assert spark.sql("SELECT element_at(map('a',1),'a')").first()[0] == 1
+    assert con.execute("SELECT MAP{'a':1}['a'][1]").fetchone()[0] == 1
+
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql("SELECT map('a',1,'a',2)").collect()
+    with pytest.raises(Exception, match="unique"):
+        con.execute("SELECT MAP{'a':1,'a':2}").fetchone()
+    with pytest.raises(Exception, match="NULL_MAP_KEY"):
+        spark.sql("SELECT map(CAST(NULL AS STRING),1)").collect()
+    with pytest.raises(Exception, match="NULL"):
+        con.execute("SELECT MAP{NULL:1}").fetchone()
