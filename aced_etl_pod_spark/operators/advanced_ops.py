@@ -176,7 +176,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
+def _ivf_topk_oracle(
+    k: int = 5,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    train_where: str = "",
+) -> str:
     """Full replay of functions/similarity.py::ivf_topk since round 6:
     ~sqrt(n) seed centroids (isqrt replayed with a double-rounding
     correction), ``lloyd_iters`` refinement rounds whose cell means are
@@ -187,13 +192,13 @@ def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
     inliner rule, see _pagerank_oracle)."""
     from aced_etl_pod_spark.operators.similarity import DUCK_COS
 
-    def assign(cent: str, name: str) -> str:
+    def assign(cent: str, name: str, src: str = "iv_train") -> str:
         return f"""{name} AS MATERIALIZED (
       SELECT vec_id, e, cid FROM (
         SELECT s.vec_id, s.e, c.cid,
                row_number() OVER (PARTITION BY s.vec_id ORDER BY
                  {DUCK_COS.format(a='s.e', b='c.cv')} DESC, c.cid) AS rk
-        FROM iv_emb s CROSS JOIN {cent} c
+        FROM {src} s CROSS JOIN {cent} c
       ) WHERE rk = 1
     )"""
 
@@ -208,8 +213,17 @@ def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
             FROM {prev_assign} GROUP BY cid)
     )"""
 
-    ctes = ["""iv_emb AS (SELECT vec_id, embedding AS e FROM embeddings)""",
-            """iv_n AS (SELECT count(*) AS n FROM iv_emb)""",
+    ctes = ["""iv_emb AS (
+      -- well-scaled-vector contract (the round-7 similarity-family
+      -- rule): a NULL vector in a Lloyd cell makes the cell mean carry
+      -- NULL lanes, and list_dot_product RAISES on NULL lanes — which
+      -- cell that poisons depends on seed composition, so an unguarded
+      -- corpus passes or fails by luck
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
+             x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))""",
+            f"""iv_train AS (SELECT vec_id, e FROM iv_emb {train_where})""",
+            """iv_n AS (SELECT count(*) AS n FROM iv_train)""",
             """iv_c AS (
       SELECT greatest(4, least(65536,
         CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1
@@ -221,7 +235,7 @@ def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
     )""",
             """c0 AS MATERIALIZED (
       SELECT vec_id AS cid, e AS cv
-      FROM (SELECT vec_id, e FROM iv_emb ORDER BY vec_id
+      FROM (SELECT vec_id, e FROM iv_train ORDER BY vec_id
             LIMIT (SELECT c FROM iv_c))
     )"""]
     prev = "c0"
@@ -229,7 +243,7 @@ def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
         ctes.append(assign(prev, f"a{i}"))
         ctes.append(step(f"a{i}", f"c{i}"))
         prev = f"c{i}"
-    ctes.append(assign(prev, "iv_inverted"))
+    ctes.append(assign(prev, "iv_inverted", src="iv_emb"))
     ctes.append(f"""iv_qcells AS (
       SELECT q_id, qe, cid FROM (
         SELECT q.vec_id AS q_id, q.e AS qe, c.cid,
@@ -258,6 +272,94 @@ def _ivf_topk_oracle(k: int = 5, n_probe: int = 4, lloyd_iters: int = 2) -> str:
 
 SIM_ANN_IVF_TOPK_ORACLE = _ivf_topk_oracle()
 
+# Incremental maintenance variant: train on the BASE split only, absorb
+# the delta split by assignment alone (the frozen coarse quantizer), and
+# probe the MERGED inverted lists. Same replay machinery with the
+# training CTEs filtered to the base.
+SIM_ANN_IVF_APPEND_PROBE_ORACLE = _ivf_topk_oracle(
+    train_where="WHERE vec_id % 10 != 0"
+)
+
+
+@op(
+    "sim_ann_ivf_append_probe",
+    oracle=SIM_ANN_IVF_APPEND_PROBE_ORACLE,
+    tags=("similarity", "approx", "incremental", "extra"),
+)
+def sim_ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-delta story for a
+    production ANN index: the coarse quantizer is trained on the BASE
+    corpus (vec_id % 10 != 0, the replayable ordered-fold Lloyd of
+    sim_ann_ivf_topk), then the delta split (vec_id % 10 == 0) is
+    absorbed by ASSIGNMENT ALONE against the frozen centroids — one
+    broadcast argmin pass over the delta, no retrain, no touch of the
+    base lists — and queries probe the MERGED inverted lists.
+
+    This is how an ANN index absorbs appends at 100 TB: retraining is
+    O(corpus) and happens on a schedule (ivf_index_build); the daily
+    path is O(delta). The quantizer drifts as deltas accumulate — cells
+    grow unevenly until the scheduled retrain rebalances them — which
+    is the standard IVF operations trade (FAISS's add-vs-train split).
+    The oracle replays base-only training (seed centroids from the
+    base's lowest vec_ids, both Lloyd rounds as vec_id-ordered folds)
+    and the merged-list probe exactly.
+
+    Plan: the delta assignment is the SAME broadcast-argmin expression
+    as the base assignment, so the incremental pass is one scan of the
+    delta + a broadcast of the C-row centroid table; the probe is
+    unchanged. Recall on appended vectors equals base recall by
+    construction (assignment is the same function either way)."""
+    from pyspark.sql import Window as SW
+
+    from aced_etl_pod_spark.functions.similarity import (
+        _assign_nearest_centroid,
+        _ivf_train,
+        cosine_expr,
+    )
+
+    from aced_etl_pod_spark.operators.util import finite_vec
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_vec(F.col("embedding")))
+        .select("vec_id", "embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0).cache()
+    # train the coarse quantizer on the BASE only (replayable Lloyd)
+    centroids = _ivf_train(base, None, 2)
+    # merged inverted lists: base AND delta assigned to the frozen
+    # centroids — the delta rows ride the same broadcast argmin
+    inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d", cosine_expr("q_emb", "c_emb"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                SW.partitionBy("q_id").orderBy(F.desc("d"), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= 4)
+        .select("q_id", "q_emb", "cid")
+    )
+    cands = q_cells.join(inverted, "cid").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    scored = cands.withColumn("cos", cosine_expr("q_emb", "embedding"))
+    w = SW.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nbr_id"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
 
 @op("sim_ann_ivf_topk", oracle=SIM_ANN_IVF_TOPK_ORACLE,
     tags=("similarity", "approx", "extra"))
@@ -277,8 +379,11 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable); recall vs brute force asserted in tests/test_cluster.py
     on clustered data."""
     from aced_etl_pod_spark.functions.similarity import ivf_topk
+    from aced_etl_pod_spark.operators.util import finite_vec
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        finite_vec(F.col("embedding"))
+    )
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(emb, queries, k=5, n_centroids=None, n_probe=4)
 
