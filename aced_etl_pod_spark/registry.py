@@ -239,6 +239,10 @@ _ROTATION_PLAN = {
         # round-7 addition: the mapInArrow exact-cosine kernel (50th slot)
         "sim_cosine_topk_arrow",
     ),
+    # round-8 addition, pinned PAST the r09 drain so the pre-verified r09
+    # window stays byte-identical: the incremental-IVF op takes an r10
+    # slot (r10's other 49 slots stay oldest-row backfill as planned)
+    10: ("sim_ann_ivf_append_probe",),
 }
 
 # Operator-family modules; importing them runs the @op decorators.
