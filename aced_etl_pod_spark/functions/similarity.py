@@ -240,8 +240,14 @@ def ivf_index_build(
     if not rows:
         # empty-partition contract: an index over zero valid vectors is an
         # EMPTY index (0 cells, 0 centroids), not a crash — probes on it
-        # return the empty k-NN frame
-        emb.withColumn("cid", F.lit(0).cast("long")).limit(0).write.mode(
+        # return the empty k-NN frame. The schema must match what the
+        # NORMAL path's partitionBy('cid') read-back yields — data columns
+        # first, then cid as the (IntegerType-inferred) partition column —
+        # or readers scanning {path}/cells see a different cid type
+        # depending on which branch built the index. (partitionBy on a
+        # zero-row frame writes no files at all, so the empty branch keeps
+        # the unpartitioned writer and matches the layout instead.)
+        emb.withColumn("cid", F.lit(0).cast("int")).limit(0).write.mode(
             "overwrite"
         ).parquet(f"{path}/cells")
         emb.sparkSession.createDataFrame(
@@ -556,12 +562,26 @@ def brute_force_topk_arrow(
             # per-batch top-k WITH the id tie-break: bare argpartition on
             # -cos is free to keep any k of a >k-way tie at the k-th
             # cosine, dropping the row the global ORDER BY cos DESC, id
-            # would keep BEFORE it ever reaches the orderBy — lexsort
-            # (primary -cos, secondary id) keeps the same k rows the
-            # final sort would
+            # would keep BEFORE it ever reaches the orderBy. A full-batch
+            # lexsort fixes that but costs O(n log n) in the hot exact
+            # path — instead argpartition to a candidate set (the top-k
+            # block PLUS every boundary tie at the k-th cosine, the only
+            # rows the id tie-break can reorder), then lexsort just the
+            # candidates: near-linear, same k rows as the global sort.
             ids_np = ids.to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids_np, -cos))[:k]
-            idx = order
+            if len(cos) > k:
+                kth = cos[np.argpartition(-cos, k - 1)[:k]].min()
+                # a NaN cosine (zero-norm vector) poisons the boundary
+                # min; kth != kth detects it and falls back to the full
+                # lexsort, whose NaN-last order matched the old kernel
+                cand = (
+                    np.flatnonzero(cos >= kth)
+                    if kth == kth
+                    else np.arange(len(cos))
+                )
+            else:
+                cand = np.arange(len(cos))
+            idx = cand[np.lexsort((ids_np[cand], -cos[cand]))[:k]]
             yield pa.RecordBatch.from_arrays(
                 [ids.take(pa.array(idx)), pa.array(cos[idx])],
                 names=[id_col, "cos_sim"],

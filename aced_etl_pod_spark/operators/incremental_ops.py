@@ -1089,7 +1089,11 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's recursive CTE), so every iterate and every whitened output
     double is BIT-IDENTICAL across engines; the canonical 9-decimal
     string render (printf-correct rounding of identical doubles) is
-    therefore hash-exact with no further quenching. The fixed K is part
+    therefore hash-exact with no further quenching. The 9dp quench
+    itself uses an EXPLICITLY SHARED rule (``duck_round9`` below):
+    DuckDB round() is half-away on the scaled double, numpy .round is
+    half-even, so the engine replicates duck's kernel rather than
+    trusting the two libraries to agree on decimal ties. The fixed K is part
     of the op contract — both engines run exactly K steps, converged or
     not. cov(whitened) ≈ I stays property-tested in
     tests/test_incremental.py.
@@ -1138,9 +1142,25 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONLY rounding in the pipeline: the mean/moment sums are
     # row-order-dependent (batch partials here, hash-agg in the oracle);
     # 9dp quenches the fold-order ULP while keeping cov(whitened) ≈ I
-    # inside the property tolerance
-    M = (g[: d * d].reshape(d, d) / n).round(9)
-    mu = (g[d * d :] / n).round(9)
+    # inside the property tolerance.
+    def duck_round9(x):
+        # EXPLICITLY SHARED rounding rule (r8 advice): the oracle quenches
+        # with DuckDB round(x, 9), whose DOUBLE kernel is scaled
+        # HALF-AWAY-FROM-ZERO — copysign(floor(|x·1e9| + 0.5), x) / 1e9 —
+        # while numpy's .round(9) is scaled rint (half-to-even): a decimal
+        # tie at the 9th place would diverge the Newton–Schulz input and
+        # every downstream printf digest. Replicate duck's kernel here
+        # bit-exactly (verified vs duckdb over ~1.4e5 values incl. exact
+        # .5 ties, signed zero, and |x| up to the 1e24 extreme-sweep
+        # moment ceiling). Residual risk, documented not quenchable: if
+        # the PRE-quench sums differ by a fold-order ULP that itself
+        # straddles a 9dp boundary, the two engines quench to different
+        # values — no shared rounding rule can repair inputs that already
+        # differ; the property tests bound the practical exposure.
+        return np.copysign(np.floor(np.abs(x * 1e9) + 0.5), x) / 1e9
+
+    M = duck_round9(g[: d * d].reshape(d, d) / n)
+    mu = duck_round9(g[d * d :] / n)
     A = M - np.outer(mu, mu) + WHITEN_EPS * np.eye(d)
     s = 0.0  # trace as an i-ordered fold (matches the oracle's list_reduce)
     for i in range(d):

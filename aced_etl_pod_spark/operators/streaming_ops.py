@@ -999,3 +999,157 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.col("value.sum").alias("id_residue"),
     ).crossJoin(F.broadcast(meta))
+
+
+# ---------------------------------------------------------------------------
+# PLAN TWINS for the streaming-ONLY APIs (r8 verdict item 7).
+#
+# tools/plan_audit.py and tools/shuffle_budget.py audit stream_* ops
+# through batch twins. Most ops twin automatically (the replay harness is
+# patched: read_stream → spark.read, run_to_memory → identity). Six ops
+# use APIs with no mechanical batch substitution — raw writeStream,
+# applyInPandasWithState, a custom streaming source, the state-store
+# reader — so each declares an EXPLICIT twin here: the same transformation
+# chain, built with the batch API whose physical planning (exchanges,
+# aggregate modes, broadcast sides) Catalyst treats identically to the
+# per-micro-batch plan. Keeping the twins in this module (beside the ops
+# they mirror) keeps a future edit to an op's chain and its twin's chain
+# in one diff. Twins are PLAN-ONLY artifacts: never registered, never
+# executed by the audits (plans are built, not run).
+# ---------------------------------------------------------------------------
+
+
+def _twin_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState → applyInPandas: identical hash exchange on
+    the grouping key + Python worker stage, then the op's own final agg."""
+    import pandas as pd
+
+    from aced_etl_pod_spark.tables import load
+
+    def totals(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "n": [len(pdf)],
+                "total": [0.0],
+            }
+        )
+
+    out = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .applyInPandas(totals, "user_id long, n long, total double")
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        zn(F.round(F.max_by("total", "n"), 2)).alias("total"),
+    )
+
+
+def _twin_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One epoch of the foreachBatch gate: the split filter the replay
+    stages, the projection, and txn_write_checked's single-scan
+    conditional-aggregation constraint check."""
+    from aced_etl_pod_spark.tables import load
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) % 4") == 0)
+            & (F.col("user_id") < 50)
+        )
+        .select("event_type", "value")
+    )
+    return batch.agg(
+        F.count(F.when(~F.expr("value > 0.05"), F.lit(1))).alias("value_floor")
+    )
+
+
+def _twin_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of the SAME custom source (the DataSource API plans
+    batch and stream reads through the same Python partitions), then the
+    op's grouped aggregation and projection."""
+    from aced_etl_pod_spark.sources.pysource import TickerSynthDataSource
+
+    try:
+        spark.dataSource.register(TickerSynthDataSource)
+    except Exception:
+        pass
+    raw = spark.read.format("ticker_synth").load()
+    agg = raw.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("amt").cast("decimal(10,2)")).alias("total_dec"),
+    )
+    return agg.select(
+        F.col("grp").cast("int").alias("grp"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_dec").cast("double").alias("total"),
+    ).orderBy("grp")
+
+
+def _twin_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The restarted query's aggregation chain (phase plans are identical;
+    the checkpoint machinery adds no exchanges — state reload is
+    partition-local by construction)."""
+    from aced_etl_pod_spark.tables import load
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(finite(F.col("value"))), 2, 6).alias("total"),
+        )
+    )
+
+
+def _twin_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark → dropDuplicates on the same key
+    subset: both plan one hash exchange on the dedup keys."""
+    from aced_etl_pod_spark.tables import load
+
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "ts",
+        )
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+
+
+def _twin_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful aggregation whose state the reader inspects, plus the
+    op's broadcast crossJoin against the (1-row) operator-metadata frame;
+    the statestore scan itself is an unpartitioned checkpoint-file read
+    with no exchange of its own."""
+    from aced_etl_pod_spark.tables import load
+
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_id") % 1000).cast("long")).alias("id_residue"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [("stateStoreSave", 2)], "operator_name string, last_batch_id long"
+    )
+    return agg.crossJoin(F.broadcast(meta))
+
+
+# op_id → batch-plan builder, consumed by tools/plan_audit.py and
+# tools/shuffle_budget.py BEFORE the generic replay-patch path.
+PLAN_TWINS = {
+    "stream_custom_stateful": _twin_custom_stateful,
+    "stream_checked_ingest_dlq": _twin_checked_ingest_dlq,
+    "stream_python_datasource": _twin_python_datasource,
+    "stream_checkpoint_restart": _twin_checkpoint_restart,
+    "stream_dedup_within_watermark": _twin_dedup_within_watermark,
+    "stream_state_store_reader": _twin_state_store_reader,
+}

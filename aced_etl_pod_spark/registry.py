@@ -174,9 +174,10 @@ _ROTATION_PLAN = {
         "dq_freshness_slo", "dq_schema_contract", "sim_mmr_diversified_topk",
         "win_period_over_period", "pipeline_rag_context_pack",
         "sim_ann_lsh_multiprobe_topk", "win_percent_rank_cume",
-        # r6 verdict item 1: the one red r06 row, re-verify the string-
-        # canonicalized output externally (scan_date_dim_generate moved to r08)
-        "embedding_pca_whiten",
+        # (embedding_pca_whiten sat here through its r07 external row; the
+        # r8 verdict re-pinned it to round 10 — see the plan[10] comment —
+        # so its r8 full-oracle Newton-Schulz upgrade gets a fresh external
+        # hash row. Plan rounds must stay disjoint, hence the move.)
     ),
     8: (
         # r6 verdict item 4: the 11 ops whose oracles were upgraded from
@@ -241,8 +242,14 @@ _ROTATION_PLAN = {
     ),
     # round-8 addition, pinned PAST the r09 drain so the pre-verified r09
     # window stays byte-identical: the incremental-IVF op takes an r10
-    # slot (r10's other 49 slots stay oldest-row backfill as planned)
-    10: ("sim_ann_ivf_append_probe",),
+    # slot. r8 verdict item 2 pins embedding_pca_whiten beside it — its
+    # only external history is a r06 canonicalizer crash + a r07
+    # rows-only row, while the r8 Newton-Schulz rewrite is full-oracle
+    # locally; r10 is the first window after the r09 drain that can carry
+    # it. (Moved here from plan[7], where its r07 row already satisfied
+    # the past-round gate; plan rounds must stay disjoint.) r10's other
+    # 48 slots stay oldest-row backfill as planned.
+    10: ("sim_ann_ivf_append_probe", "embedding_pca_whiten"),
 }
 
 # Operator-family modules; importing them runs the @op decorators.

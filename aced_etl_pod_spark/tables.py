@@ -78,6 +78,15 @@ def load_validated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy to scratch; every later scan reads pre-validated vectors with
     zero per-row guard work.
 
+    Publication is ATOMIC (round-9 advice): the copy is built in a
+    private temp dir (data + marker) and ``os.rename``d into place, so a
+    concurrent session that already saw the marker can never observe a
+    half-overwritten data dir — the live dir is immutable once visible.
+    A losing racer's rename fails (non-empty target) and its temp dir is
+    discarded. Superseded fingerprints for the same sf_tag are pruned
+    best-effort after publish, so validated copies don't accumulate as
+    the source regenerates across sweep rounds.
+
     At 100 TB this is the standard corpus-curation posture — validation
     is a bounded one-time pass at ingest (where the quarantine/DLQ
     routing happens anyway), and every downstream similarity/ANN/dedup
@@ -89,17 +98,45 @@ def load_validated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aced_etl_pod_spark.operators.util import finite_vec
 
+    import shutil
+    import tempfile
+
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = scratch_dir(
-        f"validated_emb_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
-    )
+    base = scratch_dir()
+    name = f"validated_emb_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    out = os.path.join(base, name)
     marker = os.path.join(out, "_VALIDATED")
     data = os.path.join(out, "emb")
     if not os.path.exists(marker):
-        load(spark, sf_dir, "embeddings").filter(
-            finite_vec(F.col("embedding"))
-        ).write.mode("overwrite").parquet(data)
-        open(marker, "w").close()
+        tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
+        try:
+            load(spark, sf_dir, "embeddings").filter(
+                finite_vec(F.col("embedding"))
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "emb"))
+            open(os.path.join(tmp, "_VALIDATED"), "w").close()
+            for _ in range(2):
+                try:
+                    os.rename(tmp, out)  # atomic publish on the same fs
+                    break
+                except OSError:
+                    if os.path.exists(marker):
+                        # a concurrent session published first — theirs
+                        # is complete (marker only exists post-rename)
+                        break
+                    # marker-less target = partial dir from a pre-atomic
+                    # writer or a crash; clear it and rename once more
+                    shutil.rmtree(out, ignore_errors=True)
+            else:
+                raise OSError(f"could not publish validated copy at {out}")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # best-effort eviction: older fingerprints of the SAME sf_tag are
+        # superseded (the source file was regenerated) — drop them so
+        # scratch doesn't grow one copy per sweep round
+        prefix = f"validated_emb_{sf_tag}_"
+        for d in os.listdir(base):
+            if d.startswith(prefix) and d != name:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return spark.read.parquet(data)

@@ -103,14 +103,27 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
+    return run(scale=args.scale, reps=args.reps)
 
+
+def run(scale: int | None = None, sf_dir: str | None = None, reps: int = 5) -> int:
+    """One-command two-engine ladder (also reachable as ``bench.py --sf``).
+
+    Pass ``scale`` to build/reuse the persisted xN tiling of sf0.1, or
+    ``sf_dir`` to point at an already-tiled directory."""
     import duckdb
 
     from aced_etl_pod_spark.registry import registry
     from aced_etl_pod_spark.session import get_spark, pin
 
-    sf = build_scaled(args.scale)
-    print(f"scaled dir: {sf} (sf0.1 x {args.scale})", flush=True)
+    if sf_dir is None:
+        assert scale is not None, "run() needs scale or sf_dir"
+        sf = build_scaled(scale)
+        print(f"scaled dir: {sf} (sf0.1 x {scale})", flush=True)
+    else:
+        sf = sf_dir
+        scale = 0
+        print(f"tiled dir: {sf}", flush=True)
 
     spark = get_spark("bench-ladder", shuffle_partitions=32)
     pin(spark, {"spark.sql.adaptive.enabled": "false"})
@@ -133,7 +146,7 @@ def main() -> int:
 
     s_samples = {n: [] for n in dfs}
     d_samples = {n: [] for n in dfs}
-    for _ in range(args.reps):
+    for _ in range(reps):
         for name, df in dfs.items():
             t0 = time.perf_counter()
             df.collect()
@@ -163,7 +176,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"bench_ladder_x{args.scale}",
+                "metric": f"bench_ladder_x{scale}" if scale else "bench_ladder_dir",
                 "spark_total_sec": round(tot_s, 4),
                 "duckdb_total_sec": round(tot_d, 4),
                 "total_ratio": round(tot_s / tot_d, 2),

@@ -94,9 +94,15 @@ def main() -> int:
     reg = registry()
     ids = sys.argv[1:] or list(reg)
     flagged, info, errs, skipped = [], [], [], []
+    from aced_etl_pod_spark.operators.streaming_ops import PLAN_TWINS
+
     for op_id in ids:
         try:
-            if op_id.startswith("stream_"):
+            if op_id in PLAN_TWINS:
+                # streaming-only API — audit the explicit batch twin
+                # declared beside the op (same chain, batch planning)
+                df = PLAN_TWINS[op_id](spark, SF)
+            elif op_id.startswith("stream_"):
                 with _batch_twin_patches():
                     df = reg[op_id].fn(spark, SF)
                 if df.isStreaming:

@@ -56,7 +56,12 @@ def build_plan(spark, op_id: str, fn) -> str | None:
 
     Returns None for streaming-only ops that have no batch twin.
     """
-    if op_id.startswith("stream_"):
+    from aced_etl_pod_spark.operators.streaming_ops import PLAN_TWINS
+
+    if op_id in PLAN_TWINS:
+        # streaming-only API — explicit batch twin declared beside the op
+        df = PLAN_TWINS[op_id](spark, SF)
+    elif op_id.startswith("stream_"):
         with _batch_twin_patches():
             df = fn(spark, SF)
         if df.isStreaming:
