@@ -278,14 +278,26 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("fn",),
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: path extraction (get_json_object) + schema-full parse
-    (from_json) — json.loads analog (fhir_import_export.py:52, :287).
-    BASELINE B6 shape."""
+    """JSON family — json.loads analog (fhir_import_export.py:52, :287).
+    BASELINE B6 shape.
+
+    PARSE ONCE (round-9 ladder finding): the original shape ran
+    get_json_object AND from_json over the same string — two full Jackson
+    parses per row, and q6's x10 wall was dominated by exactly that. One
+    schema-full ``from_json`` now feeds every output; per-path
+    get_json_object re-parses the document per path and is the
+    anti-pattern at scale (it remains covered by fn_string/fn_map tests).
+    The int column replicates the old ``from_json("k INT")`` semantics
+    exactly — NULL outside int range or for fractional values — so the
+    oracle and every recorded sweep row are unchanged."""
     e = load(spark, sf_dir, "events")
-    k_str = F.get_json_object("props", "$.k")
-    k_int = F.from_json("props", "k INT").getField("k")
+    k = F.from_json("props", "k DOUBLE").getField("k")
+    k_int = F.when(
+        k.between(-2147483648, 2147483647) & (k == F.floor(k)),
+        k.cast("int"),
+    )
     return (
-        e.select("event_type", k_str.cast("double").alias("k"), k_int.alias("k_i"))
+        e.select("event_type", k.alias("k"), k_int.alias("k_i"))
         .groupBy("event_type")
         .agg(
             F.round(F.avg("k"), 2).alias("avg_k"),

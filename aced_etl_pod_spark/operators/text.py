@@ -57,8 +57,14 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1 (legacy
     # sizeOfNull), which silently POISONS avg(); DuckDB's len(NULL) is
     # NULL and drops out of avg(). Null docs count in n_docs only.
-    ntok = F.when(
-        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+    # Token COUNT without the token ARRAY (r9 ladder): size(split(x,' '))
+    # allocates every token string just to count them; separators+1 is
+    # the same number for a single-space delimiter — split keeps empty
+    # tokens (consecutive/trailing spaces) and '' splits to [''], both
+    # matched by the +1 — with zero allocation. NULL propagates through
+    # length() like the old guard's when().
+    ntok = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     )
     return (
         d.select("lang", ntok.alias("ntok"), "n_chars")
