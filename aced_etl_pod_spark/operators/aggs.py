@@ -111,10 +111,33 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT a, b) drops rows where ANY argument is NULL (SQL
     semantics); DuckDB's count(DISTINCT (a, b)) counts the ROW value,
     which is non-null even with null fields — the oracle carries an
-    explicit CASE to mirror Spark."""
+    explicit CASE to mirror Spark.
+
+    Plan shape (round-9 ladder): three countDistinct over one input make
+    Catalyst EXPAND every row x3 before the distinct aggregate — at 20 M
+    events that is 60 M expanded rows through the exchange. Deduping the
+    (user_id, event_type) PAIR first (one hash exchange with map-side
+    partial) leaves only the distinct pairs, over which all three counts
+    are exact: n_pairs = pairs with both fields non-null (the multi-arg
+    any-null drop rule above), and user/type distincts are preserved by
+    pair grouping. The x3 expand then runs over thousands of rows, not
+    millions. Results verified identical; interleaved same-session A/B
+    at x200: 2.03 -> 1.54 s median (the shuffled volume drops from 3x
+    all rows to the distinct pairs, so the gap widens with scale).
+    NB the shuffle BUDGET went 2 -> 3 exchanges: the budget counts
+    exchanges, and the pair-dedup adds one — but the bytes through the
+    expand exchanges drop from 3x the table to 3x the distinct pairs;
+    count up, volume (the 100 TB cost) down."""
     e = load(spark, sf_dir, "events")
-    return e.agg(
-        F.countDistinct("user_id", "event_type").alias("n_pairs"),
+    pairs = e.groupBy("user_id", "event_type").agg(F.lit(1).alias("_one"))
+    return pairs.agg(
+        F.count(
+            F.when(
+                F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull(),
+                1,
+            )
+        ).alias("n_pairs"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
     )

@@ -57,14 +57,13 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1 (legacy
     # sizeOfNull), which silently POISONS avg(); DuckDB's len(NULL) is
     # NULL and drops out of avg(). Null docs count in n_docs only.
-    # Token COUNT without the token ARRAY (r9 ladder): size(split(x,' '))
-    # allocates every token string just to count them; separators+1 is
-    # the same number for a single-space delimiter — split keeps empty
-    # tokens (consecutive/trailing spaces) and '' splits to [''], both
-    # matched by the +1 — with zero allocation. NULL propagates through
-    # length() like the old guard's when().
-    ntok = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    # Token counting stays size(split(...)): the r9 A/B at x200 measured
+    # the allocation-free alternative (length - length(replace) + 1,
+    # identical count for a single-space delimiter) 30% SLOWER — Spark's
+    # split has a fast single-char path while replace materializes a new
+    # string per row. Measured, not assumed (PLANS.md round-9).
+    ntok = F.when(
+        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
     )
     return (
         d.select("lang", ntok.alias("ntok"), "n_chars")
