@@ -44,3 +44,70 @@ def test_load_normalizes_every_ts_encoding(spark):
         assert dict(df.dtypes)["ts"] == "timestamp", unit
         got = sorted(r.ts for r in df.select("ts").collect())
         assert got == TS, (unit, got)
+
+
+def test_validated_embeddings_atomic_publish_and_eviction(spark):
+    """Round-9 advice fix: load_validated_embeddings publishes via temp-dir
+    + atomic rename (a reader that saw the marker can never observe a
+    half-overwritten data dir), recovers from a marker-less partial dir
+    left by a crashed/pre-atomic writer, and evicts superseded
+    fingerprints of the same sf_tag."""
+    import os
+    import shutil
+
+    from aced_etl_pod_spark.tables import load_validated_embeddings, scratch_dir
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = scratch_dir()
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    name = f"validated_emb_sf0.001_{st.st_mtime_ns:x}_{st.st_size:x}"
+    out = os.path.join(base, name)
+
+    # a stale fingerprint for the same sf_tag must be evicted on publish
+    stale = os.path.join(base, "validated_emb_sf0.001_deadbeef_1")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(stale, exist_ok=True)
+
+    n = load_validated_embeddings(spark, sf_dir).count()
+    assert n > 0
+    assert os.path.exists(os.path.join(out, "_VALIDATED"))
+    assert not os.path.exists(stale), "stale fingerprint not evicted"
+    # no leftover temp dirs from the publish
+    leftovers = [d for d in os.listdir(base) if d.startswith(f".{name}.tmp.")]
+    assert not leftovers, f"temp dirs leaked: {leftovers}"
+
+    # marker-less partial dir (legacy/crashed writer) must be rebuilt, not
+    # trusted and not permanently wedged
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.join(out, "emb"), exist_ok=True)  # partial: no marker
+    n2 = load_validated_embeddings(spark, sf_dir).count()
+    assert n2 == n
+    assert os.path.exists(os.path.join(out, "_VALIDATED"))
+
+
+def test_ivf_index_empty_and_normal_build_one_schema(spark):
+    """Round-9 advice fix: the empty-corpus IVF index must read back with
+    the SAME cells schema as the partitionBy('cid') path (cid int, last),
+    and probes on it return the empty k-NN frame."""
+    import shutil
+
+    from aced_etl_pod_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_index_probe_many,
+    )
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    root = scratch_dir("ivf_schema_parity")
+    shutil.rmtree(root, ignore_errors=True)
+    ivf_index_build(emb, f"{root}/normal")
+    ivf_index_build(emb.limit(0), f"{root}/empty")
+    s_normal = spark.read.parquet(f"{root}/normal/cells").schema
+    s_empty = spark.read.parquet(f"{root}/empty/cells").schema
+    assert s_normal == s_empty, f"{s_normal} != {s_empty}"
+
+    q = emb.limit(1)
+    assert ivf_index_probe(spark, f"{root}/empty", q, k=3).count() == 0
+    assert ivf_index_probe_many(spark, f"{root}/empty", q, k=3).count() == 0
+    shutil.rmtree(root, ignore_errors=True)
