@@ -70,6 +70,7 @@ def tune(spark: SparkSession) -> SparkSession:
 def get_spark(
     app_name: str = "aced_etl_pod_spark",
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine session.
 
@@ -92,6 +93,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    # JVM-start-time confs a harness needs (e.g. spark.eventLog.* for the
+    # spill ladder's metric capture) — no effect on an already-running app.
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
