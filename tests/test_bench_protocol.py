@@ -83,7 +83,12 @@ def test_bench_and_ladders_use_the_wrapper():
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rel in ("bench.py", "tools/bench_ladder.py", "tools/skew_ladder.py"):
+    for rel in (
+        "bench.py",
+        "tools/bench_ladder.py",
+        "tools/skew_ladder.py",
+        "tools/spill_ladder.py",
+    ):
         src = open(os.path.join(root, rel)).read()
         assert "def rerun(" in src and "executedPlan()" in src, (
             f"{rel} lost the full-re-execution wrapper (PLANS.md round-9)"
