@@ -389,7 +389,16 @@ def ivf_index_probe_many(
         .select("q_id", "q_emb", "cid")
     )
     idx = spark.read.parquet(f"{path}/cells")
-    cands = idx.join(q_cells, "cid").filter(F.col("q_id") != F.col(id_col))
+    # Broadcast the QUERY side explicitly: q_cells is Q x n_probe rows by
+    # construction, but its Window node hides that from the size estimator,
+    # so Catalyst instead broadcasts the cells scan whenever the index file
+    # is small (measured: an 80 k-vector index re-built a cells-side
+    # HashedRelation per execution and made the batched probe slower than
+    # sequential). At 100 TB the cells table is the unboundedly-big side
+    # and must stream; the hint pins the only orientation that scales.
+    cands = idx.join(F.broadcast(q_cells), "cid").filter(
+        F.col("q_id") != F.col(id_col)
+    )
     scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), id_col)
     return (
