@@ -445,6 +445,10 @@ def ivf_topk(
         .filter(F.col("rk") <= n_probe)
         .select("q_id", "q_emb", "cid")
     )
+    # No broadcast hint here, unlike ivf_index_probe_many: this op's query
+    # set is a corpus FRACTION (unbounded at scale), and both join inputs
+    # are derived (no file-stats misestimate to correct) — AQE picks the
+    # build side from accurate runtime sizes, which is the right call.
     cands = q_cells.join(inverted, "cid").filter(F.col("q_id") != F.col("vec_id"))
     scored = cands.withColumn("cos", cosine_expr("q_emb", "embedding"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")

@@ -881,7 +881,7 @@ def hierarchy_unroll_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_HIER_ROUNDS):
         paths = paths.cache()
         ext = paths.join(
-            F.broadcast(edges), paths.anc == edges.child, "left"
+            edges, paths.anc == edges.child, "left"
         ).select(
             "node",
             F.coalesce("parent", "anc").alias("anc"),
@@ -1086,8 +1086,8 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     return (
-        nonedge.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        nonedge.join(da, "a")
+        .join(db, "b")
         .select(
             F.col("a").cast("long").alias("a"),
             F.col("b").cast("long").alias("b"),
@@ -1506,7 +1506,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
-    ends = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ends = e.join(du, "u").join(dv, "v")
     sums = ends.agg(
         F.count("*").alias("m"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),

@@ -2189,14 +2189,14 @@ def win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy("user_id").agg(
         money(F.percentile("value", F.lit(0.5)), 4, 9).alias("med")
     )
-    dev = e.join(F.broadcast(med), "user_id").withColumn(
+    dev = e.join(med, "user_id").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("user_id", "med").agg(
         money(F.percentile("ad", F.lit(0.5)), 4, 9).alias("mad")
     )
     return (
-        dev.join(F.broadcast(mad.select("user_id", "mad")), "user_id")
+        dev.join(mad.select("user_id", "mad"), "user_id")
         .groupBy("user_id", "med", "mad")
         .agg(
             F.count("*").alias("n"),
@@ -2758,7 +2758,7 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.stddev_samp(finite(F.col("value"))), 9, 12).alias("sigma"),
     )
     joined = (
-        e.join(F.broadcast(stats), "user_id")
+        e.join(stats, "user_id")
         # non-finite measurements don't advance the CUSUM (class-B
         # contract): Python max(0, nan) and SQL greatest diverge, so the
         # recursion only ever sees finite z on both sides.
@@ -3310,7 +3310,7 @@ def join_fuzzy_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions.withColumn("bk", F.expr(_soundex_sql("mention")))
     c = catalog.withColumn("bk", F.expr(_soundex_sql("entity")))
     blocked = (
-        m.join(F.broadcast(c), "bk")
+        m.join(c, "bk")
         .withColumn("lev", F.levenshtein("mention", "entity").cast("long"))
         .filter(F.col("lev") <= 1)
     )

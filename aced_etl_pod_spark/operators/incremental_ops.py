@@ -792,7 +792,7 @@ MV_JOIN_VIEW_ORACLE = """
 
 def _mv_join_partials(orders: DataFrame, customer: DataFrame) -> DataFrame:
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
@@ -825,8 +825,11 @@ def mv_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic algebra needs base probes (O ⋈ ΔC), which is why
     production dimensions are SCD-managed (merge_scd2) rather than
     mutated in place — fact-append + slowly-changing dims is the shape
-    this op maintains. At 100 TB: refresh cost is O(delta ⋈ dim) with
-    the dim broadcast, plus an O(groups) merge."""
+    this op maintains. At 100 TB: refresh cost is O(delta ⋈ dim) — the
+    join strategy is left to AQE (broadcast while the projected dim fits
+    the threshold, shuffle once it doesn't; a forced broadcast of an
+    O(customers) dimension would OOM at scale — docs/SCALE.md §16),
+    plus an O(groups) merge."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     snap = mv_join_snapshot_path(sf_dir)

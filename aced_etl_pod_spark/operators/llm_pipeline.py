@@ -101,7 +101,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -184,7 +184,7 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     term_scores = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1486,8 +1486,8 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi_c = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     ctx_c = pairs.groupBy("a").agg(F.count("*").alias("c_a"))
     scored = (
-        pairs.join(F.broadcast(bi_c), ["a", "b"])
-        .join(F.broadcast(ctx_c), "a")
+        pairs.join(bi_c, ["a", "b"])
+        .join(ctx_c, "a")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

@@ -1642,7 +1642,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("blob_id"), "component", "group_size"
     )
     return (
-        hashed.join(F.broadcast(labeled), "blob_id", "left")
+        hashed.join(labeled, "blob_id", "left")
         .select(
             "blob_id",
             F.format_string("%016x", F.col("phash")).alias("phash_hex"),

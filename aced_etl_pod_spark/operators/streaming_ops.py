@@ -577,7 +577,7 @@ def stream_anomaly_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zc = money((F.col("total") - F.col("mu")) / F.col("sigma"), 4, 9)
     return (
-        wins.join(F.broadcast(stats), "user_id")
+        wins.join(stats, "user_id")
         .filter((F.col("n_windows") >= 10) & (F.col("sigma") > 0))
         .select(
             "user_id",

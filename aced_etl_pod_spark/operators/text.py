@@ -240,7 +240,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok").isNotNull())
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
-        post.join(F.broadcast(dfreq), "tok")
+        post.join(dfreq, "tok")
         .groupBy("doc_id", "lang")
         .agg(
             F.sort_array(
@@ -1355,7 +1355,7 @@ def dedup_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy("c", "tok")
     # prefix length = n - ceil(tau*n) + 1
     prefix = (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
@@ -1522,7 +1522,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
     return (
-        shared.join(F.broadcast(za), "id_a")
+        shared.join(za, "id_a")
         .filter(F.col("n_shared") >= 3)
         .select(
             "id_a",
