@@ -413,3 +413,42 @@ def test_ivf_index_probe_many_batch_serving(spark, tmp_path):
             key=lambda t: (-got[t], t[1]),
         )]
         assert set(srows) <= set(brows) | {q_id}, (q_id, srows, brows)
+
+
+def test_ivf_probe_many_streams_the_cells_side(spark, tmp_path):
+    """Round-9 regression pin: the candidates join must BROADCAST the
+    q_cells side (Q x n_probe rows by construction) and STREAM the cells
+    scan. The cells parquet is small at test scale, so without the
+    explicit hint Catalyst broadcasts the CELLS side off its file stats
+    (the q_cells Window hides its row bound) — an orientation that
+    rebuilds a corpus-sized HashedRelation per execution and cannot
+    survive a large index (measured 20.6 s -> 3.8 s at x40/Q=256,
+    PLANS.md round-9)."""
+    from aced_etl_pod_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_probe_many,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path)
+    batch = ivf_index_probe_many(
+        spark, path, emb.filter("vec_id % 100 = 0"), k=5, n_probe=4
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    # The candidates join prints as
+    #   BroadcastHashJoin [cast(cid#.. as bigint)], [cid#..L], Inner, BuildRight, ...
+    # left keys carry the cast() because the CELLS side stores cid as a
+    # partition int; q_cells' cid is already bigint. The buggy orientation
+    # printed BuildLeft (cells side built/broadcast).
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "cast(cid" in ln
+    ]
+    assert join_lines, "candidates join not found in plan:\n" + plan[:1500]
+    for ln in join_lines:
+        assert "BuildRight" in ln, (
+            "cells scan is the broadcast build side again:\n" + ln.strip()
+        )
