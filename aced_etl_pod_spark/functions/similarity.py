@@ -388,7 +388,16 @@ def ivf_index_probe_many(
         .filter(F.col("rk") <= n_probe)
         .select("q_id", "q_emb", "cid")
     )
-    idx = spark.read.parquet(f"{path}/cells")
+    # Coalesce the cells scan to the cluster width (shuffle-free: file and
+    # partition pruning still happen per split; coalesce only merges the
+    # resulting splits into fewer tasks). The C=sqrt(n) hive layout means
+    # C small files, and aggressive split pins (bench harnesses use 4 MB)
+    # shatter them further — measured at x200: the post-DPP scan ran 2528
+    # tasks for 26 MB and the batched probe spent 6 of its 12 s wall on
+    # pure scheduling; coalesced, the same probe runs ~4 s warm.
+    idx = spark.read.parquet(f"{path}/cells").coalesce(
+        spark.sparkContext.defaultParallelism
+    )
     # Broadcast the QUERY side explicitly: q_cells is Q x n_probe rows by
     # construction, but its Window node hides that from the size estimator,
     # so Catalyst instead broadcasts the cells scan whenever the index file
