@@ -1637,3 +1637,100 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.select(F.col("node").cast("long").alias("node")).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_serve_batch — the persisted-index BATCH serving path
+# ---------------------------------------------------------------------------
+
+
+def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Persist (centroids, cells) for the batch-serving op, trained with
+    the REPLAYABLE distributed Lloyd (functions/similarity.py::_ivf_train
+    — vec_id-ordered fold means, the same machinery
+    SIM_ANN_IVF_TOPK_ORACLE replays), laid out exactly like
+    ivf_index_build's artifacts: cells as partitionBy('cid') parquet
+    (data columns first, cid as the inferred partition column — the one
+    read-back schema both build paths must produce, per the round-8
+    empty-index fix) and the C-row centroid table alongside. Fingerprint-
+    keyed so regenerated testdata invalidates it."""
+    import os
+
+    from aced_etl_pod_spark.functions.similarity import (
+        _assign_nearest_centroid,
+        _ivf_train,
+    )
+    from aced_etl_pod_spark.operators.util import finite_vec
+    from aced_etl_pod_spark.tables import scratch_dir
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    path = scratch_dir(
+        f"ivfserve_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_vec(F.col("embedding")))
+        .select("vec_id", "embedding")
+    )
+    if emb.limit(1).count() == 0:
+        # empty-index contract (round-8 ADVICE fix, mirrored): one
+        # read-back schema regardless of which branch built the index
+        emb.withColumn("cid", F.lit(0).cast("int")).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/cells")
+        spark.createDataFrame([], "cid long, c_emb array<float>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        open(marker, "w").close()
+        return path
+    centroids = _ivf_train(emb, None, lloyd_iters=2)
+    inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
+    inverted.select("vec_id", "embedding", "cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{path}/cells")
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    open(marker, "w").close()
+    return path
+
+
+@op(
+    "sim_ann_ivf_serve_batch",
+    oracle=SIM_ANN_IVF_TOPK_ORACLE,
+    tags=("similarity", "approx", "serving", "extra"),
+)
+def sim_ann_ivf_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving against a PERSISTED IVF index — the round-9
+    throughput winner (tools/serve_throughput.py: 67-88 qps at
+    x40/Q=256, 14x over per-query jobs) registered as a first-class,
+    hash-oracled operator. The index artifacts are built once by
+    :func:`_ivf_serve_fixture` with the replayable ordered-fold Lloyd,
+    then ALL queries (vec_id % 100 == 0, the sim_ann_ivf_topk query set)
+    are answered by ONE ivf_index_probe_many plan: broadcast query set
+    (Q x n_probe rows by construction — the hint pins the only
+    orientation that scales), DPP-pruned union-of-cells scan coalesced
+    to cluster width (the small-files fix), codegen cosine re-rank,
+    WindowGroupLimit top-k per query.
+
+    Because training, probing, tie-breaks, and rounding are identical to
+    sim_ann_ivf_topk's in-memory path, the result set IS that op's —
+    SIM_ANN_IVF_TOPK_ORACLE is reused verbatim, so the hash check proves
+    the persisted layout (partition-column round-trip, float c_emb
+    round-trip, build-side orientation, scan coalesce) changes nothing
+    but the physics. At 100 TB: index once (one full pass), serve every
+    subsequent batch from n_probe·Q pruned cells."""
+    from aced_etl_pod_spark.functions.similarity import ivf_index_probe_many
+    from aced_etl_pod_spark.operators.util import finite_vec
+
+    path = _ivf_serve_fixture(spark, sf_dir)
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_vec(F.col("embedding")))
+        .filter(F.col("vec_id") % 100 == 0)
+    )
+    return ivf_index_probe_many(spark, path, queries, k=5, n_probe=4)

@@ -249,7 +249,15 @@ _ROTATION_PLAN = {
     # it. (Moved here from plan[7], where its r07 row already satisfied
     # the past-round gate; plan rounds must stay disjoint.) r10's other
     # 48 slots stay oldest-row backfill as planned.
-    10: ("sim_ann_ivf_append_probe", "embedding_pca_whiten"),
+    # (+ the round-9 closing addition sim_ann_ivf_serve_batch — the
+    # persisted-index batch-serving path, registered after the r09
+    # window was frozen, so it takes the third r10 pin; the remaining
+    # 47 slots stay oldest-row backfill.)
+    10: (
+        "sim_ann_ivf_append_probe",
+        "embedding_pca_whiten",
+        "sim_ann_ivf_serve_batch",
+    ),
 }
 
 # Operator-family modules; importing them runs the @op decorators.
