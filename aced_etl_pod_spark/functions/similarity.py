@@ -354,6 +354,7 @@ def ivf_index_probe_many(
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch serving against a persisted IVF index
     (:func:`ivf_index_build`) — the batch-inference shape: MANY queries,
@@ -369,7 +370,20 @@ def ivf_index_probe_many(
     manifest-level skipping the single probe gets statically. Survivors
     re-rank with the codegen cosine; top-k per query is one window.
     At 100 TB with Q queries: Q·n_probe·(n/C) rows scored, one shuffle
-    (the top-k window on q_id)."""
+    (the top-k window on q_id).
+
+    ``broadcast_queries`` is a CONTRACT declaration, not a tuning knob
+    (docs/SCALE.md §16 — hint only construction-bounded sides): pass
+    True only when the caller bounds Q by construction (a serving batch
+    of fixed size); the hint then pins the one orientation that scales,
+    because the cells table is the unboundedly-big side and the Window
+    above q_cells hides its Q·n_probe bound from the size estimator
+    (measured: without the hint an 80 k-vector index re-built a
+    cells-side HashedRelation per execution). Pass False when the query
+    set is a corpus FRACTION (unbounded at scale) — both join inputs are
+    then unbounded, broadcasting either would OOM at 100 TB, and AQE
+    picks the build side from accurate runtime sizes instead (the same
+    rationale as :func:`ivf_topk`'s unhinted join)."""
     from pyspark.sql import Window as W
 
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
@@ -398,14 +412,10 @@ def ivf_index_probe_many(
     idx = spark.read.parquet(f"{path}/cells").coalesce(
         spark.sparkContext.defaultParallelism
     )
-    # Broadcast the QUERY side explicitly: q_cells is Q x n_probe rows by
-    # construction, but its Window node hides that from the size estimator,
-    # so Catalyst instead broadcasts the cells scan whenever the index file
-    # is small (measured: an 80 k-vector index re-built a cells-side
-    # HashedRelation per execution and made the batched probe slower than
-    # sequential). At 100 TB the cells table is the unboundedly-big side
-    # and must stream; the hint pins the only orientation that scales.
-    cands = idx.join(F.broadcast(q_cells), "cid").filter(
+    # Hint only when the caller declared Q construction-bounded (see
+    # docstring); a corpus-fraction query set takes the unhinted AQE path.
+    probe_side = F.broadcast(q_cells) if broadcast_queries else q_cells
+    cands = idx.join(probe_side, "cid").filter(
         F.col("q_id") != F.col(id_col)
     )
     scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))

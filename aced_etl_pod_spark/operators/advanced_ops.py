@@ -1651,10 +1651,26 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     SIM_ANN_IVF_TOPK_ORACLE replays), laid out exactly like
     ivf_index_build's artifacts: cells as partitionBy('cid') parquet
     (data columns first, cid as the inferred partition column — the one
-    read-back schema both build paths must produce, per the round-8
-    empty-index fix) and the C-row centroid table alongside. Fingerprint-
-    keyed so regenerated testdata invalidates it."""
+    CELLS read-back schema both build paths must produce, per the
+    round-8 empty-index fix) and the C-row centroid table alongside.
+    Centroid c_emb types carry ivf_index_build's documented asymmetry:
+    the empty branch writes array<double> (ivf_index_build's empty
+    contract, functions/similarity.py) while the non-empty _ivf_train
+    branch yields array<float>; every reader tolerates both
+    (cosine_expr casts, probe returns empty on 0 centroids).
+    Fingerprint-keyed so regenerated testdata invalidates it.
+
+    Publication is ATOMIC (round-10 advice, mirroring
+    tables.load_validated_embeddings): data + _DONE marker are built in
+    a private temp dir and ``os.rename``d into the fingerprinted path,
+    so concurrent sessions can't interleave writes into the live dir
+    and a reader that saw the marker can never scan a half-overwritten
+    cells dir. A losing racer's rename fails (non-empty target) and its
+    temp dir is discarded; superseded fingerprints for the same sf_tag
+    are pruned best-effort after publish."""
     import os
+    import shutil
+    import tempfile
 
     from aced_etl_pod_spark.functions.similarity import (
         _assign_nearest_centroid,
@@ -1665,9 +1681,9 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    path = scratch_dir(
-        f"ivfserve_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
-    )
+    base = scratch_dir()
+    name = f"ivfserve_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    path = os.path.join(base, name)
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         return path
@@ -1676,26 +1692,52 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
         .filter(finite_vec(F.col("embedding")))
         .select("vec_id", "embedding")
     )
-    if emb.limit(1).count() == 0:
-        # empty-index contract (round-8 ADVICE fix, mirrored): one
-        # read-back schema regardless of which branch built the index
-        emb.withColumn("cid", F.lit(0).cast("int")).limit(0).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/cells")
-        spark.createDataFrame([], "cid long, c_emb array<float>").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/centroids")
-        open(marker, "w").close()
-        return path
-    centroids = _ivf_train(emb, None, lloyd_iters=2)
-    inverted = _assign_nearest_centroid(emb, centroids).join(emb, "vec_id")
-    inverted.select("vec_id", "embedding", "cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{path}/cells")
-    centroids.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/centroids"
-    )
-    open(marker, "w").close()
+    tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
+    try:
+        if emb.limit(1).count() == 0:
+            # empty-index contract (round-8 ADVICE fix, mirrored):
+            # cells keep the one read-back schema; centroids use
+            # array<double> exactly like ivf_index_build's empty branch
+            emb.withColumn("cid", F.lit(0).cast("int")).limit(
+                0
+            ).write.mode("overwrite").parquet(f"{tmp}/cells")
+            spark.createDataFrame(
+                [], "cid long, c_emb array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/centroids"
+            )
+        else:
+            centroids = _ivf_train(emb, None, lloyd_iters=2)
+            inverted = _assign_nearest_centroid(emb, centroids).join(
+                emb, "vec_id"
+            )
+            inverted.select("vec_id", "embedding", "cid").write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(f"{tmp}/cells")
+            centroids.coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/centroids"
+            )
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        for _ in range(2):
+            try:
+                os.rename(tmp, path)  # atomic publish on the same fs
+                break
+            except OSError:
+                if os.path.exists(marker):
+                    # a concurrent session published first — theirs is
+                    # complete (marker only exists post-rename)
+                    break
+                # marker-less target = partial dir from a pre-atomic
+                # writer or a crash; clear it and rename once more
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            raise OSError(f"could not publish IVF serve index at {path}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    prefix = f"ivfserve_{sf_tag}_"
+    for d in os.listdir(base):
+        if d.startswith(prefix) and d != name:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return path
 
 
@@ -1711,11 +1753,16 @@ def sim_ann_ivf_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-oracled operator. The index artifacts are built once by
     :func:`_ivf_serve_fixture` with the replayable ordered-fold Lloyd,
     then ALL queries (vec_id % 100 == 0, the sim_ann_ivf_topk query set)
-    are answered by ONE ivf_index_probe_many plan: broadcast query set
-    (Q x n_probe rows by construction — the hint pins the only
-    orientation that scales), DPP-pruned union-of-cells scan coalesced
-    to cluster width (the small-files fix), codegen cosine re-rank,
-    WindowGroupLimit top-k per query.
+    are answered by ONE ivf_index_probe_many plan: DPP-pruned
+    union-of-cells scan coalesced to cluster width (the small-files
+    fix), codegen cosine re-rank, WindowGroupLimit top-k per query.
+
+    This op's query set is a corpus FRACTION (1 % of vec_ids), so it is
+    unbounded at 100 TB and takes probe_many's unhinted AQE path
+    (``broadcast_queries=False`` — round-10 advice; docs/SCALE.md §16's
+    audit rule: hint only construction-bounded sides). Bounded-batch
+    serving callers (tools/serve_throughput.py, fixed Q per batch)
+    keep the broadcast hint, which is theirs by contract.
 
     Because training, probing, tie-breaks, and rounding are identical to
     sim_ann_ivf_topk's in-memory path, the result set IS that op's —
@@ -1733,4 +1780,6 @@ def sim_ann_ivf_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(finite_vec(F.col("embedding")))
         .filter(F.col("vec_id") % 100 == 0)
     )
-    return ivf_index_probe_many(spark, path, queries, k=5, n_probe=4)
+    return ivf_index_probe_many(
+        spark, path, queries, k=5, n_probe=4, broadcast_queries=False
+    )
