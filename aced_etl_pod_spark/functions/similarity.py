@@ -159,6 +159,36 @@ def ivf_centroids_for(n: int) -> int:
     return max(4, min(65536, int(math.isqrt(max(n, 16)))))
 
 
+def ivf_buckets_for(
+    n_rows: int,
+    dim: int,
+    n_centroids: int,
+    target_file_bytes: int = 96 << 20,
+) -> int:
+    """Bucket count for the persisted IVF cells layout (docs/SCALE.md
+    cluster-changes item 6): ``partitionBy(cid)`` at C = sqrt(n) means
+    one tiny file per cell (~300 k files at 100 TB — a listing and
+    footer-read tax on every full-index pass, measured at x200 as a
+    26 MB/633-file scan costing seconds of pure scheduling). Instead the
+    cells are laid out as ~file-sized BUCKETS: partition key
+    ``bkt = cid % B``, cid sorted within each file, so single probes
+    prune buckets at file level (PartitionFilters) and cid ranges at
+    row-group level (parquet min/max on the sorted cid column), and
+    batch probes DPP on the bucket key.
+
+    B is sized so one bucket ≈ one healthy parquet file
+    (``target_file_bytes``, default 96 MB): rows are ~4·dim bytes of
+    float lanes + id overhead; B grows linearly with the corpus and is
+    capped at C (a bucket never holds less than one cell). At sf0.01
+    this yields B=1 (one file — the floor); at 100 TB it yields
+    ~bytes/96 MB files, each a few hundred cells."""
+    import math
+
+    bytes_per_row = 4 * max(dim, 1) + 16
+    rows_per_bucket = max(1, target_file_bytes // bytes_per_row)
+    return max(1, min(n_centroids, math.ceil(n_rows / rows_per_bucket)))
+
+
 def _ivf_train(
     emb: DataFrame, n_centroids: int | None, lloyd_iters: int
 ) -> DataFrame:
@@ -208,8 +238,15 @@ def ivf_index_build(
     driver-side on a bounded deterministic sample (lowest vec_ids, numpy
     Lloyd — model-sized state, the PQ-codebook pattern), assign every
     vector in ONE Arrow/BLAS pass, and write the inverted lists as
-    parquet ``partitionBy(cid)`` with the centroid table alongside
-    (``<path>/centroids``, C rows).
+    ~file-sized cell BUCKETS — parquet ``partitionBy(bkt)`` with
+    ``bkt = cid % B`` (:func:`ivf_buckets_for`) and cid SORTED within
+    each file — with the centroid table alongside (``<path>/centroids``,
+    C rows, carrying each cell's bkt so readers never re-derive the
+    modulus). The bucket layout (round-10; docs/SCALE.md item 6)
+    replaces the one-file-per-cell ``partitionBy(cid)`` whose C = sqrt(n)
+    tiny files cost a listing/footer tax on every pass: probes prune
+    buckets at file level and cid ranges at row-group level via the
+    sorted cid column's parquet min/max.
 
     Unlike the per-query :func:`ivf_topk` (whose distributed Lloyd is
     deliberately oracle-replayable and priced for small corpora), an
@@ -234,24 +271,26 @@ def ivf_index_build(
     emb = emb.filter(finite_vec(F.col("embedding"))).select(
         "vec_id", "embedding"
     )
+    n_rows = emb.count()
     if n_centroids is None:
-        n_centroids = ivf_centroids_for(emb.count())
+        n_centroids = ivf_centroids_for(n_rows)
     rows = emb.orderBy("vec_id").limit(max(sample_size, n_centroids)).collect()
     if not rows:
         # empty-partition contract: an index over zero valid vectors is an
         # EMPTY index (0 cells, 0 centroids), not a crash — probes on it
         # return the empty k-NN frame. The schema must match what the
-        # NORMAL path's partitionBy('cid') read-back yields — data columns
-        # first, then cid as the (IntegerType-inferred) partition column —
-        # or readers scanning {path}/cells see a different cid type
-        # depending on which branch built the index. (partitionBy on a
-        # zero-row frame writes no files at all, so the empty branch keeps
-        # the unpartitioned writer and matches the layout instead.)
-        emb.withColumn("cid", F.lit(0).cast("int")).limit(0).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/cells")
+        # NORMAL path's partitionBy('bkt') read-back yields — data columns
+        # first (vec_id, embedding, cid LONG), then bkt as the
+        # (IntegerType-inferred) partition column — or readers scanning
+        # {path}/cells see a different schema depending on which branch
+        # built the index. (partitionBy on a zero-row frame writes no
+        # files at all, so the empty branch keeps the unpartitioned
+        # writer and matches the layout instead.)
+        emb.withColumn("cid", F.lit(0).cast("long")).withColumn(
+            "bkt", F.lit(0).cast("int")
+        ).limit(0).write.mode("overwrite").parquet(f"{path}/cells")
         emb.sparkSession.createDataFrame(
-            [], "cid long, c_emb array<double>"
+            [], "cid long, c_emb array<double>, bkt int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
         return 0
     S = np.stack([np.asarray(r["embedding"]) for r in rows]).astype(np.float64)
@@ -291,14 +330,31 @@ def ivf_index_build(
     inverted = emb.mapInPandas(
         assign_cells, "vec_id long, embedding array<float>, cid long"
     )
-    inverted.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/cells"
+    # Bucketed cells layout: B ~file-sized partitions keyed cid % B, cid
+    # sorted within each file (repartition on bkt makes one task own a
+    # bucket; sortWithinPartitions gives the writer cid-runs so parquet
+    # row-group min/max stats on cid are tight).
+    n_buckets = ivf_buckets_for(n_rows, len(S[0]), n_centroids)
+    (
+        inverted.withColumn(
+            "bkt", (F.col("cid") % n_buckets).cast("int")
+        )
+        .repartition(n_buckets, "bkt")
+        .sortWithinPartitions("bkt", "cid")
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(f"{path}/cells")
     )
+    cids = np.arange(n_centroids, dtype="int64")
     cpdf = pd.DataFrame(
-        {"cid": np.arange(n_centroids, dtype="int64"), "c_emb": list(cents)}
+        {
+            "cid": cids,
+            "c_emb": list(cents),
+            "bkt": (cids % n_buckets).astype("int32"),
+        }
     )
     emb.sparkSession.createDataFrame(
-        cpdf, "cid long, c_emb array<double>"
+        cpdf, "cid long, c_emb array<double>, bkt int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return n_centroids
 
@@ -315,9 +371,12 @@ def ivf_index_probe(
     """Serve a single-query cosine top-k from a persisted IVF index
     (:func:`ivf_index_build`): argmax the C-row centroid table driver-side
     (model-sized state, like a literal), then scan ONLY the ``n_probe``
-    nearest cells — ``cid`` is the partition column, so the filter prunes
-    at the file level (plan shows PartitionFilters, not a data filter) —
-    and exact-re-rank survivors with the Arrow/BLAS kernel.
+    nearest cells — ``bkt`` is the partition column, so the bucket filter
+    prunes at the file level (plan shows PartitionFilters) while the cid
+    filter prunes row groups via the sorted cid column's parquet min/max
+    — and exact-re-rank survivors with the Arrow/BLAS kernel. The
+    cid→bkt mapping rides the centroid table (written at build time), so
+    readers never re-derive the bucket modulus.
 
     Latency scales with n_probe·n/C = O(sqrt(n)·n_probe) rows touched,
     not n; this is the registered ops' serving twin for repeated queries
@@ -338,8 +397,13 @@ def ivf_index_probe(
     sims = (C @ qvec) / (np.sqrt((C * C).sum(axis=1)) * q_norm)
     order = np.lexsort((cpdf["cid"].to_numpy(), -sims))
     cells = [int(cpdf["cid"].iloc[i]) for i in order[:n_probe]]
+    bkts = sorted({int(cpdf["bkt"].iloc[i]) for i in order[:n_probe]})
 
-    idx = spark.read.parquet(f"{path}/cells").filter(F.col("cid").isin(cells))
+    idx = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("cid").isin(cells))
+    )
     rerank = (
         brute_force_topk_unrolled if len(qvec) <= 128 else brute_force_topk_fast
     )
@@ -364,10 +428,11 @@ def ivf_index_probe_many(
     Plan: the C-row centroid table broadcasts against the query set
     (queries never leave the cluster — unlike the single-query probe,
     nothing is collected driver-side); per-query cell ranking is a
-    broadcast-side window; the join of (q_id, cid) against the
-    cid-partitioned cells table triggers DYNAMIC PARTITION PRUNING, so
-    the file scan touches only the union of probed cells — the same
-    manifest-level skipping the single probe gets statically. Survivors
+    broadcast-side window; the join of (q_id, bkt, cid) against the
+    bucket-partitioned cells table triggers DYNAMIC PARTITION PRUNING on
+    the bucket key, so the file scan touches only the buckets holding
+    probed cells — the same file-level skipping the single probe gets
+    statically — while the cid equi-join drops the rest. Survivors
     re-rank with the codegen cosine; top-k per query is one window.
     At 100 TB with Q queries: Q·n_probe·(n/C) rows scored, one shuffle
     (the top-k window on q_id).
@@ -400,22 +465,23 @@ def ivf_index_probe_many(
             ),
         )
         .filter(F.col("rk") <= n_probe)
-        .select("q_id", "q_emb", "cid")
+        .select("q_id", "q_emb", "cid", "bkt")
     )
     # Coalesce the cells scan to the cluster width (shuffle-free: file and
     # partition pruning still happen per split; coalesce only merges the
-    # resulting splits into fewer tasks). The C=sqrt(n) hive layout means
-    # C small files, and aggressive split pins (bench harnesses use 4 MB)
-    # shatter them further — measured at x200: the post-DPP scan ran 2528
-    # tasks for 26 MB and the batched probe spent 6 of its 12 s wall on
-    # pure scheduling; coalesced, the same probe runs ~4 s warm.
+    # resulting splits into fewer tasks). The bucketed layout already
+    # bounds the file count at B ~ corpus/96 MB, but aggressive split
+    # pins (bench harnesses use 4 MB) still shatter buckets into tiny
+    # splits — measured at x200 under the old per-cell layout: 2528
+    # tasks for 26 MB, 6 of 12 s wall on pure scheduling; coalesced, the
+    # same probe runs ~4 s warm.
     idx = spark.read.parquet(f"{path}/cells").coalesce(
         spark.sparkContext.defaultParallelism
     )
     # Hint only when the caller declared Q construction-bounded (see
     # docstring); a corpus-fraction query set takes the unhinted AQE path.
     probe_side = F.broadcast(q_cells) if broadcast_queries else q_cells
-    cands = idx.join(probe_side, "cid").filter(
+    cands = idx.join(probe_side, ["bkt", "cid"]).filter(
         F.col("q_id") != F.col(id_col)
     )
     scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))

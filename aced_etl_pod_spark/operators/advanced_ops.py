@@ -1649,10 +1649,12 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     the REPLAYABLE distributed Lloyd (functions/similarity.py::_ivf_train
     — vec_id-ordered fold means, the same machinery
     SIM_ANN_IVF_TOPK_ORACLE replays), laid out exactly like
-    ivf_index_build's artifacts: cells as partitionBy('cid') parquet
-    (data columns first, cid as the inferred partition column — the one
-    CELLS read-back schema both build paths must produce, per the
-    round-8 empty-index fix) and the C-row centroid table alongside.
+    ivf_index_build's artifacts: cells as BUCKETED parquet —
+    partitionBy('bkt'), bkt = cid % ivf_buckets_for(...), cid sorted
+    within each file (docs/SCALE.md item 6; data columns first, bkt as
+    the inferred partition column — the one CELLS read-back schema both
+    build paths must produce, per the round-8 empty-index fix) and the
+    C-row centroid table (carrying each cell's bkt) alongside.
     Centroid c_emb types carry ivf_index_build's documented asymmetry:
     the empty branch writes array<double> (ivf_index_build's empty
     contract, functions/similarity.py) while the non-empty _ivf_train
@@ -1675,6 +1677,8 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     from aced_etl_pod_spark.functions.similarity import (
         _assign_nearest_centroid,
         _ivf_train,
+        ivf_buckets_for,
+        ivf_centroids_for,
     )
     from aced_etl_pod_spark.operators.util import finite_vec
     from aced_etl_pod_spark.tables import scratch_dir
@@ -1682,7 +1686,10 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     base = scratch_dir()
-    name = f"ivfserve_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    # 'ivfserve2' = bucketed-cells layout generation; the name bump
+    # orphans round-9 per-cell-layout fixtures (evicted below) so a
+    # published old-layout index is never read by a bucket-aware probe
+    name = f"ivfserve2_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
     path = os.path.join(base, name)
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
@@ -1694,27 +1701,39 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
     tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
     try:
-        if emb.limit(1).count() == 0:
+        n_rows = emb.count()
+        if n_rows == 0:
             # empty-index contract (round-8 ADVICE fix, mirrored):
             # cells keep the one read-back schema; centroids use
             # array<double> exactly like ivf_index_build's empty branch
-            emb.withColumn("cid", F.lit(0).cast("int")).limit(
-                0
-            ).write.mode("overwrite").parquet(f"{tmp}/cells")
+            emb.withColumn("cid", F.lit(0).cast("long")).withColumn(
+                "bkt", F.lit(0).cast("int")
+            ).limit(0).write.mode("overwrite").parquet(f"{tmp}/cells")
             spark.createDataFrame(
-                [], "cid long, c_emb array<double>"
+                [], "cid long, c_emb array<double>, bkt int"
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{tmp}/centroids"
             )
         else:
-            centroids = _ivf_train(emb, None, lloyd_iters=2)
+            dim = len(emb.select("embedding").head()[0])
+            n_cent = ivf_centroids_for(n_rows)
+            n_buckets = ivf_buckets_for(n_rows, dim, n_cent)
+            centroids = _ivf_train(emb, n_cent, lloyd_iters=2)
             inverted = _assign_nearest_centroid(emb, centroids).join(
                 emb, "vec_id"
             )
-            inverted.select("vec_id", "embedding", "cid").write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(f"{tmp}/cells")
-            centroids.coalesce(1).write.mode("overwrite").parquet(
+            (
+                inverted.select("vec_id", "embedding", "cid")
+                .withColumn("bkt", (F.col("cid") % n_buckets).cast("int"))
+                .repartition(n_buckets, "bkt")
+                .sortWithinPartitions("bkt", "cid")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(f"{tmp}/cells")
+            )
+            centroids.withColumn(
+                "bkt", (F.col("cid") % n_buckets).cast("int")
+            ).coalesce(1).write.mode("overwrite").parquet(
                 f"{tmp}/centroids"
             )
         open(os.path.join(tmp, "_DONE"), "w").close()
@@ -1734,10 +1753,12 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
             raise OSError(f"could not publish IVF serve index at {path}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    prefix = f"ivfserve_{sf_tag}_"
-    for d in os.listdir(base):
-        if d.startswith(prefix) and d != name:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    # evict superseded fingerprints of this sf_tag AND any round-9
+    # per-cell-layout fixture ('ivfserve_' prefix, pre-bucketing)
+    for prefix in (f"ivfserve2_{sf_tag}_", f"ivfserve_{sf_tag}_"):
+        for d in os.listdir(base):
+            if d.startswith(prefix) and d != name:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return path
 
 

@@ -309,6 +309,49 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "fn_json_variant",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS avg_k,
+           CAST(count(*) FILTER (
+             WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+           ) AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("fn", "extra"),
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_json's exact query through Spark 4's VARIANT path (round-10
+    verdict item 3's A/B contender): ``try_parse_json`` shreds the
+    document once into the binary variant encoding, ``try_variant_get``
+    then extracts '$.k' without re-running Jackson per path. Same
+    output contract and oracle as fn_json — the only difference is the
+    parse kernel, which is the point: q6's at-scale gap is JSON-parse
+    bound, so the two ops measure Spark's two parse engines against the
+    identical downstream plan. A malformed document yields NULL through
+    try_parse_json exactly as from_json's null-row does in fn_json."""
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "double")
+    k_int = F.when(
+        k.between(-2147483648, 2147483647) & (k == F.floor(k)),
+        k.cast("int"),
+    )
+    return (
+        e.select("event_type", k.alias("k"), k_int.alias("k_i"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            F.max("k").alias("max_k"),
+            F.sum("k_i").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@op(
     "fn_cast",
     oracle="""
     SELECT event_id,

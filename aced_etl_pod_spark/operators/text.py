@@ -78,6 +78,59 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "text_tokenize_stats_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "extra"),
+)
+def text_tokenize_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_tokenize_stats' exact query with the token count computed in
+    an ARROW kernel (round-10 verdict item 6's A/B contender):
+    ``pyarrow.compute.count_substring(text, ' ') + 1`` is equal to
+    ``size(split(text, ' '))`` for every non-null string (split on a
+    single-char delimiter yields separators+1 fields, including empty
+    ones), evaluated as one vectorized C++ pass with zero per-row
+    allocation — vs the JVM split which materializes a String[] per row
+    just to take its length. Null text propagates to a null count, the
+    same when(isNotNull) semantics the original guards. The group-agg
+    downstream is identical, so the two ops measure only the
+    tokenization kernel + Arrow transfer against whole-stage codegen.
+    Same oracle as text_tokenize_stats."""
+    d = load(spark, sf_dir, "documents").select("lang", "text", "n_chars")
+
+    def tok(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            ntok = pc.add(
+                pc.count_substring(b.column("text"), " "), 1
+            ).cast(pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("lang"), ntok, b.column("n_chars")],
+                ["lang", "ntok", "n_chars"],
+            )
+
+    return (
+        d.mapInArrow(tok, "lang string, ntok int, n_chars long")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@op(
     "text_normalize",
     oracle=f"""
     SELECT doc_id, {DUCK_NORMALIZE.format(col="text")} AS norm

@@ -4,6 +4,8 @@ the driver). Rows-only ops must at least execute and return a DataFrame."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from aced_etl_pod_spark.oracle import compare, duck_con
@@ -283,4 +285,33 @@ def test_rotation_drains_entire_census_within_bound():
     assert not missing, (
         f"{len(missing)} ops never reach an external window within 6 "
         f"rounds: {sorted(missing)[:10]}"
+    )
+
+
+def test_census_counts_in_lockstep():
+    """r9 verdict item 8: the registry count, README's census line, and
+    docs/OPERATORS.md's auto-generated header must agree, so an r8-style
+    drift (328 vs 329 across docs) cannot recur. The README line is
+    matched by its 'Full inventory (N operators' anchor; OPERATORS.md by
+    its 'N registered operators; N DuckDB-oracle-checked' header."""
+    import re
+
+    from aced_etl_pod_spark.registry import all_oracles, all_queries
+
+    n = len(all_queries())
+    assert len(all_oracles()) == n, "queries/oracles census mismatch"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"Full inventory \((\d+) operators, ALL (\d+) full-oracle", readme)
+    assert m, "README census anchor line missing"
+    assert int(m.group(1)) == n and int(m.group(2)) == n, (
+        f"README says {m.groups()}, registry has {n}"
+    )
+
+    opsmd = open(os.path.join(root, "docs", "OPERATORS.md")).read()
+    m2 = re.search(r"(\d+) registered operators; (\d+) DuckDB-oracle-checked", opsmd)
+    assert m2, "OPERATORS.md header missing"
+    assert int(m2.group(1)) == n and int(m2.group(2)) == n, (
+        f"OPERATORS.md says {m2.groups()}, registry has {n}"
     )

@@ -351,13 +351,16 @@ def test_ivfpq_recall_and_probe_fraction(spark):
 
 def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
     """The persisted-index serving path (bench's q8_ivf line): build on
-    the corpus, probe the vec_id=0 query, and require (a) partition-
-    pruned cells on disk, (b) probe recall@10 == 1.0 vs the exact scan
-    at this n_probe on the small corpus, (c) schema/order contract."""
+    the corpus, probe the vec_id=0 query, and require (a) the bucketed
+    cells layout on disk (round-10, SCALE.md item 6: partitionBy(bkt),
+    cid a sorted data column — NOT one file per cell), (b) probe
+    recall@10 == 1.0 vs the exact scan at this n_probe on the small
+    corpus, (c) schema/order contract."""
     import os
 
     from aced_etl_pod_spark.functions.similarity import (
         brute_force_topk_unrolled,
+        ivf_buckets_for,
         ivf_index_build,
         ivf_index_probe,
     )
@@ -367,10 +370,23 @@ def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
     path = str(tmp_path / "ivf")
     ncent = ivf_index_build(emb, path)
     assert ncent >= 4
-    cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("cid=")]
-    assert len(cells) > 1, "inverted lists must be partitioned by cid"
+    bkts = [d for d in os.listdir(f"{path}/cells") if d.startswith("bkt=")]
+    dim = len(emb.select("embedding").head()[0])
+    expect_b = ivf_buckets_for(emb.count(), dim, ncent)
+    assert len(bkts) == expect_b, (bkts, expect_b)
+    assert not any(
+        d.startswith("cid=") for d in os.listdir(f"{path}/cells")
+    ), "per-cell hive layout is the retired round-9 layout"
+    cells_df = spark.read.parquet(f"{path}/cells")
+    assert [f.name for f in cells_df.schema] == [
+        "vec_id", "embedding", "cid", "bkt",
+    ], cells_df.schema
     q = emb.filter("vec_id = 0")
     got = ivf_index_probe(spark, path, q, k=10, n_probe=max(4, ncent // 2))
+    # file-level pruning happens on the bucket key: the scan's partition
+    # filter must be on bkt (PartitionFilters in the formatted plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "bkt" in plan.split("PartitionFilters", 1)[-1][:200], plan[:1500]
     rows = got.collect()
     assert [c for c in got.columns] == ["vec_id", "cos_sim"]
     exact = [r["vec_id"] for r in brute_force_topk_unrolled(emb, q, k=10).collect()]
@@ -438,14 +454,14 @@ def test_ivf_probe_many_streams_the_cells_side(spark, tmp_path):
     )
     plan = batch._jdf.queryExecution().executedPlan().toString()
     # The candidates join prints as
-    #   BroadcastHashJoin [cast(cid#.. as bigint)], [cid#..L], Inner, BuildRight, ...
-    # left keys carry the cast() because the CELLS side stores cid as a
-    # partition int; q_cells' cid is already bigint. The buggy orientation
-    # printed BuildLeft (cells side built/broadcast).
+    #   BroadcastHashJoin [bkt#.., cid#..L], [bkt#.., cid#..L], Inner, BuildRight, ...
+    # (bucketed layout: bkt is the partition key, cid a long data column
+    # on both sides). The buggy orientation printed BuildLeft (cells
+    # side built/broadcast).
     join_lines = [
         ln
         for ln in plan.splitlines()
-        if "BroadcastHashJoin" in ln and "cast(cid" in ln
+        if "BroadcastHashJoin" in ln and "cid" in ln
     ]
     assert join_lines, "candidates join not found in plan:\n" + plan[:1500]
     for ln in join_lines:

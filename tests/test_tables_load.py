@@ -86,9 +86,10 @@ def test_validated_embeddings_atomic_publish_and_eviction(spark):
 
 
 def test_ivf_index_empty_and_normal_build_one_schema(spark):
-    """Round-9 advice fix: the empty-corpus IVF index must read back with
-    the SAME cells schema as the partitionBy('cid') path (cid int, last),
-    and probes on it return the empty k-NN frame."""
+    """Round-9 advice fix (re-pinned on the round-10 bucketed layout):
+    the empty-corpus IVF index must read back with the SAME cells schema
+    as the partitionBy('bkt') path (vec_id, embedding, cid long, bkt int
+    last), and probes on it return the empty k-NN frame."""
     import shutil
 
     from aced_etl_pod_spark.functions.similarity import (

@@ -233,7 +233,7 @@ def _serve_extra(spark, con, sf, reg, rerun, reps) -> dict[str, float]:
     from aced_etl_pod_spark.tables import load, scratch_dir
 
     emb = load(spark, sf, "embeddings")
-    idx = scratch_dir(f"ivfidx_{os.path.basename(sf.rstrip('/'))}")
+    idx = scratch_dir(f"ivfidx2_{os.path.basename(sf.rstrip('/'))}")
     marker = os.path.join(idx, "_DONE")
     build = 0.0
     if not os.path.exists(marker):

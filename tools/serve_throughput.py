@@ -66,7 +66,7 @@ def main() -> int:
         },
     )
     emb = load(spark, sf, "embeddings")
-    idx = scratch_dir(f"ivfidx_{os.path.basename(sf.rstrip('/'))}")
+    idx = scratch_dir(f"ivfidx2_{os.path.basename(sf.rstrip('/'))}")
     marker = os.path.join(idx, "_DONE")
     if not os.path.exists(marker):
         t0 = time.perf_counter()
