@@ -189,6 +189,26 @@ def ivf_buckets_for(
     return max(1, min(n_centroids, math.ceil(n_rows / rows_per_bucket)))
 
 
+def ivf_rowgroup_bytes(n_rows: int, dim: int, n_centroids: int) -> int:
+    """Parquet row-group (block) size for the bucketed cells write: ~ONE
+    CELL per row group, clamped to [512 KB, 128 MB]. This is the half of
+    the bucket layout that keeps probes sublinear at every scale: file-
+    level pruning on bkt only narrows to B files, and a probe that then
+    has to decode whole buckets reads O(corpus/B) — measured at x200
+    (B=2): the bucketed probe re-read the entire 104 MB corpus because
+    each bucket file was ONE row group spanning every cid (354 ms vs the
+    per-cell layout's ~155 ms). With cid sorted within the file and row
+    groups sized to ~one cell, the pushed `cid IN (...)` filter skips
+    every non-probed cell's row group off its min/max stats, restoring
+    the n_probe·(n/C)-rows-touched contract without the per-cell file
+    count. At 100 TB a cell is ~GBs, so the 128 MB cap applies and a
+    probed cell spans several row groups — pruning granularity stays
+    ≤128 MB regardless of corpus size."""
+    bytes_per_row = 4 * max(dim, 1) + 16
+    cell_bytes = (max(n_rows, 1) * bytes_per_row) // max(n_centroids, 1)
+    return int(min(max(cell_bytes, 512 << 10), 128 << 20))
+
+
 def _ivf_train(
     emb: DataFrame, n_centroids: int | None, lloyd_iters: int
 ) -> DataFrame:
@@ -342,6 +362,13 @@ def ivf_index_build(
         .repartition(n_buckets, "bkt")
         .sortWithinPartitions("bkt", "cid")
         .write.mode("overwrite")
+        # ~one cell per row group so the pushed cid filter prunes at
+        # row-group level (see ivf_rowgroup_bytes — file-level bkt
+        # pruning alone reads O(corpus/B))
+        .option(
+            "parquet.block.size",
+            ivf_rowgroup_bytes(n_rows, len(S[0]), n_centroids),
+        )
         .partitionBy("bkt")
         .parquet(f"{path}/cells")
     )

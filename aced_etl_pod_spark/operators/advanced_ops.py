@@ -1679,6 +1679,7 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
         _ivf_train,
         ivf_buckets_for,
         ivf_centroids_for,
+        ivf_rowgroup_bytes,
     )
     from aced_etl_pod_spark.operators.util import finite_vec
     from aced_etl_pod_spark.tables import scratch_dir
@@ -1728,6 +1729,12 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
                 .repartition(n_buckets, "bkt")
                 .sortWithinPartitions("bkt", "cid")
                 .write.mode("overwrite")
+                # ~one cell per row group (ivf_rowgroup_bytes): bkt
+                # prunes files, cid min/max prunes row groups
+                .option(
+                    "parquet.block.size",
+                    ivf_rowgroup_bytes(n_rows, dim, n_cent),
+                )
                 .partitionBy("bkt")
                 .parquet(f"{tmp}/cells")
             )

@@ -52,22 +52,39 @@ DUCK_NORMALIZE = (
     tags=("text", "bench"),
 )
 def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + per-language stats (BASELINE B7)."""
+    """Token counting + per-language stats (BASELINE B7), with the token
+    kernel DISPATCHED on corpus size (round-10; the same size-dispatch
+    idiom as the unrolled-vs-BLAS cosine rerank):
+
+    * below ~100 k docs: JVM ``size(split(text, ' '))`` — whole-stage
+      codegen, no Python worker round-trip; the Arrow path's transfer
+      overhead doesn't amortize here (x10 A/B: Arrow 1.18x SLOWER).
+    * at/above: the Arrow ``count_substring`` kernel
+      (:func:`_tokenize_ntok_arrow`) — one vectorized C++ pass with zero
+      per-row allocation vs the JVM split's String[] per row; measured
+      0.58x at x40 and 0.49x at x200 (PLANS.md round-10). Identical
+      counts by construction, same oracle, hash-verified both ways.
+
+    The r9 A/B already rejected the JVM allocation-free rewrite
+    (length-replace arithmetic, 30% slower — split has a fast
+    single-char path); the Arrow kernel is the one that actually beats
+    it. The dispatch count is a parquet-metadata job at plan time."""
     d = load(spark, sf_dir, "documents")
-    # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1 (legacy
-    # sizeOfNull), which silently POISONS avg(); DuckDB's len(NULL) is
-    # NULL and drops out of avg(). Null docs count in n_docs only.
-    # Token counting stays size(split(...)): the r9 A/B at x200 measured
-    # the allocation-free alternative (length - length(replace) + 1,
-    # identical count for a single-space delimiter) 30% SLOWER — Spark's
-    # split has a fast single-char path while replace materializes a new
-    # string per row. Measured, not assumed (PLANS.md round-9).
-    ntok = F.when(
-        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
-    )
+    if d.count() >= _ARROW_TOKENIZE_MIN_DOCS:
+        pre = d.select("lang", "text", "n_chars").mapInArrow(
+            _tokenize_ntok_arrow, "lang string, ntok int, n_chars long"
+        )
+    else:
+        # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1
+        # (legacy sizeOfNull), which silently POISONS avg(); DuckDB's
+        # len(NULL) is NULL and drops out of avg(). Null docs count in
+        # n_docs only.
+        ntok = F.when(
+            F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+        )
+        pre = d.select("lang", ntok.alias("ntok"), "n_chars")
     return (
-        d.select("lang", ntok.alias("ntok"), "n_chars")
-        .groupBy("lang")
+        pre.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("ntok"), 2).alias("avg_tokens"),
@@ -75,6 +92,30 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+# x10 (50 k docs): Arrow 1.18x slower; x40 (200 k): 0.58x — the transfer
+# overhead amortizes somewhere between; 100 k splits the bracket
+_ARROW_TOKENIZE_MIN_DOCS = 100_000
+
+
+def _tokenize_ntok_arrow(batches):
+    """Arrow token-count kernel: ``count_substring(text, ' ') + 1`` ==
+    ``size(split(text, ' '))`` for every non-null string (a single-char
+    delimiter yields separators+1 fields, empties included); null text
+    propagates to a null count. Shared by text_tokenize_stats' big-corpus
+    branch and the explicit text_tokenize_stats_arrow op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        ntok = pc.add(pc.count_substring(b.column("text"), " "), 1).cast(
+            pa.int32()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column("lang"), ntok, b.column("n_chars")],
+            ["lang", "ntok", "n_chars"],
+        )
 
 
 @op(
@@ -102,24 +143,13 @@ def text_tokenize_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     same when(isNotNull) semantics the original guards. The group-agg
     downstream is identical, so the two ops measure only the
     tokenization kernel + Arrow transfer against whole-stage codegen.
-    Same oracle as text_tokenize_stats."""
+    Same oracle as text_tokenize_stats — which since the round-10 A/B
+    dispatches to THIS kernel itself above ~100 k docs; this op pins the
+    Arrow path unconditionally so the kernel stays measurable at any
+    size."""
     d = load(spark, sf_dir, "documents").select("lang", "text", "n_chars")
-
-    def tok(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for b in batches:
-            ntok = pc.add(
-                pc.count_substring(b.column("text"), " "), 1
-            ).cast(pa.int32())
-            yield pa.RecordBatch.from_arrays(
-                [b.column("lang"), ntok, b.column("n_chars")],
-                ["lang", "ntok", "n_chars"],
-            )
-
     return (
-        d.mapInArrow(tok, "lang string, ntok int, n_chars long")
+        d.mapInArrow(_tokenize_ntok_arrow, "lang string, ntok int, n_chars long")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

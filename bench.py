@@ -79,6 +79,12 @@ BENCH_QUERIES = {
     "q4_semi_anti": "join_left_semi",
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
+    # q7's op dispatches its token kernel on corpus size since round 10:
+    # JVM size(split()) below ~100k docs (sf0.1 sits here — Arrow
+    # transfer doesn't amortize, measured 1.18x at x10), the pyarrow
+    # count_substring mapInArrow kernel above (0.58x at x40, 0.49x at
+    # x200 — the JVM String[]-per-row allocation is the cost). Same
+    # oracle either way; PLANS.md round-10.
     "q7_token_stats": "text_tokenize_stats",
     "q9_rollup": "agg_rollup",
     "q10_distinct": "agg_distinct_count",

@@ -51,7 +51,7 @@ BENCH_QUERIES = {
     "q4_semi_anti": "join_left_semi",
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
-    "q7_token_stats": "text_tokenize_stats",
+    "q7_token_stats": "text_tokenize_stats",  # size-dispatched kernel (r10)
     "q8_cosine_topk": "sim_cosine_topk_fast",
     "q9_rollup": "agg_rollup",
     "q10_distinct": "agg_distinct_count",
