@@ -34,6 +34,16 @@ def cosine_expr(a: str, b: str) -> Column:
     )
 
 
+# NOTE (round-10, measured and REJECTED): an unrolled two-COLUMN cosine
+# (straight-line a[i]*b[i] sums for plan-time-known dim, the twin of
+# brute_force_topk_unrolled's literal-folded form) is 5x SLOWER than the
+# zip_with/aggregate HOF on the batched-probe re-rank (141 s vs 27 s at
+# x200/Q=256): 384 GetArrayItem calls per row blow past the codegen
+# budget and fall back to interpreted eval, where the HOF's three array
+# traversals win. Literal-folded single-column unrolling (the rerank
+# kernels) stays fast; two-column unrolling does not generalize.
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH (pure python —
     tiny, broadcast as literals into the plan)."""
@@ -452,31 +462,43 @@ def ivf_index_probe_many(
     each probing its own ``n_probe`` nearest cells, answered by ONE scan
     of the union of probed cells.
 
-    Plan: the C-row centroid table broadcasts against the query set
-    (queries never leave the cluster — unlike the single-query probe,
-    nothing is collected driver-side); per-query cell ranking is a
-    broadcast-side window; the join of (q_id, bkt, cid) against the
-    bucket-partitioned cells table triggers DYNAMIC PARTITION PRUNING on
-    the bucket key, so the file scan touches only the buckets holding
-    probed cells — the same file-level skipping the single probe gets
-    statically — while the cid equi-join drops the rest. Survivors
-    re-rank with the codegen cosine; top-k per query is one window.
-    At 100 TB with Q queries: Q·n_probe·(n/C) rows scored, one shuffle
-    (the top-k window on q_id).
-
     ``broadcast_queries`` is a CONTRACT declaration, not a tuning knob
-    (docs/SCALE.md §16 — hint only construction-bounded sides): pass
-    True only when the caller bounds Q by construction (a serving batch
-    of fixed size); the hint then pins the one orientation that scales,
-    because the cells table is the unboundedly-big side and the Window
-    above q_cells hides its Q·n_probe bound from the size estimator
-    (measured: without the hint an 80 k-vector index re-built a
-    cells-side HashedRelation per execution). Pass False when the query
-    set is a corpus FRACTION (unbounded at scale) — both join inputs are
-    then unbounded, broadcasting either would OOM at 100 TB, and AQE
-    picks the build side from accurate runtime sizes instead (the same
-    rationale as :func:`ivf_topk`'s unhinted join)."""
+    (docs/SCALE.md §16 — hint/collect only construction-bounded sides),
+    and it now selects between two physical strategies:
+
+    * True — the caller bounds Q by construction (a serving batch of
+      fixed size, model-sized state like a literal): the query matrix is
+      collected driver-side, cells are ranked per query with one numpy
+      gemm (exactly the single probe's driver-side argmax, Q-wide), the
+      cells scan statically prunes to the probed (bkt, cid) union, and a
+      ``mapInArrow`` gemm kernel scores every (query, candidate) pair
+      per Arrow batch — one BLAS call instead of 2.6 M interpreted HOF
+      folds (measured at x200/Q=256: the join+HOF plan spent ~23 of its
+      27 s in the fold). Per-batch top-k with the argpartition +
+      boundary-tie lexsort idiom (brute_force_topk_arrow) keeps only
+      k·Q rows per batch; a final tiny window merges batches. Float64
+      gemm agrees with the fold kernels at 6 dp (the
+      sim_cosine_topk_fast precedent — BLAS vs exact SQL is
+      hash-parity-proven in this repo).
+    * False — the query set is a corpus FRACTION (unbounded at scale;
+      collecting OR broadcasting it would OOM at 100 TB): the fully
+      distributed plan — centroid table broadcasts against the query
+      set, per-query cell ranking is a window, the (bkt, cid) equi-join
+      against the bucket-partitioned cells table triggers DPP on the
+      bucket key, survivors re-rank with the codegen cosine, top-k per
+      query is one shuffle. AQE picks the join build side from accurate
+      runtime sizes (the same rationale as :func:`ivf_topk`'s unhinted
+      join).
+
+    At 100 TB with Q queries, both paths touch Q·n_probe·(n/C) candidate
+    rows; the bounded path additionally holds Q·dim floats of driver
+    state — fine for a serving batch, forbidden for a corpus scan."""
     from pyspark.sql import Window as W
+
+    if broadcast_queries:
+        return _ivf_probe_many_gemm(
+            spark, path, queries, k, n_probe, id_col, emb_col
+        )
 
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     q = queries.select(
@@ -505,10 +527,7 @@ def ivf_index_probe_many(
     idx = spark.read.parquet(f"{path}/cells").coalesce(
         spark.sparkContext.defaultParallelism
     )
-    # Hint only when the caller declared Q construction-bounded (see
-    # docstring); a corpus-fraction query set takes the unhinted AQE path.
-    probe_side = F.broadcast(q_cells) if broadcast_queries else q_cells
-    cands = idx.join(probe_side, ["bkt", "cid"]).filter(
+    cands = idx.join(q_cells, ["bkt", "cid"]).filter(
         F.col("q_id") != F.col(id_col)
     )
     scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))
@@ -521,6 +540,130 @@ def ivf_index_probe_many(
             F.col(id_col).alias("nbr_id"),
             F.round("cos", 6).alias("cos_sim"),
         )
+    )
+
+
+def _ivf_probe_many_gemm(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """The bounded-Q batch-serving kernel (see ivf_index_probe_many):
+    driver-side cell ranking (Q·C gemm — the single probe's argmax,
+    Q-wide), statically pruned cells scan, one float64 gemm per Arrow
+    batch scoring all queries at once, per-(batch, query) top-k with the
+    boundary-tie lexsort idiom, tiny final merge window."""
+    import pyarrow as pa
+
+    from pyspark.sql import Window as W
+
+    empty = "q_id long, nbr_id long, cos_sim double"
+    qpdf = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    ).toPandas()
+    cpdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    if not len(qpdf) or not len(cpdf):
+        return spark.createDataFrame([], empty)
+    q_ids = qpdf["q_id"].to_numpy().astype(np.int64)
+    Qm = np.stack(qpdf["q_emb"].to_numpy()).astype(np.float64)
+    q_norms = np.sqrt((Qm * Qm).sum(axis=1))
+    dim = Qm.shape[1]
+    Cm = np.stack(cpdf["c_emb"].to_numpy()).astype(np.float64)
+    c_norms = np.sqrt((Cm * Cm).sum(axis=1))
+    cids_all = cpdf["cid"].to_numpy().astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        csims = (Qm @ Cm.T) / np.outer(
+            np.maximum(q_norms, 1e-300), np.maximum(c_norms, 1e-300)
+        )
+    # per-query n_probe nearest cells, tie on cid asc — the single
+    # probe's exact ordering, Q-wide
+    nq = len(q_ids)
+    probe_cells = np.empty((nq, min(n_probe, len(cids_all))), dtype=np.int64)
+    for j in range(nq):
+        order = np.lexsort((cids_all, -csims[j]))
+        probe_cells[j] = cids_all[order[: probe_cells.shape[1]]]
+    cell_union = np.unique(probe_cells)
+    bkt_by_cid = dict(
+        zip(cpdf["cid"].astype(int), cpdf["bkt"].astype(int))
+    )
+    bkts = sorted({bkt_by_cid[int(c)] for c in cell_union})
+    # compact cid index -> allowed-query mask (C_union x Q bools; both
+    # axes construction-bounded)
+    cid_sorted = np.sort(cell_union)
+    allow = np.zeros((len(cid_sorted), nq), dtype=bool)
+    for j in range(nq):
+        allow[np.searchsorted(cid_sorted, probe_cells[j]), j] = True
+
+    scan = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("cid").isin([int(c) for c in cell_union]))
+        .select(id_col, emb_col, "cid")
+        .coalesce(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0)
+            lst = b.column(1)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            X = (
+                lst.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, dim)
+                .astype(np.float64)
+            )
+            ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            cid_np = b.column(2).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (X @ Qm.T) / np.outer(
+                    np.sqrt((X * X).sum(axis=1)), q_norms
+                )
+            mask = allow[np.searchsorted(cid_sorted, cid_np)]
+            mask &= ids_np[:, None] != q_ids[None, :]  # exclude self
+            cosm = np.where(mask & ~np.isnan(cos), cos, -np.inf)
+            out_q, out_i, out_c = [], [], []
+            kk = min(k, cosm.shape[0])
+            for j in range(nq):
+                col = cosm[:, j]
+                if len(col) > kk:
+                    kth = col[np.argpartition(-col, kk - 1)[:kk]].min()
+                    cand = np.flatnonzero(col >= kth)
+                else:
+                    cand = np.arange(len(col))
+                cand = cand[col[cand] > -np.inf]
+                if not len(cand):
+                    continue
+                sel = cand[np.lexsort((ids_np[cand], -col[cand]))[:kk]]
+                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+                out_i.append(ids_np[sel])
+                out_c.append(col[sel])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["q_id", "nbr_id", "cos"],
+            )
+
+    partial = scan.mapInArrow(gen, "q_id long, nbr_id long, cos double")
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "nbr_id", F.round("cos", 6).alias("cos_sim"))
     )
 
 

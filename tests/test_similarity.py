@@ -431,15 +431,18 @@ def test_ivf_index_probe_many_batch_serving(spark, tmp_path):
         assert set(srows) <= set(brows) | {q_id}, (q_id, srows, brows)
 
 
-def test_ivf_probe_many_streams_the_cells_side(spark, tmp_path):
-    """Round-9 regression pin: the candidates join must BROADCAST the
-    q_cells side (Q x n_probe rows by construction) and STREAM the cells
-    scan. The cells parquet is small at test scale, so without the
-    explicit hint Catalyst broadcasts the CELLS side off its file stats
-    (the q_cells Window hides its row bound) — an orientation that
-    rebuilds a corpus-sized HashedRelation per execution and cannot
-    survive a large index (measured 20.6 s -> 3.8 s at x40/Q=256,
-    PLANS.md round-9)."""
+def test_ivf_probe_many_never_hashes_the_cells_side(spark, tmp_path):
+    """Round-9 regression pin, restated for the round-10 strategies: the
+    CELLS side must never be collected into a hash relation. On the
+    bounded-Q path (broadcast_queries=True, now a driver-ranked gemm
+    kernel) there is NO join at all — the plan is a statically pruned
+    scan feeding mapInArrow (PushedFilters carry the probed cids, a
+    PythonMapInArrow node scores them); the r9 bug (a corpus-sized
+    cells-side HashedRelation rebuilt per execution, 20.6 s -> 3.8 s at
+    x40/Q=256) is structurally impossible. The corpus-fraction path
+    (broadcast_queries=False) keeps the distributed join and leaves the
+    build side to AQE's runtime sizes by design — both its inputs are
+    unbounded at scale, so no orientation is pinned (ADVICE round-10)."""
     from aced_etl_pod_spark.functions.similarity import (
         ivf_index_build,
         ivf_index_probe_many,
@@ -453,18 +456,11 @@ def test_ivf_probe_many_streams_the_cells_side(spark, tmp_path):
         spark, path, emb.filter("vec_id % 100 = 0"), k=5, n_probe=4
     )
     plan = batch._jdf.queryExecution().executedPlan().toString()
-    # The candidates join prints as
-    #   BroadcastHashJoin [bkt#.., cid#..L], [bkt#.., cid#..L], Inner, BuildRight, ...
-    # (bucketed layout: bkt is the partition key, cid a long data column
-    # on both sides). The buggy orientation printed BuildLeft (cells
-    # side built/broadcast).
-    join_lines = [
-        ln
-        for ln in plan.splitlines()
-        if "BroadcastHashJoin" in ln and "cid" in ln
-    ]
-    assert join_lines, "candidates join not found in plan:\n" + plan[:1500]
-    for ln in join_lines:
-        assert "BuildRight" in ln, (
-            "cells scan is the broadcast build side again:\n" + ln.strip()
-        )
+    assert "MapInArrow" in plan, plan[:1500]
+    assert "Join" not in plan, (
+        "bounded-Q path must score via the gemm kernel, not a join:\n"
+        + plan[:1500]
+    )
+    assert "PushedFilters: [In(bkt" in plan or "In(cid" in plan, (
+        "probed-cells static pruning missing:\n" + plan[:1500]
+    )
