@@ -464,3 +464,37 @@ def test_ivf_probe_many_never_hashes_the_cells_side(spark, tmp_path):
     assert "PushedFilters: [In(bkt" in plan or "In(cid" in plan, (
         "probed-cells static pruning missing:\n" + plan[:1500]
     )
+
+
+def test_ivf_probe_many_gemm_equals_join_path(spark, tmp_path):
+    """The round-10 bounded-Q gemm kernel and the corpus-fraction
+    distributed join plan are two physical strategies for ONE logical
+    operator — on the same index and query set they must return the
+    same (q_id, nbr_id) sets with cosines agreeing at the 6-dp rounding
+    both paths emit (BLAS pairwise summation vs the HOF's sequential
+    fold differ only in the last ulp — the sim_cosine_topk_fast
+    precedent)."""
+    from aced_etl_pod_spark.functions.similarity import (
+        ivf_index_build,
+        ivf_index_probe_many,
+    )
+    from aced_etl_pod_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path)
+    queries = emb.filter("vec_id % 50 = 0")
+    gemm = ivf_index_probe_many(
+        spark, path, queries, k=5, n_probe=4, broadcast_queries=True
+    )
+    join = ivf_index_probe_many(
+        spark, path, queries, k=5, n_probe=4, broadcast_queries=False
+    )
+    g = {(r["q_id"], r["nbr_id"]): r["cos_sim"] for r in gemm.collect()}
+    j = {(r["q_id"], r["nbr_id"]): r["cos_sim"] for r in join.collect()}
+    assert g and set(g) == set(j), (
+        f"pair sets differ: only-gemm={sorted(set(g)-set(j))[:5]} "
+        f"only-join={sorted(set(j)-set(g))[:5]}"
+    )
+    for key in g:
+        assert abs(g[key] - j[key]) < 1e-9, (key, g[key], j[key])
