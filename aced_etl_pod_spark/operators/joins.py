@@ -47,9 +47,22 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two constant-size dims (nation ⋈ region — 25×5 rows at EVERY scale
     factor) are pre-joined into ONE broadcast instead of broadcasting each
     separately: same result, one broadcast build + one BHJ fewer per run
-    (measured 72 → 48 ms at sf0.1). customer scales with the fact table,
-    so it stays on the Catalyst-chosen path (broadcast while it fits,
-    shuffle join at real scale)."""
+    (measured 72 → 48 ms at sf0.1).
+
+    customer scales with the fact table, and its join strategy is
+    SIZE-DISPATCHED (round 10, the q7-kernel idiom): past ~100 k
+    customers the plan hints SHUFFLE_HASH on the customer side — under
+    the 10 MB threshold Catalyst still picks BHJ there (the pruned
+    2-column customer compresses under it), but building a multi-
+    million-key HashedRelation on the driver per execution loses to a
+    32-way shuffled build (measured: SHJ 0.42 s vs BHJ 0.58 s at x10,
+    1.78 vs 2.60 s at x200 — 31%; BHJ keeps winning below the knee,
+    0.21 vs 0.23 s at sf0.1). The hinted side is a construction
+    invariant — customer is the 1 side of a 1:N fact join, always the
+    smaller input — and at real scale AQE would have to abandon the
+    broadcast anyway; the dispatch just stops the driver-side build
+    from growing with the corpus. The dispatch count is a parquet
+    metadata job at plan time."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -57,8 +70,13 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
         "n_nationkey", "n_name", "r_name"
     )
+    cust_side = (
+        customer.hint("shuffle_hash")
+        if customer.count() >= 100_000
+        else customer
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        orders.join(cust_side, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey)
         .groupBy("r_name", "n_name")
         .agg(
