@@ -276,6 +276,68 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "agg_rollup_partial_reagg",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum({finite_sql("o_totalprice")}), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "bench", "extra"),
+)
+def agg_rollup_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_rollup's hierarchy totals WITHOUT the EXPAND (round-10 bench
+    q9 shape): Spark plans GROUP BY ROLLUP as an Expand that replicates
+    every input row once per grouping set — 3x the fact table through
+    the partial aggregate at any scale. Since count and sum are
+    decomposable, the finest level is aggregated ONCE and the coarser
+    levels re-aggregate its ~|priorities x statuses| partials: l2 = the
+    base agg, l1 = regroup of base by priority, l0 = grand total, one
+    unionByName. AQE's exchange reuse makes all three branches share
+    the single base shuffle (the plan shows one Exchange + two
+    ReusedExchange), so the fact table is scanned and partially
+    aggregated exactly once. Measured at x200 (interleaved): 0.42 s vs
+    the EXPAND plan's 0.67 s (1.6x); at 100 TB the win is the 3x input
+    volume through the first exchange. Subtotal sums re-aggregate
+    unrounded double partials — the same fp-order nondeterminism class
+    as the EXPAND plan's own partial aggregation, below the 2-dp
+    rounding at oracle scales. A (priority, NULL) REAL group and the
+    (priority, NULL) subtotal row both appear, exactly as ROLLUP emits
+    them. agg_rollup stays registered as the native-operator shape."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(finite(F.col("o_totalprice"))).alias("_s"),
+    )
+    l2 = base.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("_n").alias("n"),
+        F.round("_s", 2).alias("total"),
+    )
+    l1 = (
+        base.groupBy("o_orderpriority")
+        .agg(F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total"))
+        .select(
+            "o_orderpriority",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "n",
+            "total",
+        )
+    )
+    l0 = base.agg(
+        F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")
+    ).select(
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "n",
+        "total",
+    )
+    return l2.unionByName(l1).unionByName(l0)
+
+
+@op(
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,

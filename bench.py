@@ -86,7 +86,7 @@ BENCH_QUERIES = {
     # x200 — the JVM String[]-per-row allocation is the cost). Same
     # oracle either way; PLANS.md round-10.
     "q7_token_stats": "text_tokenize_stats",
-    "q9_rollup": "agg_rollup",
+    "q9_rollup": "agg_rollup_partial_reagg",  # r10: no-EXPAND shape, 1.6x at x200
     "q10_distinct": "agg_distinct_count",
 }
 EXACT_Q8_OP = "sim_cosine_topk_fast"

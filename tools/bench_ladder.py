@@ -53,7 +53,7 @@ BENCH_QUERIES = {
     "q6_json_extract": "fn_json",
     "q7_token_stats": "text_tokenize_stats",  # size-dispatched kernel (r10)
     "q8_cosine_topk": "sim_cosine_topk_fast",
-    "q9_rollup": "agg_rollup",
+    "q9_rollup": "agg_rollup_partial_reagg",  # r10: no-EXPAND shape, 1.6x at x200
     "q10_distinct": "agg_distinct_count",
 }
 
