@@ -25,6 +25,28 @@ def dot_expr(a: str, b: str) -> Column:
     return F.expr(DOT.format(a=a, b=b))
 
 
+def _flatten_embeddings(lst, num_rows: int, dim: int, col_name: str):
+    """Flatten an Arrow list column to a (num_rows, dim) float64 matrix,
+    REFUSING null or ragged slots: pyarrow's ``flatten()`` silently DROPS
+    null list slots, which would shift every subsequent row's values by
+    ``dim`` while the reshape still succeeds — silently wrong cosines.
+    Our own indexes/scans filter to finite vectors so this never fires on
+    them; a foreign or hand-built input must error, not corrupt."""
+    if lst.null_count:
+        raise ValueError(
+            f"{lst.null_count} null {col_name} slots in Arrow batch; "
+            "the gemm kernels require a null-free embedding column "
+            "(ivf_index_build guarantees this for its own cells)."
+        )
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) != num_rows * dim:
+        raise ValueError(
+            f"ragged {col_name} lists in Arrow batch: {len(flat)} "
+            f"values for {num_rows} rows of dim {dim}."
+        )
+    return flat.reshape(-1, dim).astype(np.float64)
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """cos(a,b) = dot/(sqrt(dot_aa)*sqrt(dot_bb)) — mirror of the DuckDB
     ``list_dot_product`` formulation."""
@@ -455,7 +477,7 @@ def ivf_index_probe_many(
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    broadcast_queries: bool = True,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Batch serving against a persisted IVF index
     (:func:`ivf_index_build`) — the batch-inference shape: MANY queries,
@@ -480,15 +502,21 @@ def ivf_index_probe_many(
       gemm agrees with the fold kernels at 6 dp (the
       sim_cosine_topk_fast precedent — BLAS vs exact SQL is
       hash-parity-proven in this repo).
-    * False — the query set is a corpus FRACTION (unbounded at scale;
-      collecting OR broadcasting it would OOM at 100 TB): the fully
-      distributed plan — centroid table broadcasts against the query
-      set, per-query cell ranking is a window, the (bkt, cid) equi-join
-      against the bucket-partitioned cells table triggers DPP on the
-      bucket key, survivors re-rank with the codegen cosine, top-k per
-      query is one shuffle. AQE picks the join build side from accurate
-      runtime sizes (the same rationale as :func:`ivf_topk`'s unhinted
-      join).
+    * False (the DEFAULT — preserves the fully distributed contract
+      for any pre-existing caller) — the query set is a corpus FRACTION
+      (unbounded at scale; collecting OR broadcasting it would OOM at
+      100 TB): the fully distributed plan — centroid table broadcasts
+      against the query set, per-query cell ranking is a window, the
+      (bkt, cid) equi-join against the bucket-partitioned cells table
+      prunes via DPP only OPPORTUNISTICALLY (Spark's default
+      ``dynamicPartitionPruning.reuseBroadcastOnly=true`` inserts the
+      pruning subquery only when AQE happens to broadcast q_cells —
+      which, by this path's own unbounded-Q contract, it won't at
+      scale; the cells scan then reads all buckets and relies on the
+      join to discard), survivors re-rank with the codegen cosine,
+      top-k per query is one shuffle. AQE picks the join build side
+      from accurate runtime sizes (the same rationale as
+      :func:`ivf_topk`'s unhinted join).
 
     At 100 TB with Q queries, both paths touch Q·n_probe·(n/C) candidate
     rows; the bounded path additionally holds Q·dim floats of driver
@@ -568,6 +596,14 @@ def _ivf_probe_many_gemm(
     cpdf = spark.read.parquet(f"{path}/centroids").toPandas()
     if not len(qpdf) or not len(cpdf):
         return spark.createDataFrame([], empty)
+    if not np.issubdtype(qpdf["q_id"].to_numpy().dtype, np.integer):
+        raise TypeError(
+            "ivf_index_probe_many(broadcast_queries=True) requires an "
+            f"integer {id_col}; got dtype {qpdf['q_id'].dtype}. The "
+            "bounded-Q gemm contract collects Q driver-side and packs "
+            "ids as int64 — use broadcast_queries=False (the default, "
+            "fully distributed plan) for non-integer ids."
+        )
     q_ids = qpdf["q_id"].to_numpy().astype(np.int64)
     Qm = np.stack(qpdf["q_emb"].to_numpy()).astype(np.float64)
     q_norms = np.sqrt((Qm * Qm).sum(axis=1))
@@ -614,12 +650,7 @@ def _ivf_probe_many_gemm(
             lst = b.column(1)
             if isinstance(lst, pa.ChunkedArray):
                 lst = lst.combine_chunks()
-            X = (
-                lst.flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(-1, dim)
-                .astype(np.float64)
-            )
+            X = _flatten_embeddings(lst, b.num_rows, dim, emb_col)
             ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
             cid_np = b.column(2).to_numpy(zero_copy_only=False).astype(
                 np.int64
@@ -818,12 +849,7 @@ def brute_force_topk_arrow(
             lst = b.column(1)
             if isinstance(lst, pa.ChunkedArray):
                 lst = lst.combine_chunks()
-            X = (
-                lst.flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(-1, dim)
-                .astype(np.float64)
-            )
+            X = _flatten_embeddings(lst, b.num_rows, dim, emb_col)
             dots = X @ qvec
             norms = np.sqrt((X * X).sum(axis=1))
             cos = dots / (norms * q_norm)

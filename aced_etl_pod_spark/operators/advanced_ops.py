@@ -1762,11 +1762,14 @@ def _ivf_serve_fixture(spark: SparkSession, sf_dir: str) -> str:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # evict superseded fingerprints of this sf_tag AND any round-9
-    # per-cell-layout fixture ('ivfserve_' prefix, pre-bucketing)
-    for prefix in (f"ivfserve2_{sf_tag}_", f"ivfserve_{sf_tag}_"):
-        for d in os.listdir(base):
-            if d.startswith(prefix) and d != name:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    # per-cell-layout fixture ('ivfserve_' prefix, pre-bucketing) —
+    # AGE-GATED so a concurrent reader that resolved the old fingerprint
+    # isn't pulled out from under mid-query (round-11 advice)
+    from aced_etl_pod_spark.tables import evict_stale_fixtures
+
+    evict_stale_fixtures(
+        base, (f"ivfserve2_{sf_tag}_", f"ivfserve_{sf_tag}_"), keep=name
+    )
     return path
 
 
@@ -1782,9 +1785,13 @@ def sim_ann_ivf_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-oracled operator. The index artifacts are built once by
     :func:`_ivf_serve_fixture` with the replayable ordered-fold Lloyd,
     then ALL queries (vec_id % 100 == 0, the sim_ann_ivf_topk query set)
-    are answered by ONE ivf_index_probe_many plan: DPP-pruned
-    union-of-cells scan coalesced to cluster width (the small-files
-    fix), codegen cosine re-rank, WindowGroupLimit top-k per query.
+    are answered by ONE ivf_index_probe_many plan: a union-of-cells scan
+    coalesced to cluster width (the small-files fix; bucket pruning via
+    DPP is OPPORTUNISTIC on this path — Spark only inserts the pruning
+    subquery when AQE broadcasts q_cells, which the unbounded-Q contract
+    forbids at scale, so the join, not the scan, discards non-probed
+    cells — round-11 advice), codegen cosine re-rank, WindowGroupLimit
+    top-k per query.
 
     This op's query set is a corpus FRACTION (1 % of vec_ids), so it is
     unbounded at 100 TB and takes probe_many's unhinted AQE path

@@ -45,7 +45,7 @@ from aced_etl_pod_spark.operators.util import (
     money_sql,
 )
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, scratch_dir, session_scratch_dir
 
 # Sliding-window chunking: CHUNK_TOKENS-token windows every CHUNK_STRIDE
 # tokens, last window right-aligned so no tail token is dropped.
@@ -88,7 +88,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC and parquet share Spark's columnar scan infrastructure, so
     predicate pushdown / column pruning behave identically at 100 TB."""
     d = load(spark, sf_dir, "documents")
-    out = scratch_dir("sink_orc_roundtrip")
+    out = session_scratch_dir("sink_orc_roundtrip")
     shutil.rmtree(out, ignore_errors=True)
     d.write.mode("overwrite").partitionBy("lang").orc(out)
     # explicit schema: a zero-row partitioned write leaves nothing to
@@ -584,7 +584,7 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you pin the merged schema in a catalog instead; the scan
     itself is identical."""
     o = load(spark, sf_dir, "orders")
-    out = scratch_dir("scan_parquet_schema_merge")
+    out = session_scratch_dir("scan_parquet_schema_merge")
     shutil.rmtree(out, ignore_errors=True)
     gen0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -825,7 +825,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines, no driver-side row handling); the read-back is a single
     permissive CSV scan + one scalar aggregate."""
     o = load(spark, sf_dir, "orders")
-    out = scratch_dir("scan_csv_permissive_corrupt")
+    out = session_scratch_dir("scan_csv_permissive_corrupt")
     shutil.rmtree(out, ignore_errors=True)
     subset = o.filter(F.col("o_orderkey") % CSV_GOOD_MOD == 0)
     good = subset.select(
@@ -1267,7 +1267,7 @@ def scan_ndjson_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read parallelism; the docstring is the warning, zstd/parquet is the
     fix. Schema is pinned on read (no sampling-inference job)."""
     o = load(spark, sf_dir, "orders")
-    out = scratch_dir("scan_ndjson_gzip")
+    out = session_scratch_dir("scan_ndjson_gzip")
     shutil.rmtree(out, ignore_errors=True)
     sub = o.filter(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -2273,7 +2273,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = o.select(
         "o_orderstatus", tricky.alias("tricky"), "o_totalprice"
     )
-    out = scratch_dir("sink_csv_roundtrip")
+    out = session_scratch_dir("sink_csv_roundtrip")
     shutil.rmtree(out, ignore_errors=True)
     (
         src.write.mode("overwrite")

@@ -394,10 +394,9 @@ def _shredded_events_fixture(spark: SparkSession, sf_dir: str) -> str:
             raise OSError(f"could not publish shredded events at {path}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    prefix = f"shred_events_{sf_tag}_"
-    for d in os.listdir(base):
-        if d.startswith(prefix) and d != name:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    from aced_etl_pod_spark.tables import evict_stale_fixtures
+
+    evict_stale_fixtures(base, (f"shred_events_{sf_tag}_",), keep=name)
     return path
 
 

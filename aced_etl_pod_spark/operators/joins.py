@@ -61,8 +61,10 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant — customer is the 1 side of a 1:N fact join, always the
     smaller input — and at real scale AQE would have to abandon the
     broadcast anyway; the dispatch just stops the driver-side build
-    from growing with the corpus. The dispatch count is a parquet
-    metadata job at plan time."""
+    from growing with the corpus. The dispatch count comes from parquet
+    FOOTERS read driver-side (tables.table_row_count, lru-cached per
+    sf_dir) — a df.count() here would be a real scan job at plan time,
+    not metadata (round-11 advice; aggregatePushdown is off)."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -70,9 +72,11 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
         "n_nationkey", "n_name", "r_name"
     )
+    from aced_etl_pod_spark.tables import table_row_count
+
     cust_side = (
         customer.hint("shuffle_hash")
-        if customer.count() >= 100_000
+        if table_row_count(sf_dir, "customer") >= 100_000
         else customer
     )
     return (

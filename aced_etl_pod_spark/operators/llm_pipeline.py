@@ -37,7 +37,7 @@ from aced_etl_pod_spark.operators.util import (
     money_sql,
 )
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, session_scratch_dir
 
 # BM25 constants (Robertson/Okapi defaults) and the literal query. The terms
 # are frequent words in the synthetic corpus so every sf has hits.
@@ -509,7 +509,7 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, each written by its own tasks — no global sort, no single-writer
     bottleneck), and the manifest agg is a shard-count-sized groupBy."""
     d = load(spark, sf_dir, "documents")
-    out = scratch_dir("sink_shard_manifest")
+    out = session_scratch_dir("sink_shard_manifest")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)

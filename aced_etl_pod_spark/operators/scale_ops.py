@@ -84,3 +84,128 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         wsum(F.col("o_totalprice")).alias("total"),
     )
+
+
+def _bucketed_custkey_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """Persist orders and customer BUCKETED BY custkey once per source
+    fingerprint and return them as catalog tables — the pay-at-write-time
+    layout for every recurring custkey join (q4 semi/anti, q2's fact
+    side): with matching bucket specs the join-side exchanges disappear
+    from every subsequent plan, which at 100 TB converts the dominant
+    shuffle of each run into a one-time write.
+
+    Layout details that make the read side optimal:
+
+    * ``repartition(n_buckets, key)`` before the bucketed write uses the
+      same hash as the bucket spec, so each task holds exactly one
+      bucket and writes exactly ONE file — the single-file-per-bucket
+      condition under which Spark trusts ``sortBy`` and drops the
+      per-partition sort from SMJ plans.
+    * files live under a fingerprint-keyed scratch dir with the atomic
+      temp-dir + _DONE + rename publish (the ivfserve2/shred idiom), so
+      concurrent builders can't interleave and a fresh session
+      re-REGISTERS the existing files (CREATE TABLE ... CLUSTERED BY ...
+      LOCATION) instead of rewriting them — the catalog entry is
+      session-local, the bytes are shared.
+    * eviction of superseded fingerprints is age-gated
+      (tables.evict_stale_fixtures).
+
+    Returns (orders_df, customer_df) reading the bucketed tables."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from aced_etl_pod_spark.session import tune
+    from aced_etl_pod_spark.tables import evict_stale_fixtures, scratch_dir
+
+    tune(spark)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st_o = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    st_c = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    fp = f"{st_o.st_mtime_ns:x}_{st_o.st_size:x}_{st_c.st_size:x}"
+    name = f"q4bucket_{sf_tag}_{fp}"
+    base = scratch_dir()
+    root = os.path.join(base, name)
+    marker = os.path.join(root, "_DONE")
+    tag = re.sub(r"[^0-9a-zA-Z_]", "_", f"{sf_tag}_{fp}_{n_buckets}")
+    tables = {
+        "orders": (f"q4b_orders_{tag}", "o_custkey"),
+        "customer": (f"q4b_customer_{tag}", "c_custkey"),
+    }
+
+    if not os.path.exists(marker):
+        tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
+        try:
+            for src, (tbl, key) in tables.items():
+                tmp_tbl = f"{tbl}_build"
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+                (
+                    load(spark, sf_dir, src)
+                    .repartition(n_buckets, F.col(key))
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .option("path", os.path.join(tmp, src))
+                    .format("parquet")
+                    .saveAsTable(tmp_tbl)
+                )
+                # drop the catalog entry only (external table: files stay)
+                spark.sql(f"DROP TABLE {tmp_tbl}")
+            open(os.path.join(tmp, "_DONE"), "w").close()
+            for _ in range(2):
+                try:
+                    os.rename(tmp, root)
+                    break
+                except OSError:
+                    if os.path.exists(marker):
+                        break  # a concurrent builder published first
+                    shutil.rmtree(root, ignore_errors=True)
+            else:
+                raise OSError(f"could not publish bucketed layout at {root}")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        evict_stale_fixtures(base, (f"q4bucket_{sf_tag}_",), keep=name)
+
+    out = []
+    for src, (tbl, key) in tables.items():
+        if not spark.catalog.tableExists(tbl):
+            ddl = spark.read.parquet(os.path.join(root, src)).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{os.path.join(root, src)}'"
+            )
+        out.append(spark.table(tbl))
+    return out[0], out[1]
+
+
+@op(
+    "join_left_semi_bucketed",
+    oracle="""
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_active
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("scale", "join", "extra"),
+)
+def join_left_semi_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4's semi join against the bucketed-colocated custkey layout
+    (:func:`_bucketed_custkey_tables`) — byte-identical result to
+    join_left_semi (same oracle), different physical plan: both scans
+    come out hash-partitioned on custkey with one sorted file per
+    bucket, so the SMJ runs with NO exchange and NO sort on either side;
+    the only shuffle left is the final 25-key nationkey agg. The
+    round-11 verdict's q4 lever: pay the custkey shuffle once at write
+    time, amortize it over every subsequent custkey join."""
+    bo, bc = _bucketed_custkey_tables(spark, sf_dir)
+    return (
+        bc.hint("merge")
+        .join(bo, bc.c_custkey == bo.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_active"))
+    )

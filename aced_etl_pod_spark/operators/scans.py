@@ -32,7 +32,7 @@ from aced_etl_pod_spark.operators.util import (
 from aced_etl_pod_spark.plans.storage import drop_partition, write_partitioned
 from aced_etl_pod_spark.plans.storage import upsert_by_key as merge_by_key
 from aced_etl_pod_spark.registry import op
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, session_scratch_dir
 
 CUSTOMER_SCHEMA = T.StructType(
     [
@@ -54,7 +54,7 @@ NATION_SCHEMA = T.StructType(
 
 
 def _fresh(sub: str) -> str:
-    path = scratch_dir(sub)
+    path = session_scratch_dir(sub)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path

@@ -34,7 +34,7 @@ from aced_etl_pod_spark.streaming.replay import (
     run_foreach_batch,
     run_to_memory,
 )
-from aced_etl_pod_spark.tables import scratch_dir
+from aced_etl_pod_spark.tables import session_scratch_dir
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -330,7 +330,7 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "foreach",
         splits=[F.col("event_id") % 4 == i for i in range(4)],
     )
-    sink = scratch_dir("stream/foreach_sink")
+    sink = session_scratch_dir("stream/foreach_sink")
     _sh.rmtree(sink, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -641,7 +641,7 @@ def stream_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_write,
         txn_write_checked,
     )
-    from aced_etl_pod_spark.tables import scratch_dir
+    from aced_etl_pod_spark.tables import session_scratch_dir
 
     splits = [
         (F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) % 4") == i)
@@ -649,9 +649,9 @@ def stream_checked_ingest_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     src = materialize_batches(spark, sf_dir, "dlq_ingest", splits=splits)
-    main = scratch_dir("dlq_main")
-    dlq = scratch_dir("dlq_quarantine")
-    ckpt = scratch_dir("dlq_ingest_ckpt")
+    main = session_scratch_dir("dlq_main")
+    dlq = session_scratch_dir("dlq_quarantine")
+    ckpt = session_scratch_dir("dlq_ingest_ckpt")
     # fresh run each invocation: tables AND checkpoint (a surviving
     # checkpoint would mark every batch already-processed)
     _sh.rmtree(main, ignore_errors=True)
@@ -795,8 +795,8 @@ def _ckpt_restart_phases(
             F.col("event_id") % 4 == i for i in range(4)
         ],
     )
-    live = scratch_dir("stream/ckpt_restart_live")
-    ckpt = scratch_dir("stream/ckpt_restart_ckpt")
+    live = session_scratch_dir("stream/ckpt_restart_live")
+    ckpt = session_scratch_dir("stream/ckpt_restart_ckpt")
     shutil.rmtree(live, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     os.makedirs(live, exist_ok=True)
@@ -951,7 +951,7 @@ def stream_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_reader",
         splits=[F.col("event_id") % 3 == i for i in range(3)],
     )
-    chk = scratch_dir("stream/state_reader_chk")
+    chk = session_scratch_dir("stream/state_reader_chk")
     shutil.rmtree(chk, ignore_errors=True)
 
     agg = (

@@ -28,7 +28,7 @@ from aced_etl_pod_spark.sources.txnlog import (
     txn_read,
     txn_write,
 )
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, scratch_dir, session_scratch_dir
 
 
 def build_orders_txn_table(spark: SparkSession, sf_dir: str) -> str:
@@ -287,7 +287,7 @@ def stream_txnlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "txnlog_sink",
         splits=[F.col("event_id") % 4 == i for i in range(4)],
     )
-    table = scratch_dir("stream/txnlog_sink_table")
+    table = session_scratch_dir("stream/txnlog_sink_table")
     shutil.rmtree(table, ignore_errors=True)
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -998,7 +998,7 @@ def stream_txnlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed & (F.col("ts") >= cuts[2]),
         ],
     )
-    table = scratch_dir("stream/txnlog_upsert_table")
+    table = session_scratch_dir("stream/txnlog_upsert_table")
     shutil.rmtree(table, ignore_errors=True)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -68,9 +68,14 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The r9 A/B already rejected the JVM allocation-free rewrite
     (length-replace arithmetic, 30% slower — split has a fast
     single-char path); the Arrow kernel is the one that actually beats
-    it. The dispatch count is a parquet-metadata job at plan time."""
+    it. The dispatch count comes from parquet FOOTERS
+    (tables.table_row_count, driver-side, lru-cached) — df.count() here
+    would be a real scan job hidden in plan construction (round-11
+    advice)."""
+    from aced_etl_pod_spark.tables import table_row_count
+
     d = load(spark, sf_dir, "documents")
-    if d.count() >= _ARROW_TOKENIZE_MIN_DOCS:
+    if table_row_count(sf_dir, "documents") >= _ARROW_TOKENIZE_MIN_DOCS:
         pre = d.select("lang", "text", "n_chars").mapInArrow(
             _tokenize_ntok_arrow, "lang string, ntok int, n_chars long"
         )

@@ -13,13 +13,13 @@ import os
 import shutil
 import zipfile
 
-from aced_etl_pod_spark.tables import scratch_dir
+from aced_etl_pod_spark.tables import session_scratch_dir
 
 
 def unzip_to_dir(zip_path: str, sub: str = "unzipped") -> str:
     """Extract an archive into a scratch dir (flattening paths, like the
     reference's ``unzip -j``), returning the directory."""
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     with zipfile.ZipFile(zip_path) as zf:

@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from aced_etl_pod_spark.tables import scratch_dir
+from aced_etl_pod_spark.tables import session_scratch_dir
 
 DECODE_SCHEMA = "path string, length long, n_bytes long, byte_mean double, feature0 double"
 
@@ -31,7 +31,7 @@ DECODE_SCHEMA = "path string, length long, n_bytes long, byte_mean double, featu
 def generate_blob_fixture(n: int = 64, sub: str = "multimodal") -> str:
     """Deterministic fake image blobs: blob i = sha256(i) digest × 4
     (128 bytes), named ``img_{i:04d}.bin``."""
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for i in range(n):
@@ -173,7 +173,7 @@ def generate_ppm_fixture(n: int = 24, sub: str = "multimodal_ppm") -> str:
 
     from aced_etl_pod_spark.functions.imagecodec import encode_ppm
 
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for i in range(n):
@@ -251,7 +251,7 @@ def generate_ppm_video_fixture(n: int = 16, frames: int = 6,
 
     from aced_etl_pod_spark.functions.imagecodec import encode_ppm
 
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for i in range(n):
@@ -331,7 +331,7 @@ def generate_wav_fixture(n: int = 24, sub: str = "multimodal_wav") -> str:
 
     from aced_etl_pod_spark.functions.audiocodec import encode_wav
 
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     sr = 8000
@@ -438,7 +438,7 @@ def generate_phash_fixture(sub: str = "multimodal_phash") -> str:
         resize_bilinear,
     )
 
-    out = scratch_dir(sub)
+    out = session_scratch_dir(sub)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     from aced_etl_pod_spark.functions.imagecodec import _DCT_M

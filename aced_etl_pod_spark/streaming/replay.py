@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, session_scratch_dir
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -68,7 +68,7 @@ def materialize_batches(
     filters/evicts with the PREVIOUS batch's watermark — so a deterministic
     end-of-stream flush needs two trailing far-future batches.
     """
-    out = scratch_dir(f"stream/{name}")
+    out = session_scratch_dir(f"stream/{name}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     events = load(spark, sf_dir, table)

@@ -410,7 +410,9 @@ def test_ivf_index_probe_many_batch_serving(spark, tmp_path):
     ncent = ivf_index_build(emb, path)
     queries = emb.filter("vec_id % 100 = 0")
     np_ = max(4, ncent // 4)
-    batch = ivf_index_probe_many(spark, path, queries, k=5, n_probe=np_)
+    batch = ivf_index_probe_many(
+        spark, path, queries, k=5, n_probe=np_, broadcast_queries=True
+    )
     got = {
         (r["q_id"], r["nbr_id"]): r["cos_sim"] for r in batch.collect()
     }
@@ -453,7 +455,12 @@ def test_ivf_probe_many_never_hashes_the_cells_side(spark, tmp_path):
     path = str(tmp_path / "ivf")
     ivf_index_build(emb, path)
     batch = ivf_index_probe_many(
-        spark, path, emb.filter("vec_id % 100 = 0"), k=5, n_probe=4
+        spark,
+        path,
+        emb.filter("vec_id % 100 = 0"),
+        k=5,
+        n_probe=4,
+        broadcast_queries=True,
     )
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan, plan[:1500]

@@ -91,7 +91,7 @@ def test_watermark_dedup_eviction(spark):
         read_stream,
         run_to_memory,
     )
-    from aced_etl_pod_spark.tables import scratch_dir
+    from aced_etl_pod_spark.tables import session_scratch_dir
 
     t0 = datetime(2024, 3, 1, 12, 0)
 
@@ -112,7 +112,7 @@ def test_watermark_dedup_eviction(spark):
         # batch 3: A again at a later, non-late event time -> re-emits
         [ev(6, datetime(2024, 3, 1, 15, 0), 1, "A")],
     ]
-    out = scratch_dir("stream/test_wm_evict")
+    out = session_scratch_dir("stream/test_wm_evict")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for i, rows in enumerate(batches):
@@ -147,14 +147,14 @@ def test_state_store_reader_time_travel(spark):
     option("batchId", 0) must reconstruct the state as of micro-batch 0 —
     i.e. the aggregate over split 0 ONLY, not the final totals."""
     from aced_etl_pod_spark.operators.streaming_ops import stream_state_store_reader
-    from aced_etl_pod_spark.tables import load, scratch_dir
+    from aced_etl_pod_spark.tables import load, session_scratch_dir
 
     sf = "/root/testdata/sf0.001"
     final = {
         (r.event_type): (r.n_events, r.id_residue)
         for r in stream_state_store_reader(spark, sf).collect()
     }
-    chk = scratch_dir("stream/state_reader_chk")
+    chk = session_scratch_dir("stream/state_reader_chk")
     at0 = {
         r.event_type: (r.n, r.s)
         for r in (

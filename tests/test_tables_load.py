@@ -12,7 +12,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from aced_etl_pod_spark.tables import load, scratch_dir
+from aced_etl_pod_spark.tables import load, session_scratch_dir
 
 TS = [
     datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
@@ -21,7 +21,7 @@ TS = [
 
 
 def _fixture_dir(unit: str) -> str:
-    root = scratch_dir(f"tables_load_{unit}")
+    root = session_scratch_dir(f"tables_load_{unit}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     table = pa.table(
@@ -64,9 +64,12 @@ def test_validated_embeddings_atomic_publish_and_eviction(spark):
     out = os.path.join(base, name)
 
     # a stale fingerprint for the same sf_tag must be evicted on publish
+    # — but only once past the eviction grace period (round-11 advice:
+    # immediate eviction raced concurrent readers), so backdate it
     stale = os.path.join(base, "validated_emb_sf0.001_deadbeef_1")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(stale, exist_ok=True)
+    os.utime(stale, (1_700_000_000, 1_700_000_000))
 
     n = load_validated_embeddings(spark, sf_dir).count()
     assert n > 0
@@ -97,10 +100,10 @@ def test_ivf_index_empty_and_normal_build_one_schema(spark):
         ivf_index_probe,
         ivf_index_probe_many,
     )
-    from aced_etl_pod_spark.tables import scratch_dir
+    from aced_etl_pod_spark.tables import session_scratch_dir
 
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
-    root = scratch_dir("ivf_schema_parity")
+    root = session_scratch_dir("ivf_schema_parity")
     shutil.rmtree(root, ignore_errors=True)
     ivf_index_build(emb, f"{root}/normal")
     ivf_index_build(emb.limit(0), f"{root}/empty")
@@ -112,3 +115,64 @@ def test_ivf_index_empty_and_normal_build_one_schema(spark):
     assert ivf_index_probe(spark, f"{root}/empty", q, k=3).count() == 0
     assert ivf_index_probe_many(spark, f"{root}/empty", q, k=3).count() == 0
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_session_scratch_is_process_private_and_footer_counts_match():
+    """Round-11 hardening: (a) session_scratch_dir is keyed by pid +
+    startup nonce so two concurrent runners never share ephemeral state
+    — a child process must resolve a DIFFERENT path for the same sub;
+    (b) table_row_count reads parquet footers only (no SparkSession at
+    all) and equals the actual row count; (c) evict_stale_fixtures
+    age-gates: a fresh superseded dir survives, an old one is pruned."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import time
+
+    from aced_etl_pod_spark.tables import (
+        evict_stale_fixtures,
+        scratch_dir,
+        session_scratch_dir,
+        table_row_count,
+    )
+
+    mine = session_scratch_dir("probe")
+    child = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from aced_etl_pod_spark.tables import session_scratch_dir;"
+            "print(session_scratch_dir('probe'))",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    ).stdout.strip()
+    assert child != mine, "child process resolved the SAME session scratch"
+    assert session_scratch_dir("probe") == mine, "not stable within process"
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    n = table_row_count(sf, "orders")
+    (expect,) = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf}/orders.parquet'"
+    ).fetchone()
+    assert n == expect, (n, expect)
+
+    base = scratch_dir()
+    fresh = os.path.join(base, "agegate_x_fresh")
+    old = os.path.join(base, "agegate_x_old")
+    keep = "agegate_x_keep"
+    for d in (fresh, old, os.path.join(base, keep)):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    os.utime(old, (time.time() - 7200,) * 2)
+    evict_stale_fixtures(base, ("agegate_x_",), keep=keep)
+    assert os.path.exists(fresh), "grace period violated: fresh dir evicted"
+    assert os.path.exists(os.path.join(base, keep)), "keep dir evicted"
+    assert not os.path.exists(old), "aged-out superseded dir not evicted"
+    for d in (fresh, os.path.join(base, keep)):
+        shutil.rmtree(d, ignore_errors=True)

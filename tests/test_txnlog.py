@@ -181,10 +181,10 @@ def test_compaction_preserves_content_and_history(spark):
 
     from aced_etl_pod_spark.operators.table_format import build_orders_txn_table
     from aced_etl_pod_spark.sources.txnlog import txn_compact
-    from aced_etl_pod_spark.tables import scratch_dir
+    from aced_etl_pod_spark.tables import session_scratch_dir
 
     base = build_orders_txn_table(spark, SF_SMALL)
-    table = scratch_dir("txn_compact_test")
+    table = session_scratch_dir("txn_compact_test")
     _sh.rmtree(table, ignore_errors=True)
     _sh.copytree(base, table)
     before = sorted(r["o_orderkey"] for r in txn_read(spark, table).collect())

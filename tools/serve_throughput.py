@@ -89,7 +89,12 @@ def main() -> int:
         )
         for qid in qids
     ]
-    batched = ivf_index_probe_many(spark, idx, qset, k=10, n_probe=16)
+    # broadcast_queries=True: the serving batch is construction-bounded
+    # (Q = n_queries), the gemm kernel's contract (default is the fully
+    # distributed plan — round-11 advice).
+    batched = ivf_index_probe_many(
+        spark, idx, qset, k=10, n_probe=16, broadcast_queries=True
+    )
     for df in probes[:2] + [batched]:
         rerun(df).collect()
 
