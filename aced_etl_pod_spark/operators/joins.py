@@ -210,7 +210,22 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existence semi-join (authz membership check, fhir_import_export.py:77-100)."""
+    """Existence semi-join (authz membership check, fhir_import_export.py:77-100).
+
+    LAYOUT-DISPATCHED since round 11 (the q7-kernel idiom): past ~1 M
+    orders the op answers from the bucketed-colocated custkey layout
+    (join_left_semi_bucketed — SMJ with zero exchanges; interleaved A/B
+    in tools/q4_bucketed_ab.py: 3.2x at x200, 4.0x at x800, ratio vs
+    DuckDB 6.8x -> 1.71x, one-time layout write 16 s at x200,
+    fingerprint-cached). Below the knee the plain Catalyst plan wins —
+    at the sf0.1 job floor the 32-bucket scan + catalog round-trip cost
+    more than the exchange they remove. Same oracle either way; the
+    dispatch count is a parquet-footer read (no hidden scan)."""
+    from aced_etl_pod_spark.operators.scale_ops import join_left_semi_bucketed
+    from aced_etl_pod_spark.tables import table_row_count
+
+    if table_row_count(sf_dir, "orders") >= 1_000_000:
+        return join_left_semi_bucketed(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (

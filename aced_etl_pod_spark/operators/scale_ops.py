@@ -172,7 +172,10 @@ def _bucketed_custkey_tables(
     out = []
     for src, (tbl, key) in tables.items():
         if not spark.catalog.tableExists(tbl):
-            ddl = spark.read.parquet(os.path.join(root, src)).schema.toDDL()
+            # schema from the source loader, NOT parquet inference: an
+            # empty corpus publishes a bucketed dir with zero files,
+            # which read.parquet can't infer (empty-sweep contract)
+            ddl = load(spark, sf_dir, src).schema.toDDL()
             spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "

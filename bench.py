@@ -76,6 +76,11 @@ BENCH_QUERIES = {
     "q1_pricing_summary": "agg_group_sums",
     "q2_star_join": "join_multiway_star",
     "q3_topk_window": "win_row_number_topk",
+    # q4's op layout-dispatches since round 11: past ~1 M orders it
+    # answers from the bucketed-colocated custkey layout (zero-exchange
+    # SMJ, 3.2x at x200 / 4.0x at x800, ratio 6.8x -> 1.71x; one-time
+    # layout write fingerprint-cached); at sf0.1 it keeps the plain
+    # Catalyst plan, which wins at the job floor. tools/q4_bucketed_ab.py.
     "q4_semi_anti": "join_left_semi",
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
@@ -87,6 +92,10 @@ BENCH_QUERIES = {
     # oracle either way; PLANS.md round-10.
     "q7_token_stats": "text_tokenize_stats",
     "q9_rollup": "agg_rollup_partial_reagg",  # r10: no-EXPAND shape, 1.6x at x200
+    # q10's op kernel-dispatches since round 11: past ~1 M events it
+    # uses the decomposable bitmask plan (one exchange of (user, mask)
+    # longs, 2.0x at x200 / 2.1x at x800, ratio 3.16x -> 1.49x); at
+    # sf0.1 it keeps the pair-dedup plan. tools/q10_ab.py.
     "q10_distinct": "agg_distinct_count",
 }
 EXACT_Q8_OP = "sim_cosine_topk_fast"

@@ -48,13 +48,13 @@ BENCH_QUERIES = {
     "q1_pricing_summary": "agg_group_sums",
     "q2_star_join": "join_multiway_star",
     "q3_topk_window": "win_row_number_topk",
-    "q4_semi_anti": "join_left_semi",
+    "q4_semi_anti": "join_left_semi",  # layout-dispatches to bucketed past 1M orders (r11)
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
     "q7_token_stats": "text_tokenize_stats",  # size-dispatched kernel (r10)
     "q8_cosine_topk": "sim_cosine_topk_fast",
     "q9_rollup": "agg_rollup_partial_reagg",  # r10: no-EXPAND shape, 1.6x at x200
-    "q10_distinct": "agg_distinct_count",
+    "q10_distinct": "agg_distinct_count",  # kernel-dispatches to bitmask past 1M events (r11)
 }
 
 
