@@ -59,10 +59,13 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     * below ~100 k docs: JVM ``size(split(text, ' '))`` — whole-stage
       codegen, no Python worker round-trip; the Arrow path's transfer
       overhead doesn't amortize here (x10 A/B: Arrow 1.18x SLOWER).
-    * at/above: the Arrow ``count_substring`` kernel
-      (:func:`_tokenize_ntok_arrow`) — one vectorized C++ pass with zero
-      per-row allocation vs the JVM split's String[] per row; measured
-      0.58x at x40 and 0.49x at x200 (PLANS.md round-10). Identical
+    * at/above: the Arrow ``count_substring`` kernel — one vectorized
+      C++ pass with zero per-row allocation vs the JVM split's String[]
+      per row; measured 0.58x at x40 and 0.49x at x200 (PLANS.md
+      round-10). Since round 11 the kernel is
+      :func:`_tokenize_partial_arrow`: same count, plus per-batch
+      partial aggregation so the return transfer is rows-per-lang, not
+      rows-per-doc (x800 1.56 -> 1.38 s; tools/q7_ab.py). Identical
       counts by construction, same oracle, hash-verified both ways.
 
     The r9 A/B already rejected the JVM allocation-free rewrite
@@ -76,18 +79,29 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     if table_row_count(sf_dir, "documents") >= _ARROW_TOKENIZE_MIN_DOCS:
-        pre = d.select("lang", "text", "n_chars").mapInArrow(
-            _tokenize_ntok_arrow, "lang string, ntok int, n_chars long"
+        # round-11: the kernel also PARTIALLY AGGREGATES per batch
+        # (_tokenize_partial_arrow), so the return transfer and the JVM
+        # agg see one row per (batch, lang), not per doc. Integer-sum
+        # partials keep avg exact.
+        partial = d.select("lang", "text", "n_chars").mapInArrow(
+            _tokenize_partial_arrow,
+            "lang string, n_rows long, s_ntok long, c_ntok long,"
+            " m_ntok long, s_chars long, c_chars long",
         )
-    else:
-        # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1
-        # (legacy sizeOfNull), which silently POISONS avg(); DuckDB's
-        # len(NULL) is NULL and drops out of avg(). Null docs count in
-        # n_docs only.
-        ntok = F.when(
-            F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+        return partial.groupBy("lang").agg(
+            F.sum("n_rows").alias("n_docs"),
+            F.round(F.sum("s_ntok") / F.sum("c_ntok"), 2).alias("avg_tokens"),
+            F.max("m_ntok").cast("long").alias("max_tokens"),
+            F.round(F.sum("s_chars") / F.sum("c_chars"), 2).alias("avg_chars"),
         )
-        pre = d.select("lang", ntok.alias("ntok"), "n_chars")
+    # NULL-text guard: non-ANSI Spark's size(split(NULL)) is -1
+    # (legacy sizeOfNull), which silently POISONS avg(); DuckDB's
+    # len(NULL) is NULL and drops out of avg(). Null docs count in
+    # n_docs only.
+    ntok = F.when(
+        F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+    )
+    pre = d.select("lang", ntok.alias("ntok"), "n_chars")
     return (
         pre.groupBy("lang")
         .agg(
@@ -102,6 +116,60 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x10 (50 k docs): Arrow 1.18x slower; x40 (200 k): 0.58x — the transfer
 # overhead amortizes somewhere between; 100 k splits the bracket
 _ARROW_TOKENIZE_MIN_DOCS = 100_000
+
+
+def _tokenize_partial_arrow(batches):
+    """Round-11 q7 kernel: the Arrow ``count_substring`` token count PLUS
+    per-batch partial aggregation — each Arrow batch emits one row per
+    lang (count_all / integer sum / count / max partials) instead of one
+    row per document, so the Python->JVM return transfer and the
+    downstream group-agg shrink by ~batch_size/n_langs. The decomposition
+    (tools/q7_ab.py) showed 72% of the kernel op's wall is Arrow transfer
+    of the text bytes INTO Python (irreducible: the strings are the
+    input); this claws back the return leg: x800 1.56 -> 1.38 s (ratio
+    6.8x -> 6.0x), neutral at x200. Integer sums make the final
+    avg = sum/count EXACT (no fp summation-order drift). Null semantics:
+    count_all counts every row (null lang is its own group, like Spark);
+    sum/count/max skip null tokens — the same when(isNotNull) the JVM
+    branch guards."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        ntok = pc.add(pc.count_substring(b.column("text"), " "), 1).cast(
+            pa.int64()
+        )
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "ntok": ntok,
+                "n_chars": b.column("n_chars"),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [
+                ([], "count_all"),
+                ("ntok", "sum"),
+                ("ntok", "count"),
+                ("ntok", "max"),
+                ("n_chars", "sum"),
+                ("n_chars", "count"),
+            ]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                g.column("lang").combine_chunks(),
+                g.column("count_all").cast(pa.int64()).combine_chunks(),
+                g.column("ntok_sum").cast(pa.int64()).combine_chunks(),
+                g.column("ntok_count").cast(pa.int64()).combine_chunks(),
+                g.column("ntok_max").cast(pa.int64()).combine_chunks(),
+                g.column("n_chars_sum").cast(pa.int64()).combine_chunks(),
+                g.column("n_chars_count").cast(pa.int64()).combine_chunks(),
+            ],
+            ["lang", "n_rows", "s_ntok", "c_ntok", "m_ntok", "s_chars", "c_chars"],
+        )
 
 
 def _tokenize_ntok_arrow(batches):
@@ -148,10 +216,11 @@ def text_tokenize_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     same when(isNotNull) semantics the original guards. The group-agg
     downstream is identical, so the two ops measure only the
     tokenization kernel + Arrow transfer against whole-stage codegen.
-    Same oracle as text_tokenize_stats — which since the round-10 A/B
-    dispatches to THIS kernel itself above ~100 k docs; this op pins the
-    Arrow path unconditionally so the kernel stays measurable at any
-    size."""
+    Same oracle as text_tokenize_stats — whose big-corpus branch uses
+    the same count_substring count (since round 11 fused with per-batch
+    partial aggregation, :func:`_tokenize_partial_arrow`); this op pins
+    the plain per-doc Arrow kernel unconditionally so that kernel stays
+    measurable at any size."""
     d = load(spark, sf_dir, "documents").select("lang", "text", "n_chars")
     return (
         d.mapInArrow(_tokenize_ntok_arrow, "lang string, ntok int, n_chars long")

@@ -309,3 +309,53 @@ def test_kmv_estimate_quality_and_union_merge(spark):
             assert est == exact  # under-full sketch is exact by construction
         else:
             assert abs(est - exact) / exact < 0.40, (t, exact, est)
+
+
+def test_tokenize_partial_arrow_kernel_null_semantics(spark):
+    """The round-11 partial-aggregating q7 kernel must reproduce the JVM
+    branch's null semantics exactly: null text -> excluded from
+    avg/max but counted in n_docs; null lang is its own group; null
+    n_chars drops out of avg_chars. The degenerate sweeps only exercise
+    the small-corpus JVM branch (the dispatch knee is 100k docs), so
+    this pins the big-corpus kernel against the JVM plan directly."""
+    from aced_etl_pod_spark.operators.text import _tokenize_partial_arrow
+
+    rows = [
+        ("en", "a b c", 5),
+        ("en", None, 7),
+        (None, "x y", None),
+        ("de", "einzeln", 7),
+        (None, None, 3),
+        ("en", "", 0),
+    ]
+    d = spark.createDataFrame(rows, "lang string, text string, n_chars long")
+    partial = d.select("lang", "text", "n_chars").mapInArrow(
+        _tokenize_partial_arrow,
+        "lang string, n_rows long, s_ntok long, c_ntok long, m_ntok long,"
+        " s_chars long, c_chars long",
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["avg_tokens"], r["max_tokens"], r["avg_chars"])
+        for r in partial.groupBy("lang")
+        .agg(
+            F.sum("n_rows").alias("n_docs"),
+            F.round(F.sum("s_ntok") / F.sum("c_ntok"), 2).alias("avg_tokens"),
+            F.max("m_ntok").cast("long").alias("max_tokens"),
+            F.round(F.sum("s_chars") / F.sum("c_chars"), 2).alias("avg_chars"),
+        )
+        .collect()
+    }
+    ntok = F.when(F.col("text").isNotNull(), F.size(F.split(F.col("text"), " ")))
+    want = {
+        r["lang"]: (r["n_docs"], r["avg_tokens"], r["max_tokens"], r["avg_chars"])
+        for r in d.select("lang", ntok.alias("ntok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
