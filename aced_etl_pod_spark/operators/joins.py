@@ -72,8 +72,19 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
         "n_nationkey", "n_name", "r_name"
     )
+    from aced_etl_pod_spark.operators.scale_ops import (
+        join_multiway_star_bucketed,
+    )
     from aced_etl_pod_spark.tables import table_row_count
 
+    # round-11 LAYOUT dispatch: past ~1 M orders the whole fact join
+    # answers from the shared bucketed custkey layout (zero-exchange
+    # SMJ; tools/q2_bucketed_ab.py: 2.0x at x200, 1.6x at x800, ratio
+    # 6.1x -> 3.1x / 5.5x -> 3.35x) — the same write the q4 dispatch
+    # pays for, reused. The shuffle_hash size dispatch below remains the
+    # mid-scale posture (100 k..1 M customers, no layout yet).
+    if table_row_count(sf_dir, "orders") >= 1_000_000:
+        return join_multiway_star_bucketed(spark, sf_dir)
     cust_side = (
         customer.hint("shuffle_hash")
         if table_row_count(sf_dir, "customer") >= 100_000
