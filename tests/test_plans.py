@@ -422,3 +422,36 @@ def test_bench_ladder_fixture_preserves_join_integrity(tmp_path, monkeypatch):
                 WHERE d.{dkey} IS NULL AND f.{key} IS NOT NULL"""
         ).fetchone()[0]
         assert orphans == 0, (fact, dim, orphans)
+
+
+def test_custkey_layout_joins_skip_exchange(spark):
+    """Round-11 layout pins: both consumers of the shared custkey-
+    bucketed layout (q4's semi join, q2's star join) must plan their
+    fact join with NO exchange on either side — bucketed scans feeding
+    the SMJ directly; the only shuffle is the downstream agg's. This is
+    the invariant the 4.0x/1.6x x800 wins rest on; a regression here
+    (lost bucket spec, mismatched bucket counts, a repartition sneaking
+    in) silently reverts them."""
+    from aced_etl_pod_spark.operators.scale_ops import (
+        join_left_semi_bucketed,
+        join_multiway_star_bucketed,
+    )
+
+    for fn, join_kind in (
+        (join_left_semi_bucketed, "SortMergeJoin"),
+        (join_multiway_star_bucketed, "SortMergeJoin"),
+    ):
+        plan = _plan(fn(spark, SF_SMALL))
+        assert join_kind in plan, plan[:1200]
+        assert plan.count("Bucketed: true") >= 2, plan[:1200]
+        # no exchange between the bucketed scans and the join: everything
+        # below the join node must be exchange-free
+        below_join = plan.split(join_kind, 1)[1]
+        assert (
+            "Exchange hashpartitioning"
+            not in below_join.split("HashAggregate")[-1]
+        )
+        # whole plan: the final agg's SHUFFLE exchange only (x2: the
+        # formatted explain prints each node in tree + detail sections).
+        # BroadcastExchange (q2's constant dims) is fine and uncounted.
+        assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]

@@ -125,7 +125,23 @@ def run(scale: int | None = None, sf_dir: str | None = None, reps: int = 5) -> i
         scale = 0
         print(f"tiled dir: {sf}", flush=True)
 
-    spark = get_spark("bench-ladder", shuffle_partitions=32)
+    # 64 GB heap for the at-scale ladder (round-11): the default 32 GB
+    # GC-throttles the 10-query mix at x800 — q1/q6's allocation
+    # pressure raises old-gen occupancy until the bucketed scans' big
+    # tasks absorb mixed-GC pauses, inflating q2/q4 2-4x IN THE MIX
+    # while their isolated A/Bs stay fast (diagnosed via per-rep sample
+    # growth: 3.0 -> 6.0 -> 6.6 s). DuckDB's default budget on this box
+    # is ~100 GB (80% of RAM), so 64 GB keeps the comparison on equal
+    # terms rather than handicapping one engine. Env-overridable.
+    spark = get_spark(
+        "bench-ladder",
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_LADDER_MEM", "64g"
+            )
+        },
+    )
     # The tiled tables are ONE parquet file each (DuckDB COPY), so the
     # default 128 MB split size caps scans at 1-3 tasks on this 32-core
     # box while DuckDB parallelizes by row group across all cores — an
