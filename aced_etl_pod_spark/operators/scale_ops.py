@@ -86,15 +86,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucketed_custkey_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 32
-) -> tuple[DataFrame, DataFrame]:
-    """Persist orders and customer BUCKETED BY custkey once per source
-    fingerprint and return them as catalog tables — the pay-at-write-time
-    layout for every recurring custkey join (q4 semi/anti, q2's fact
-    side): with matching bucket specs the join-side exchanges disappear
-    from every subsequent plan, which at 100 TB converts the dominant
-    shuffle of each run into a one-time write.
+def bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table_keys: dict[str, str],
+    label: str,
+    n_buckets: int = 32,
+) -> dict[str, DataFrame]:
+    """Persist any set of tables BUCKETED BY their join keys once per
+    source fingerprint and return them as catalog tables — the
+    pay-at-write-time layout that removes the join-side exchanges from
+    every subsequent plan on those keys (generalized round-11 from the
+    custkey-specific original; at 100 TB this converts the dominant
+    shuffle of each recurring join into a one-time write).
 
     Layout details that make the read side optimal:
 
@@ -112,7 +116,7 @@ def _bucketed_custkey_tables(
     * eviction of superseded fingerprints is age-gated
       (tables.evict_stale_fixtures).
 
-    Returns (orders_df, customer_df) reading the bucketed tables."""
+    Returns {table_name: DataFrame} reading the bucketed tables."""
     import os
     import re
     import shutil
@@ -123,17 +127,18 @@ def _bucketed_custkey_tables(
 
     tune(spark)
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    st_o = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    st_c = os.stat(os.path.join(sf_dir, "customer.parquet"))
-    fp = f"{st_o.st_mtime_ns:x}_{st_o.st_size:x}_{st_c.st_size:x}"
-    name = f"q4bucket_{sf_tag}_{fp}"
+    stats = [
+        os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in sorted(table_keys)
+    ]
+    fp = "_".join(f"{s.st_mtime_ns:x}_{s.st_size:x}" for s in stats)
+    name = f"{label}_{sf_tag}_{fp}"
     base = scratch_dir()
     root = os.path.join(base, name)
     marker = os.path.join(root, "_DONE")
     tag = re.sub(r"[^0-9a-zA-Z_]", "_", f"{sf_tag}_{fp}_{n_buckets}")
     tables = {
-        "orders": (f"q4b_orders_{tag}", "o_custkey"),
-        "customer": (f"q4b_customer_{tag}", "c_custkey"),
+        t: (f"{label}_{t}_{tag}", key) for t, key in table_keys.items()
     }
 
     if not os.path.exists(marker):
@@ -167,23 +172,38 @@ def _bucketed_custkey_tables(
                 raise OSError(f"could not publish bucketed layout at {root}")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        evict_stale_fixtures(base, (f"q4bucket_{sf_tag}_",), keep=name)
+        evict_stale_fixtures(base, (f"{label}_{sf_tag}_",), keep=name)
 
-    out = []
-    for src, (tbl, key) in tables.items():
+    out = {}
+    for src_name, (tbl, key) in tables.items():
         if not spark.catalog.tableExists(tbl):
             # schema from the source loader, NOT parquet inference: an
             # empty corpus publishes a bucketed dir with zero files,
             # which read.parquet can't infer (empty-sweep contract)
-            ddl = load(spark, sf_dir, src).schema.toDDL()
+            ddl = load(spark, sf_dir, src_name).schema.toDDL()
             spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {n_buckets} BUCKETS "
-                f"LOCATION '{os.path.join(root, src)}'"
+                f"LOCATION '{os.path.join(root, src_name)}'"
             )
-        out.append(spark.table(tbl))
-    return out[0], out[1]
+        out[src_name] = spark.table(tbl)
+    return out
+
+
+def _bucketed_custkey_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """The custkey instance of :func:`bucketed_layout` (q4 semi/anti +
+    q2's fact side share this one write)."""
+    t = bucketed_layout(
+        spark,
+        sf_dir,
+        {"orders": "o_custkey", "customer": "c_custkey"},
+        label="q4bucket",
+        n_buckets=n_buckets,
+    )
+    return t["orders"], t["customer"]
 
 
 @op(
@@ -252,5 +272,46 @@ def join_multiway_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("order_count"),
             wsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@op(
+    "join_inner_bucketed_orderkey",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {wsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("scale", "join", "extra"),
+)
+def join_inner_bucketed_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGEST join in the corpus (lineitem ⋈ orders on orderkey —
+    join_inner_hash's exact query/oracle) over an orderkey-bucketed
+    layout: at 100 TB this is the single biggest exchange any workload
+    pays, and :func:`bucketed_layout` (the generalized round-11 write)
+    deletes it from every recurring run. Zero join-side exchanges
+    (plan-pinned in tests/test_plans.py); the only shuffle is the 3-key
+    status agg. Same oracle as join_inner_hash, so the hash check proves
+    the layout changes nothing semantically."""
+    from aced_etl_pod_spark.operators.util import finite
+
+    t = bucketed_layout(
+        spark,
+        sf_dir,
+        {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+        label="okbucket",
+    )
+    li, o = t["lineitem"], t["orders"]
+    rev = finite(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.round(F.sum(rev), 2) + F.lit(0.0)).alias("revenue"),
         )
     )

@@ -433,6 +433,7 @@ def test_custkey_layout_joins_skip_exchange(spark):
     (lost bucket spec, mismatched bucket counts, a repartition sneaking
     in) silently reverts them."""
     from aced_etl_pod_spark.operators.scale_ops import (
+        join_inner_bucketed_orderkey,
         join_left_semi_bucketed,
         join_multiway_star_bucketed,
     )
@@ -440,6 +441,7 @@ def test_custkey_layout_joins_skip_exchange(spark):
     for fn, join_kind in (
         (join_left_semi_bucketed, "SortMergeJoin"),
         (join_multiway_star_bucketed, "SortMergeJoin"),
+        (join_inner_bucketed_orderkey, "SortMergeJoin"),
     ):
         plan = _plan(fn(spark, SF_SMALL))
         assert join_kind in plan, plan[:1200]
