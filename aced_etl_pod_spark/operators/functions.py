@@ -558,9 +558,7 @@ def _schema_shredded_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@op(
-    "fn_json_shred_schema_ingest",
-    oracle="""
+FN_JSON_SHRED_SCHEMA_ORACLE = """
     SELECT event_type,
            round(avg(value), 2) AS avg_value,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
@@ -569,7 +567,12 @@ def _schema_shredded_events_fixture(spark: SparkSession, sf_dir: str) -> str:
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY event_type
-    """,
+    """
+
+
+@op(
+    "fn_json_shred_schema_ingest",
+    oracle=FN_JSON_SHRED_SCHEMA_ORACLE,
     tags=("fn", "ingest", "scale", "extra"),
 )
 def fn_json_shred_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1153,3 +1153,131 @@ PLAN_TWINS = {
     "stream_dedup_within_watermark": _twin_dedup_within_watermark,
     "stream_state_store_reader": _twin_state_store_reader,
 }
+
+
+from aced_etl_pod_spark.operators.functions import (
+    FN_JSON_SHRED_SCHEMA_ORACLE,
+)
+
+
+@op(
+    "stream_json_shred_ingest",
+    # one source of truth for the shred semantics: the streaming twin
+    # shares the batch op's full-parse oracle verbatim
+    oracle=FN_JSON_SHRED_SCHEMA_ORACLE,
+    tags=("stream", "ingest", "scale", "extra"),
+)
+def stream_json_shred_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-zone shred, STREAMING (round-11: the streaming twin of
+    fn_json_shred_schema_ingest — same shred semantics, same oracle):
+    raw JSON event envelopes arrive as micro-batches; the schema is
+    inferred ONCE at ingest start from a 512-doc sample of the first
+    batch's file (the batch op's dictionary idiom — schema inference is
+    an INGEST decision, never per-micro-batch, or drifting batches
+    would silently fork the table schema); every envelope is parsed
+    once with ``from_json`` at that pinned schema; the typed columns
+    append to a parquet sink via foreachBatch; the read-back aggregate
+    must equal the full-parse oracle over the base table — proving the
+    stream-shredded table IS the batch-shredded table.
+
+    At 100 TB this is the actual ingest topology: documents land on a
+    queue, one streaming job shreds to typed columnar storage with
+    exactly-once appends, and every downstream query (the hot path)
+    reads typed columns with zero JSON in its plan."""
+    import glob as _glob
+    import shutil as _sh
+
+    from aced_etl_pod_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    envelope = e.select(
+        F.coalesce(F.col("event_id") % 3, F.lit(0)).alias("split"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.from_json("props", "k DOUBLE").alias("props"),
+            )
+        ).alias("doc"),
+    )
+    # materialize 3 single-file micro-batches of raw envelopes (the
+    # replay idiom, applied to a derived frame instead of a base table)
+    import os as _os
+
+    src = session_scratch_dir("stream/shred_src")
+    _sh.rmtree(src, ignore_errors=True)
+    _os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        tmp = _os.path.join(src, f"_tmp_{i}")
+        envelope.filter(F.col("split") == i).select("doc").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch_{i:03d}.parquet")
+        _sh.move(part, dst)
+        _sh.rmtree(tmp)
+        _os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    # ingest-time schema inference from a bounded sample of batch 0
+    from pyspark.sql import types as T
+
+    sample = [
+        r["doc"]
+        for r in spark.read.parquet(f"{src}/batch_000.parquet")
+        .limit(512)
+        .collect()
+        if r["doc"]
+    ]
+    if sample:
+        inferred = spark.read.json(
+            spark.sparkContext.parallelize(sample, 1)
+        ).schema
+    else:  # empty corpus: schema from the ingest contract, not the data
+        inferred = T.StructType()
+
+    sink = session_scratch_dir("stream/shred_sink")
+    _sh.rmtree(sink, ignore_errors=True)
+
+    raw = read_stream(
+        spark, src, schema=T.StructType([T.StructField("doc", T.StringType())])
+    )
+    parsed = raw.select(F.from_json("doc", inferred).alias("d"))
+    cols = []
+    names = [f.name for f in inferred.fields]
+    for col, typ in (
+        ("event_id", "long"),
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ):
+        cols.append(
+            (F.col(f"d.{col}") if col in names else F.lit(None))
+            .cast(typ)
+            .alias(col)
+        )
+    k = F.col("d.props.k") if "props" in names else F.lit(None)
+    shred = parsed.select(*cols, k.cast("double").alias("k"))
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    run_foreach_batch(shred, write_batch)
+    back = spark.read.schema(shred.schema).parquet(sink)
+    k_int = F.when(
+        F.col("k").between(-2147483648, 2147483647)
+        & (F.col("k") == F.floor("k")),
+        F.col("k").cast("int"),
+    )
+    return (
+        back.select("event_type", "value", "user_id", k_int.alias("k_i"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.sum("k_i").cast("long").alias("sum_k"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+

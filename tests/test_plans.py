@@ -457,3 +457,57 @@ def test_custkey_layout_joins_skip_exchange(spark):
         # formatted explain prints each node in tree + detail sections).
         # BroadcastExchange (q2's constant dims) is fine and uncounted.
         assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_sort_metadata_flag_is_safe_on_multifile_buckets(spark):
+    """Safety pin for spark.sql.legacy.bucketedTableScan.outputOrdering
+    (round-11, RUNTIME_CONF): the flag may only eliminate SMJ sorts
+    when a bucket is exactly ONE file. write_bucketed (unlike
+    bucketed_layout) does NOT repartition before the bucketed write, so
+    multiple tasks write files into the same bucket — Spark must then
+    KEEP the sorts (a falsely-trusted ordering would silently
+    mis-merge) and the join must still be correct. This is the
+    invariant that makes the engine-wide flag safe."""
+    import os
+
+    from aced_etl_pod_spark.plans.scale import write_bucketed
+
+    orders = load(spark, SF_SMALL, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load(spark, SF_SMALL, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    # repartition(4) WITHOUT the key: every task holds rows of most
+    # buckets, so each bucket gets ~4 files
+    write_bucketed(spark, orders.repartition(4), "mf_orders", "custkey")
+    write_bucketed(spark, customer.repartition(4), "mf_customer", "custkey")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), "mf_orders")
+    files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert len(files) > 8, f"fixture not multi-file: {len(files)} files"
+
+    joined = (
+        spark.table("mf_orders")
+        .hint("merge")
+        .join(spark.table("mf_customer"), "custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # multi-file buckets: the sorts MUST survive
+    assert plan.count("Sort ") >= 2, plan[:1500]
+    got = {(r["c_nationkey"], r["n"]) for r in joined.collect()}
+    want = {
+        (r["c_nationkey"], r["n"])
+        for r in load(spark, SF_SMALL, "orders")
+        .join(
+            load(spark, SF_SMALL, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
