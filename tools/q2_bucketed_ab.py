@@ -69,8 +69,33 @@ def main() -> int:
     })
     reg = registry()
 
+    # the PLAIN r10 plan, spelled out: join_multiway_star itself
+    # layout-dispatches past 1M orders since round 11, so calling it
+    # here would compare the bucketed plan against itself
+    from aced_etl_pod_spark.operators.util import wsum
+    from aced_etl_pod_spark.tables import load
+
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    nr = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    plain = (
+        orders.join(
+            customer.hint("shuffle_hash"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            wsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
     variants = {
-        "current": reg["join_multiway_star"].fn(spark, sf),
+        "current": plain,
         "bucketed": q2_bucketed(spark, sf),
     }
     # fp tolerance: at x800 revenue reaches ~1.2e12, where different

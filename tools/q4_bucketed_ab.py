@@ -69,8 +69,23 @@ def main() -> int:
         reg["join_left_semi_bucketed"].fn(spark, sf)  # builds the layout
         build_sec = time.perf_counter() - t0
 
+    # the PLAIN Catalyst plan, spelled out: join_left_semi itself
+    # layout-dispatches past 1M orders since round 11, so calling it
+    # here would compare the bucketed plan against itself
+    from aced_etl_pod_spark.tables import load
+    from pyspark.sql import functions as _F
+
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    plain = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_nationkey")
+        .agg(_F.count("*").alias("n_active"))
+    )
     variants = {
-        "current": reg["join_left_semi"].fn(spark, sf),
+        "current": plain,
         "bucketed": reg["join_left_semi_bucketed"].fn(spark, sf),
     }
 
