@@ -262,6 +262,45 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RFC 8259 number grammar (leading-zero rejecting), shared by the JSON
+#: fast path and its A/B tool (tools/q6_ab.py).
+_JSON_NUM_RX = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
+
+
+def json_key_double_fastpath(props_col, key: str):
+    """Extract top-level ``key`` as DOUBLE without parsing on the fast
+    path — exact by construction (round-11 q6 kernel A/B).
+
+    Round-10 proved both of Spark's query-path parse engines (Jackson
+    ``from_json``, the variant shredder) are ~20x DuckDB's yyjson on
+    single-key envelopes, and the round-10/11 answer was architectural
+    (shred at ingest). This is the complementary KERNEL answer for the
+    query path itself: an anchored ``regexp_extract`` whose pattern is
+    ``^{"<key>": (<RFC 8259 number>)}$``. When it matches, the document
+    provably contains exactly one top-level ``key`` with a strict JSON
+    number literal, where ``Double.parseDouble`` (Spark's string→double
+    cast) and Jackson's ``getDoubleValue`` agree by definition — so the
+    fast path cannot diverge. EVERY other document — other keys, extra
+    whitespace, string/object/array values, duplicate keys, leading
+    zeros (which cast() would wrongly accept), malformed JSON, NULL —
+    fails the anchor and takes the real ``from_json`` parse, so the
+    worst case is one cheap regex over the fallback's former cost.
+
+    Measured (tools/q6_ab.py, honest interleaved protocol, x200 =
+    20 M events): from_json 8.67 s → hybrid 2.70 s (3.2x), parquet
+    scan floor 0.45 s; the mapInArrow RE2 + per-batch-partial variant
+    measured 15.1 s (Python transfer of every string — rejected).
+    tests/test_functions.py pins hybrid == pure from_json row-for-row
+    on the adversarial document set."""
+    import re as _re
+
+    rx = r'^\{"' + _re.escape(key) + r'": (' + _JSON_NUM_RX + r")\}$"
+    x = F.regexp_extract(props_col, rx, 1)
+    return F.when(x != "", x.cast("double")).otherwise(
+        F.from_json(props_col, f"`{key}` DOUBLE").getField(key)
+    )
+
+
 @op(
     "fn_json",
     oracle="""
@@ -289,9 +328,16 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-pattern at scale (it remains covered by fn_string/fn_map tests).
     The int column replicates the old ``from_json("k INT")`` semantics
     exactly — NULL outside int range or for fractional values — so the
-    oracle and every recorded sweep row are unchanged."""
+    oracle and every recorded sweep row are unchanged.
+
+    ROUND-11 KERNEL: extraction goes through
+    :func:`json_key_double_fastpath` — an anchored-regex raw-string
+    fast path for single-key envelopes with a full ``from_json``
+    fallback for everything else (semantics identical by construction;
+    see its docstring for the exactness argument and the 3.2x-at-x200
+    A/B)."""
     e = load(spark, sf_dir, "events")
-    k = F.from_json("props", "k DOUBLE").getField("k")
+    k = json_key_double_fastpath(F.col("props"), "k")
     k_int = F.when(
         k.between(-2147483648, 2147483647) & (k == F.floor(k)),
         k.cast("int"),
@@ -377,7 +423,7 @@ def _shredded_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
     try:
         e = load(spark, sf_dir, "events")
-        k = F.from_json("props", "k DOUBLE").getField("k")
+        k = json_key_double_fastpath(F.col("props"), "k")
         e.select("event_type", k.alias("k")).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/events_k")

@@ -2212,3 +2212,58 @@ def test_map_access_shape_divergence_pinned(events_env):
         spark.sql("SELECT map(CAST(NULL AS STRING),1)").collect()
     with pytest.raises(Exception, match="NULL"):
         con.execute("SELECT MAP{NULL:1}").fetchone()
+
+
+def test_json_fastpath_equals_from_json(spark):
+    """Round-11 q6 kernel: json_key_double_fastpath's anchored-regex
+    fast path must be indistinguishable from a pure from_json parse on
+    EVERY document class — fires only where the two provably agree
+    (strict single-key envelope with an RFC 8259 number), falls back to
+    from_json everywhere else. Pins the adversarial set: leading zeros
+    (cast() would accept '007'; JSON must not), Java-ism suffixes
+    ('1d', hex) and bare Infinity (cast() accepts, Jackson rejects),
+    whitespace variants, duplicate/extra/nested keys, string-typed
+    numbers, huge/overflow literals, malformed docs, NULL."""
+    from aced_etl_pod_spark.operators.functions import (
+        json_key_double_fastpath,
+    )
+
+    docs = [
+        '{"k": 69}', '{"k": 0}', '{"k": -0}', '{"k": -7}',
+        '{"k": 1.5}', '{"k": -2.5e-3}', '{"k": 1E5}', '{"k": 1e999}',
+        '{"k": 123456789012345678901}',
+        '{"k": 007}', '{"k": 1.}', '{"k": .5}', '{"k": +5}',
+        '{"k": 1d}', '{"k": 0x1A}', '{"k": Infinity}', '{"k": NaN}',
+        '{"k": null}', '{"k": "5"}', '{"k": "NaN"}', '{"k": true}',
+        '{"k":69}', '{ "k": 69}', '{"k": 69 }', '{"k": 69, }',
+        '{"kk": 69}', '{"a": 1, "k": 2}', '{"k": 1, "k": 2}',
+        '{"a": {"k": 5}}', '{"k": [1]}', '[1, 2]', 'not json', '',
+        '{}', None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        "props",
+        json_key_double_fastpath(F.col("props"), "k").alias("fast"),
+        F.from_json("props", "k DOUBLE").getField("k").alias("ref"),
+    ).collect()
+    diverged = [
+        (r["props"], r["fast"], r["ref"])
+        for r in got
+        if not (
+            (r["fast"] is None and r["ref"] is None)
+            or (
+                r["fast"] is not None
+                and r["ref"] is not None
+                and (r["fast"] == r["ref"] or (r["fast"] != r["fast"] and r["ref"] != r["ref"]))
+            )
+        )
+    ]
+    assert not diverged, diverged
+    # the fast path must actually FIRE on the envelope shape (else the
+    # 3.2x A/B win is a dead branch): strict docs parse without Jackson
+    strict = df.filter(
+        F.regexp_extract("props", r'^\{"k": (-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?)\}$', 1) != ""
+    ).count()
+    assert strict >= 8
