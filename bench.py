@@ -83,6 +83,12 @@ BENCH_QUERIES = {
     # Catalyst plan, which wins at the job floor. tools/q4_bucketed_ab.py.
     "q4_semi_anti": "join_left_semi",
     "q5_tumbling": "agg_time_bucket",
+    # q6's op ships the anchored-regex raw-string fast path since round
+    # 11 (json_key_double_fastpath: single-key envelopes skip Jackson
+    # entirely, everything else falls back to from_json — semantics
+    # identical by construction, 3.2x at x200; tools/q6_ab.py). The
+    # shred-at-ingest family remains the architectural answer for owned
+    # corpora; this is the query-path kernel for ad-hoc JSON.
     "q6_json_extract": "fn_json",
     # q7's op dispatches its token kernel on corpus size since round 10:
     # JVM size(split()) below ~100k docs (sf0.1 sits here — Arrow
