@@ -332,16 +332,43 @@ def explode_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extra", "agg", "bench"),
 )
 def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch time-bucket aggregation via window() — the batch face of
+    """Batch time-bucket aggregation — the batch face of
     stream_tumbling_window and the exact query bench.py runs as q5
-    (BASELINE B5). Totals carry the well-scaled-sum emit idiom (wsum)."""
-    # explicit for readers: F.window() already drops null-ts rows
+    (BASELINE B5). Totals carry the well-scaled-sum emit idiom (wsum).
+
+    ROUND-11 KERNEL: the bucket key is epoch-hour ARITHMETIC on exact
+    microsecond LONGS (``(unix_micros - pmod(unix_micros, 3.6e9)) DIV
+    3.6e9`` — pmod makes the floor correct for pre-1970 instants)
+    instead of ``F.window()``. Semantics are identical — a
+    fixed-duration tumbling window is epoch-aligned with floor
+    assignment and [start, end) bounds in both spellings,
+    timezone-independently (both operate on the absolute instant) —
+    but the window() expression builds a (start, end) timestamp STRUCT
+    per row and groups on it, where the arithmetic groups on one long.
+    Interleaved A/B at x800 (80 M events): 1.386 → 0.990 s (1.40x).
+    The window start is reconstructed (``h * 3600`` cast back to
+    timestamp) only on the ~10^3 output groups.
+
+    NOT floor(cast-to-double / 3600): the pin test caught year-9999
+    23:59:59.999999 rounding into the NEXT hour — 2.5e17 microseconds
+    doesn't fit a double's 53-bit mantissa; window() itself works on
+    microsecond longs, so the fast spelling must too.
+    tests/test_property.py pins epoch-bucket == window() row-for-row on
+    adversarial timestamps (pre-1970, sub-second, exact hour
+    boundaries, far-future)."""
+    # explicit for readers: the filter replicates window()'s null-drop
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+        " DIV 3600000000"
+    )
     return (
-        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        e.groupBy(h.alias("h"), "event_type")
         .agg(F.count("*").alias("n"), wsum(F.col("value")).alias("total"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format(
+                (F.col("h") * 3600).cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("win_start"),
             "event_type",
             "n",
             "total",

@@ -2267,3 +2267,54 @@ def test_json_fastpath_equals_from_json(spark):
         F.regexp_extract("props", r'^\{"k": (-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?)\}$', 1) != ""
     ).count()
     assert strict >= 8
+
+
+def test_epoch_bucket_equals_window(spark):
+    """Round-11 q5 kernel: the epoch-hour arithmetic bucket
+    (floor(epoch/3600)) must assign every timestamp to the same tumbling
+    window as F.window(ts, '1 hour') — including pre-1970 (floor, not
+    truncate-toward-zero), sub-second fractions on both sides of an
+    hour boundary, and far-future instants."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    tz = dt.timezone.utc
+    stamps = [
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tz),
+        dt.datetime(1969, 12, 31, 23, 0, 0, 0, tz),
+        dt.datetime(1969, 12, 31, 22, 59, 59, 999999, tz),
+        dt.datetime(1970, 1, 1, 0, 0, 0, 0, tz),
+        dt.datetime(1970, 1, 1, 0, 59, 59, 999999, tz),
+        dt.datetime(1970, 1, 1, 1, 0, 0, 0, tz),
+        dt.datetime(1970, 1, 1, 1, 0, 0, 1, tz),
+        dt.datetime(1900, 6, 15, 12, 30, 0, 500000, tz),
+        dt.datetime(2026, 8, 16, 17, 59, 59, 999999, tz),
+        dt.datetime(2026, 8, 16, 18, 0, 0, 0, tz),
+        dt.datetime(9999, 6, 15, 23, 59, 59, 999999, tz),
+        # year-1 instants blow up in PySpark's OWN collect-side
+        # datetime.fromtimestamp conversion (types.py), independent of
+        # either bucketing spelling — 1900/1969 cover negative epochs
+        dt.datetime(1777, 7, 4, 12, 0, 0, 1, tz),
+    ]
+    df = spark.createDataFrame(
+        [(s.replace(tzinfo=None),) for s in stamps], "ts timestamp"
+    )
+    # the double-division spelling FAILED here (year-9999 23:59:59.999999
+    # bucketed into the next hour — 2.5e17 us exceeds a double mantissa);
+    # the shipped op uses exact long microsecond arithmetic
+    h = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+        " DIV 3600000000"
+    )
+    got = df.select(
+        "ts",
+        (h * 3600).cast("timestamp").alias("epoch_start"),
+        F.window("ts", "1 hour").start.alias("window_start"),
+    ).collect()
+    diverged = [
+        (r["ts"], r["epoch_start"], r["window_start"])
+        for r in got
+        if r["epoch_start"] != r["window_start"]
+    ]
+    assert not diverged, diverged

@@ -227,10 +227,17 @@ def main() -> int:
     reg = registry()
 
     e = load(spark, sf, "events")
+    # fn_json SHIPS the rx_hybrid kernel since this A/B landed — keep a
+    # pure-Jackson variant so the comparison stays measurable
+    kj = F.from_json("props", "k DOUBLE").getField("k")
+    pure = _final_agg(
+        e.select("event_type", kj.alias("k"), _k_int(kj).alias("k_i"))
+    )
     variants = {
         "scan": e.select(
             F.count("*").alias("n"), F.sum(F.length("props")).alias("b")
         ),
+        "pure_from_json": pure,
         "current": reg["fn_json"].fn(spark, sf),
         "rx_hybrid": rx_hybrid_variant(spark, sf),
         "arrow_re2": arrow_re2_variant(spark, sf),
@@ -238,9 +245,12 @@ def main() -> int:
 
     vals = {
         n: sorted(tuple(r) for r in variants[n].collect())
-        for n in ("current", "rx_hybrid", "arrow_re2")
+        for n in ("pure_from_json", "current", "rx_hybrid", "arrow_re2")
     }
-    assert vals["current"] == vals["rx_hybrid"] == vals["arrow_re2"], vals
+    assert (
+        vals["current"] == vals["rx_hybrid"] == vals["arrow_re2"]
+        == vals["pure_from_json"]
+    ), vals
     print("values agree", flush=True)
 
     def rerun(df):
