@@ -153,6 +153,14 @@ def bucketed_layout(
                     .write.mode("overwrite")
                     .bucketBy(n_buckets, key)
                     .sortBy(key)
+                    # zstd: 32% smaller than snappy on the x800 orders/
+                    # customer layout (1.20 vs 1.76 GB) at WARM-read
+                    # parity (0.384 vs 0.398 s isolated q4) — pay-at-
+                    # write-time bytes are the layout's recurring cost
+                    # at 100 TB (storage + every cold/evicted re-read).
+                    # Cold-read deltas weren't claimable on this sandbox
+                    # (host-level cache pollutes drop_caches A/Bs).
+                    .option("compression", "zstd")
                     .option("path", os.path.join(tmp, src))
                     .format("parquet")
                     .saveAsTable(tmp_tbl)
