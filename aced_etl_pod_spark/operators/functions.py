@@ -286,18 +286,45 @@ def json_key_double_fastpath(props_col, key: str):
     fails the anchor and takes the real ``from_json`` parse, so the
     worst case is one cheap regex over the fallback's former cost.
 
-    Measured (tools/q6_ab.py, honest interleaved protocol, x200 =
-    20 M events): from_json 8.67 s → hybrid 2.70 s (3.2x), parquet
-    scan floor 0.45 s; the mapInArrow RE2 + per-batch-partial variant
-    measured 15.1 s (Python transfer of every string — rejected).
-    tests/test_functions.py pins hybrid == pure from_json row-for-row
-    on the adversarial document set."""
+    TWO fast tiers, cheapest first (each certifies its own rows; any
+    row neither can certify pays the real parse):
+
+    1. INTEGER ROUND-TRIP (regex-free, pure codegen string/cast ops):
+       candidate = the bytes between ``{"<key>": `` and ``}``; valid
+       iff ``cast(candidate AS LONG)`` re-stringifies to exactly the
+       candidate. That accepts precisely the canonical integer strings
+       ``-?(0|[1-9]\\d*)`` minus ``-0`` — every one a strict JSON
+       number Jackson parses to the same value — and rejects '007',
+       '1d', '+5', '-0', hex, spaces by construction.
+    2. REGEX NUMBER GRAMMAR: the anchored extract above, for
+       fractional/exponent literals tier 1 can't certify.
+
+    Measured (tools/q6_ab.py, honest interleaved protocol): x200
+    from_json 8.67 s → regex tier 2.70 s (3.2x); x800 pure from_json
+    12.9 s → regex tier 3.9-4.2 s → **integer tier 1.90 s (6.8x
+    total, 2.75x vs DuckDB)**. Parquet scan floor 0.42 s. The
+    mapInArrow RE2 + per-batch-partial variant measured transfer-bound
+    (rejected; PLANS.md). tests/test_property.py pins the tiered path
+    == pure from_json row-for-row on the adversarial document set."""
     import re as _re
 
+    prefix = '{"' + key + '": '
+    cand = props_col.substr(
+        F.lit(len(prefix) + 1), F.length(props_col) - (len(prefix) + 1)
+    )
+    as_long = cand.cast("long")
+    int_ok = (
+        props_col.startswith(prefix)
+        & props_col.endswith("}")
+        & as_long.isNotNull()
+        & (as_long.cast("string") == cand)
+    )
     rx = r'^\{"' + _re.escape(key) + r'": (' + _JSON_NUM_RX + r")\}$"
     x = F.regexp_extract(props_col, rx, 1)
-    return F.when(x != "", x.cast("double")).otherwise(
-        F.from_json(props_col, f"`{key}` DOUBLE").getField(key)
+    return F.when(int_ok, as_long.cast("double")).otherwise(
+        F.when(x != "", x.cast("double")).otherwise(
+            F.from_json(props_col, f"`{key}` DOUBLE").getField(key)
+        )
     )
 
 

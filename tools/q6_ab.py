@@ -79,6 +79,34 @@ def rx_hybrid_variant(spark, sf_dir):
     )
 
 
+def int_roundtrip_variant(spark, sf_dir):
+    """Regex-FREE integer fast tier: candidate = the bytes between
+    '{"k": ' and '}'; valid iff cast(candidate AS LONG) re-stringifies
+    to exactly the candidate (rejects '007', '1d', '-0', '+5', spaces,
+    hex — everything non-canonical — by construction; every canonical
+    integer string is a valid JSON number Jackson parses to the same
+    value). Non-integer docs (fractions, exponents) fall through to the
+    regex tier's from_json fallback here, so semantics stay exact."""
+    from aced_etl_pod_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    p = F.col("props")
+    cand = F.expr("substring(props, 7, length(props) - 7)")
+    l = cand.cast("long")
+    valid = (
+        p.startswith('{"k": ')
+        & p.endswith("}")
+        & l.isNotNull()
+        & (l.cast("string") == cand)
+    )
+    k = F.when(valid, l.cast("double")).otherwise(
+        F.from_json("props", "k DOUBLE").getField("k")
+    )
+    return _final_agg(
+        e.select("event_type", k.alias("k"), _k_int(k).alias("k_i"))
+    )
+
+
 def _re2_partial_kernel(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -240,16 +268,23 @@ def main() -> int:
         "pure_from_json": pure,
         "current": reg["fn_json"].fn(spark, sf),
         "rx_hybrid": rx_hybrid_variant(spark, sf),
+        "int_roundtrip": int_roundtrip_variant(spark, sf),
         "arrow_re2": arrow_re2_variant(spark, sf),
     }
 
     vals = {
         n: sorted(tuple(r) for r in variants[n].collect())
-        for n in ("pure_from_json", "current", "rx_hybrid", "arrow_re2")
+        for n in (
+            "pure_from_json",
+            "current",
+            "rx_hybrid",
+            "int_roundtrip",
+            "arrow_re2",
+        )
     }
     assert (
         vals["current"] == vals["rx_hybrid"] == vals["arrow_re2"]
-        == vals["pure_from_json"]
+        == vals["pure_from_json"] == vals["int_roundtrip"]
     ), vals
     print("values agree", flush=True)
 
