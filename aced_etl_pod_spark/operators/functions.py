@@ -308,11 +308,20 @@ def json_key_double_fastpath(props_col, key: str):
     == pure from_json row-for-row on the adversarial document set."""
     import re as _re
 
+    # key is interpolated into the string prefix AND the from_json
+    # schema — only the regex tier is re.escape-protected, so restrict
+    # to plain identifiers up front (a quote/backtick in key would
+    # silently break the prefix match and the schema string).
+    if not _re.fullmatch(r"\w+", key):
+        raise ValueError(f"json_key_double_fastpath: key must be \\w+, got {key!r}")
     prefix = '{"' + key + '": '
     cand = props_col.substr(
         F.lit(len(prefix) + 1), F.length(props_col) - (len(prefix) + 1)
     )
-    as_long = cand.cast("long")
+    # try_cast, not cast: the tier-1 predicate evaluates on EVERY row
+    # (junk candidates included), and a plain cast would throw under
+    # ANSI mode — keep the helper safe regardless of session config.
+    as_long = cand.try_cast("long")
     int_ok = (
         props_col.startswith(prefix)
         & props_col.endswith("}")
@@ -322,7 +331,7 @@ def json_key_double_fastpath(props_col, key: str):
     rx = r'^\{"' + _re.escape(key) + r'": (' + _JSON_NUM_RX + r")\}$"
     x = F.regexp_extract(props_col, rx, 1)
     return F.when(int_ok, as_long.cast("double")).otherwise(
-        F.when(x != "", x.cast("double")).otherwise(
+        F.when(x != "", x.try_cast("double")).otherwise(
             F.from_json(props_col, f"`{key}` DOUBLE").getField(key)
         )
     )

@@ -32,7 +32,7 @@ literal — on those, Double.parseDouble == Jackson's getDoubleValue ==
 cast(string as double). Everything else (leading zeros, ``1d``/hex/
 ``Infinity`` strings that cast() would wrongly accept, nested objects,
 whitespace variants) fails the anchor and is parsed for real.
-tests/test_functions.py pins the adversarial set row-for-row.
+tests/test_property.py pins the adversarial set row-for-row.
 """
 
 from __future__ import annotations
@@ -46,7 +46,11 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-NUM_GRAMMAR = r'-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?'
+# One grammar, one source of truth — the shipped kernel's. A local copy
+# here once drifted from the measured grammar; import it instead.
+from aced_etl_pod_spark.operators.functions import _JSON_NUM_RX  # noqa: E402
+
+NUM_GRAMMAR = _JSON_NUM_RX
 DOC_RX = r'^\{"k": (' + NUM_GRAMMAR + r')\}$'
 
 
