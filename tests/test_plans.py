@@ -511,3 +511,33 @@ def test_sort_metadata_flag_is_safe_on_multifile_buckets(spark):
         .collect()
     }
     assert got == want
+
+
+def test_q1_summary_layout_round_trips_and_prunes(spark):
+    """Round-12 q1 layout pins: (a) the summary path's result equals the
+    plain scan's exactly at test scale (sub-cent sums — no fold-order
+    slack needed here, unlike the x800 A/B's 1e-12 rel compare); (b) the
+    summary plan touches ONLY the summary parquet (no lineitem scan —
+    the whole point), pushes the shipdate filter to it, and keeps the
+    final agg as the single exchange; (c) the dispatch knee leaves the
+    sub-4M-row regime on the plain scan."""
+    from aced_etl_pod_spark.operators.aggs import (
+        _q1_plain_scan,
+        agg_group_sums,
+        agg_group_sums_summary_ingest,
+    )
+
+    plain = sorted(tuple(r) for r in _q1_plain_scan(spark, SF_SMALL).collect())
+    summ_df = agg_group_sums_summary_ingest(spark, SF_SMALL)
+    summ = sorted(tuple(r) for r in summ_df.collect())
+    assert plain == summ
+
+    plan = _plan(summ_df)
+    assert "lineitem.parquet" not in plan  # reads the summary only
+    assert "q1sum_lineitem" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert plan.count("Exchange hashpartitioning") <= 2  # final agg only (tree+detail)
+
+    # below the knee the public op stays on the plain scan plan
+    dispatched = _plan(agg_group_sums(spark, SF_SMALL))
+    assert "lineitem.parquet" in dispatched
