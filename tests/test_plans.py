@@ -541,3 +541,30 @@ def test_q1_summary_layout_round_trips_and_prunes(spark):
     # below the knee the public op stays on the plain scan plan
     dispatched = _plan(agg_group_sums(spark, SF_SMALL))
     assert "lineitem.parquet" in dispatched
+
+
+def test_q7_ingest_layout_round_trips_no_text_bytes(spark):
+    """Round-12 q7 layout pins: the ingest path's result equals the
+    query-path plans exactly; its plan reads ONLY the per-lang gold
+    partials (no documents scan, no text bytes, no Python stage); the
+    sub-knee regime keeps the public op on a documents scan."""
+    from aced_etl_pod_spark.operators.text import (
+        text_tokenize_stats,
+        text_tokenize_stats_arrow,
+        text_tokenize_stats_ingest,
+    )
+
+    ing_df = text_tokenize_stats_ingest(spark, SF_SMALL)
+    ing = sorted(tuple(r) for r in ing_df.collect())
+    arrow = sorted(
+        tuple(r) for r in text_tokenize_stats_arrow(spark, SF_SMALL).collect()
+    )
+    assert ing == arrow
+
+    plan = _plan(ing_df)
+    assert "documents.parquet" not in plan
+    assert "toksum_documents" in plan
+    assert "Python" not in plan  # no Arrow/Python stage at query time
+
+    dispatched = _plan(text_tokenize_stats(spark, SF_SMALL))
+    assert "documents.parquet" in dispatched
