@@ -485,6 +485,7 @@ def ivf_index_probe_many(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     broadcast_queries: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch serving against a persisted IVF index
     (:func:`ivf_index_build`) — the batch-inference shape: MANY queries,
@@ -532,7 +533,8 @@ def ivf_index_probe_many(
 
     if broadcast_queries:
         return _ivf_probe_many_gemm(
-            spark, path, queries, k, n_probe, id_col, emb_col
+            spark, path, queries, k, n_probe, id_col, emb_col,
+            exclude_self=exclude_self,
         )
 
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
@@ -562,9 +564,9 @@ def ivf_index_probe_many(
     idx = spark.read.parquet(f"{path}/cells").coalesce(
         spark.sparkContext.defaultParallelism
     )
-    cands = idx.join(q_cells, ["bkt", "cid"]).filter(
-        F.col("q_id") != F.col(id_col)
-    )
+    cands = idx.join(q_cells, ["bkt", "cid"])
+    if exclude_self:
+        cands = cands.filter(F.col("q_id") != F.col(id_col))
     scored = cands.withColumn("cos", cosine_expr("q_emb", emb_col))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), id_col)
     return (
@@ -586,6 +588,7 @@ def _ivf_probe_many_gemm(
     n_probe: int,
     id_col: str,
     emb_col: str,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The bounded-Q batch-serving kernel (see ivf_index_probe_many):
     driver-side cell ranking (Q·C gemm — the single probe's argmax,
@@ -667,7 +670,8 @@ def _ivf_probe_many_gemm(
                     np.sqrt((X * X).sum(axis=1)), q_norms
                 )
             mask = allow[np.searchsorted(cid_sorted, cid_np)]
-            mask &= ids_np[:, None] != q_ids[None, :]  # exclude self
+            if exclude_self:
+                mask &= ids_np[:, None] != q_ids[None, :]
             cosm = np.where(mask & ~np.isnan(cos), cos, -np.inf)
             out_q, out_i, out_c = [], [], []
             kk = min(k, cosm.shape[0])

@@ -123,13 +123,36 @@ def _duck_lsh_buckets(target_bucket: int) -> str:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 query vector (BASELINE B8).
     Query side broadcast; scan side never shuffles — at 100 TB this is one
-    pass + a TakeOrdered."""
-    from aced_etl_pod_spark.tables import load_validated_embeddings
+    pass + a TakeOrdered.
 
+    KERNEL-DISPATCHED since round 12 (tools/q8_exact_ab.py): past ~50 k
+    vectors the op answers via the mapInArrow gemm kernel
+    (sim_cosine_topk_arrow's plan) — x10 0.20 vs 0.33 s, x200 0.49 vs
+    1.51 s, x800 1.17 vs 2.90 s (ratio vs DuckDB 7.1x → 2.9x); below
+    the knee the JVM kernels win (x1: 0.13 vs 0.19 s — the Python
+    worker roundtrip doesn't amortize) and the HOF-fold plan stays.
+    The r12 verdict's all-cells-gemm-through-the-IVF-index lever was
+    measured and REJECTED: 2.74 s at x800 vs the raw-parquet arrow
+    kernel's 1.17 s — per-query driver-side cell ranking plus the
+    1264-value isin pushdown cost more than the zstd cells layout
+    saves when every cell is probed anyway (PLANS.md round-12). Same
+    oracle all paths; dispatch count from parquet footers."""
+    from aced_etl_pod_spark.tables import (
+        load_validated_embeddings,
+        table_row_count,
+    )
+
+    if table_row_count(sf_dir, "embeddings") >= _ARROW_COSINE_MIN_VECS:
+        return sim_cosine_topk_arrow(spark, sf_dir)
     emb = load_validated_embeddings(spark, sf_dir)  # ingest-validated (r8)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+#: x1 (8 k vectors): arrow 1.4x slower (worker roundtrip); x10 (80 k):
+#: 1.6x faster — 50 k splits the bracket (tools/q8_exact_ab.py).
+_ARROW_COSINE_MIN_VECS = 50_000
 
 
 @op(

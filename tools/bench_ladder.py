@@ -52,7 +52,7 @@ BENCH_QUERIES = {
     "q5_tumbling": "agg_time_bucket",
     "q6_json_extract": "fn_json",
     "q7_token_stats": "text_tokenize_stats",  # size-dispatched kernel (r10)
-    "q8_cosine_topk": "sim_cosine_topk_fast",
+    "q8_cosine_topk": "sim_cosine_topk",  # r12: dispatches to the arrow kernel at scale
     "q9_rollup": "agg_rollup_partial_reagg",  # r10: no-EXPAND shape, 1.6x at x200
     "q10_distinct": "agg_distinct_count",  # kernel-dispatches to bitmask past 1M events (r11)
 }
