@@ -944,6 +944,7 @@ def ann_lsh_multiprobe_topk(
     target_bucket: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Multiprobe sign-LSH k-NN (Lv et al.): the probe side visits its own
     bucket AND every Hamming-1 neighbor (one exploded row per flipped
@@ -954,7 +955,12 @@ def ann_lsh_multiprobe_topk(
     only by the constant factor (1 + planes) — the same economics as the
     geo join's 3x3 neighborhood explode. Each ordered pair matches at
     most once (the base bucket is fixed; the probe set is distinct), so
-    no dedup pass is needed."""
+    no dedup pass is needed.
+
+    ``queries`` (round-12, recall-ladder escalation tier): when given,
+    only that query set probes — the serving shape (the index side is
+    still the full corpus; plane count is still sized from the corpus).
+    Default None keeps the all-pairs kNN contract."""
     from pyspark.sql import Window as W
 
     n = emb.count()
@@ -976,7 +982,12 @@ def ann_lsh_multiprobe_topk(
         F.col("bucket"),
         *[F.expr(f"int(bucket) ^ {1 << i}").alias(f"p{i}") for i in range(n_planes)],
     )
-    probe = bucketed.select(
+    probe_src = (
+        bucketed
+        if queries is None
+        else queries.withColumn("bucket", signature_bucket(emb_col, planes))
+    )
+    probe = probe_src.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("emb_a"),
         F.explode(probes).alias("bucket"),

@@ -505,3 +505,31 @@ def test_ivf_probe_many_gemm_equals_join_path(spark, tmp_path):
     )
     for key in g:
         assert abs(g[key] - j[key]) < 1e-9, (key, g[key], j[key])
+
+
+def test_multiprobe_queries_param_matches_allpairs_restriction(spark):
+    """Round-12 escalation-tier plumbing: ann_lsh_multiprobe_topk's
+    ``queries`` parameter (serving shape — only the query set probes)
+    must return exactly the all-pairs result restricted to those query
+    ids: same planes (sized from the CORPUS, not the query set), same
+    buckets, same ties."""
+    from pyspark.sql import functions as F
+
+    from aced_etl_pod_spark.functions.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+    from aced_etl_pod_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    full = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_topk(emb, k=3).collect()
+        if r["vec_id"] % 50 == 0
+    }
+    sub = {
+        tuple(r)
+        for r in ann_lsh_multiprobe_topk(emb, k=3, queries=qset).collect()
+    }
+    assert sub == full and len(sub) > 0

@@ -189,34 +189,75 @@ def run(scale: int | None = None, sf_dir: str | None = None, reps: int = 5) -> i
     for q in oracles.values():
         con.execute(q).fetchall()
 
+    # IN-MIX pass, engine order ALTERNATED between reps (round-12
+    # verdict item 9): with a fixed spark-then-duck order, every Spark
+    # sample ran right after DuckDB's interleaved full-table scans had
+    # evicted the layouts from the page cache — q4's headline swung
+    # 0.88x (isolated) to 6.4x (in-mix) on cache state alone.
+    # Alternation makes the mix tax symmetric; the ISOLATED pass below
+    # is the authoritative number for layout-dispatched queries.
     s_samples = {n: [] for n in dfs}
     d_samples = {n: [] for n in dfs}
-    for _ in range(reps):
-        for name, df in dfs.items():
+    for rep in range(reps):
+        engines = ("spark", "duck") if rep % 2 == 0 else ("duck", "spark")
+        for eng in engines:
+            if eng == "spark":
+                for name, df in dfs.items():
+                    w = rerun(df)
+                    t0 = time.perf_counter()
+                    w.collect()
+                    s_samples[name].append(time.perf_counter() - t0)
+            else:
+                for name, q in oracles.items():
+                    t0 = time.perf_counter()
+                    con.execute(q).fetchall()
+                    d_samples[name].append(time.perf_counter() - t0)
+
+    # ISOLATED pass: per query, consecutive same-engine reps with no
+    # other query (and no other engine) touching the page cache between
+    # samples — the number a dedicated-cluster run would see.
+    s_iso = {}
+    d_iso = {}
+    for name, df in dfs.items():
+        rerun(df).collect()  # re-warm after the mix
+        ts = []
+        for _ in range(reps):
             w = rerun(df)
             t0 = time.perf_counter()
             w.collect()
-            s_samples[name].append(time.perf_counter() - t0)
-        for name, q in oracles.items():
+            ts.append(time.perf_counter() - t0)
+        s_iso[name] = statistics.median(ts)
+    for name, q in oracles.items():
+        con.execute(q).fetchall()
+        ts = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             con.execute(q).fetchall()
-            d_samples[name].append(time.perf_counter() - t0)
+            ts.append(time.perf_counter() - t0)
+        d_iso[name] = statistics.median(ts)
 
     queries = {}
-    tot_s = tot_d = 0.0
+    tot_s = tot_d = tot_s_iso = tot_d_iso = 0.0
     for name in dfs:
         ms = statistics.median(s_samples[name])
         md = statistics.median(d_samples[name])
+        msi, mdi = s_iso[name], d_iso[name]
         tot_s += ms
         tot_d += md
+        tot_s_iso += msi
+        tot_d_iso += mdi
         queries[name] = {
             "spark_sec": round(ms, 4),
             "duckdb_sec": round(md, 4),
             "ratio": round(ms / md, 2),
+            "spark_iso_sec": round(msi, 4),
+            "duckdb_iso_sec": round(mdi, 4),
+            "iso_ratio": round(msi / mdi, 2),
         }
         print(
             f"{name}: spark {ms * 1e3:7.1f} ms  duck {md * 1e3:7.1f} ms "
-            f"ratio {ms / md:5.2f}x",
+            f"ratio {ms / md:5.2f}x | iso {msi * 1e3:7.1f}/"
+            f"{mdi * 1e3:7.1f} ms = {msi / mdi:5.2f}x",
             flush=True,
         )
     # q8 SERVING extra (not in the totals): the persisted-IVF probe vs
@@ -229,6 +270,9 @@ def run(scale: int | None = None, sf_dir: str | None = None, reps: int = 5) -> i
             {
                 "metric": f"bench_ladder_x{scale}" if scale else "bench_ladder_dir",
                 "spark_total_sec": round(tot_s, 4),
+                "spark_iso_total_sec": round(tot_s_iso, 4),
+                "duckdb_iso_total_sec": round(tot_d_iso, 4),
+                "iso_total_ratio": round(tot_s_iso / tot_d_iso, 2),
                 "duckdb_total_sec": round(tot_d, 4),
                 "total_ratio": round(tot_s / tot_d, 2),
                 "queries": queries,

@@ -63,6 +63,14 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--escalate",
+        action="store_true",
+        help="round-12 escalation tier: extend the n_probe curve to "
+        "64/128, and add multiprobe-LSH and IVF-PQ rows (recall + qps) "
+        "so the default escalation rule is read off measured curves, "
+        "not asserted.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -204,7 +212,10 @@ def main() -> int:
     duck_exact = statistics.median(td)
 
     curve = []
-    for n_probe in (4, 8, 16, 32):
+    probe_list = [4, 8, 16, 32]
+    if args.escalate:
+        probe_list += [p for p in (64, 128) if p < n_cent]
+    for n_probe in probe_list:
         batched = ivf_index_probe_many(
             spark, idx, qset, k=args.k, n_probe=n_probe, broadcast_queries=True
         )
@@ -241,6 +252,93 @@ def main() -> int:
         curve.append(row)
         print(row, flush=True)
 
+    extra = {}
+    if args.escalate:
+        # ---- escalation tier 2: multiprobe sign-LSH (different index
+        # family — Hamming-1 neighbor buckets, corpus-sized planes) ----
+        from aced_etl_pod_spark.functions.similarity import (
+            ann_lsh_multiprobe_topk,
+        )
+
+        mp = ann_lsh_multiprobe_topk(
+            emb, k=args.k, target_bucket=16, queries=qset
+        ).select(F.col("vec_id").alias("q_id"), "nbr_id", "cos_sim")
+        got = topk_map(rerun(mp))
+        recalls = [
+            len(set(got.get(q, [])) & set(ex)) / max(len(ex), 1)
+            for q, ex in exact.items()
+        ]
+        walls = []
+        for _ in range(args.reps):
+            w = rerun(mp)
+            t0 = time.perf_counter()
+            w.collect()
+            walls.append(time.perf_counter() - t0)
+        extra["lsh_multiprobe"] = {
+            "recall_at_k": round(sum(recalls) / len(recalls), 4),
+            "batched_qps": round(
+                args.queries / statistics.median(walls), 1
+            ),
+        }
+        print(f"lsh_multiprobe: {extra['lsh_multiprobe']}", flush=True)
+
+        # ---- escalation tier 3: IVF-PQ (the registered IVFADC recipe:
+        # 16 coarse cells, m=8 residual books, n_probe=4). Its metric is
+        # L2 (ADC over residuals), so recall is measured against the
+        # exact L2 top-k — metric-honest, not conflated with the cosine
+        # baseline. Q=8 single-query jobs (the op's serving shape). ----
+        import numpy as np
+
+        from aced_etl_pod_spark.functions.pq import (
+            _ordered_sum,
+            ivfpq_topk,
+            train_codebooks,
+        )
+
+        sample_rows = (
+            emb.orderBy("vec_id").limit(512).select("embedding").collect()
+        )
+        S = np.stack(
+            [np.asarray(r["embedding"]) for r in sample_rows]
+        ).astype(np.float64)
+        coarse = train_codebooks(S, m=1, k=16, iters=10)[0]
+        assign = _ordered_sum(
+            (S[:, None, :] - coarse[None, :, :]) ** 2, axis=2
+        ).argmin(axis=1)
+        books = train_codebooks(S - coarse[assign], m=8, k=16, iters=10)
+        pq_q = qset.limit(8).collect()
+        pq_recalls, pq_wall = [], 0.0
+        for r0 in pq_q:
+            qv = np.asarray(r0["embedding"], dtype=np.float64)
+            corpus = emb.filter(F.col("vec_id") != r0["vec_id"])
+            t0 = time.perf_counter()
+            approx = [
+                r["vec_id"]
+                for r in ivfpq_topk(
+                    corpus, coarse, books, qv, k=args.k, n_probe=4
+                ).collect()
+            ]
+            pq_wall += time.perf_counter() - t0
+            ex_l2 = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT vec_id FROM '{duck_glob}' WHERE vec_id <> ? "
+                    "ORDER BY list_distance(CAST(embedding AS DOUBLE[]), "
+                    f"?::DOUBLE[]), vec_id LIMIT {args.k}",
+                    [int(r0["vec_id"]), [float(x) for x in qv]],
+                ).fetchall()
+            ]
+            pq_recalls.append(
+                len(set(approx) & set(ex_l2)) / max(len(ex_l2), 1)
+            )
+        extra["ivf_pq"] = {
+            "recall_at_k_vs_exact_l2": round(
+                sum(pq_recalls) / len(pq_recalls), 4
+            ),
+            "batched_qps": round(len(pq_q) / pq_wall, 2),
+        }
+        print(f"ivf_pq: {extra['ivf_pq']}", flush=True)
+
     print(json.dumps({
         "metric": f"recall_ladder_{tag}",
         "n_vectors": n_vec,
@@ -249,6 +347,7 @@ def main() -> int:
         "queries": args.queries,
         "duckdb_exact_sec": round(duck_exact, 4),
         "curve": curve,
+        **({"escalation": extra} if extra else {}),
     }))
     return 0
 
