@@ -593,12 +593,30 @@ def agg_rollup_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the EXPAND plan's own partial aggregation, below the 2-dp
     rounding at oracle scales. A (priority, NULL) REAL group and the
     (priority, NULL) subtotal row both appear, exactly as ROLLUP emits
-    them. agg_rollup stays registered as the native-operator shape."""
+    them. agg_rollup stays registered as the native-operator shape.
+
+    LAYOUT-DISPATCHED since round 12: past ~4 M orders the base level
+    itself comes from the ingest-time (priority, status, orderdate)
+    summary (agg_rollup_summary_ingest) — the q1 move; the rollup
+    re-agg algebra above is unchanged, it just starts from ~36 k
+    summary rows instead of the fact table."""
+    from aced_etl_pod_spark.tables import table_row_count
+
+    if table_row_count(sf_dir, "orders") >= 4_000_000:
+        return agg_rollup_summary_ingest(spark, sf_dir)
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("_n"),
         F.sum(finite(F.col("o_totalprice"))).alias("_s"),
     )
+    return _rollup_levels(base)
+
+
+def _rollup_levels(base: DataFrame) -> DataFrame:
+    """The ROLLUP re-agg algebra over a (priority, status, _n, _s)
+    partials frame: l2 = the partials emitted, l1 = priority subtotals,
+    l0 = grand total (see agg_rollup_partial_reagg's docstring for why
+    this equals GROUP BY ROLLUP without the Expand)."""
     l2 = base.select(
         "o_orderpriority",
         "o_orderstatus",
@@ -624,6 +642,90 @@ def agg_rollup_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
     return l2.unionByName(l1).unionByName(l0)
+
+
+def _rollup_summary_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest-time partial-aggregate layout for the orders rollup family
+    (round-12 — the q1sum posture on the orders fact): one pass groups
+    orders by the exact dimensions (o_orderpriority, o_orderstatus,
+    o_orderdate) and persists (count, sum(finite(o_totalprice)))
+    partials. Exact-value date keying keeps every date-range predicate
+    answerable from the summary (the q1 principle); ~dates x 15 flag
+    combos rows (~36 k) at any corpus size. Atomic publish + age-gated
+    eviction, the q1sum idiom."""
+    import os
+    import shutil
+    import tempfile
+
+    from aced_etl_pod_spark.tables import evict_stale_fixtures, scratch_dir
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    base_dir = scratch_dir()
+    name = f"q9sum_orders_{sf_tag}_{st.st_mtime_ns:x}_{st.st_size:x}"
+    path = os.path.join(base_dir, name)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base_dir)
+    try:
+        o = load(spark, sf_dir, "orders")
+        (
+            o.groupBy("o_orderpriority", "o_orderstatus", "o_orderdate")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(finite(F.col("o_totalprice"))).alias("_s"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/summary")
+        )
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        for _ in range(2):
+            try:
+                os.rename(tmp, path)
+                break
+            except OSError:
+                if os.path.exists(marker):
+                    break
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            raise OSError(f"could not publish rollup summary at {path}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    evict_stale_fixtures(base_dir, (f"q9sum_orders_{sf_tag}_",), keep=name)
+    return path
+
+
+@op(
+    "agg_rollup_summary_ingest",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum({finite_sql("o_totalprice")}), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "ingest", "scale", "extra"),
+)
+def agg_rollup_summary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_rollup's hierarchy totals from the ingest-time
+    (priority, status, orderdate) summary
+    (:func:`_rollup_summary_fixture`): the finest rollup level
+    re-aggregates ~36 k date-grained partials instead of the fact
+    table, then the EXPAND-free level algebra (:func:`_rollup_levels`)
+    emits the hierarchy. The oracle recomputes GROUP BY ROLLUP from
+    BASE orders, so the driver hash check proves the date-keyed layout
+    round-trips every level — real (priority, NULL) groups and subtotal
+    rows included."""
+    path = _rollup_summary_fixture(spark, sf_dir)
+    s = spark.read.parquet(f"{path}/summary")
+    base = s.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum("_n").cast("long").alias("_n"),
+        F.sum("_s").alias("_s"),
+    )
+    return _rollup_levels(base)
 
 
 @op(

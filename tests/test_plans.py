@@ -568,3 +568,48 @@ def test_q7_ingest_layout_round_trips_no_text_bytes(spark):
 
     dispatched = _plan(text_tokenize_stats(spark, SF_SMALL))
     assert "documents.parquet" in dispatched
+
+
+def test_q5_q9_summary_layouts_round_trip_and_prune(spark):
+    """Round-12 q5/q9 layout pins (the q1 idiom): each summary path's
+    result equals the scan plan's exactly at test scale; each summary
+    plan reads ONLY its fixture (no events/orders scan); each public op
+    stays on the scan plan below the 4M-row knee."""
+    from aced_etl_pod_spark.operators.aggs import (
+        agg_rollup_partial_reagg,
+        agg_rollup_summary_ingest,
+    )
+    from aced_etl_pod_spark.operators.extra_ops import (
+        agg_time_bucket,
+        agg_time_bucket_summary_ingest,
+    )
+
+    def srt(rows):
+        # None-tolerant total order (null event_type groups exist)
+        return sorted((tuple(r) for r in rows), key=repr)
+
+    q5_scan = srt(agg_time_bucket(spark, SF_SMALL).collect())
+    q5_sum_df = agg_time_bucket_summary_ingest(spark, SF_SMALL)
+    assert srt(q5_sum_df.collect()) == q5_scan
+    plan5 = _plan(q5_sum_df)
+    assert "events.parquet" not in plan5 and "minsum_events" in plan5
+
+    q9_scan = srt(agg_rollup_partial_reagg(spark, SF_SMALL).collect())
+    q9_sum_df = agg_rollup_summary_ingest(spark, SF_SMALL)
+    assert srt(q9_sum_df.collect()) == q9_scan
+    plan9 = _plan(q9_sum_df)
+    assert "orders.parquet" not in plan9 and "q9sum_orders" in plan9
+
+    # sub-knee: the public ops keep their scan plans
+    assert "events.parquet" in _plan(agg_time_bucket(spark, SF_SMALL))
+    assert "orders.parquet" in _plan(agg_rollup_partial_reagg(spark, SF_SMALL))
+
+
+def test_q6_dispatch_below_knee_keeps_parse_plan(spark):
+    """Round-12 q6 dispatch pin: below the 4M-event knee fn_json stays
+    on the parse-kernel plan (events scan, no shred fixture)."""
+    from aced_etl_pod_spark.operators.functions import fn_json
+
+    plan = _plan(fn_json(spark, SF_SMALL))
+    assert "events.parquet" in plan
+    assert "shred_events" not in plan
