@@ -307,10 +307,21 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.16x -> 1.49x). Below the knee the pair plan wins (the bitmask
     path's one-time type-dictionary job doesn't amortize at the job
     floor). Same oracle either way; dispatch count from parquet
-    footers."""
+    footers.
+
+    LAYOUT-DISPATCHED since round 12: past ~4 M events the per-user
+    masks themselves come from the ingest-time mask table
+    (agg_distinct_count_mask_ingest — incrementally maintainable via
+    bit_or merge), so the query reads ~n_users (user, mask) longs
+    instead of re-deriving masks from every event."""
     from aced_etl_pod_spark.tables import table_row_count
 
-    if table_row_count(sf_dir, "events") >= 1_000_000:
+    n_events = table_row_count(sf_dir, "events")
+    if n_events >= 4_000_000:
+        if _user_mask_fixture(spark, sf_dir) is not None:
+            return agg_distinct_count_mask_ingest(spark, sf_dir)
+        return agg_distinct_count_bitmask(spark, sf_dir)  # >62 types
+    if n_events >= 1_000_000:
         return agg_distinct_count_bitmask(spark, sf_dir)
     e = load(spark, sf_dir, "events")
     pairs = e.groupBy("user_id", "event_type").agg(F.lit(1).alias("_one"))
@@ -419,6 +430,126 @@ def agg_distinct_count_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
+    return per_user.agg(
+        F.sum(
+            F.when(F.col("user_id").isNotNull(), F.bit_count("mask")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_pairs"),
+        F.count(F.col("user_id")).cast("long").alias("n_users"),
+        F.bit_count(F.expr("bit_or(mask)")).cast("long").alias("n_types"),
+    )
+
+
+def _user_mask_fixture(spark: SparkSession, sf_dir: str) -> str | None:
+    """Ingest-time per-user type-bitmask table (round-12 — the q10
+    bitmask plan's exchange input persisted as a layout): one pass
+    bit_ors each user's type bits (through the cached
+    :func:`_event_type_dictionary`) into one (user_id, mask) row per
+    user — null user included, it carries type bits for n_types. The
+    artifact is INCREMENTALLY MAINTAINABLE (bit_or of a new batch's
+    masks merges associatively), and every distinct-count in the family
+    reads ~n_users longs instead of re-deriving masks from all events.
+    The bit->type mapping rides the fixture (``types`` parquet) so a
+    reader never depends on dictionary recomputation order. Returns
+    None when the type domain exceeds 62 (mask width) — callers fall
+    back to the exact pair plan. Atomic publish + eviction, q1sum
+    idiom."""
+    import os
+    import shutil
+    import tempfile
+
+    from aced_etl_pod_spark.tables import evict_stale_fixtures, scratch_dir
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fingerprint = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    types = _event_type_dictionary(sf_dir, fingerprint)
+    if len(types) > 62:
+        return None
+    base = scratch_dir()
+    name = f"q10mask_events_{sf_tag}_{fingerprint}"
+    path = os.path.join(base, name)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    tmp = tempfile.mkdtemp(prefix=f".{name}.tmp.", dir=base)
+    try:
+        e = load(spark, sf_dir, "events")
+        mapping = (
+            F.create_map(
+                *[
+                    x
+                    for i, t in enumerate(types)
+                    for x in (F.lit(t), F.lit(1 << i))
+                ]
+            )
+            if types
+            else None
+        )
+        bit = (
+            F.coalesce(mapping[F.col("event_type")], F.lit(0))
+            if types
+            else F.lit(0)
+        )
+        (
+            e.select("user_id", bit.alias("bit"))
+            .groupBy("user_id")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/masks")
+        )
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(types)], "bit int, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/types")
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        for _ in range(2):
+            try:
+                os.rename(tmp, path)
+                break
+            except OSError:
+                if os.path.exists(marker):
+                    break
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            raise OSError(f"could not publish user masks at {path}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    evict_stale_fixtures(base, (f"q10mask_events_{sf_tag}_",), keep=name)
+    return path
+
+
+@op(
+    "agg_distinct_count_mask_ingest",
+    oracle="""
+    SELECT CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL
+                                     AND event_type IS NOT NULL
+                                THEN (user_id, event_type) END)
+                AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    tags=("agg", "dedup", "ingest", "scale", "extra"),
+)
+def agg_distinct_count_mask_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_distinct_count answered from the persisted per-user mask
+    table (:func:`_user_mask_fixture`): all three exact counts fall out
+    of ~n_users (long, long) rows — n_users = non-null user rows,
+    n_pairs = sum(bit_count(mask)) over them (the multi-arg
+    count(DISTINCT) any-null drop rule), n_types = bit_count(bit_or of
+    every mask, null user included). Identical algebra to
+    agg_distinct_count_bitmask's final stage; only the mask derivation
+    moved to ingest. The oracle recomputes from BASE events, so the
+    hash check proves the persisted masks round-trip the distincts.
+    Falls back to the exact pair plan when the type domain exceeds the
+    62-bit mask width (fixture returns None)."""
+    path = _user_mask_fixture(spark, sf_dir)
+    if path is None:
+        return agg_distinct_count(spark, sf_dir)
+    per_user = spark.read.parquet(f"{path}/masks")
     return per_user.agg(
         F.sum(
             F.when(F.col("user_id").isNotNull(), F.bit_count("mask")).otherwise(
