@@ -36,6 +36,10 @@ SRC = "/root/testdata/sf0.1"
 OPS = ("dedup_minhash_lsh", "text_line_dedup_c4", "dedup_incremental_minhash")
 
 
+def parse_ops(argv_ops):
+    return tuple(argv_ops) if argv_ops else OPS
+
+
 def build_perturbed(scale: int) -> str:
     import duckdb
 
@@ -70,7 +74,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", type=int, nargs="+", default=[10, 40])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("ops", nargs="*", help="subset of ops (default: all)")
     args = ap.parse_args()
+    ops = parse_ops(args.ops)
 
     import duckdb
 
@@ -98,7 +104,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
         )
-        for op_id in OPS:
+        for op_id in ops:
             o = reg[op_id]
             df = o.fn(spark, sf)
             rows = sorted(tuple(r) for r in df.collect())
