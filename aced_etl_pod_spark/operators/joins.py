@@ -64,7 +64,39 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from growing with the corpus. The dispatch count comes from parquet
     FOOTERS read driver-side (tables.table_row_count, lru-cached per
     sf_dir) — a df.count() here would be a real scan job at plan time,
-    not metadata (round-11 advice; aggregatePushdown is off)."""
+    not metadata (round-11 advice; aggregatePushdown is off).
+
+    SUMMARY-LAYOUT dispatch since round 12 (optimization session 2):
+    past ~1 M orders the op answers from the ingest-time per-nationkey
+    partial-aggregate summary (join_multiway_star_summary_ingest — the
+    q1 storage-layer idiom; the query groups to <= 25 nation rows, so
+    it is summary-shaped). The r11 bucketed-layout plan stays as the
+    fallback for a degenerate summary (near-unique nationkey domain),
+    and the shuffle_hash size dispatch remains the mid-scale posture
+    (100 k..1 M customers, no layout yet). Same oracle on every path."""
+    import os
+
+    from aced_etl_pod_spark.operators.scale_ops import (
+        _q2_summary_fixture,
+        join_multiway_star_bucketed,
+        join_multiway_star_summary_ingest,
+    )
+    from aced_etl_pod_spark.tables import table_row_count
+
+    if table_row_count(sf_dir, "orders") >= 1_000_000:
+        path = _q2_summary_fixture(spark, sf_dir)
+        if not os.path.exists(os.path.join(path, "_DEGENERATE")):
+            return join_multiway_star_summary_ingest(spark, sf_dir)
+        return join_multiway_star_bucketed(spark, sf_dir)
+    return _q2_plain_star(spark, sf_dir)
+
+
+def _q2_plain_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undispatched q2 star-join plan (broadcast dims + size-
+    dispatched customer join) — kept callable for the A/B tools and the
+    below-knee regime."""
+    from aced_etl_pod_spark.tables import table_row_count
+
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -72,19 +104,6 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
         "n_nationkey", "n_name", "r_name"
     )
-    from aced_etl_pod_spark.operators.scale_ops import (
-        join_multiway_star_bucketed,
-    )
-    from aced_etl_pod_spark.tables import table_row_count
-
-    # round-11 LAYOUT dispatch: past ~1 M orders the whole fact join
-    # answers from the shared bucketed custkey layout (zero-exchange
-    # SMJ; tools/q2_bucketed_ab.py: 2.0x at x200, 1.6x at x800, ratio
-    # 6.1x -> 3.1x / 5.5x -> 3.35x) — the same write the q4 dispatch
-    # pays for, reused. The shuffle_hash size dispatch below remains the
-    # mid-scale posture (100 k..1 M customers, no layout yet).
-    if table_row_count(sf_dir, "orders") >= 1_000_000:
-        return join_multiway_star_bucketed(spark, sf_dir)
     cust_side = (
         customer.hint("shuffle_hash")
         if table_row_count(sf_dir, "customer") >= 100_000

@@ -135,15 +135,26 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured and REJECTED: 2.74 s at x800 vs the raw-parquet arrow
     kernel's 1.17 s — per-query driver-side cell ranking plus the
     1264-value isin pushdown cost more than the zstd cells layout
-    saves when every cell is probed anyway (PLANS.md round-12). Same
-    oracle all paths; dispatch count from parquet footers."""
+    saves when every cell is probed anyway (PLANS.md round-12).
+
+    PACKED-LAYOUT since the round-12 optimization session
+    (tools/q8_packed_ab.py): the arrow kernel was decomposed as 100 %
+    Arrow-transfer-bound (a mapInArrow pass-through costs the full
+    kernel's wall at x800; the gemm adds ~nothing), so past the same
+    knee the dispatch now reads the ingest-time packed float32-binary
+    layout (sim_cosine_topk_packed_ingest — one memcpy per row across
+    the JVM→Python boundary instead of one copy per list element):
+    x200 0.45 → 0.31 s (ratio vs DuckDB 1.29x → 0.87x WIN), x800
+    1.01 → 0.44 s (2.78x → 1.21x), x10 tie at the job floor; cosines
+    bit-identical (float32 bits round-trip the pack). Same oracle all
+    paths; dispatch count from parquet footers."""
     from aced_etl_pod_spark.tables import (
         load_validated_embeddings,
         table_row_count,
     )
 
     if table_row_count(sf_dir, "embeddings") >= _ARROW_COSINE_MIN_VECS:
-        return sim_cosine_topk_arrow(spark, sf_dir)
+        return sim_cosine_topk_packed_ingest(spark, sf_dir)
     emb = load_validated_embeddings(spark, sf_dir)  # ingest-validated (r8)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk(emb, q, k=10)
@@ -221,6 +232,49 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_validated_embeddings(spark, sf_dir)  # ingest-validated (r8)
     q = emb.filter(F.col("vec_id") == 0)
     topk = brute_force_topk_arrow(emb, q, k=10)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@op(
+    "sim_cosine_topk_packed_ingest",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings
+               WHERE vec_id = 0 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0))
+    SELECT vec_id,
+           round({DUCK_COS.format(a="embedding", b="q_emb")}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT (abs(x) < 1e12))) = 0)
+    ORDER BY {DUCK_COS.format(a="embedding", b="q_emb")} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ingest", "scale", "extra"),
+)
+def sim_cosine_topk_packed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as sim_cosine_topk via the PACKED-layout gemm kernel
+    (round-12 optimization session 2): the exact scan was measured 100 %
+    Arrow-TRANSFER-bound at x800 (a mapInArrow pass-through over the
+    list column costs the full kernel's wall; the gemm adds ~nothing),
+    so the one remaining lever was to make the bytes cross the boundary
+    cheaper — tables.load_packed_embeddings rewrites each vector at
+    ingest as a single little-endian float32 binary cell, which the JVM
+    converts to Arrow with one memcpy per ROW instead of one copy per
+    ELEMENT (pass-through 1.41 → 0.51 s on 6.4 M dim-64 vectors).
+    float32 bits round-trip the pack exactly ⇒ cosines are bit-identical
+    to the list-column kernels; the oracle recomputes from the BASE
+    embeddings table, so the driver hash check proves the packed layout
+    changes nothing semantically. The query vector still comes from the
+    validated list-column copy (it is a query parameter, not corpus)."""
+    from aced_etl_pod_spark.functions.similarity import (
+        brute_force_topk_packed,
+    )
+    from aced_etl_pod_spark.tables import (
+        load_packed_embeddings,
+        load_validated_embeddings,
+    )
+
+    packed = load_packed_embeddings(spark, sf_dir)
+    q = load_validated_embeddings(spark, sf_dir).filter(F.col("vec_id") == 0)
+    topk = brute_force_topk_packed(packed, q, k=10)
     return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 

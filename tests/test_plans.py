@@ -605,6 +605,76 @@ def test_q5_q9_summary_layouts_round_trip_and_prune(spark):
     assert "orders.parquet" in _plan(agg_rollup_partial_reagg(spark, SF_SMALL))
 
 
+def test_q2_summary_layout_round_trips_and_prunes(spark):
+    """Round-12 (optimization session 2) q2 layout pins: the summary
+    path's result equals the plain star join's exactly at test scale
+    (sub-cent sums — no fold-order slack needed here, unlike the x800
+    A/B's 1e-12 rel compare); the summary plan reads NO base fact bytes
+    (no orders/customer scan) while the nation x region dim join stays
+    at query time; the public op keeps the plain star below the
+    1M-order knee."""
+    from aced_etl_pod_spark.operators.joins import (
+        _q2_plain_star,
+        join_multiway_star,
+    )
+    from aced_etl_pod_spark.operators.scale_ops import (
+        join_multiway_star_summary_ingest,
+    )
+
+    plain = sorted(tuple(r) for r in _q2_plain_star(spark, SF_SMALL).collect())
+    summ_df = join_multiway_star_summary_ingest(spark, SF_SMALL)
+    summ = sorted(tuple(r) for r in summ_df.collect())
+    assert plain == summ
+
+    plan = _plan(summ_df)
+    assert "orders.parquet" not in plan  # no base fact bytes
+    assert "customer.parquet" not in plan
+    assert "q2sum_star" in plan
+    assert "nation.parquet" in plan  # dims stay a query-time broadcast
+    assert "BroadcastHashJoin" in plan
+
+    # below the knee the public op stays on the plain star plan
+    dispatched = _plan(join_multiway_star(spark, SF_SMALL))
+    assert "orders.parquet" in dispatched
+    assert "q2sum_star" not in dispatched
+
+
+def test_q8_packed_layout_round_trips_and_prunes(spark):
+    """Round-12 (optimization session 2) q8 packed-layout pins: the
+    packed-kernel result is bit-identical to the list-column kernels at
+    test scale (float32 bits round-trip the pack); the packed plan's
+    corpus side reads ONLY the packed fixture (one binary cell per row
+    across the Python boundary — no embedding list column, no base
+    embeddings.parquet); the public op keeps the JVM fold below the
+    50 k-vector knee (no Python stage at all)."""
+    from aced_etl_pod_spark.operators.similarity import (
+        sim_cosine_topk,
+        sim_cosine_topk_arrow,
+        sim_cosine_topk_fast,
+        sim_cosine_topk_packed_ingest,
+    )
+
+    packed_df = sim_cosine_topk_packed_ingest(spark, SF_SMALL)
+    packed = sorted(tuple(r) for r in packed_df.collect())
+    arrow = sorted(
+        tuple(r) for r in sim_cosine_topk_arrow(spark, SF_SMALL).collect()
+    )
+    fast = sorted(
+        tuple(r) for r in sim_cosine_topk_fast(spark, SF_SMALL).collect()
+    )
+    assert packed == arrow == fast
+
+    plan = _plan(packed_df)
+    assert "packed_emb" in plan  # corpus = the packed binary layout
+    assert "embeddings.parquet" not in plan  # base table never re-read
+    assert "MapInArrow" in plan
+
+    # below the knee the public op stays on the JVM fold (no Python)
+    dispatched = _plan(sim_cosine_topk(spark, SF_SMALL))
+    assert "packed_emb" not in dispatched
+    assert "MapInArrow" not in dispatched
+
+
 def test_q6_dispatch_below_knee_keeps_parse_plan(spark):
     """Round-12 q6 dispatch pin: below the 4M-event knee fn_json stays
     on the parse-kernel plan (events scan, no shred fixture)."""
