@@ -1451,40 +1451,39 @@ def text_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     would fail the exact oracle hash if it ever occurred). Documents
     whose every line is boilerplate come back EMPTY, not missing —
     cardinality is preserved for the downstream mixture accounting.
-    Dedup-ladder A/B at x40 (200 k docs): 9.24 -> 5.13 s (1.38x vs
-    DuckDB, from 3.13x); x10 3.68 -> 2.33 s. Sorted-rows equal to the
-    oracle at both scales."""
+    Dedup-ladder A/B at x40 (200 k docs): 9.24 -> 5.13 s (r12 s1 digest
+    window) -> 3.34 s (r12 s3: regex spans + binary key; closing
+    tools/linededup_ab.py row = 1.08x vs DuckDB 3.10 s). Sorted-rows
+    equal to the oracle at every step."""
     # null-text docs have no lines to dedup — excluded on both sides
     # (the oracle's spans CTE never yields a row for them)
-    d = (
+    #
+    # Span derivation (round-12 session 3): one regexp_extract_all pass
+    # replaces split -> transform(sequence) -> slice -> array_join —
+    # the decomposed x40 profile showed the array pipeline WAS the
+    # dominant cost (1.89 s of the 4.8 s wall; the regex pass is
+    # 1.00 s, spans byte-identical on 1.44 M rows). The pattern eats an
+    # optional leading separator per match so greedy `{0,7}` groups
+    # exactly 8 split(' ')-elements per span, preserving empty fields
+    # from consecutive spaces just like the array form.
+    spans = (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", " ").alias("l"))
-    )
-    spans = (
-        d.select(
+        .select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor((F.size("l") - 1) / 8).cast("int"),
-                    ),
-                    lambda i: F.array_join(
-                        F.slice(
-                            F.col("l"),
-                            i * 8 + 1,
-                            F.least(
-                                F.lit(8), F.size("l") - i * 8
-                            ),
-                        ),
-                        " ",
-                    ),
+                F.expr(
+                    r"regexp_extract_all(text,"
+                    r" '(?:^| )([^ ]*(?: [^ ]*){0,7})', 1)"
                 )
             ).alias("pos", "line"),
         )
     )
-    w = W.partitionBy(F.sha2("line", 256)).orderBy("doc_id", "pos")
+    # binary digest (unhex halves the 64-char hex key): the window's
+    # exchange+sort compares 32-byte keys (x40: 3.99 -> 3.54 s)
+    w = W.partitionBy(F.unhex(F.sha2("line", 256))).orderBy(
+        "doc_id", "pos"
+    )
     ranked = spans.withColumn(
         "kline", F.when(F.row_number().over(w) == 1, F.col("line"))
     )

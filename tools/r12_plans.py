@@ -145,8 +145,9 @@ def main() -> int:
          "persisted per-user type-bitmask table; no events bytes",
          by_reg("agg_distinct_count_mask_ingest")),
         ("text_line_dedup_c4", "after",
-         "digest-keyed window rewrite (r12: sha256 shuffle keys, "
-         "spans-joins-kept self-join deleted; 3.13x -> 1.38x at x40)",
+         "digest-keyed window rewrite (r12: regexp_extract_all spans, "
+         "unhex(sha256) binary shuffle keys, spans-joins-kept "
+         "self-join deleted; 3.13x -> 1.38x -> 1.18x at x40)",
          by_reg("text_line_dedup_c4")),
     ]
 
