@@ -2563,6 +2563,48 @@ def test_line_dedup_keep_first_semantics(spark):
     assert len(out) == 3  # cardinality preserved
 
 
+def test_line_dedup_edge_corpus_matches_oracle(spark, tmp_path):
+    """Pin the r12 regexp_extract_all span grammar against the DuckDB
+    oracle on the adversarial edge corpus: empty strings, lone /
+    consecutive / trailing spaces (empty split-fields), exact 8- and
+    9-word span boundaries, a 17-word doc (two full spans + remainder),
+    NULL text, and repeated lines/docs. The old split->slice pipeline
+    and the regex must agree on every one of these — especially the
+    empty-match cases, where regex engines commonly diverge."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "", " ", "  ", "a", "a ", " a", "a  b",
+        "w1 w2 w3 w4 w5 w6 w7 w8",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 x",
+        None, "dup dup", "dup dup", "   trail   ",
+        "w1 w2 w3 w4 w5 w6 w7 w8", "",
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        f"{d}/documents.parquet",
+    )
+    rows = sorted(tuple(r) for r in txt.text_line_dedup_c4(spark, d).collect())
+    dcon = duckdb.connect()
+    dcon.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in dcon.execute(txt.TEXT_LINE_DEDUP_C4_ORACLE).fetchall()
+    )
+    assert rows == orows
+    # the NULL-text doc is excluded on both sides; everything else kept
+    assert len(rows) == len(texts) - 1
+
+
 def test_queue7_parity_nfc(spark, con):
     sdf = txt.fn_unicode_normalize_nfc(spark, SF_SMALL).toPandas()
     ddf = con.execute(txt.FN_UNICODE_NFC_ORACLE).fetchdf()
