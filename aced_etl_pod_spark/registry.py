@@ -260,6 +260,23 @@ _ROTATION_PLAN = {
     ),
 }
 
+# Ops whose semantics-sensitive code changed in an optimization round and
+# therefore need a FRESH external CORRECTNESS row ahead of the oldest-first
+# rotation (round-13 verdict item 2). Entry = (op_id, round the change needs
+# a row in); the entry is inert once a row from that round (or later) lands,
+# so the steady-state rotation resumes untouched.
+#   * text_line_dedup_c4 / fn_json: r12 rewrites (regexp_extract_all spans,
+#     try_cast hardening) were verified by driver-run pytest only.
+#   * the three r13 quadratic-block hardenings (degenerate-block caps /
+#     degree orientation) change code the sweeps alone guard.
+_CHANGED_OPS_PENDING = (
+    ("text_line_dedup_c4", 13),
+    ("fn_json", 13),
+    ("dedup_levenshtein_pairs", 13),
+    ("sim_knn_all_pairs_topk", 13),
+    ("graph_triangle_count", 13),
+)
+
 # Operator-family modules; importing them runs the @op decorators.
 _MODULES = (
     "aced_etl_pod_spark.operators.scans",
@@ -322,6 +339,15 @@ def driver_window() -> tuple[str, ...]:
       as the total-order tie-break);
     * past the plan (round ≥ 10) → pure oldest-row backfill, forever.
 
+    Changed-ops-first rule (round-13 verdict item 2): an op whose
+    SEMANTICS-SENSITIVE code changed in an optimization round sorts
+    ahead of the oldest-first backfill until its next external
+    CORRECTNESS row lands — otherwise the rotation would take years to
+    reach it (oldest-first looks at row age, not code age). The set is
+    maintained by hand per round in _CHANGED_OPS_PENDING and each entry
+    expires on its own external row, so the steady-state rotation is
+    undisturbed (two stale-cohort ops slip one round, nothing else).
+
     Reads only repo-committed CORRECTNESS files, so the window the driver
     sees at round end is exactly the window the gate tests verified."""
     rows = _external_rows()
@@ -333,11 +359,19 @@ def driver_window() -> tuple[str, ...]:
     planned = _ROTATION_PLAN.get(nxt, ())
     for mod in _MODULES:
         importlib.import_module(mod)
+    changed = tuple(
+        o
+        for o, changed_round in _CHANGED_OPS_PENDING
+        if o in _REGISTRY
+        and o not in set(planned)
+        and rows.get(o, 0) < changed_round
+    )
+    head = changed + tuple(planned)
     fill = sorted(
-        (o for o in _REGISTRY if o not in set(planned)),
+        (o for o in _REGISTRY if o not in set(head)),
         key=lambda o: (rows.get(o, 0), o),
     )
-    return tuple(planned) + tuple(fill[: max(0, 50 - len(planned))])
+    return head + tuple(fill[: max(0, 50 - len(head))])
 
 
 def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
