@@ -84,12 +84,17 @@ def pagerank(
 def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
-    ``edges`` must be oriented low-id → high-id with no self-loops (the
-    caller's contract; :func:`orient_edges` below normalizes a raw edge
-    list). Every triangle {a<b<c} is enumerated exactly once as
-    (a,b)⋈(b,c)⋈(a,c) — two equi-joins hash-partitioned on a vertex key,
-    never a cross join and no post-hoc division by orientation count.
-    Returns (node, n_triangles) for nodes in ≥1 triangle."""
+    ``edges`` must be acyclically oriented by ANY strict total order on
+    vertices, with no self-loops and no duplicates (the caller's
+    contract; :func:`orient_edges` / :func:`orient_edges_by_degree`
+    below normalize a raw edge list). Under a total order every triangle
+    {a<b<c} is enumerated exactly once as (a,b)⋈(b,c)⋈(a,c) — two
+    equi-joins hash-partitioned on a vertex key, never a cross join and
+    no post-hoc division by orientation count — and the resulting
+    per-node participation counts are orientation-INVARIANT (each
+    triangle contributes one row per corner regardless of which order
+    produced it). Returns (node, n_triangles) for nodes in ≥1
+    triangle."""
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -112,4 +117,41 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
+    )
+
+
+def orient_edges_by_degree(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """:func:`orient_edges` hardened for hub skew (guide §2.5, round-13
+    verdict item 1): orient each undirected edge from the lower to the
+    higher endpoint under the strict total order (degree, id) instead of
+    raw id. triangle_counts' path join (a,b)⋈(b,c) materializes
+    Σ_b indeg(b)·outdeg(b) candidate rows; under raw-id orientation a
+    hub with a mid-range id splits its neighbors ~half below / ~half
+    above — deg(hub)²/4 candidates through one vertex (and one shuffle
+    key). Under (degree, id) order every vertex's OUT-neighbors carry
+    degree ≥ its own, which caps outdeg at O(sqrt(m)) on any graph —
+    the fan-out is ≤ m·O(sqrt(m)) total, and a hub (globally last)
+    contributes zero. Triangle counts are orientation-invariant (see
+    triangle_counts), so results are identical to the id orientation on
+    every input; the cost is one degree aggregation + two joins against
+    the (node, deg) table — metadata-sized next to the path join they
+    bound."""
+    und = orient_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
     )

@@ -571,23 +571,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     participation. Reference analog: graph-store analytics one step past
     the vertices/edges load (fhir_import_export.py:224-226).
 
-    Plan: edges are oriented low-id → high-id and distinct-ed, so every
-    triangle {a<b<c} is enumerated exactly once as (a,b)⋈(b,c)⋈(a,c) — two
-    equi-joins, no direction double-count, no division by 6. Both joins
-    hash-partition on a single vertex key. At 100 TB the standard hardening
-    applies: orient by (degree, id) instead of raw id so high-degree hubs
-    land on the closing-edge side (bounds the e1⋈e2 fan-out to
-    sum-of-squared-out-degrees with out-degree ≤ ~sqrt(m)), and broadcast
-    nothing — every step is a pure shuffle hash join on vertex keys. Here
-    id orientation keeps the derivation identical in the DuckDB oracle."""
-    from aced_etl_pod_spark.functions.graph import orient_edges, triangle_counts
+    Plan: edges are distinct-ed and acyclically oriented by the strict
+    total order (degree, id) — the standard hub hardening, shipped in
+    round 13 (was documented-only through r12). The path join
+    (a,b)⋈(b,c) materializes Σ_b indeg(b)·outdeg(b) candidates; degree
+    order caps every outdeg at O(sqrt(m)) (out-neighbors have degree ≥
+    your own), so a hub — deg²/4 candidates through one shuffle key
+    when its raw id is mid-range — contributes zero. Every triangle
+    {a<b<c} under the order is enumerated exactly once as
+    (a,b)⋈(b,c)⋈(a,c) — two equi-joins, no direction double-count, no
+    division by 6, broadcast nothing. Per-node participation counts are
+    orientation-INVARIANT, so the id-oriented DuckDB oracle (and the r12
+    external hash row) match bit-for-bit; the skewed-hub fan-out A/B is
+    tools/hotblock_ladder.py."""
+    from aced_etl_pod_spark.functions.graph import (
+        orient_edges_by_degree,
+        triangle_counts,
+    )
 
     o = load(spark, sf_dir, "orders")
     raw = o.select(
         (F.col("o_custkey") % 500).alias("src"),
         (F.col("o_orderkey") % 500).alias("dst"),
     )
-    per_node = triangle_counts(orient_edges(raw))
+    per_node = triangle_counts(orient_edges_by_degree(raw))
     w = W.orderBy(F.desc("n_triangles"), "node")
     return (
         per_node.withColumn("rk", F.row_number().over(w))

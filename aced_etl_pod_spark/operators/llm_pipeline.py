@@ -657,10 +657,19 @@ def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Blocked edit-distance dedup parameters: prefix length keeps the O(len²)
 # kernel bounded; the threshold is below the corpus's random-pair distance
-# floor (~21 at prefix 40) so matches are genuine near-dups.
+# floor (~21 at prefix 40) so matches are genuine near-dups. The block cap
+# (round-13 verdict item 1 — the MinHash mega-bucket discipline,
+# SIM_ANN_LSH_TOPK_ORACLE's bucket-cap precedent) drops degenerate
+# (lang, length-bucket) blocks outright: one hot block is O(block²) in
+# OUTPUT, so no restructure can save it — a block past the cap is a
+# boilerplate/template cluster, not near-dup signal. 4096 bounds any
+# block to ≤ ~8.4 M candidate pairs (a few seconds of codegen'd kernel)
+# and never fires on real corpora at any measured tiling (max observed
+# block: 81 at sf0.1, 3,240 at the x40 ladder tiling).
 LEV_PREFIX = 40
 LEV_MAX = 24
 LEV_BLOCK_CHARS = 16
+LEV_BLOCK_CAP = 4096
 
 
 @op(
@@ -668,12 +677,16 @@ LEV_BLOCK_CHARS = 16
     oracle=f"""
     WITH b AS (
       SELECT doc_id, lang, n_chars // {LEV_BLOCK_CHARS} AS lb,
-             substr(text, 1, {LEV_PREFIX}) AS p
+             substr(text, 1, {LEV_PREFIX}) AS p,
+             count(*) OVER (PARTITION BY lang, n_chars // {LEV_BLOCK_CHARS})
+               AS bn
       FROM documents
+    ), k AS (
+      SELECT doc_id, lang, lb, p FROM b WHERE bn <= {LEV_BLOCK_CAP}
     )
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
            CAST(levenshtein(a.p, c.p) AS BIGINT) AS lev
-    FROM b a JOIN b c
+    FROM k a JOIN k c
       ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
     WHERE levenshtein(a.p, c.p) <= {LEV_MAX}
     """,
@@ -690,15 +703,25 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: a self equi-join on the block key — never an all-pairs cross
     join; the quadratic kernel is confined to within-block pairs, and the
     a.id < b.id orientation halves the work and canonicalizes pair order.
-    At 100 TB the block key gains a bucket-size cap (drop or salt
-    degenerate blocks, same discipline as the MinHash band cap) and the
-    prefix kernel runs as a codegen'd built-in — no UDF anywhere."""
+    DEGENERATE-BLOCK CAP since round 13 (guide §2.5 skew discipline, the
+    MinHash mega-bucket precedent): blocks wider than LEV_BLOCK_CAP are
+    dropped — declared identically in the oracle, so both engines agree
+    bit-for-bit on skewed input. The cap rides a window count over the
+    SAME (lang, lb) partitioning the join needs, so the pre-filter adds
+    no extra exchange of the data; below the cap the kept set is every
+    row and the pair output is untouched (skew evidence:
+    tools/hotblock_ladder.py)."""
     d = load(spark, sf_dir, "documents")
-    b = d.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / LEV_BLOCK_CHARS).alias("lb"),
-        F.substring("text", 1, LEV_PREFIX).alias("p"),
+    b = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / LEV_BLOCK_CHARS).alias("lb"),
+            F.substring("text", 1, LEV_PREFIX).alias("p"),
+        )
+        .withColumn("bn", F.count("*").over(W.partitionBy("lang", "lb")))
+        .filter(F.col("bn") <= LEV_BLOCK_CAP)
+        .drop("bn")
     )
     a = b.select(
         F.col("doc_id").alias("doc_a"),

@@ -299,7 +299,32 @@ def sim_cosine_topk_packed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def sim_knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector k-NN (k=3) within each label group: group-bounded join +
-    window top-k — the shuffle is on label, never a global cross join."""
+    window top-k — the shuffle is on label, never a global cross join.
+
+    SALT-GRID DISPATCH since round 13 (guide §2.5 — the label domain is
+    small by construction, 10 values on this corpus, so past the
+    corpus-size knee every label is a hot join key and the whole
+    quadratic enumeration lands on ≤ n_labels tasks): the salted variant
+    spreads each label over k_salt² deterministic (salt_a, salt_b) cells
+    and recovers the EXACT global top-3 from per-cell partial top-3s
+    (any total order's top-k is contained in the union of its cells'
+    top-k). Below the knee the plain plan is unchanged; results are
+    identical on every path (asserted across plain/salted + oracle in
+    tools/hotblock_ladder.py)."""
+    import math
+
+    from aced_etl_pod_spark.tables import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    if n >= _KNN_SALT_MIN_VECS:
+        k_salt = min(32, max(2, math.ceil(math.sqrt(n / 10_000))))
+        return _knn_all_pairs_salted(spark, sf_dir, k_salt)
+    return _knn_all_pairs_plain(spark, sf_dir)
+
+
+def _knn_all_pairs_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undispatched per-label all-pairs plan (kept callable for the
+    A/B tools and the below-knee regime)."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_id"), F.col("label"), F.col("embedding").alias("emb_a")
@@ -315,6 +340,78 @@ def sim_knn_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
     return (
         pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.col("label").cast("long").alias("label"),
+            F.col("rk").cast("long").alias("rk"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+# Salt-grid knee/width: below 50 k vectors the plain plan is at the job
+# floor (same knee family as _ARROW_COSINE_MIN_VECS); past it, k_salt ≈
+# sqrt(n / 10k) bounds a hot label of size L to (L/k_salt)² pairs per
+# cell at a replication cost of k_salt× on ONE side (§2.5: salt the key,
+# explode one side k ways).
+_KNN_SALT_MIN_VECS = 50_000
+
+
+def _knn_all_pairs_salted(
+    spark: SparkSession, sf_dir: str, k_salt: int
+) -> DataFrame:
+    """sim_knn_all_pairs_topk's skew-hardened plan: deterministic salt
+    s(v) = pmod(xxhash64(vec_id), k_salt) on the neighbor side; the
+    query side replicates k_salt ways so each ORDERED pair (a, b) meets
+    exactly once, in cell (label, s(b)). Per-cell partial top-3 rides
+    the join's own (label, sb) hash partitioning (window partition keys
+    are a superset → no extra exchange of the n² pair rows); only ≤
+    3·k_salt candidate rows per vector cross the final vec_id exchange.
+    Norms are computed once per ROW before the join (sqrt(dot(x,x)) per
+    row, not per pair) — the same doubles the per-pair expression would
+    produce, so cosines are bit-identical to the plain plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    from aced_etl_pod_spark.functions.similarity import dot_expr
+
+    salt = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(k_salt)).cast("int")
+    a = (
+        emb.select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("label"),
+            F.col("embedding").alias("emb_a"),
+        )
+        .withColumn("na", F.sqrt(dot_expr("emb_a", "emb_a")))
+        .crossJoin(
+            spark.range(k_salt).select(F.col("id").cast("int").alias("sb"))
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label"),
+        F.col("embedding").alias("emb_b"),
+    ).withColumn(
+        "sb", F.pmod(F.xxhash64(F.col("nbr_id")), F.lit(k_salt)).cast("int")
+    ).withColumn("nb", F.sqrt(dot_expr("emb_b", "emb_b")))
+    pairs = (
+        a.join(b, ["label", "sb"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn(
+            "cos", dot_expr("emb_a", "emb_b") / (F.col("na") * F.col("nb"))
+        )
+    )
+    w_cell = W.partitionBy("label", "sb", "vec_id").orderBy(
+        F.desc("cos"), "nbr_id"
+    )
+    cand = (
+        pairs.withColumn("rk1", F.row_number().over(w_cell))
+        .filter(F.col("rk1") <= 3)
+        .select("vec_id", "nbr_id", "label", "cos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
             "vec_id",
