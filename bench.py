@@ -106,6 +106,63 @@ BENCH_QUERIES = {
 }
 EXACT_Q8_OP = "sim_cosine_topk_fast"
 
+# Knee-crossing second tier (round-13 verdict item 2): every sf0.1 median
+# sits in the 0.12-0.30 s local-mode job-floor band REGARDLESS of plan
+# (the 8-core vs 32-core ratios are ~1), so round-over-round PERF on the
+# contract numbers reads noise. This tier re-times the same queries on
+# the persisted x40 tiling of the SAME source dir (24 M lineitem / 4 M
+# events / 200 k docs / 80 k vectors — past every dispatch knee except
+# q7's 1 M-doc ingest tier, whose Arrow-kernel dispatch still differs
+# from sf0.1), where plans DIFFER and a real regression moves the
+# numbers. Reported under extra.tiled_x40 — the sanctioned extra
+# channel; "queries"/"value" keep the exact sf0.1 contract semantics and
+# the output stays ONE JSON line. Layout/fixture builds happen at plan
+# construction (outside the timed region, as everywhere); the tile build
+# is cached under scratch keyed on the source fingerprint. Adds ~1-3 min
+# cold, well under a minute warm; SPARK_GRAFT_TILED=0 skips it, and any
+# failure degrades to a note in extra rather than touching the contract.
+TILED_SCALE = int(os.environ.get("SPARK_GRAFT_TILED_SCALE", "40"))
+TILED_REPS = 3
+
+
+def _tiled_tier(spark):
+    if os.environ.get("SPARK_GRAFT_TILED", "1") == "0":
+        return None
+    try:
+        from tools.bench_ladder import (
+            BENCH_QUERIES as LADDER_QUERIES,
+            build_scaled,
+        )
+
+        reg = registry()
+        sf = build_scaled(TILED_SCALE, src=SF_DIR)
+        dfs = {
+            name: reg[q].fn(spark, sf) for name, q in LADDER_QUERIES.items()
+        }
+
+        def rerun(df):
+            w = df.where(F.lit(True))
+            w._jdf.queryExecution().executedPlan()
+            return w
+
+        spark.sparkContext.setJobDescription(f"bench tiled x{TILED_SCALE}")
+        for df in dfs.values():
+            rerun(df).collect()
+        samples: dict[str, list[float]] = {name: [] for name in dfs}
+        for _ in range(TILED_REPS):
+            for name, df in dfs.items():
+                w = rerun(df)
+                t0 = time.perf_counter()
+                w.collect()
+                samples[name].append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        return {
+            name: round(statistics.median(ts), 4)
+            for name, ts in samples.items()
+        }
+    except Exception as e:  # never let the tier break the contract line
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -197,6 +254,9 @@ def main() -> None:
         "q8_exact_scan": results.pop("q8_exact_scan"),
         "q8_ivf_build_once": round(build_once, 4),
     }
+    tiled = _tiled_tier(spark)
+    if tiled is not None:
+        extra[f"tiled_x{TILED_SCALE}"] = tiled
     total = round(sum(results.values()), 4)
     print(
         json.dumps(

@@ -58,11 +58,12 @@ BENCH_QUERIES = {
 }
 
 
-def build_scaled(scale: int) -> str:
+def build_scaled(scale: int, src: str | None = None) -> str:
     import duckdb
 
     from aced_etl_pod_spark.tables import scratch_dir
 
+    SRC = src or globals()["SRC"]
     st = os.stat(os.path.join(SRC, "lineitem.parquet"))
     out = scratch_dir(f"benchladder_x{scale}_{st.st_mtime_ns:x}")
     marker = os.path.join(out, "_DONE")
