@@ -60,7 +60,10 @@ def _link_other_tables(out: str) -> None:
 
 
 def build_documents_hot(scale: int) -> str:
-    """sf0.1 documents tiled ×scale (uniform background) + ONE hot block
+    """sf0.1 documents tiled ×scale with CONTENT-PERTURBED replicas (the
+    dedup ladder's rule: every token gets a per-replica suffix, so
+    replicas are not lev-near-dups of their source — plain tiling would
+    measure an O(N²) clone artifact, not the hot block) + ONE hot block
     of 2×LEV_BLOCK_CAP near-identical docs (same lang, same length
     bucket) — the degenerate-template regime the cap exists for."""
     import duckdb
@@ -79,7 +82,12 @@ def build_documents_hot(scale: int) -> str:
           WITH base AS (
             SELECT doc_id + r * (SELECT max(doc_id) + 1
                                  FROM '{SRC}/documents.parquet') AS doc_id,
-                   text, lang, source, n_chars
+                   regexp_replace(text, '(\\S+)',
+                                  '\\0x' || CAST(r AS VARCHAR), 'g') AS text,
+                   lang, source,
+                   CAST(length(regexp_replace(text, '(\\S+)',
+                        '\\0x' || CAST(r AS VARCHAR), 'g')) AS BIGINT)
+                       AS n_chars
             FROM '{SRC}/documents.parquet', range({scale}) t(r)
           ), hot AS (
             SELECT 1000000000 + i AS doc_id,
