@@ -272,11 +272,6 @@ def run_knn(spark, scale: int, reps: int, with_plain: bool) -> dict:
     salted = _knn_all_pairs_salted(spark, sf, k_salt)
     srt = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     s_rows = srt(salted)
-    if with_plain:
-        spark.sparkContext.setJobDescription(f"hotblock knn x{scale} plain")
-        assert srt(_knn_all_pairs_plain(spark, sf)) == s_rows, (
-            "salted plan diverged from plain all-pairs plan"
-        )
     _oracle_check("sim_knn_all_pairs_topk", sf, salted)
     sec_salted = _median_runs(salted, reps)
     out = {
@@ -286,19 +281,36 @@ def run_knn(spark, scale: int, reps: int, with_plain: bool) -> dict:
         "hot_label_rows": int(hot),
         "k_salt": k_salt,
         "dispatches_salted": n >= 50_000,
-        "max_cell_pairs": int(math.ceil(hot / k_salt) ** 2),
+        # per-cell candidate pairs: the query side replicates into EVERY
+        # cell, so a cell enumerates hot × ceil(hot/k_salt) pairs — the
+        # salt spreads the hot label's total pair work over k_salt tasks
+        # (k_salt× relief on the one hot shuffle key), it does not shrink
+        # the total enumeration (that is the op's semantics).
+        "max_cell_pairs": int(hot) * int(math.ceil(hot / k_salt)),
         "hot_pairs_one_task_would_be": int(hot) * (int(hot) - 1),
         "sec_salted": sec_salted,
         "rows": len(s_rows),
         "plain_equal_checked": bool(with_plain),
     }
     if with_plain:
-        out["sec_plain"] = _median_runs(
-            _knn_all_pairs_plain(spark, sf), reps
+        # ONE timed execution serves both the equality check and the
+        # before-number: on the hot label the plain plan evaluates the
+        # interpreted ArrayAggregate dot per pair inside ONE task
+        # (thread-dump evidence, session r13) — ~minutes per run even at
+        # x10, so a median-of-3 protocol here burns an hour to restate
+        # one number. tests/test_hotblock.py pins plain==salted at small
+        # scale; this leg pins it once at ladder scale.
+        spark.sparkContext.setJobDescription(f"hotblock knn x{scale} plain")
+        plain = _knn_all_pairs_plain(spark, sf)
+        t0 = time.perf_counter()
+        p_rows = srt(plain)
+        out["sec_plain_single_run"] = round(time.perf_counter() - t0, 3)
+        assert p_rows == s_rows, (
+            "salted plan diverged from plain all-pairs plan"
         )
-    # the public op must dispatch by size on this input
-    pub = sim_knn_all_pairs_topk(spark, sf)
-    assert srt(pub) == s_rows if n >= 50_000 else True
+    if n >= 50_000:
+        # the public op must dispatch to the salted plan on this input
+        assert srt(sim_knn_all_pairs_topk(spark, sf)) == s_rows
     return out
 
 

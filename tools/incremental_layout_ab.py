@@ -160,13 +160,28 @@ def main() -> int:
     a = sorted(tuple(r) for r in q1_summary_answer(spark, merged_q1).collect())
     b = sorted(tuple(r) for r in q1_summary_answer(spark, full_q1).collect())
     assert a == b, (a[:2], b[:2])
-    errs = compare(
-        q1_summary_answer(spark, merged_q1).toPandas(),
-        duck_con(combined).execute(
-            reg["agg_group_sums_summary_ingest"].oracle
-        ).df(),
+
+    # engine-vs-oracle at TILED scale follows the q1_summary_ab /
+    # q2_bucketed_ab convention: money sums reach ~1e12 where parallel
+    # fold-order ULP drift exceeds the post-round cent, so floats
+    # compare at 1e-12 REL (the exact cell-string compare() is the
+    # driver-scale contract, where the drift is sub-cent and the hash
+    # is exact — and the merged-vs-rebuild assert above stays EXACT)
+    def close(x, y):
+        if isinstance(x, float) and isinstance(y, float):
+            return abs(x - y) <= 1e-12 * max(abs(x), abs(y), 1.0)
+        return x == y
+
+    ov = sorted(
+        tuple(r)
+        for r in duck_con(combined)
+        .execute(reg["agg_group_sums_summary_ingest"].oracle)
+        .fetchall()
     )
-    assert not errs, errs
+    assert len(a) == len(ov) and all(
+        len(r) == len(s) and all(close(x, y) for x, y in zip(r, s))
+        for r, s in zip(a, ov)
+    ), (a[:2], ov[:2])
     out["q1_summary"] = {
         "delta_merge_sec": round(t_merge1, 2),
         "full_rebuild_sec": round(t_full1, 2),
