@@ -707,10 +707,21 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
+    # Pre-compute the per-doc digest and DROP text before the dedup
+    # window (round 13, guide §2.3 "project before the exchange" / §8
+    # "shuffle metadata, not payloads": the x40 ladder measured this op
+    # at 3.09× vs DuckDB with the raw text column riding the
+    # (low_q, content_key) window exchange just to be md5'd in the final
+    # aggregate — the digest is a per-row expression, so computing it at
+    # the scan lets the shuffle carry ~60 B of metadata per doc instead
+    # of the document body; same value, same results).
+    doc_digest = F.expr(
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    )
     scored = d.select(
         "doc_id",
         "source",
-        "text",
+        doc_digest.alias("doc_digest"),
         ntok.alias("ntok"),
         quality.alias("quality"),
         F.md5(norm).alias("content_key"),
@@ -737,9 +748,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
         F.expr(
-            "bit_xor(CASE WHEN kept THEN "
-            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) "
-            "ELSE 0 END)"
+            "bit_xor(CASE WHEN kept THEN doc_digest ELSE 0 END)"
         ).alias("kept_digest"),
     )
 

@@ -94,7 +94,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table is vocabulary-sized so it joins back as a BROADCAST;
     N is a 1-row broadcast cross join; per-doc top-k is a window over the
     doc_id partitioning the tf agg already produced. At 100 TB the only
-    big shuffle is the (doc_id, term) agg, which map-side combines."""
+    big shuffle is the (doc_id, term) agg, which map-side combines.
+
+    SINGLE-PASS df MEASURED AND REJECTED (round 13, x40 ladder): deriving
+    df from tf (df = count(*) of tf rows per term — exactly
+    countDistinct(doc_id), since tf is one row per distinct (doc, term))
+    should let ReuseExchange collapse the two corpus passes into one, but
+    (a) column pruning drops the count column from the df branch's
+    partial agg, making the two exchange subtrees differ → NO reuse
+    (forcing the column via count(tf) gets rewritten and pruned again),
+    and (b) the derived shape flips the join's broadcast side to the
+    512 MB tf relation. Measured 9.36 s → 15.9 s at x40 (2.33× → 4.02×
+    vs DuckDB) — the two-pass shape below stays. The term-window df
+    alternative (one pass, zero joins) is skew-unsafe: a stop-word term
+    is one unsplittable window partition (guide §2.5). The 100 TB
+    escalation for this family remains tokenize-at-ingest (the q7
+    toksum idiom), not a query-shape rewrite."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

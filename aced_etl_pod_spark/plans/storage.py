@@ -84,6 +84,16 @@ def scd2_merge(base: DataFrame, updates: DataFrame, key: str, ts_new: str) -> Da
     All three legs are key-equi-joins against the distinct update keys —
     broadcastable when the update batch is small (the common case), never a
     full-table rewrite of history.
+
+    SINGLE-PASS REWRITE MEASURED AND REJECTED (round 13, x40 noop-sink
+    A/B): one LEFT join + per-row CASEs over a single base scan is
+    row-for-row equivalent but measured 0.472 → 0.570 s — the outer
+    join materializes every probe row through the CASE projections where
+    the anti/semi legs are filter-style probes (no row expansion), and
+    the three base scans parallelize. The op's 4.38× x40 ladder ratio is
+    a COLLECT-transfer artifact (709 k result rows through the driver),
+    not a plan gap: compute-vs-compute is at parity with DuckDB
+    (tools/longtail_ladder.py + the r13 noop A/B in OPTIMIZATION_r13.md).
     """
     from pyspark.sql import functions as F
 

@@ -275,6 +275,10 @@ _CHANGED_OPS_PENDING = (
     ("dedup_levenshtein_pairs", 13),
     ("sim_knn_all_pairs_topk", 13),
     ("graph_triangle_count", 13),
+    # r13 session-2 longtail lever (plan rewrite, results proven equal
+    # to the old shape + oracle at sf0.001/0.01 before shipping; the
+    # merge_scd2 single-pass twin was measured NEGATIVE and reverted):
+    ("pipeline_corpus_curation", 13),
 )
 
 # Operator-family modules; importing them runs the @op decorators.

@@ -683,3 +683,37 @@ def test_q6_dispatch_below_knee_keeps_parse_plan(spark):
     plan = _plan(fn_json(spark, SF_SMALL))
     assert "events.parquet" in plan
     assert "shred_events" not in plan
+
+
+def test_curation_window_exchange_carries_no_text(spark):
+    """Round-13 pin (guide §2.3/§8): pipeline_corpus_curation computes the
+    per-doc digest AT THE SCAN and drops text before the dedup window, so
+    the (low_q, content_key) exchange ships ~60 B of metadata per doc —
+    never the document body. Read the Exchange node's Input column list
+    straight from the formatted plan."""
+    import re
+
+    from aced_etl_pod_spark.operators.corpus_ops import pipeline_corpus_curation
+
+    plan = _plan(pipeline_corpus_curation(spark, SF_SMALL))
+    # every Exchange detail block: "(n) Exchange\nInput [k]: [cols...]"
+    blocks = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks, "no Exchange detail blocks found in plan"
+    for cols in blocks:
+        assert "text#" not in cols, f"text crosses an exchange: [{cols}]"
+    assert "doc_digest" in plan  # the scan-side projection exists
+
+
+def test_scd2_merge_legs_stay_broadcast_probes(spark):
+    """Round-13 pin: merge_scd2 keeps the anti/semi filter-probe shape —
+    the single-pass LEFT-join twin was measured NEGATIVE (noop-sink A/B
+    0.472 → 0.570 s at x40; outer-join row expansion through the CASE
+    projections loses to filter-style probes) and the op's 4.38× ladder
+    ratio was shown to be a collect-transfer artifact, not a plan gap
+    (OPTIMIZATION_r13.md item 6). Both probe joins must stay broadcast —
+    the update-keys side is key-distinct and small by construction."""
+    from aced_etl_pod_spark.operators.extra_ops import merge_scd2
+
+    plan = _plan(merge_scd2(spark, SF_SMALL))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -58,6 +59,28 @@ def main() -> int:
     reg = registry()
     con = duck_con(sf)
 
+    # Dedup-family ops must NOT run on the plain key-offset tiling: every
+    # replica is an exact content clone of its source, so minhash pairs
+    # form scale-sized cliques (x40: 5 k docs × C(40,2) ≈ 3.9 M pair
+    # edges) and the oracle's transitive closure explodes — a clone
+    # artifact, not the op's behavior (the r12 dedup ladder built
+    # content-perturbed tiles for exactly this reason; this session
+    # measured the artifact directly: the cc oracle ran 40+ min at 800%
+    # CPU on the plain x40 tiling before being killed). Route them to
+    # the dedup ladder's perturbed tiling, symlinking the other tables.
+    def perturbed_sf() -> str:
+        from aced_etl_pod_spark.tables import TABLES
+        from tools.dedup_ladder import build_perturbed
+
+        p = build_perturbed(args.scale)
+        for t in TABLES:
+            dst = os.path.join(p, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf, f"{t}.parquet"), dst)
+        return p
+
+    PERTURBED_OPS = {"dedup_cluster_cc"}
+
     def rerun(df):
         w = df.where(F.lit(True))
         w._jdf.queryExecution().executedPlan()
@@ -66,12 +89,16 @@ def main() -> int:
     rc = 0
     for op_id in ops:
         o = reg[op_id]
+        op_sf, op_con = sf, con
+        if op_id in PERTURBED_OPS:
+            op_sf = perturbed_sf()
+            op_con = duck_con(op_sf)
         spark.sparkContext.setJobDescription(f"longtail {op_id} x{args.scale}")
         t0 = time.perf_counter()
-        df = o.fn(spark, sf)  # plan construction (incl. any fixture builds)
+        df = o.fn(spark, op_sf)  # plan construction (incl. fixture builds)
         plan_s = time.perf_counter() - t0
         if o.oracle:
-            errs = compare(df.toPandas(), con.execute(o.oracle).df())
+            errs = compare(df.toPandas(), op_con.execute(o.oracle).df())
             if errs:
                 print(json.dumps({"op": op_id, "error": errs[:3]}))
                 rc = 1
@@ -79,7 +106,7 @@ def main() -> int:
         # warm both engines once, then alternate engine order per rep
         rerun(df).collect()
         if o.oracle:
-            con.execute(o.oracle).fetchall()
+            op_con.execute(o.oracle).fetchall()
         s_t, d_t = [], []
         for rep in range(args.reps):
             legs = ["spark", "duck"] if rep % 2 == 0 else ["duck", "spark"]
@@ -91,7 +118,7 @@ def main() -> int:
                     s_t.append(time.perf_counter() - t0)
                 elif o.oracle:
                     t0 = time.perf_counter()
-                    con.execute(o.oracle).fetchall()
+                    op_con.execute(o.oracle).fetchall()
                     d_t.append(time.perf_counter() - t0)
         row = {
             "op": op_id,
